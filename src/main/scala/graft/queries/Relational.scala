@@ -1,0 +1,354 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query battery — the correctness surface for the SQL engine
+  * capability (reference: src/sql/engine.py:66 executes arbitrary SQL over
+  * the cached corpus via DataFusion; here the engine is Catalyst/Tungsten
+  * and each query is a declarative DataFrame plan the optimizer is free to
+  * rewrite). Each query has a DuckDB oracle in [[oracles]] with identical
+  * column names and decimal-exact aggregation (see graft.functions.Exact).
+  */
+object Relational {
+
+  /** TPC-H Q1-style wide aggregate: map-side partial agg, single shuffle
+    * on a 6-value grouping key. Scale note: pure hash agg, no join; at
+    * 100 TB this is scan-bound and the decimal sums stay exact. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          * (lit(1) + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        avgMoney(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Projection + filter: Catalyst pushes both into the parquet scan
+    * (`PushedFilters: [GT(l_quantity,45.0)]`, 3-column ReadSchema). */
+  def qScanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .select(
+        col("l_orderkey"),
+        col("l_extendedprice"),
+        unix_timestamp(col("l_shipdate")).as("ship_epoch"))
+
+  /** TPC-H Q6-style selective conjunctive filter → single scalar. */
+  def qFilterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q3-style: broadcast customer dim into orders, shuffle join to
+    * lineitem on orderkey, agg, deterministic top-10. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style 6-way join: region/nation broadcast, fact joins
+    * shuffle on their keys, revenue per nation. */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** EXISTS semi-join (TPC-H Q4 shape): left-semi, no row duplication. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val bigLines = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+    o.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** NOT EXISTS anti-join: customers with no 2001 orders. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** Order-by-limit with unique tiebreaker (deterministic top-k). */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .limit(20)
+
+  /** Multi-column distinct (shuffle dedup). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+
+  /** Window rank: top-3 customers per nation by balance. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rk"))
+  }
+
+  /** Running sum per customer over order history (decimal-exact frame). */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("run_total", sum(money(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("run_total"))
+  }
+
+  /** GROUP BY ROLLUP: multi-level totals with null markers. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("total_price"))
+
+  /** Scalar subquery: parts above the (decimal-exact) average price. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val avgPrice = p.agg(avgMoney(col("p_retailprice")).as("a"))
+      .head().getDouble(0)
+    p.filter(col("p_retailprice") > avgPrice)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+  }
+
+  /** IN-subquery chain region → nation → supplier (broadcast semis). */
+  def qInSubquery(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left_semi")
+    Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+  }
+
+  /** UNION ALL of two entity sets + aggregate by kind. */
+  def qUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(lit("cust").as("kind"), col("c_acctbal").as("bal"))
+    val sup = Tables.supplier(s, dir)
+      .select(lit("supp").as("kind"), col("s_acctbal").as("bal"))
+    c.unionAll(sup)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_rows"), sumMoney(col("bal")).as("total_bal"))
+  }
+
+  /** CASE + string functions per row. */
+  def qCaseString(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+      length(col("c_name")).cast("int").as("name_len"),
+      when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 5000, "mid")
+        .otherwise("high").as("bal_band"),
+      concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"))
+
+  /** Date extraction / truncation / arithmetic per row. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("o_year"),
+      month(col("o_orderdate")).cast("int").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("int").as("o_day"),
+      quarter(col("o_orderdate")).cast("int").as("o_quarter"),
+      unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_epoch"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .cast("int").as("days_to_2002"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_scan_project" -> (qScanProject _),
+    "q_filter_pushdown" -> (qFilterPushdown _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q5_multijoin" -> (q5MultiJoin _),
+    "q_semijoin" -> (qSemiJoin _),
+    "q_antijoin" -> (qAntiJoin _),
+    "q_topk" -> (qTopK _),
+    "q_distinct" -> (qDistinct _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_rollup" -> (qRollup _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_in_subquery" -> (qInSubquery _),
+    "q_union" -> (qUnion _),
+    "q_case_string" -> (qCaseString _),
+    "q_date_funcs" -> (qDateFuncs _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_extendedprice,
+        |  CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
+        |FROM lineitem WHERE l_quantity > 45""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) FROM part)""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_nationkey IN (
+        |  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        |    SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))""".stripMargin,
+    "q_union" ->
+      """SELECT kind, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(bal AS DECIMAL(15,4))) AS DOUBLE) AS total_bal
+        |FROM (
+        |  SELECT 'cust' AS kind, c_acctbal AS bal FROM customer
+        |  UNION ALL
+        |  SELECT 'supp' AS kind, s_acctbal AS bal FROM supplier) t
+        |GROUP BY kind""".stripMargin,
+    "q_case_string" ->
+      """SELECT c_custkey,
+        |  UPPER(SUBSTR(c_name, 1, 8)) AS name_prefix,
+        |  CAST(LENGTH(c_name) AS INT) AS name_len,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bal_band,
+        |  c_mktsegment || '-' || c_name AS seg_name
+        |FROM customer""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS o_quarter,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+        |FROM orders""".stripMargin)
+}
