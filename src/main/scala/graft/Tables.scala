@@ -20,7 +20,16 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(path(dir, name))
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright; read it as epoch-nanos long (legacy conf) and surface a
+    * canonical microsecond timestamp under the same column name. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+  }
 
   /** Register every table as a temp view (the analogue of the reference
     * SQL engine registering each cached Arrow table as a view —
@@ -35,7 +44,10 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    eventsRaw(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,316 @@
+package graft.meta
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+import scala.jdk.CollectionConverters._
+
+/** Per-column min/max for one data file. Numeric/date/timestamp columns
+  * normalize to doubles (timestamps → epoch millis); strings keep
+  * lexicographic bounds. The Spark-side analogue of the reference's
+  * min/max index (reference: src/core/cache_node.py:208 `_build_indices`)
+  * and of Iceberg's `lower_bounds`/`upper_bounds` (reference:
+  * src/core/cache_data_model.py:36 `PartitionInfo`).
+  */
+final case class ColStats(
+    minD: Option[Double] = None,
+    maxD: Option[Double] = None,
+    minS: Option[String] = None,
+    maxS: Option[String] = None)
+
+/** One data file in a snapshot, with pruning indices. */
+final case class FileMeta(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    stats: Map[String, ColStats] = Map.empty,
+    blooms: Map[String, String] = Map.empty) {
+
+  def bloomFor(column: String): Option[BloomFilter] =
+    blooms.get(column).map { b64 =>
+      BloomFilter.readFrom(new ByteArrayInputStream(Base64.getDecoder.decode(b64)))
+    }
+}
+
+/** A committed table version (reference: pyiceberg `Snapshot` surfaced
+  * through src/iceberg_management/metadata.py:160 `get_snapshot`). */
+final case class SnapshotMeta(
+    snapshotId: Long,
+    timestampMs: Long,
+    parentId: Option[Long],
+    schemaJson: String,
+    files: Seq[FileMeta]) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def totalRows: Long = files.map(_.rowCount).sum
+  def totalBytes: Long = files.map(_.sizeBytes).sum
+}
+
+/** File-skipping predicates evaluated against manifest indices. */
+sealed trait PruneFilter { def column: String }
+/** Equality on a string column: min/max range check + bloom membership. */
+final case class EqString(column: String, value: String) extends PruneFilter
+/** Numeric/timestamp range overlap: keep file iff [lo,hi] ∩ [min,max] ≠ ∅. */
+final case class RangeNum(column: String, lo: Double, hi: Double) extends PruneFilter
+
+/** Snapshot/manifest catalog over parquet files — the Spark-first
+  * re-expression of the reference's Iceberg metadata layer (reference:
+  * src/iceberg_management/metadata.py:12 `IcebergMetadataManager`):
+  * snapshot log, history, time travel by id or as-of timestamp, schema
+  * and table stats, and manifest-level file pruning (min/max + bloom)
+  * before the parquet scan — the same lever Iceberg manifests give the
+  * reference's cache for partition filtering
+  * (metadata.py:26 `get_data_files(partition_filter)`).
+  *
+  * Layout: `<root>/<table>/snap-<id>.json`, ids monotonically increasing.
+  *
+  * Scale note: stats for ALL files of a commit are computed in ONE Spark
+  * job (`groupBy(input_file_name)`), so a 100k-file commit is a single
+  * scan, not 100k driver round-trips. Bloom construction is opt-in
+  * per-column and runs once per commit.
+  */
+final class SnapshotCatalog(root: String, clock: () => Long = () => System.currentTimeMillis()) {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def tableDir(table: String): Path = Paths.get(root, table)
+
+  private def normalize(p: String): String =
+    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/') else p
+
+  // ---- commit ----------------------------------------------------------
+
+  /** Commit a new snapshot listing `paths` as the table's data files.
+    * Computes per-file row counts, sizes and min/max stats in one job;
+    * optionally builds bloom filters for `bloomColumns`.
+    */
+  def commit(
+      spark: SparkSession,
+      table: String,
+      paths: Seq[String],
+      bloomColumns: Seq[String] = Nil,
+      bloomExpectedItems: Long = 1000000L,
+      bloomFpp: Double = 0.03): SnapshotMeta = {
+    val df = spark.read.parquet(paths: _*)
+    val schema = df.schema
+
+    val statAggs = schema.fields.flatMap { f =>
+      f.dataType match {
+        case _: NumericType =>
+          Seq(min(col(f.name)).cast("double").as(s"minD__${f.name}"),
+            max(col(f.name)).cast("double").as(s"maxD__${f.name}"))
+        case _: TimestampType | _: DateType =>
+          Seq((unix_timestamp(min(col(f.name)).cast("timestamp")) * 1000).cast("double").as(s"minD__${f.name}"),
+            (unix_timestamp(max(col(f.name)).cast("timestamp")) * 1000).cast("double").as(s"maxD__${f.name}"))
+        case _: StringType =>
+          Seq(min(col(f.name)).as(s"minS__${f.name}"),
+            max(col(f.name)).as(s"maxS__${f.name}"))
+        case _ => Nil
+      }
+    }.toSeq
+
+    // _metadata.file_path, not input_file_name(): the hidden column adds
+    // to the scan schema, so Spark's CacheManager never substitutes a
+    // cached InMemoryRelation (where input_file_name() yields "").
+    val perFile = df
+      .withColumn("__file", col("_metadata.file_path"))
+      .groupBy(col("__file"))
+      .agg(count(lit(1)).as("__rows"), statAggs: _*)
+      .collect()
+
+    val fileSizes: Map[String, Long] = paths.map { p =>
+      val f = Paths.get(normalize(p))
+      normalize(p) -> (if (Files.exists(f)) Files.size(f) else 0L)
+    }.toMap
+
+    val blooms: Map[String, Map[String, String]] =
+      if (bloomColumns.isEmpty) Map.empty
+      else buildBlooms(spark, paths, bloomColumns, bloomExpectedItems, bloomFpp)
+
+    val files = perFile.map { row =>
+      val path = normalize(row.getAs[String]("__file"))
+      val stats = schema.fields.flatMap { f =>
+        f.dataType match {
+          case _: NumericType | _: TimestampType | _: DateType =>
+            val mi = Option(row.getAs[Any](s"minD__${f.name}")).map(_.asInstanceOf[Double])
+            val ma = Option(row.getAs[Any](s"maxD__${f.name}")).map(_.asInstanceOf[Double])
+            if (mi.isDefined) Some(f.name -> ColStats(minD = mi, maxD = ma)) else None
+          case _: StringType =>
+            val mi = Option(row.getAs[String](s"minS__${f.name}"))
+            val ma = Option(row.getAs[String](s"maxS__${f.name}"))
+            if (mi.isDefined) Some(f.name -> ColStats(minS = mi, maxS = ma)) else None
+          case _ => None
+        }
+      }.toMap
+      FileMeta(
+        path = path,
+        rowCount = row.getAs[Long]("__rows"),
+        sizeBytes = fileSizes.getOrElse(path, 0L),
+        stats = stats,
+        blooms = blooms.getOrElse(path, Map.empty))
+    }.toSeq
+
+    val prev = currentSnapshot(table)
+    val snap = SnapshotMeta(
+      snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
+      timestampMs = clock(),
+      parentId = prev.map(_.snapshotId),
+      schemaJson = schema.json,
+      files = files)
+    write(table, snap)
+    snap
+  }
+
+  /** One bloom per (file, column); each build is a single-file scan with
+    * the file filter pushed into the parquet source. */
+  private def buildBlooms(
+      spark: SparkSession,
+      paths: Seq[String],
+      columns: Seq[String],
+      expectedItems: Long,
+      fpp: Double): Map[String, Map[String, String]] =
+    paths.map { p =>
+      val fileDf = spark.read.parquet(p)
+      val perCol = columns.flatMap { c =>
+        if (fileDf.columns.contains(c)) {
+          val bf = fileDf.stat.bloomFilter(c, expectedItems, fpp)
+          val bos = new ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Some(c -> Base64.getEncoder.encodeToString(bos.toByteArray))
+        } else None
+      }.toMap
+      normalize(p) -> perCol
+    }.toMap
+
+  // ---- snapshot log ----------------------------------------------------
+
+  private def write(table: String, snap: SnapshotMeta): Unit = {
+    val dir = tableDir(table)
+    Files.createDirectories(dir)
+    val json = Serialization.writePretty(snap)
+    Files.write(dir.resolve(f"snap-${snap.snapshotId}%06d.json"), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** All snapshots, oldest first (reference: metadata.py:222
+    * `list_snapshots`). */
+  def snapshots(table: String): Seq[SnapshotMeta] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
+      .toSeq
+      .map { p =>
+        val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        JsonMethods.parse(json).extract[SnapshotMeta]
+      }
+      .sortBy(_.snapshotId)
+  }
+
+  def currentSnapshot(table: String): Option[SnapshotMeta] = snapshots(table).lastOption
+
+  def snapshotById(table: String, id: Long): Option[SnapshotMeta] =
+    snapshots(table).find(_.snapshotId == id)
+
+  /** Latest snapshot committed at or before `tsMs` (reference:
+    * metadata.py:160 `get_snapshot(as_of_timestamp=...)`). */
+  def snapshotAsOf(table: String, tsMs: Long): Option[SnapshotMeta] =
+    snapshots(table).filter(_.timestampMs <= tsMs).lastOption
+
+  /** Newest-first history summaries (reference: metadata.py:189
+    * `get_snapshot_history`). */
+  def history(table: String, limit: Option[Int] = None): Seq[Map[String, Any]] = {
+    val h = snapshots(table).reverse.map { s =>
+      Map[String, Any](
+        "snapshot_id" -> s.snapshotId,
+        "timestamp_ms" -> s.timestampMs,
+        "parent_snapshot_id" -> s.parentId.getOrElse(-1L),
+        "total_rows" -> s.totalRows,
+        "total_bytes" -> s.totalBytes,
+        "file_count" -> s.files.size)
+    }
+    limit.fold(h)(h.take)
+  }
+
+  def schema(table: String): Option[StructType] = currentSnapshot(table).map(_.schema)
+
+  /** Reference: metadata.py:110 `get_table_stats`. */
+  def tableStats(table: String, snapshotId: Option[Long] = None): Map[String, Any] = {
+    val snapOpt = snapshotId.flatMap(snapshotById(table, _)).orElse(currentSnapshot(table))
+    snapOpt.map { s =>
+      Map[String, Any](
+        "table_id" -> table,
+        "snapshot_id" -> s.snapshotId,
+        "timestamp_ms" -> s.timestampMs,
+        "total_records" -> s.totalRows,
+        "total_files_size" -> s.totalBytes,
+        "file_count" -> s.files.size,
+        "current_snapshot_id" -> currentSnapshot(table).map(_.snapshotId).getOrElse(-1L))
+    }.getOrElse(Map("table_id" -> table))
+  }
+
+  // ---- pruning + read --------------------------------------------------
+
+  /** File survives iff no filter can prove it empty. */
+  private[meta] def fileMatches(f: FileMeta, filters: Seq[PruneFilter]): Boolean =
+    filters.forall {
+      case EqString(c, v) =>
+        val rangeOk = f.stats.get(c).forall { st =>
+          (st.minS, st.maxS) match {
+            case (Some(mi), Some(ma)) => mi <= v && v <= ma
+            case _ => true
+          }
+        }
+        val bloomOk = f.bloomFor(c).forall(_.mightContainString(v))
+        rangeOk && bloomOk
+      case RangeNum(c, lo, hi) =>
+        f.stats.get(c).forall { st =>
+          (st.minD, st.maxD) match {
+            case (Some(mi), Some(ma)) => ma >= lo && mi <= hi
+            case _ => true
+          }
+        }
+    }
+
+  /** Files of a snapshot surviving manifest pruning. */
+  def planFiles(
+      table: String,
+      filters: Seq[PruneFilter] = Nil,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): Seq[FileMeta] = {
+    val snap = snapshotId.map(id =>
+        snapshotById(table, id).getOrElse(throw new IllegalArgumentException(
+          s"Snapshot $id not found for table $table")))
+      .orElse(asOfTimestampMs.flatMap(snapshotAsOf(table, _)))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    snap.files.filter(fileMatches(_, filters))
+  }
+
+  /** Time-travel read with manifest pruning (reference: metadata.py:257
+    * `time_travel_scan`). Returns an empty frame with the snapshot schema
+    * when every file is pruned. */
+  def read(
+      spark: SparkSession,
+      table: String,
+      filters: Seq[PruneFilter] = Nil,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
+    val snap = snapshotId.flatMap(snapshotById(table, _))
+      .orElse(asOfTimestampMs.flatMap(snapshotAsOf(table, _)))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val files = snap.files.filter(fileMatches(_, filters))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
+  }
+}

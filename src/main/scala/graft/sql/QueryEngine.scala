@@ -1,0 +1,45 @@
+package graft.sql
+
+import graft.Tables
+import graft.cache.{CacheKey, TableCache}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL engine over the table corpus — the Spark-first re-expression of
+  * the reference's DataFusion engine (reference: src/sql/engine.py:48
+  * `QueryEngine`): register every table as a view, then hand arbitrary
+  * SQL to the optimizer. Catalyst + Tungsten replace DataFusion; the
+  * whole plan (pushdown, join strategy, codegen) is the optimizer's.
+  *
+  * With a [[TableCache]] attached, view registration goes through the
+  * cache (`_safe_register_view` over cached Arrow tables in the
+  * reference, engine.py:52) so repeated queries hit persisted plans.
+  */
+final class QueryEngine(
+    spark: SparkSession,
+    dir: String,
+    cache: Option[TableCache] = None) {
+
+  @volatile private var registered = false
+
+  /** Register all known tables as temp views, through the cache when one
+    * is attached. Idempotent. */
+  def register(): Unit = synchronized {
+    if (!registered) {
+      Tables.names.foreach { name =>
+        val df = cache match {
+          case Some(tc) => tc.getOrLoad(CacheKey(s"$dir/$name"))(Tables.load(spark, dir, name))
+          case None => Tables.load(spark, dir, name)
+        }
+        df.createOrReplaceTempView(name)
+      }
+      registered = true
+    }
+  }
+
+  /** Execute SQL over the registered corpus (reference: engine.py:66
+    * `execute_query`). */
+  def sql(query: String): DataFrame = {
+    register()
+    spark.sql(query)
+  }
+}
