@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY §2.3 L5–L7).
+  *
+  * Scale design: the brute-force path bounds cost to |queries|·N with a
+  * broadcast query set (the baseline / recall oracle); the LSH path is
+  * the 100 TB route — T independent random-hyperplane tables bucket the
+  * corpus, queries multi-probe each table (bucket + single-bit flips),
+  * and only candidates pay the exact-cosine verification. No N²
+  * anywhere: corpus carries T bucket rows, queries T·(planes+1) probes.
+  */
+object Ann {
+
+  val Dim = 64
+  val NumPlanes = 8
+  val NumTables = 4
+
+  /** Fixed random hyperplanes (PRNG seed 7): per table, NumPlanes × Dim. */
+  private val planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(NumTables)(
+      IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(rnd.nextGaussian())))
+  }
+
+  /** Sequential-order dot product; float inputs are widened to double
+    * before multiplying so results match driver-side double math. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit bucket of `vec` in hash table `t`. */
+  def lshBucket(vec: Column, t: Int): Column = {
+    val bits = planes(t).zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Corpus side: one (table, bucket) row per hash table. */
+  private def withTableBuckets(df: DataFrame, vec: String): DataFrame = {
+    val entries = (0 until NumTables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vec), t).as("bucket")))
+    df.withColumn("tb", explode(array(entries: _*)))
+      .withColumn("tbl", col("tb.tbl"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** Query side: per table, the bucket plus all single-bit flips. */
+  private def withTableProbes(df: DataFrame, vec: String): DataFrame = {
+    val entries = (0 until NumTables).flatMap { t =>
+      val b = lshBucket(col(vec), t)
+      struct(lit(t).as("tbl"), b.as("probe")) +:
+        (0 until NumPlanes).map(i =>
+          struct(lit(t).as("tbl"), b.bitwiseXOR(lit(1 << i)).as("probe")))
+    }
+    df.withColumn("tp", explode(array(entries: _*)))
+      .withColumn("tbl", col("tp.tbl"))
+      .withColumn("probe", col("tp.probe"))
+      .drop("tp")
+  }
+
+  /** Exact top-k by cosine for a bounded broadcast query set — the
+    * baseline every approximate path is measured against (L6). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .filter(queryPred)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    broadcast(q)
+      .join(c, col("query_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+  }
+
+  /** Multi-table multi-probe LSH top-k (L7): candidates from any table's
+    * probed buckets, ranked by exact cosine. Recall comes from the table
+    * count × probe schedule; precision is exact. */
+  def lshTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int = 5): DataFrame = {
+    val c = withTableBuckets(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")), "nn_vec")
+      .withColumnRenamed("tbl", "c_tbl")
+      .withColumnRenamed("bucket", "c_bucket")
+    val q = withTableProbes(
+      corpus.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .filter(queryPred), "q_vec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    broadcast(q)
+      .join(c,
+        col("tbl") === col("c_tbl") && col("probe") === col("c_bucket") &&
+          col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), col("q_vec"), col("nn_vec"))
+      .distinct()
+      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+  }
+
+  /** Embedding near-dup pairs (L5): multi-table same-bucket candidates
+    * verified at exact cosine ≥ `threshold`. */
+  def cosineNearDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = withTableBuckets(base, "vec")
+    val probed = withTableProbes(base, "vec")
+    probed.as("l")
+      .join(bucketed.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.probe") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.3 L8–L11).
+  *
+  * All pure column expressions (whole-stage-codegen friendly, no UDFs):
+  * at 100 TB these run map-side inside the scan stage with zero shuffle.
+  * Formulas restrict themselves to ints and single/fixed-order double
+  * operations so results are bit-identical to the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (trim + split on runs of whitespace). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish tokens: letter runs, digit runs, single punctuation. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Words for ratio features: lowercase, space-split. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Stopword profiles for language ID / quality features. */
+  val EnStop = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+  val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los")
+  val FrStop = Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une")
+  val DeStop = Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im")
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("(", ",", ")")
+
+  /** Count of words of `text` present in `stop`. */
+  def stopwordHits(textExpr: String, stop: Seq[String]): Column =
+    expr(s"size(filter(split(lower($textExpr), ' '), w -> w IN ${inList(stop)}))").cast("long")
+
+  /** Language ID by stopword-profile vote with fixed priority
+    * en > es > fr > de, 'und' when no profile matches (SURVEY §2.3 L8). */
+  def langId(textExpr: String): Column = {
+    val en = stopwordHits(textExpr, EnStop)
+    val es = stopwordHits(textExpr, EsStop)
+    val fr = stopwordHits(textExpr, FrStop)
+    val de = stopwordHits(textExpr, DeStop)
+    when(en === 0 && es === 0 && fr === 0 && de === 0, "und")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Punctuation count (.,!?;). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;]", ""))).cast("long")
+
+  /** Quality score: fixed-order combination of stopword ratio, mean word
+    * length and punctuation density (SURVEY §2.3 L9). Deterministic:
+    * integer features, three double divisions, one fixed expression tree. */
+  def qualityFeatures(textExpr: String): Seq[(String, Column)] = {
+    val text = expr(textExpr)
+    val nChars = length(text).cast("long")
+    val nWords = size(split(lower(text), " ")).cast("long")
+    val stopHits = stopwordHits(textExpr, EnStop)
+    val meanWordLen = length(regexp_replace(text, " ", "")).cast("long") / nWords
+    val stopRatio = stopHits / nWords
+    val punctRatio = punctCount(text) / nChars
+    val score = stopRatio * 0.5 + punctRatio * 0.2 + meanWordLen * 0.06
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "stop_hits" -> stopHits,
+      "mean_word_len" -> meanWordLen,
+      "stop_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio,
+      "quality_score" -> score)
+  }
+
+  /** Document fingerprint: md5 of lowercase, whitespace-collapsed text
+    * (SURVEY §2.3 L11) — the rolling-hash analogue with a cross-engine
+    * stable hash. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Ann, Dedup, TextAnalysis}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline + event-stream queries (SURVEY §2.3 / §2.4).
+  * SQL-expressible operators carry DuckDB oracles; LSH-based operators
+  * (xxhash64-dependent) are deterministic rows-only entries backed by
+  * ScalaTest ground-truth specs.
+  */
+object Pipeline {
+
+  // ---- text analysis ---------------------------------------------------
+
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
+
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures("text")
+    Tables.documents(s, dir).select(
+      col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      TextAnalysis.langId("text").as("pred_lang"))
+
+  // ---- dedup -----------------------------------------------------------
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDuplicates(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDuplicates(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardSearch(Tables.documents(s, dir), "doc_id", "text",
+      queryPred = col("id") < 100, threshold = 0.15)
+
+  // ---- embeddings / ANN ------------------------------------------------
+
+  def qEmbedMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).cast("int").as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("c0"))
+
+  def qAnnBruteforce(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("query_id") < 10, k = 5)
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("query_id") < 10, k = 5)
+
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35)
+
+  // ---- multimodal metadata --------------------------------------------
+
+  /** Typed metadata over an opaque payload column (SURVEY §2.3 L12's
+    * SQL-checkable slice; the binary plumbing lives in ops.Multimodal). */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      octet_length(col("text")).cast("long").as("byte_len"),
+      md5(col("text")).as("content_hash"))
+
+  // ---- events ----------------------------------------------------------
+
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyWindowedBatch(Tables.events(s, dir))
+
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionize(Tables.events(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (qTokenCount _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_lang_id" -> (qLangId _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_embed_meta" -> (qEmbedMeta _),
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_sessionize" -> (qSessionize _))
+
+  private val stop = (l: Seq[String]) => l.map(v => s"'$v'").mkString("(", ",", ")")
+  private val enL = stop(TextAnalysis.EnStop)
+  private val esL = stop(TextAnalysis.EsStop)
+  private val frL = stop(TextAnalysis.FrStop)
+  private val deL = stop(TextAnalysis.DeStop)
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         |  len(string_split(lower(text), ' ')) AS n_words,
+         |  len(list_filter(string_split(lower(text), ' '), w -> w IN $enL)) AS stop_hits,
+         |  LENGTH(replace(text, ' ', '')) / len(string_split(lower(text), ' ')) AS mean_word_len,
+         |  len(list_filter(string_split(lower(text), ' '), w -> w IN $enL)) / len(string_split(lower(text), ' ')) AS stop_ratio,
+         |  (LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;]', '', 'g'))) / LENGTH(text) AS punct_ratio,
+         |  len(list_filter(string_split(lower(text), ' '), w -> w IN $enL)) / len(string_split(lower(text), ' ')) * 0.5
+         |    + (LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;]', '', 'g'))) / LENGTH(text) * 0.2
+         |    + LENGTH(replace(text, ' ', '')) / len(string_split(lower(text), ' ')) * 0.06 AS quality_score
+         |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    len(list_filter(string_split(lower(text), ' '), w -> w IN $enL)) AS en,
+         |    len(list_filter(string_split(lower(text), ' '), w -> w IN $esL)) AS es,
+         |    len(list_filter(string_split(lower(text), ' '), w -> w IN $frL)) AS fr,
+         |    len(list_filter(string_split(lower(text), ' '), w -> w IN $deL)) AS de
+         |  FROM documents)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 THEN 'und'
+         |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+         |       WHEN es >= fr AND es >= de THEN 'es'
+         |       WHEN fr >= de THEN 'fr'
+         |       ELSE 'de' END AS pred_lang
+         |FROM h""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |      i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |           string_split(lower(text), ' ')[i+1] || ' ' ||
+        |           string_split(lower(text), ' ')[i+2])) AS s
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 3
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 100) t
+        |WHERE jaccard >= 0.15""".stripMargin,
+    "q_embed_meta" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS c0
+        |FROM embeddings""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws_epoch,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event for stateful streaming ops. */
+final case class StreamEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+
+/** A closed (or timed-out) session emitted by the streaming sessionizer. */
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+/** Event-stream transforms (SURVEY §2.4), written once against a
+  * DataFrame so the SAME code serves batch (oracle-checked) and
+  * Structured Streaming (`readStream` + watermark, spec-checked) — the
+  * Spark analogue of the reference's streaming-ingestion path
+  * (reference: docs/arrow_iceberg_cache_design.md §4 "Streaming
+  * Ingestion" + the Flight `do_get` stream, src/flight_server/server.py:41).
+  */
+object EventStreams {
+
+  /** Hourly tumbling-window counts/sums per event type. On a stream,
+    * apply `withWatermark("ts", ...)` upstream; the plan is identical.
+    * Scale: map-side partial aggregation, shuffle on (window, type). */
+  def hourlyWindowed(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+
+  /** Batch projection of [[hourlyWindowed]] with an epoch-seconds window
+    * start (cross-engine-stable output shape). */
+  def hourlyWindowedBatch(events: DataFrame): DataFrame =
+    hourlyWindowed(events).select(
+      unix_timestamp(col("window.start")).as("ws_epoch"),
+      col("event_type"), col("n_events"), col("sum_value"))
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000
+
+  /** Gap-based sessionization (30-min inactivity) via window functions:
+    * lag → new-session flag → running sum = session id. Scale: two
+    * window passes over the same (user_id) partitioning — one shuffle. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > SessionGapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+  }
+
+  /** Streaming gap-based sessionization: custom state per user via
+    * `flatMapGroupsWithState` (the Structured Streaming analogue of the
+    * batch [[sessionize]]); sessions close on a 30-min event gap or an
+    * event-time timeout once the watermark passes. Scale: state is one
+    * small record per open session per user, partitioned by user_id.
+    */
+  def sessionizeStream(events: Dataset[StreamEvent]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
+
+    val fn = (userId: Long, rows: Iterator[StreamEvent], state: GroupState[SessionState]) => {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, s.startUs, s.lastUs, s.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        val closed = Seq.newBuilder[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val us = micros(e.ts)
+          cur match {
+            case Some(s) if us - s.lastUs > SessionGapMicros =>
+              closed += SessionOut(userId, s.startUs, s.lastUs, s.n)
+              cur = Some(SessionState(us, us, 1))
+            case Some(s) =>
+              cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1))
+            case None =>
+              cur = Some(SessionState(us, us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + SessionGapMicros / 1000L)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  /** Ground-truth near-dup pairs by exact all-pairs shingle jaccard
+    * (driver-side, test only — fine at sf0.001's 500 docs). */
+  private lazy val truePairs: Set[(Long, Long, Double)] = {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").sliding(3).map(_.mkString(" ")).toSet)
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.5
+    } yield (ia, ib, j)).toSet
+  }
+
+  test("minhash LSH finds every true pair with jaccard >= 0.8 (high-recall band)") {
+    val found = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mustFind = truePairs.filter(_._3 >= 0.8).map(t => (t._1, t._2))
+    assert(mustFind.nonEmpty, "test data should contain planted near-dups")
+    assert(mustFind.subsetOf(found),
+      s"missed: ${mustFind.diff(found)}")
+  }
+
+  test("minhash LSH reports exact jaccard for reported pairs (precision exact)") {
+    val reported = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = truePairs.map(t => (t._1, t._2) -> t._3).toMap
+    reported.foreach { case (a, b, j) =>
+      assert(truth.contains((a, b)), s"false positive ($a,$b)")
+      assert(math.abs(truth((a, b)) - j) < 1e-9)
+    }
+  }
+
+  test("simhash bucketing is COMPLETE for hamming <= 3 (pigeonhole over 4x16-bit chunks)") {
+    // ground truth: all pairs within hamming 3 of the collected simhashes
+    val sims = docs.select(col("doc_id"), Dedup.simhash("text").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val found = Dedup.simhashDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "corpus should contain simhash-close pairs")
+    assert(found == want, s"missed: ${want.diff(found)}; extra: ${found.diff(want)}")
+  }
+
+  test("simhash is deterministic across runs") {
+    val a = Dedup.simhashDuplicates(docs, "doc_id", "text", 3).collect().toSet
+    val b = Dedup.simhashDuplicates(docs, "doc_id", "text", 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("exact dedup groups cover all docs with no content collisions") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+
+  test("ngram jaccard search matches driver-side ground truth") {
+    val got = Dedup.ngramJaccardSearch(docs, "doc_id", "text", col("id") < 100, 0.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").sliding(3).map(_.mkString(" ")).toSet)
+      (for {
+        (ia, sa) <- rows if ia < 100
+        (ib, sb) <- rows if ia < ib
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.15
+      } yield (ia, ib)).toSet
+    }
+    assert(got == want)
+  }
+
+  test("minhash plan has no cartesian product (scale guard)") {
+    val plan = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+}

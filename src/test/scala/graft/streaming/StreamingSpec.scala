@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Proves the shared transforms run under Structured Streaming — same
+  * code as the batch (oracle-checked) queries, driven here through
+  * MemoryStream micro-batches with watermarks/state (SURVEY §2.4).
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourly windowed agg: streaming (complete mode) equals batch on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+
+    val stream = EventStreams.hourlyWindowedBatch(df.withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("hw").outputMode(OutputMode.Complete()).start()
+
+    val data = Seq(
+      (ts(5), "click", 1.5), (ts(20), "click", 2.0), (ts(61), "click", 4.0),
+      (ts(62), "view", 1.0), (ts(130), "view", 8.25))
+    mem.addData(data: _*)
+    stream.processAllAvailable()
+
+    val got = spark.table("hw").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = EventStreams.hourlyWindowedBatch(data.toDF("ts", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    stream.stop()
+    assert(got == want)
+    assert(got.size == 4) // 3 distinct hours, hour 1 has two types
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val stream = df.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append()).start()
+    mem.addData((1L, ts(1)), (2L, ts(2)), (1L, ts(3)), (3L, ts(4)), (2L, ts(5)))
+    stream.processAllAvailable()
+    // append-mode dedup emits as rows arrive; force watermark ahead to flush
+    mem.addData((99L, ts(600)))
+    stream.processAllAvailable()
+    val ids = spark.table("dd").select("event_id").as[Long].collect().toSet
+    stream.stop()
+    assert(ids.intersect(Set(1L, 2L, 3L)) == Set(1L, 2L, 3L))
+    assert(spark.table("dd").groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("stateful streaming sessionization closes sessions on gap and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val stream = EventStreams.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+
+    // user 7: two events 5 min apart (one session), then a 90-min gap event
+    mem.addData(
+      StreamEvent(1, 7, ts(0)), StreamEvent(2, 7, ts(5)))
+    stream.processAllAvailable()
+    mem.addData(StreamEvent(3, 7, ts(95))) // gap > 30 min → closes session 1
+    stream.processAllAvailable()
+    // push watermark far ahead so the open session times out
+    mem.addData(StreamEvent(4, 99, ts(600)))
+    stream.processAllAvailable()
+    mem.addData(StreamEvent(5, 99, ts(1200)))
+    stream.processAllAvailable()
+
+    val sessions = spark.table("sess").as[SessionOut].collect()
+      .filter(_.user_id == 7).sortBy(_.start_us)
+    stream.stop()
+    assert(sessions.length >= 1)
+    val first = sessions.head
+    assert(first.n_events == 2)
+    assert(first.start_us == ts(0).getTime * 1000 && first.end_us == ts(5).getTime * 1000)
+    if (sessions.length > 1) {
+      assert(sessions(1).n_events == 1)
+      assert(sessions(1).start_us == ts(95).getTime * 1000)
+    }
+  }
+}
