@@ -111,12 +111,19 @@ object Ann {
         .filter(queryPred), "q_vec")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
-    broadcast(q)
-      .join(c,
+    // dedupe candidate id pairs BEFORE vectors are attached: the distinct
+    // shuffles two longs per candidate, not two 64-float arrays
+    val candidates = broadcast(q.drop("q_vec"))
+      .join(c.drop("nn_vec"),
         col("tbl") === col("c_tbl") && col("probe") === col("c_bucket") &&
           col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"), col("q_vec"), col("nn_vec"))
+      .select(col("query_id"), col("nn_id"))
       .distinct()
+    val qv = corpus.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")).filter(queryPred)
+    val cv = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    candidates
+      .join(broadcast(qv), "query_id")
+      .join(cv, "nn_id")
       .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -130,16 +137,20 @@ object Ann {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    // same-bucket only (no bit-flip probes): for true near-dups
+    // (cos→1) four independent tables already give ~90% recall, and the
+    // probe fan-out would multiply candidates 9x for marginal gain
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed = withTableBuckets(base, "vec")
-    val probed = withTableProbes(base, "vec")
-    probed.as("l")
+    val bucketed = withTableBuckets(base, "vec").drop("vec")
+    val pairs = bucketed.as("l")
       .join(bucketed.as("r"),
-        col("l.tbl") === col("r.tbl") && col("l.probe") === col("r.bucket") &&
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

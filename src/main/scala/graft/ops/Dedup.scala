@@ -11,27 +11,41 @@ import org.apache.spark.sql.functions._
   * before being reported, so precision is exact and recall is the LSH
   * schedule's. At 100 TB: signatures add O(1) per row in the scan stage;
   * the bucket shuffle carries b rows per doc (b = #bands), linear in N.
+  *
+  * Performance note: higher-order functions (transform/aggregate) are
+  * interpreted, not codegen'd, and get no common-subexpression
+  * elimination — so every pipeline materializes word/hash arrays ONCE in
+  * intermediate columns instead of re-deriving them inside each lambda.
   */
 object Dedup {
 
   // ---- shingling -------------------------------------------------------
 
-  /** Distinct n-word shingles of lowercase space-split text; documents
+  /** Distinct n-word shingles from a pre-split word array; documents
     * shorter than n words yield their whole text as one shingle. */
-  def shingleExpr(textExpr: String, n: Int = 3): Column = expr(
-    s"""CASE WHEN size(split(lower($textExpr), ' ')) < $n
-       |  THEN array(concat_ws(' ', split(lower($textExpr), ' ')))
-       |  ELSE array_distinct(transform(
-       |    sequence(0, size(split(lower($textExpr), ' ')) - $n),
-       |    i -> concat_ws(' ', slice(split(lower($textExpr), ' '), i + 1, $n))))
-       |END""".stripMargin)
+  def shinglesFromWords(words: Column, n: Int = 3): Column =
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
 
-  /** Exact Jaccard between two distinct-element arrays:
-    * |∩| / (|a| + |b| − |∩|), one integer-fed double division. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+  /** Convenience: shingles straight from a text expression. */
+  def shingleExpr(textExpr: String, n: Int = 3): Column =
+    shinglesFromWords(split(lower(expr(textExpr)), " "), n)
+
+  /** doc_id + shingle array, word split materialized once. */
+  private def withShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("__w"))
+      .select(col("id"), shinglesFromWords(col("__w")).as("sh"))
+
+  /** Exact Jaccard given a precomputed intersection size. */
+  private def jaccardFromInter(inter: Column, a: Column, b: Column): Column =
     inter / (size(a) + size(b) - inter)
-  }
+
+  /** Exact Jaccard between two distinct-element arrays (single intersect
+    * via an intermediate column is preferred in hot paths). */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardFromInter(size(array_intersect(a, b)), a, b)
 
   // ---- exact dedup (L1) ------------------------------------------------
 
@@ -47,25 +61,21 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** 64-permutation MinHash signature of a shingle array column: the
-    * k-th permutation is min over shingles of xxhash64(k, xxhash64(s)) —
-    * seeded re-hash rather than multiply-shift, because wrapping 64-bit
-    * arithmetic trips Spark 4's ANSI overflow check. Pure expression —
-    * no UDF, stays inside codegen. */
-  def minhashSignature(shingles: Column): Column = {
-    val hashes = transform(shingles, s => xxhash64(s))
-    val sigs = (0 until NumHashes).map { k =>
+  /** 64-permutation MinHash signature from a materialized shingle-hash
+    * array: permutation k is min over shingles of xxhash64(k, h). Seeded
+    * re-hash, not multiply-shift — wrapping arithmetic trips Spark 4's
+    * ANSI overflow check. */
+  def minhashSignatureFromHashes(hashes: Column): Column =
+    array((0 until NumHashes).map { k =>
       array_min(transform(hashes, x => xxhash64(lit(k), x)))
-    }
-    array(sigs: _*)
-  }
+    }: _*)
 
   /** (band, bandHash) rows per document: b bands of r contiguous
     * signature slots, hashed together. The LSH shuffle key. */
   def bandedSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), shingleExpr(textCol).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
+    val withSig = withShingles(docs, idCol, textCol)
+      .select(col("id").as("doc_id"), transform(col("sh"), s => xxhash64(s)).as("__h"))
+      .select(col("doc_id"), minhashSignatureFromHashes(col("__h")).as("sig"))
     val bands = (0 until NumBands).map { j =>
       struct(lit(j).as("band"),
         xxhash64((0 until RowsPerBand).map(i => col("sig").getItem(j * RowsPerBand + i)): _*)
@@ -76,8 +86,9 @@ object Dedup {
   }
 
   /** Candidate pairs (docA < docB) sharing at least one LSH band, then
-    * verified with exact shingle Jaccard ≥ `threshold`. The join back to
-    * shingle arrays keeps the banded shuffle narrow (ids only). */
+    * verified with exact shingle Jaccard ≥ `threshold`. Pairs are
+    * deduplicated BEFORE shingle arrays are joined back, so the banded
+    * shuffle carries ids only. */
   def minhashDuplicates(
       docs: DataFrame,
       idCol: String,
@@ -91,38 +102,65 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs.select(col(idCol).as("id"), shingleExpr(textCol).as("sh"))
+    val sh = withShingles(docs, idCol, textCol)
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("__i"),
+        size(col("sa.sh")).as("__na"), size(col("sb.sh")).as("__nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash (L3) ----------------------------------------------------
 
-  /** 64-bit SimHash of the word multiset: per-word xxhash64, each bit
-    * votes ±1, sign of the vote vector packs into a bigint. */
-  def simhash(textExpr: String): Column = expr(
+  // SQL-string expressions: SQL shiftleft/shiftright accept column
+  // operands (the Scala functions API only takes Int literals), and the
+  // bit packing must stay in exact long arithmetic (a pow(2.0,63) detour
+  // would overflow under ANSI).
+  private val VotesSql = (wh: String) =>
+    s"""aggregate($wh, array_repeat(0, 64),
+       |  (acc, h) -> zip_with(acc,
+       |    transform(sequence(0, 63), k -> IF((shiftright(h, k) & 1) = 1, 1, -1)),
+       |    (a, b) -> a + b))""".stripMargin
+  // The votes array must appear exactly ONCE as a lambda *input* (never
+  // indexed per-iteration): CollapseProject inlines single-reference
+  // aliases, and an inlined heavy expression indexed inside a 64-step
+  // aggregate re-evaluates per step (measured 30x slowdown). zip_with
+  // consumes it once; the powers-of-two array constant-folds.
+  private val PackSql = (votes: String) =>
     s"""aggregate(
-       |  sequence(0, 63), CAST(0 AS BIGINT),
-       |  (acc, k) -> acc + IF(
-       |    aggregate(
-       |      transform(split(lower($textExpr), ' '), w -> xxhash64(w)),
-       |      CAST(0 AS BIGINT),
-       |      (s, h) -> s + IF(((h >> k) & 1) = 1, 1, -1)) > 0,
-       |    shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))""".stripMargin)
+       |  zip_with($votes,
+       |    transform(sequence(0, 63), k -> shiftleft(CAST(1 AS BIGINT), k)),
+       |    (v, p) -> IF(v > 0, p, CAST(0 AS BIGINT))),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+
+  /** (doc_id, simhash): 64-bit SimHash of the word multiset — per-word
+    * xxhash64 votes ±1 on each bit position, sign vector packs into a
+    * bigint. Word hashes and votes materialize once as columns. */
+  def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"transform(split(lower($textCol), ' '), w -> xxhash64(w))").as("__wh"))
+      .select(col("doc_id"), expr(VotesSql("__wh")).as("__votes"))
+      .select(col("doc_id"), expr(PackSql("__votes")).as("simhash"))
+
+  /** Standalone simhash of a text expression (spec/verification use;
+    * recomputes word hashes inline). */
+  def simhash(textExpr: String): Column =
+    expr(PackSql(VotesSql(s"transform(split(lower($textExpr), ' '), w -> xxhash64(w))")))
 
   /** SimHash near-dup pairs: bucket by 4×16-bit chunks (pigeonhole: any
-    * pair with hamming ≤ 3 shares a chunk; most planted near-dups share
-    * several), verify with exact popcount distance ≤ `maxHamming`. */
+    * pair with hamming ≤ 3 shares a chunk), verify with exact popcount
+    * distance ≤ `maxHamming`. */
   def simhashDuplicates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 6): DataFrame = {
-    val withSim = docs.select(col(idCol).as("doc_id"), simhash(textCol).as("simhash"))
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = simhashDf(docs, idCol, textCol)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("chunk_val")))
@@ -152,13 +190,19 @@ object Dedup {
       textCol: String,
       queryPred: Column,
       threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleExpr(textCol).as("sh"))
-      .filter(size(col("sh")) >= 3)
+    // intersect 64-bit shingle hashes, not strings: same set sizes modulo
+    // a ~1e-10 collision chance, and the |Q|·N intersections are the
+    // whole cost of this baseline
+    val sh = withShingles(docs, idCol, textCol).filter(size(col("sh")) >= 3)
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
     val q = sh.filter(queryPred).as("q")
     broadcast(q)
       .join(sh.as("c"), col("q.id") < col("c.id"))
       .select(col("q.id").as("doc_a"), col("c.id").as("doc_b"),
-        jaccard(col("q.sh"), col("c.sh")).as("jaccard"))
+        size(array_intersect(col("q.sh"), col("c.sh"))).as("__i"),
+        size(col("q.sh")).as("__na"), size(col("c.sh")).as("__nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
