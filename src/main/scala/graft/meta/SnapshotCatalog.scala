@@ -294,6 +294,41 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     snap.files.filter(fileMatches(_, filters))
   }
 
+  /** Incremental read: rows in files ADDED between `fromSnapshotId`
+    * (exclusive) and `toSnapshotId` (inclusive; default current) — the
+    * Iceberg incremental-scan pattern for CDC-style consumption. */
+  def readIncremental(
+      spark: SparkSession,
+      table: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val from = snapshotById(table, fromSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"Snapshot $fromSnapshotId not found for $table"))
+    val to = toSnapshotId.map(id => snapshotById(table, id).getOrElse(
+        throw new IllegalArgumentException(s"Snapshot $id not found for $table")))
+      .orElse(currentSnapshot(table))
+      .get
+    val oldFiles = from.files.map(_.path).toSet
+    val added = to.files.filterNot(f => oldFiles.contains(f.path))
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
+    else
+      spark.read.schema(to.schema).parquet(added.map(_.path): _*)
+  }
+
+  /** Expire old snapshots, keeping the most recent `keepLast` manifests
+    * (metadata-only; data files are untouched, like Iceberg's
+    * expire_snapshots). Returns the number removed. */
+  def expireSnapshots(table: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    val snaps = snapshots(table)
+    val toDrop = snaps.dropRight(keepLast)
+    toDrop.foreach { s =>
+      Files.deleteIfExists(tableDir(table).resolve(f"snap-${s.snapshotId}%06d.json"))
+    }
+    toDrop.size
+  }
+
   /** Time-travel read with manifest pruning (reference: metadata.py:257
     * `time_travel_scan`). Returns an empty frame with the snapshot schema
     * when every file is pruned. */

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.sql.QueryEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface (SURVEY §2.2 extension): multi-level
+  * aggregation, pivot, as-of/range temporal joins, distinct counting,
+  * and the skew-salting pattern — each oracle-checked against DuckDB.
+  */
+object Advanced {
+
+  /** GROUP BY CUBE over status × order-year. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("total_price"))
+
+  /** GROUPING SETS through the SQL engine (S18 surface). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    new QueryEngine(s, dir).sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+
+  /** Pivot order counts by status (fixed value set → stable columns). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** As-of join: each purchase event paired with the user's most recent
+    * click at-or-before it. Spark-first: ONE sort per user partition via
+    * a last-non-null window — no pair explosion, the scalable as-of
+    * (both engines use the identical (ts, event_id) frame, so ties are
+    * deterministic). */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("last_click_us"))
+  }
+
+  /** Range join expressed as a RANGE window frame: clicks in the 5 min
+    * before each purchase, per user — the shuffle-once formulation of an
+    * interval self-join. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-300000000L, 0L)
+    e.withColumn("n_recent_clicks",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("n_recent_clicks"))
+  }
+
+  /** Exact distinct counting (shuffle-dedup based). */
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Skew-salting pattern: two-phase aggregation through an explicit
+    * 16-way salt, proven identical to the direct group-by (the oracle IS
+    * the unsalted query). At 100 TB this is the hot-key pressure valve:
+    * phase 1 spreads a pathological key over 16 reducers. */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val salted = l
+      .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(
+        sum(money(col("l_extendedprice"))).as("__p"),
+        count(lit(1)).as("__n"))
+    salted
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("__p")).cast("double").as("sum_price"),
+        sum(col("__n")).as("n_rows"))
+  }
+
+  /** Approximate aggregates (HLL distinct, quantile sketch) — rows-only:
+    * sketch implementations differ across engines by design; the
+    * accuracy contract is spec-tested against exact values. */
+  def qApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_approx_stats" -> (qApproxStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS INT))""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, purchase_us, last_click_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+        |    last_value(CASE WHEN event_type = 'click'
+        |               THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_range_join" ->
+      """SELECT event_id, user_id, purchase_us, n_recent_clicks FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_recent_clicks
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,67 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import graft.meta.{SnapshotCatalog, SnapshotMeta}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Write-side surface (SURVEY §2.1): partitioned layouts, bucketed
+  * tables, and snapshot-committed writes — the producer half of the
+  * reference's cache/metadata story (its loader consumes Iceberg-written
+  * files; reference: src/storage/dataloader.py:17. Here both halves are
+  * Spark-native).
+  *
+  * Scale notes: hive-style partition dirs turn predicate pushdown into
+  * directory pruning (the coarsest, cheapest skip level); bucketed +
+  * sorted tables pre-shuffle data ONCE at write time so every later
+  * equi-join/aggregation on the bucket key runs exchange-free.
+  */
+object Writers {
+
+  /** Hive-style partitioned parquet write. Readers filtering on
+    * `partitionCols` scan only matching directories. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: pre-shuffled on `bucketCol` into
+    * `numBuckets` files per partition, so joins between co-bucketed
+    * tables skip the exchange entirely. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      numBuckets: Int,
+      bucketCol: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write `df` as parquet under `dataDir` and commit the produced files
+    * as a new snapshot of `table` — the transactional append pattern
+    * (write files, then one atomic metadata commit), mirroring the
+    * Iceberg commit flow the reference's metadata manager consumes
+    * (reference: src/iceberg_management/metadata.py:26). */
+  def writeSnapshot(
+      catalog: SnapshotCatalog,
+      table: String,
+      df: DataFrame,
+      dataDir: String,
+      bloomColumns: Seq[String] = Nil): SnapshotMeta = {
+    val dir = Paths.get(dataDir, s"commit-${UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(dir.toString)
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    val prev = catalog.currentSnapshot(table).map(_.files.map(_.path)).getOrElse(Nil)
+    catalog.commit(df.sparkSession, table, prev ++ files, bloomColumns)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-quality guards: the properties that keep these operators viable
+  * at 100 TB, asserted against the actual physical plans so regressions
+  * fail loudly (SURVEY §5).
+  */
+class PlanSpec extends SparkSpec {
+
+  test("selective filters reach the parquet scan (pushdown)") {
+    val plan = Relational.qFilterPushdown(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filters in:\n${plan.take(2000)}")
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val plan = Relational.qScanProject(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"),
+      s"scan reads too many columns:\n${plan.take(2000)}")
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side's dims)") {
+    val plan = Relational.q5MultiJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in Q5 plan")
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(Relational.qSemiJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(Relational.qAntiJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
+  test("no query in the battery plans a CartesianProduct") {
+    // brute-force ANN legitimately uses BroadcastNestedLoopJoin over a
+    // bounded query set; an unbounded CartesianProduct is always a bug
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("aggregations combine map-side before the shuffle") {
+    // partial_sum under the Exchange = map-side combine: the shuffle
+    // carries one row per (group × task), not per input row
+    val plan = Relational.q1Agg(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), "Q1 must partial-aggregate before the exchange")
+    assert(plan.indexOf("partial_sum") > plan.indexOf("Exchange"),
+      "partial aggregate must sit below the exchange")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import graft.meta.SnapshotCatalog
+import org.apache.spark.sql.functions._
+
+class WritersSpec extends SparkSpec {
+
+  test("partitioned write prunes directories on partition filter") {
+    val path = Files.createTempDirectory("graft-part-").toString + "/orders"
+    val o = Tables.orders(spark, sfDir).withColumn("o_year", year(col("o_orderdate")))
+    Writers.writePartitioned(o, path, Seq("o_year"))
+
+    val back = spark.read.parquet(path).filter(col("o_year") === 1996)
+    val expected = o.filter(col("o_year") === 1996).count()
+    assert(back.count() == expected && expected > 0)
+
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"partition filter not pushed to scan:\n$plan")
+  }
+
+  test("co-bucketed tables join without an exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      Writers.writeBucketed(Tables.orders(spark, sfDir), "orders_b", 8, "o_orderkey")
+      Writers.writeBucketed(
+        Tables.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", 8, "o_orderkey")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should be exchange-free:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("writeSnapshot commits appends; incremental read sees only new rows") {
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
+    val dataDir = Files.createTempDirectory("graft-data-").toString
+    val c = Tables.customer(spark, sfDir)
+
+    val s1 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 75), dataDir)
+    val s2 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") > 75), dataDir)
+    assert(s2.snapshotId == s1.snapshotId + 1)
+    assert(cat.read(spark, "cust").count() == c.count()) // append semantics
+
+    val inc = cat.readIncremental(spark, "cust", fromSnapshotId = s1.snapshotId)
+    assert(inc.count() == c.filter(col("c_custkey") > 75).count())
+    assert(inc.agg(min("c_custkey")).head().getLong(0) > 75)
+  }
+
+  test("expireSnapshots drops old manifests but keeps current data readable") {
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
+    val dataDir = Files.createTempDirectory("graft-data-").toString
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 50), dataDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") > 50 && col("c_custkey") <= 100), dataDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") > 100), dataDir)
+
+    assert(cat.expireSnapshots("cust", keepLast = 1) == 2)
+    assert(cat.snapshots("cust").map(_.snapshotId) == Seq(3L))
+    assert(cat.read(spark, "cust").count() == c.count())
+    intercept[IllegalArgumentException] {
+      cat.readIncremental(spark, "cust", fromSnapshotId = 1L)
+    }
+  }
+}
