@@ -27,17 +27,15 @@ object Ann {
       IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(rnd.nextGaussian())))
   }
 
-  /** Sequential-order dot product; float inputs are widened to double
-    * before multiplying so results match driver-side double math. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product (graft.functions.VecDot): identical
+    * semantics to the zip_with+aggregate formulation (sequential double
+    * accumulation) but compiled to a primitive loop — the HOF version is
+    * interpreted and dominated every ANN profile. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = graft.functions.VecFunctions.vecNorm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VecFunctions.vecCosine(a, b)
 
   /** Sign-bit bucket of `vec` in hash table `t`. */
   def lshBucket(vec: Column, t: Int): Column = {

@@ -25,6 +25,7 @@ final class QueryEngine(
     * is attached. Idempotent. */
   def register(): Unit = synchronized {
     if (!registered) {
+      graft.functions.VecFunctions.register(spark)
       Tables.names.foreach { name =>
         val df = cache match {
           case Some(tc) => tc.getOrLoad(CacheKey(s"$dir/$name"))(Tables.load(spark, dir, name))

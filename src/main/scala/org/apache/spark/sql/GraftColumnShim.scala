@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the private[sql] Column↔Expression converters so graft can
+  * construct Columns over its native Catalyst expressions (the public
+  * Column constructor took an Expression before Spark 4's ColumnNode
+  * split; this is the supported classic-module path).
+  */
+object GraftColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to a registry
+    * (test hook: lets specs prove config-style wiring without cycling a
+    * SparkContext, which would kill the suite-shared session). */
+  def registerExtensionFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
+}
