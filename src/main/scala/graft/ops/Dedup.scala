@@ -62,13 +62,11 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / NumBands
 
   /** 64-permutation MinHash signature from a materialized shingle-hash
-    * array: permutation k is min over shingles of xxhash64(k, h). Seeded
-    * re-hash, not multiply-shift — wrapping arithmetic trips Spark 4's
-    * ANSI overflow check. */
+    * array — native codegen expression (graft.functions.MinHashSig):
+    * all 64 permutations in one primitive pass using seeded murmur
+    * finalizer mixing. */
   def minhashSignatureFromHashes(hashes: Column): Column =
-    array((0 until NumHashes).map { k =>
-      array_min(transform(hashes, x => xxhash64(lit(k), x)))
-    }: _*)
+    graft.functions.HashExprs.minhashSig(hashes)
 
   /** (band, bandHash) rows per document: b bands of r contiguous
     * signature slots, hashed together. The LSH shuffle key. */
@@ -103,11 +101,12 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     val sh = withShingles(docs, idCol, textCol)
+      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("__i"),
+        graft.functions.HashExprs.sortedIntersectCount(col("sa.sh"), col("sb.sh")).as("__i"),
         size(col("sa.sh")).as("__na"), size(col("sb.sh")).as("__nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
@@ -116,41 +115,19 @@ object Dedup {
 
   // ---- SimHash (L3) ----------------------------------------------------
 
-  // SQL-string expressions: SQL shiftleft/shiftright accept column
-  // operands (the Scala functions API only takes Int literals), and the
-  // bit packing must stay in exact long arithmetic (a pow(2.0,63) detour
-  // would overflow under ANSI).
-  private val VotesSql = (wh: String) =>
-    s"""aggregate($wh, array_repeat(0, 64),
-       |  (acc, h) -> zip_with(acc,
-       |    transform(sequence(0, 63), k -> IF((shiftright(h, k) & 1) = 1, 1, -1)),
-       |    (a, b) -> a + b))""".stripMargin
-  // The votes array must appear exactly ONCE as a lambda *input* (never
-  // indexed per-iteration): CollapseProject inlines single-reference
-  // aliases, and an inlined heavy expression indexed inside a 64-step
-  // aggregate re-evaluates per step (measured 30x slowdown). zip_with
-  // consumes it once; the powers-of-two array constant-folds.
-  private val PackSql = (votes: String) =>
-    s"""aggregate(
-       |  zip_with($votes,
-       |    transform(sequence(0, 63), k -> shiftleft(CAST(1 AS BIGINT), k)),
-       |    (v, p) -> IF(v > 0, p, CAST(0 AS BIGINT))),
-       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
-
   /** (doc_id, simhash): 64-bit SimHash of the word multiset — per-word
     * xxhash64 votes ±1 on each bit position, sign vector packs into a
-    * bigint. Word hashes and votes materialize once as columns. */
+    * bigint. Native codegen expression (graft.functions.SimHash64). */
   def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         expr(s"transform(split(lower($textCol), ' '), w -> xxhash64(w))").as("__wh"))
-      .select(col("doc_id"), expr(VotesSql("__wh")).as("__votes"))
-      .select(col("doc_id"), expr(PackSql("__votes")).as("simhash"))
+      .select(col("doc_id"), graft.functions.HashExprs.simhash64(col("__wh")).as("simhash"))
 
-  /** Standalone simhash of a text expression (spec/verification use;
-    * recomputes word hashes inline). */
+  /** Standalone simhash of a text expression (spec/verification use). */
   def simhash(textExpr: String): Column =
-    expr(PackSql(VotesSql(s"transform(split(lower($textExpr), ' '), w -> xxhash64(w))")))
+    graft.functions.HashExprs.simhash64(
+      expr(s"transform(split(lower($textExpr), ' '), w -> xxhash64(w))"))
 
   /** SimHash near-dup pairs: bucket by 4×16-bit chunks (pigeonhole: any
     * pair with hamming ≤ 3 shares a chunk), verify with exact popcount
@@ -194,12 +171,12 @@ object Dedup {
     // a ~1e-10 collision chance, and the |Q|·N intersections are the
     // whole cost of this baseline
     val sh = withShingles(docs, idCol, textCol).filter(size(col("sh")) >= 3)
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
+      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
     val q = sh.filter(queryPred).as("q")
     broadcast(q)
       .join(sh.as("c"), col("q.id") < col("c.id"))
       .select(col("q.id").as("doc_a"), col("c.id").as("doc_b"),
-        size(array_intersect(col("q.sh"), col("c.sh"))).as("__i"),
+        graft.functions.HashExprs.sortedIntersectCount(col("q.sh"), col("c.sh")).as("__i"),
         size(col("q.sh")).as("__na"), size(col("c.sh")).as("__nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
