@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Engine.queries ++
-      graft.queries.Pipeline.queries ++ graft.queries.Advanced.queries
+      graft.queries.Pipeline.queries ++ graft.queries.Advanced.queries ++
+      graft.queries.TrainPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Engine.oracles ++
-      graft.queries.Pipeline.oracles ++ graft.queries.Advanced.oracles
+      graft.queries.Pipeline.oracles ++ graft.queries.Advanced.oracles ++
+      graft.queries.TrainPrep.oracles
 }

@@ -90,7 +90,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   /** Commit a new snapshot listing `paths` as the table's data files.
     * Computes per-file row counts, sizes and min/max stats in one job;
-    * optionally builds bloom filters for `bloomColumns`.
+    * optionally builds bloom filters for `bloomColumns`. Files whose
+    * metadata is supplied in `reuseMeta` are NOT re-scanned — a commit
+    * that touches k of n files costs O(k), which is what keeps
+    * copy-on-write deletes and appends viable on 100k-file tables.
     */
   def commit(
       spark: SparkSession,
@@ -98,8 +101,24 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       paths: Seq[String],
       bloomColumns: Seq[String] = Nil,
       bloomExpectedItems: Long = 1000000L,
-      bloomFpp: Double = 0.03): SnapshotMeta = {
-    val df = spark.read.parquet(paths: _*)
+      bloomFpp: Double = 0.03,
+      reuseMeta: Map[String, FileMeta] = Map.empty): SnapshotMeta = {
+    val (reusedPaths, newPaths) = paths.map(normalize).partition(reuseMeta.contains)
+    // no new files to scan: all-reused commits AND fully-empty commits
+    // (e.g. a delete that removed every row) carry the schema forward
+    if (newPaths.isEmpty) {
+      val prev0 = currentSnapshot(table).getOrElse(throw new IllegalArgumentException(
+        s"A commit with no new files requires an existing snapshot for $table (schema source)"))
+      val snap = SnapshotMeta(
+        snapshotId = prev0.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev0.snapshotId),
+        schemaJson = prev0.schemaJson,
+        files = reusedPaths.map(reuseMeta))
+      write(table, snap)
+      return snap
+    }
+    val df = spark.read.parquet(newPaths: _*)
     val schema = df.schema
 
     val statAggs = schema.fields.flatMap { f =>
@@ -126,16 +145,16 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .agg(count(lit(1)).as("__rows"), statAggs: _*)
       .collect()
 
-    val fileSizes: Map[String, Long] = paths.map { p =>
-      val f = Paths.get(normalize(p))
-      normalize(p) -> (if (Files.exists(f)) Files.size(f) else 0L)
+    val fileSizes: Map[String, Long] = newPaths.map { p =>
+      val f = Paths.get(p)
+      p -> (if (Files.exists(f)) Files.size(f) else 0L)
     }.toMap
 
     val blooms: Map[String, Map[String, String]] =
       if (bloomColumns.isEmpty) Map.empty
-      else buildBlooms(spark, paths, bloomColumns, bloomExpectedItems, bloomFpp)
+      else buildBlooms(spark, newPaths, bloomColumns, bloomExpectedItems, bloomFpp)
 
-    val files = perFile.map { row =>
+    val newFiles = perFile.map { row =>
       val path = normalize(row.getAs[String]("__file"))
       val stats = schema.fields.flatMap { f =>
         f.dataType match {
@@ -157,6 +176,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         stats = stats,
         blooms = blooms.getOrElse(path, Map.empty))
     }.toSeq
+    val files = newFiles ++ reusedPaths.map(reuseMeta)
 
     val prev = currentSnapshot(table)
     val snap = SnapshotMeta(

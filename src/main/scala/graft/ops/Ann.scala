@@ -46,28 +46,36 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  /** Corpus side: one (table, bucket) row per hash table. */
+  /** Corpus side: one (table, bucket) row per hash table. The bucket
+    * array materializes as a column FIRST so each dot-product family is
+    * computed once, not once per exploded struct. */
   private def withTableBuckets(df: DataFrame, vec: String): DataFrame = {
+    val withB = df.withColumn("__buckets",
+      array((0 until NumTables).map(t => lshBucket(col(vec), t)): _*))
     val entries = (0 until NumTables).map(t =>
-      struct(lit(t).as("tbl"), lshBucket(col(vec), t).as("bucket")))
-    df.withColumn("tb", explode(array(entries: _*)))
+      struct(lit(t).as("tbl"), col("__buckets").getItem(t).as("bucket")))
+    withB.withColumn("tb", explode(array(entries: _*)))
       .withColumn("tbl", col("tb.tbl"))
       .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
+      .drop("tb", "__buckets")
   }
 
-  /** Query side: per table, the bucket plus all single-bit flips. */
+  /** Query side: per table, the bucket plus all single-bit flips —
+    * probes derive from the materialized bucket array (attribute refs),
+    * so the hyperplane dots never re-evaluate per probe. */
   private def withTableProbes(df: DataFrame, vec: String): DataFrame = {
+    val withB = df.withColumn("__buckets",
+      array((0 until NumTables).map(t => lshBucket(col(vec), t)): _*))
     val entries = (0 until NumTables).flatMap { t =>
-      val b = lshBucket(col(vec), t)
+      val b = col("__buckets").getItem(t)
       struct(lit(t).as("tbl"), b.as("probe")) +:
         (0 until NumPlanes).map(i =>
           struct(lit(t).as("tbl"), b.bitwiseXOR(lit(1 << i)).as("probe")))
     }
-    df.withColumn("tp", explode(array(entries: _*)))
+    withB.withColumn("tp", explode(array(entries: _*)))
       .withColumn("tbl", col("tp.tbl"))
       .withColumn("probe", col("tp.probe"))
-      .drop("tp")
+      .drop("tp", "__buckets")
   }
 
   /** Exact top-k by cosine for a bounded broadcast query set — the

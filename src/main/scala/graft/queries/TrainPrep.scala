@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators (SURVEY §2.3 extension): the
+  * composition layer a 100 TB corpus pipeline actually runs —
+  * deterministic sampling, class rebalancing, vocabulary stats, and the
+  * filter→dedup→sample cleaning chain. Everything is hash-deterministic
+  * (never `rand()`), so runs are reproducible and oracle-checkable.
+  */
+object TrainPrep {
+
+  /** Stable per-row bucket in [0,100): md5-hex prefix → int. Unlike
+    * `rand(seed)`, identical across engines, partitionings and runs. */
+  def hashBucket(idCol: Column): Column =
+    (conv(substring(md5(idCol.cast("string")), 1, 6), 16, 10).cast("bigint") % 100).cast("int")
+
+  /** Deterministic ~30% sample of documents. */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < 30)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+
+  /** Class-balanced subsample: exactly `perClass` docs per language,
+    * chosen by hash order (deterministic "random"). */
+  def qBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hashBucket(col("doc_id")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 40)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  /** Corpus vocabulary: top-100 words by frequency (explode → count →
+    * deterministic top-k). Scale: the explode is map-side; the count
+    * shuffles one row per distinct word per partition (partial agg). */
+  def qVocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(100)
+
+  /** The cleaned corpus after exact dedup: keep one doc (min id) per
+    * distinct normalized content. */
+  def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val keepers = d
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    d.join(keepers, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** End-to-end cleaning chain: length filter → stopword-ratio filter →
+    * exact-dedup keeper → deterministic 50% sample. The shape every
+    * LLM-corpus pipeline runs, as one declarative plan. */
+  def qCleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nWords = size(split(lower(col("text")), " ")).cast("long")
+    val stopHits = TextAnalysis.stopwordHits("text", TextAnalysis.EnStop)
+    val filtered = d
+      .withColumn("n_words", nWords)
+      .withColumn("stop_ratio", stopHits / nWords)
+      .filter(col("n_words") >= 30 && col("stop_ratio") >= 0.01)
+    val keepers = filtered
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    filtered.join(keepers, "doc_id")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < 50)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> (qSampleHash _),
+    "q_balanced_sample" -> (qBalancedSample _),
+    "q_vocab_topk" -> (qVocabTopK _),
+    "q_dedup_keep" -> (qDedupKeep _),
+    "q_clean_pipeline" -> (qCleanPipeline _))
+
+  private val bucketSql = (id: String) =>
+    s"CAST(('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source, ${bucketSql("doc_id")} AS bucket
+         |FROM documents
+         |WHERE ${bucketSql("doc_id")} < 30""".stripMargin,
+    "q_balanced_sample" ->
+      s"""SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${bucketSql("doc_id")}, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 40""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT w, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        |GROUP BY w
+        |ORDER BY n DESC, w
+        |LIMIT 100""".stripMargin,
+    "q_dedup_keep" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |JOIN (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) k
+        |USING (doc_id)""".stripMargin,
+    "q_clean_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, text,
+         |    len(string_split(lower(text), ' ')) AS n_words,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |        w -> w IN ('the','and','of','to','a','in','is','that','it','for')))
+         |      / len(string_split(lower(text), ' ')) AS stop_ratio
+         |  FROM documents),
+         |ff AS (SELECT * FROM f WHERE n_words >= 30 AND stop_ratio >= 0.01),
+         |k AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM ff
+         |  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |SELECT ff.doc_id, ff.lang, ff.n_words, ff.stop_ratio
+         |FROM ff JOIN k USING (doc_id)
+         |WHERE ${bucketSql("ff.doc_id")} < 50""".stripMargin)
+}

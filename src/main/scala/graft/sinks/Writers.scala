@@ -45,6 +45,40 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Copy-on-write row-level delete (Iceberg COW DELETE semantics):
+    * files containing matching rows are rewritten without them; files
+    * provably untouched by the predicate survive as-is; one metadata
+    * commit. Scale: only the affected files are read and rewritten —
+    * `pruneFilters` (manifest min/max + bloom) bounds the rewrite set.
+    */
+  def deleteWhere(
+      catalog: SnapshotCatalog,
+      table: String,
+      rowPredicate: DataFrame => DataFrame,
+      pruneFilters: Seq[graft.meta.PruneFilter],
+      dataDir: String): SnapshotMeta = {
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val affected = catalog.planFiles(table, pruneFilters).map(_.path).toSet
+    val untouchedMeta = current.files.filterNot(f => affected.contains(f.path))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rewritten: Seq[String] =
+      if (affected.isEmpty) Nil
+      else {
+        val remaining = rowPredicate(
+          spark.read.schema(current.schema).parquet(affected.toSeq: _*))
+        val dir = Paths.get(dataDir, s"rewrite-${UUID.randomUUID().toString.take(8)}")
+        remaining.write.parquet(dir.toString)
+        Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toAbsolutePath.toString).toSeq.sorted
+      }
+    // untouched files keep their manifest metadata — the commit scans
+    // only the rewritten files
+    catalog.commit(spark, table, untouchedMeta.map(_.path) ++ rewritten,
+      reuseMeta = untouchedMeta.map(f => f.path -> f).toMap)
+  }
+
   /** Write `df` as parquet under `dataDir` and commit the produced files
     * as a new snapshot of `table` — the transactional append pattern
     * (write files, then one atomic metadata commit), mirroring the
@@ -61,7 +95,8 @@ object Writers {
     val files = Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(_.toAbsolutePath.toString).toSeq.sorted
-    val prev = catalog.currentSnapshot(table).map(_.files.map(_.path)).getOrElse(Nil)
-    catalog.commit(df.sparkSession, table, prev ++ files, bloomColumns)
+    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files, bloomColumns,
+      reuseMeta = prevFiles.map(f => f.path -> f).toMap)
   }
 }
