@@ -52,7 +52,7 @@ object Pipeline {
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardSearch(Tables.documents(s, dir), "doc_id", "text",
-      queryPred = col("id") < 100, threshold = 0.15)
+      queryPred = col("id") < 50, threshold = 0.15)
 
   // ---- embeddings / ANN ------------------------------------------------
 
@@ -174,7 +174,7 @@ object Pipeline {
         |    len(list_intersect(a.s, b.s)) /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE a.doc_id < 100) t
+        |  WHERE a.doc_id < 50) t
         |WHERE jaccard >= 0.15""".stripMargin,
     "q_embed_meta" ->
       """SELECT vec_id, label,
