@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening: empty corpora, null/empty text, short
+  * docs — operators must return empty/defined results, never throw.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val edgy = Seq(
+    (1L, "normal document with several words here"),
+    (2L, ""),                       // empty text
+    (3L, "one"),                    // shorter than shingle width
+    (4L, "two words"),
+    (5L, null.asInstanceOf[String]) // null text
+  ).toDF("doc_id", "text")
+
+  private val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup operators survive null/empty/short text") {
+    assert(Dedup.minhashDuplicates(edgy, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.simhashDuplicates(edgy, "doc_id", "text", 3).count() >= 0)
+    val groups = Dedup.exactGroups(edgy, "doc_id", "text").collect()
+    // null fingerprint group + 4 distinct contents
+    assert(groups.map(_.getLong(2)).sum == 5)
+    assert(Dedup.ngramJaccardSearch(edgy, "doc_id", "text", col("id") < 3, 0.1).count() == 0)
+  }
+
+  test("dedup operators on an empty corpus return empty, not errors") {
+    assert(Dedup.minhashDuplicates(empty, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.simhashDuplicates(empty, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.exactGroups(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("text analysis yields nulls for null text, values otherwise") {
+    val rows = edgy.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.langId("text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(5L).isNullAt(1) && rows(5L).isNullAt(2))
+    assert(!rows(1L).isNullAt(1) && rows(1L).getString(3) == "und")
+    assert(rows(2L).getLong(1) == 1) // empty string → one empty token
+  }
+
+  test("ANN operators survive an empty corpus") {
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.bruteForceTopK(emptyVec, "vec_id", "embedding", col("query_id") < 5).count() == 0)
+    assert(Ann.lshTopK(emptyVec, "vec_id", "embedding", col("query_id") < 5).count() == 0)
+    assert(Ann.cosineNearDup(emptyVec, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
+  test("multimodal decode tolerates empty payloads") {
+    val recs = Multimodal.toMediaRecords(
+      Seq((9L, "", "zh", "src0", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.decodeFeatures(recs).head()
+    assert(f.byteLen == 0 && f.sha256.nonEmpty)
+  }
+}
