@@ -1,0 +1,48 @@
+package graft
+
+import graft.cache.{CostPolicy, EvictionPolicy, LfuPolicy, LruPolicy, TableCache}
+import graft.meta.SnapshotCatalog
+import graft.sql.QueryEngine
+import org.apache.spark.sql.SparkSession
+
+/** Deployment configuration — the Spark-first analogue of the reference
+  * cache node's config dict (reference: src/core/config.py: cache size,
+  * catalog, store endpoints): one value an operator tunes to stand up
+  * the engine (reference: src/core/cache_node.py:29 builds
+  * loader+cache+engine from config; [[GraftConfig.node]] does the same).
+  */
+final case class GraftConfig(
+    maxCacheBytes: Long = 2L * 1024 * 1024 * 1024,
+    evictionPolicy: String = "lru",
+    cacheTtlMillis: Long = 3600 * 1000L,
+    catalogRoot: Option[String] = None) {
+
+  def policy: EvictionPolicy = evictionPolicy match {
+    case "lru" => LruPolicy
+    case "lfu" => LfuPolicy
+    case "cost" => CostPolicy
+    case other => throw new IllegalArgumentException(
+      s"Unknown eviction policy '$other' (expected lru|lfu|cost)")
+  }
+}
+
+/** A wired-up engine node: cache + optional catalog + SQL engine. */
+final class GraftNode(
+    val spark: SparkSession,
+    val dataDir: String,
+    val config: GraftConfig) {
+  val cache: TableCache = new TableCache(config.maxCacheBytes, config.policy)
+  val catalog: Option[SnapshotCatalog] = config.catalogRoot.map(new SnapshotCatalog(_))
+  val engine: QueryEngine = new QueryEngine(spark, dataDir, Some(cache))
+
+  /** Periodic maintenance entry point (reference:
+    * src/core/cache_node.py:77) — explicit, caller-scheduled. */
+  def maintain(): Int = cache.expire(config.cacheTtlMillis)
+
+  def cacheStats: graft.cache.CacheStats = cache.stats
+}
+
+object GraftConfig {
+  def node(spark: SparkSession, dataDir: String, config: GraftConfig = GraftConfig()): GraftNode =
+    new GraftNode(spark, dataDir, config)
+}

@@ -86,6 +86,19 @@ object Pipeline {
       octet_length(col("text")).cast("long").as("byte_len"),
       md5(col("text")).as("content_hash"))
 
+  /** The full multimodal decode path (Dataset[MediaRecord] →
+    * mapPartitions batch decode → features), oracle-checked: the stub
+    * decoder's sha256-derived dimensions are reproducible in SQL. */
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    Multimodal.decodeFeatures(Multimodal.toMediaRecords(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("docId").as("doc_id"), col("mediaType").as("media_type"),
+        col("byteLen").cast("long").as("byte_len"), col("sha256"),
+        col("width").cast("int").as("width"), col("height").cast("int").as("height"),
+        col("durationMs").cast("long").as("duration_ms"))
+  }
+
   // ---- events ----------------------------------------------------------
 
   def qEventsWindow(s: SparkSession, dir: String): DataFrame =
@@ -108,6 +121,7 @@ object Pipeline {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _))
 
@@ -189,6 +203,21 @@ object Pipeline {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+    "q_multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    sha256(text) AS sha256,
+        |    ('0x' || substring(sha256(text), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, media_type, byte_len, sha256,
+        |  CAST(h % 1920 + 1 AS INT) AS width,
+        |  CAST((h // 1920) % 1080 + 1 AS INT) AS height,
+        |  CASE WHEN media_type = 'image' THEN 0 ELSE h % 600000 END AS duration_ms
+        |FROM m""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws_epoch,
         |  event_type, COUNT(*) AS n_events,

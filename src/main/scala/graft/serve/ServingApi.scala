@@ -24,6 +24,11 @@ object ServingApi {
     * `get_flight_info` (reference: server.py:19). */
   def flightInfo(df: DataFrame): StructType = df.schema
 
+  /** Catalog listing: table name → schema for the served corpus — the
+    * analogue of `list_flights` (reference: server.py:14). */
+  def listTables(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, StructType] =
+    graft.Tables.names.map(n => n -> graft.Tables.load(spark, dir, n).schema).toMap
+
   private implicit class RichJIterator[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext

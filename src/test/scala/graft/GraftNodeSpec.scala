@@ -1,0 +1,27 @@
+package graft
+
+import graft.serve.ServingApi
+
+class GraftNodeSpec extends SparkSpec {
+
+  test("config wires a node: SQL through the cache, stats, maintenance") {
+    val node = GraftConfig.node(spark, sfDir,
+      GraftConfig(maxCacheBytes = 1L << 32, evictionPolicy = "lfu"))
+    val n = node.engine.sql("SELECT COUNT(*) AS n FROM lineitem").head().getLong(0)
+    assert(n == Tables.lineitem(spark, sfDir).count())
+    assert(node.cacheStats.entries == Tables.names.size) // corpus registered through cache
+    assert(node.maintain() == 0) // nothing idle past the TTL yet
+    node.cache.clear()
+  }
+
+  test("unknown eviction policy fails fast") {
+    intercept[IllegalArgumentException](GraftConfig(evictionPolicy = "fifo").policy)
+  }
+
+  test("listTables serves the corpus catalog (list_flights parity)") {
+    val tables = ServingApi.listTables(spark, sfDir)
+    assert(tables.keySet == Tables.names.toSet)
+    assert(tables("lineitem").fieldNames.contains("l_orderkey"))
+    assert(tables("events").fields.find(_.name == "ts").get.dataType.typeName == "timestamp")
+  }
+}
