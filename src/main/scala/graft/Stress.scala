@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.Exact._
+import graft.ops.{Ann, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: expands the sf tables in-plan (id-shifted
+  * unions, so key cardinalities scale with the data) and times the
+  * headline operators on ~10M lineitem rows / 100k docs / 20k vectors.
+  * Empirical evidence for SURVEY §5's "would this survive a scale-up"
+  * claims — run manually: `sbt "runMain graft.Stress"`.
+  */
+object Stress {
+
+  private def replicate(df: DataFrame, idCols: Seq[String], copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) * copies + i))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-stress", GraftSession.cpus)
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val l = replicate(Tables.lineitem(spark, sfDir), Seq("l_orderkey"), 16)
+    val o = replicate(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"), 16)
+    val d = replicate(Tables.documents(spark, sfDir), Seq("doc_id"), 20)
+    val e = replicate(Tables.embeddings(spark, sfDir), Seq("vec_id"), 10)
+
+    val (nl, tAgg) = time {
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      l.count()
+    }
+    val (nj, tJoin) = time {
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sumMoney(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+        .collect().map(_.getLong(2)).sum
+    }
+    val (nd, tDedup) = time {
+      Dedup.minhashDuplicates(d, "doc_id", "text", threshold = 0.9).count()
+    }
+    val (na, tAnn) = time {
+      Ann.lshTopK(e, "vec_id", "embedding", col("query_id") < 10, 5).count()
+    }
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates with cross-engine-exact formulations:
+  * covariance/correlation/stddev from decimal-exact moment sums (the
+  * built-in `covar_pop`/`corr` accumulate doubles order-dependently and
+  * can't be oracle-compared), histogram binning, and edit distance.
+  */
+object Stats {
+
+  /** Per-flag covariance / correlation of quantity vs price, computed
+    * from exact decimal moments: sums are order-independent decimals,
+    * then one fixed double expression tree per group. */
+  def qStatsAgg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    // moments use narrower decimals than Exact.money: the squared terms
+    // must fit DuckDB's decimal multiplication width
+    val q = col("l_quantity").cast("decimal(8,2)")
+    val p = col("l_extendedprice").cast("decimal(12,2)")
+    val agg = l.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(q).cast("double").as("sx"),
+      sum(p).cast("double").as("sy"),
+      sum(q * p).cast("double").as("sxy"),
+      sum(q * q).cast("double").as("sxx"),
+      sum(p * p).cast("double").as("syy"))
+    agg.select(
+      col("l_returnflag"), col("n"),
+      ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
+      (((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
+        (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")) *
+         sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n")))).as("corr"),
+      sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n")).as("stddev_price"))
+  }
+
+  /** 10-bin histogram of extended price over the global [min,max]. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val bounds = l.agg(
+      min(col("l_extendedprice")).as("mn"),
+      max(col("l_extendedprice")).as("mx"))
+    l.crossJoin(broadcast(bounds))
+      .select(least(floor((col("l_extendedprice") - col("mn")) /
+        (col("mx") - col("mn")) * 10), lit(9)).cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Edit distance between two windows of each document — the
+    * string-similarity primitive for fuzzy dedup. */
+  def qEditDistance(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      levenshtein(
+        substring(lower(col("text")), 1, 30),
+        substring(lower(col("text")), 31, 30)).cast("int").as("lev"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_histogram" -> (qHistogram _),
+    "q_edit_distance" -> (qEditDistance _))
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) / n AS covar_pop,
+        |  ((sxy - sx * sy / n) / n) /
+        |    (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)) AS corr,
+        |  sqrt((syy - sy * sy / n) / n) AS stddev_price
+        |FROM m""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor((l_extendedprice - m.mn) / (m.mx - m.mn) * 10), 9) AS INT) AS bin,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem,
+        |  (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem) m
+        |GROUP BY 1""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(substring(lower(text), 1, 30), substring(lower(text), 31, 30)) AS INT) AS lev
+        |FROM documents""".stripMargin)
+}
