@@ -133,9 +133,14 @@ final class TableCache(
 
   /** Cache-first read: the analogue of `ArrowCacheNode.get_table_data`
     * (reference: src/core/cache_node.py:128) — hit returns the persisted
-    * plan, miss runs `loader`, evicts to fit, persists, caches. */
+    * plan, miss runs `loader`, evicts to fit, persists, caches. The
+    * whole operation is atomic (the loader builds a LAZY plan — cheap —
+    * so holding the lock prevents two racing threads from both loading
+    * and double-persisting the same key). */
   def getOrLoad(key: CacheKey, sizeHint: Option[Long] = None)(loader: => DataFrame): DataFrame =
-    get(key).getOrElse(put(key, loader, sizeHint))
+    synchronized {
+      get(key).getOrElse(put(key, loader, sizeHint))
+    }
 
   def put(key: CacheKey, df: DataFrame, sizeHint: Option[Long] = None): DataFrame = synchronized {
     val k = key.render

@@ -101,6 +101,19 @@ class TableCacheSpec extends SparkSpec {
     tc.clear()
   }
 
+  test("concurrent getOrLoad of one key loads exactly once") {
+    val tc = new TableCache(maxSizeBytes = 1L << 40)
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = CacheKey("nation", "race")
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      tc.getOrLoad(key) { loads.incrementAndGet(); Tables.nation(spark, sfDir) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(loads.get() == 1, s"loader ran ${loads.get()} times")
+    assert(tc.stats.entries == 1 && tc.stats.hits == 7 && tc.stats.misses == 1)
+    tc.clear()
+  }
+
   test("cached plan returns identical data to uncached") {
     val tc = new TableCache(maxSizeBytes = 1L << 40)
     val cached = tc.getOrLoad(CacheKey("lineitem"))(Tables.lineitem(spark, sfDir))
