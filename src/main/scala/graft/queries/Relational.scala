@@ -210,7 +210,35 @@ object Relational {
       datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
         .cast("int").as("days_to_2002"))
 
+  /** TPC-H Q13 shape: LEFT OUTER join preserving customers with no
+    * orders, then the distribution of order counts (zeros included). */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 shape: correlated per-group average — lineitems below
+    * 40% of their part's average quantity (decimal-exact per-part avg,
+    * broadcast back into the fact scan). */
+  def qCorrelatedAvg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val perPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    l.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.4)
+      .agg(
+        sumMoney(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> (qOuterJoin _),
+    "q_correlated_avg" -> (qCorrelatedAvg _),
     "q1_agg" -> (q1Agg _),
     "q_scan_project" -> (qScanProject _),
     "q_filter_pushdown" -> (qFilterPushdown _),
@@ -230,6 +258,24 @@ object Relational {
     "q_date_funcs" -> (qDateFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q_correlated_avg" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity < avg_qty * 0.4""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
