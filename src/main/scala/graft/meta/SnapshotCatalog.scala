@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util.Base64
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
@@ -60,6 +61,31 @@ sealed trait PruneFilter { def column: String }
 final case class EqString(column: String, value: String) extends PruneFilter
 /** Numeric/timestamp range overlap: keep file iff [lo,hi] ∩ [min,max] ≠ ∅. */
 final case class RangeNum(column: String, lo: Double, hi: Double) extends PruneFilter
+
+/** Distributive bloom-filter aggregator over (file, column, stringValue)
+  * entries: partial blooms build map-side per partition, merge once per
+  * (file, column) group. Buffer rides Kryo (the sketch BloomFilter is a
+  * plain bit array + params); output is the `writeTo` wire format that
+  * [[FileMeta.bloomFor]] reads back. */
+private[meta] final class BloomColumnAgg(expectedItems: Long, fpp: Double)
+    extends Aggregator[(String, String, String), BloomFilter, Array[Byte]] {
+  def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+  def reduce(b: BloomFilter, a: (String, String, String)): BloomFilter = {
+    if (a._3 != null) b.putString(a._3)
+    b
+  }
+  def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = {
+    b1.mergeInPlace(b2)
+    b1
+  }
+  def finish(b: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+  def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
 
 /** Snapshot/manifest catalog over parquet files — the Spark-first
   * re-expression of the reference's Iceberg metadata layer (reference:
@@ -189,26 +215,38 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     snap
   }
 
-  /** One bloom per (file, column); each build is a single-file scan with
-    * the file filter pushed into the parquet source. */
+  /** One bloom per (file, column), built in ONE Spark job for the whole
+    * commit: a single scan fans each row out to (file, column, value)
+    * entries, then one shuffle groups by (file, column) into a
+    * [[BloomColumnAgg]]. A 100k-file bloom-enabled commit is one job +
+    * one shuffle — never 100k sequential driver round-trips. Values are
+    * indexed as strings (`putString`), matching the read side's
+    * `mightContainString` in [[SnapshotCatalog.fileMatches]] — blooms
+    * are string-equality pruning indexes. */
   private def buildBlooms(
       spark: SparkSession,
       paths: Seq[String],
       columns: Seq[String],
       expectedItems: Long,
-      fpp: Double): Map[String, Map[String, String]] =
-    paths.map { p =>
-      val fileDf = spark.read.parquet(p)
-      val perCol = columns.flatMap { c =>
-        if (fileDf.columns.contains(c)) {
-          val bf = fileDf.stat.bloomFilter(c, expectedItems, fpp)
-          val bos = new ByteArrayOutputStream()
-          bf.writeTo(bos)
-          Some(c -> Base64.getEncoder.encodeToString(bos.toByteArray))
-        } else None
-      }.toMap
-      normalize(p) -> perCol
-    }.toMap
+      fpp: Double): Map[String, Map[String, String]] = {
+    val df = spark.read.parquet(paths: _*)
+    val present = columns.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    import spark.implicits._
+    val entries = present.map(c => struct(lit(c).as("c"), col(c).cast("string").as("v")))
+    val flat = df
+      .select(col("_metadata.file_path").as("f"), explode(array(entries: _*)).as("e"))
+      .select(col("f"), col("e.c").as("c"), col("e.v").as("v"))
+      .as[(String, String, String)]
+    val agg = new BloomColumnAgg(expectedItems, fpp)
+    flat.groupByKey(t => (t._1, t._2)).agg(agg.toColumn.name("bloom")).collect()
+      .groupBy { case ((file, _), _) => normalize(file) }
+      .map { case (file, rows) =>
+        file -> rows.map { case ((_, c), bytes) =>
+          c -> Base64.getEncoder.encodeToString(bytes)
+        }.toMap
+      }
+  }
 
   // ---- snapshot log ----------------------------------------------------
 

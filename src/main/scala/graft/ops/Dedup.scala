@@ -74,14 +74,18 @@ object Dedup {
     val withSig = withShingles(docs, idCol, textCol)
       .select(col("id").as("doc_id"), transform(col("sh"), s => xxhash64(s)).as("__h"))
       .select(col("doc_id"), minhashSignatureFromHashes(col("__h")).as("sig"))
-    val bands = (0 until NumBands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((0 until RowsPerBand).map(i => col("sig").getItem(j * RowsPerBand + i)): _*)
-          .as("band_hash"))
-    }
-    withSig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+    withSig.select(col("doc_id"), explode(array(bandStructs(col("sig")): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
+
+  /** The b bands of r contiguous signature slots as struct columns —
+    * shared by every LSH banding path. */
+  private def bandStructs(sig: Column): Seq[Column] =
+    (0 until NumBands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((0 until RowsPerBand).map(i => sig.getItem(j * RowsPerBand + i)): _*)
+          .as("band_hash"))
+    }
 
   /** Candidate pairs (docA < docB) sharing at least one LSH band, then
     * verified with exact shingle Jaccard ≥ `threshold`. Pairs are
@@ -169,8 +173,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     // intersect 64-bit shingle hashes, not strings: same set sizes modulo
     // a ~1e-10 collision chance, and the |Q|·N intersections are the
-    // whole cost of this baseline
-    val sh = withShingles(docs, idCol, textCol).filter(size(col("sh")) >= 3)
+    // whole cost of this baseline. Corpus filter is on WORD count (>= n
+    // words → at least one true n-gram), matching the SQL oracle's
+    // len(words) >= 3 — not on shingle count, which would also exclude
+    // 3-4-word docs the oracle keeps.
+    val sh = docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("id"), shinglesFromWords(col("__w")).as("sh"))
       .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
     val q = sh.filter(queryPred).as("q")
     broadcast(q)
@@ -178,6 +188,48 @@ object Dedup {
       .select(col("q.id").as("doc_a"), col("c.id").as("doc_b"),
         graft.functions.HashExprs.sortedIntersectCount(col("q.sh"), col("c.sh")).as("__i"),
         size(col("q.sh")).as("__na"), size(col("c.sh")).as("__nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The scale path for the same search: LSH band candidates instead of
+    * the |Q|·N cross — query-side bands join corpus bands on (band,
+    * band_hash), candidate ids dedup BEFORE shingle arrays attach, exact
+    * Jaccard verifies. Precision is exact; recall is the band schedule's
+    * (high-similarity pairs near-certain, low-similarity pairs mostly
+    * unprobed — the documented trade vs [[ngramJaccardSearch]], whose
+    * exact form remains the oracle gate). Cost is linear in N plus
+    * verified candidates, so this is the formulation that survives 100 TB.
+    * `queryPred` is over column `id`, as in the exact variant. */
+  def ngramJaccardSearchLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryPred: Column,
+      threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("id"), shinglesFromWords(col("__w")).as("sh"))
+      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
+    val banded = sh
+      .select(col("id"), minhashSignatureFromHashes(col("sh")).as("sig"))
+      .select(col("id"), explode(array(bandStructs(col("sig")): _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val pairs = banded.filter(queryPred).as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.HashExprs.sortedIntersectCount(col("sa.sh"), col("sb.sh")).as("__i"),
+        size(col("sa.sh")).as("__na"), size(col("sb.sh")).as("__nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

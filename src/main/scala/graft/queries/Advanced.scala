@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Exact._
-import graft.sql.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +21,7 @@ object Advanced {
 
   /** GROUPING SETS through the SQL engine (S18 surface). */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame =
-    new QueryEngine(s, dir).sql(
+    Engine.engineFor(s, dir).sql(
       """SELECT o_orderstatus, o_orderpriority,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price
@@ -156,9 +155,9 @@ object Advanced {
       """SELECT event_id, user_id, purchase_us, n_recent_clicks FROM (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
-        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+    |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
-        |            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_recent_clicks
+        |            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_recent_clicks
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'""".stripMargin,
     "q_count_distinct" ->

@@ -54,6 +54,13 @@ object Pipeline {
     Dedup.ngramJaccardSearch(Tables.documents(s, dir), "doc_id", "text",
       queryPred = col("id") < 50, threshold = 0.15)
 
+  /** Same search via LSH candidates — the benched scale path (rows-only:
+    * recall is the band schedule's, so no SQL oracle; the exact form
+    * above stays as the oracle gate). */
+  def qNgramJaccardLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardSearchLsh(Tables.documents(s, dir), "doc_id", "text",
+      queryPred = col("id") < 50, threshold = 0.15)
+
   // ---- embeddings / ANN ------------------------------------------------
 
   def qEmbedMeta(s: SparkSession, dir: String): DataFrame =
@@ -120,6 +127,7 @@ object Pipeline {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ngram_jaccard_lsh" -> (qNgramJaccardLsh _),
     "q_embed_meta" -> (qEmbedMeta _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),

@@ -157,12 +157,16 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sumMoney(col("o_totalprice")).as("total_price"))
 
-  /** Scalar subquery: parts above the (decimal-exact) average price. */
+  /** Scalar subquery: parts above the (decimal-exact) average price.
+    * One declarative plan — the 1-row aggregate is broadcast-crossed
+    * into the scan (no driver-side action, composable/cacheable as a
+    * single plan; at scale the agg is a tiny side-stage feeding a
+    * BroadcastNestedLoopJoin of one row). */
   def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
-    val avgPrice = p.agg(avgMoney(col("p_retailprice")).as("a"))
-      .head().getDouble(0)
-    p.filter(col("p_retailprice") > avgPrice)
+    val avgPrice = p.agg(avgMoney(col("p_retailprice")).as("__avg"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("__avg"))
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
   }
 

@@ -37,6 +37,13 @@ final class QueryEngine(
     }
   }
 
+  /** Force re-registration — used when another QueryEngine (different
+    * `dir`) has since rebound this session's temp views. */
+  def registerFresh(): Unit = synchronized {
+    registered = false
+    register()
+  }
+
   /** Execute SQL over the registered corpus (reference: engine.py:66
     * `execute_query`). */
   def sql(query: String): DataFrame = {

@@ -35,4 +35,50 @@ class BloomPruningSpec extends SparkSpec {
       .filter(col("n_name") === "NATION_20")
     assert(df.count() == 1)
   }
+
+  test("bloom-enabled commit runs O(1) Spark jobs regardless of file count") {
+    val data = Files.createTempDirectory("graft-bloomjobs-").toString
+    val c = Tables.customer(spark, sfDir)
+    val nFiles = 8
+    (0 until nFiles).foreach { i =>
+      c.filter(pmod(col("c_custkey"), lit(nFiles)) === i).coalesce(1)
+        .write.parquet(s"$data/p$i")
+    }
+    val paths = (0 until nFiles).map { i =>
+      new java.io.File(s"$data/p$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    }
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
+      val snap = cat.commit(spark, "customer", paths,
+        bloomColumns = Seq("c_mktsegment", "c_name"), bloomExpectedItems = 1000)
+      Thread.sleep(1000) // listener events are async; let the bus drain
+      assert(snap.files.size == nFiles)
+      assert(snap.files.forall(f =>
+        f.blooms.contains("c_mktsegment") && f.blooms.contains("c_name")))
+      // one stats job + one bloom job (+ AQE sub-jobs at most): the count
+      // must not scale with nFiles — the old per-file loop would be >= 16
+      assert(jobs <= 6, s"bloom commit ran $jobs jobs for $nFiles files")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // the single-job blooms still prune: a segment value absent from a
+    // file's rows prunes that file via bloom membership
+    val cat2 = new SnapshotCatalog(Files.createTempDirectory("graft-cat2-").toString)
+    val byseg = Files.createTempDirectory("graft-bloomseg-").toString
+    c.filter(col("c_mktsegment") === "BUILDING").coalesce(1).write.parquet(s"$byseg/a")
+    c.filter(col("c_mktsegment") === "MACHINERY").coalesce(1).write.parquet(s"$byseg/b")
+    def one(sub: String) = new java.io.File(s"$byseg/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    cat2.commit(spark, "cseg", Seq(one("a"), one("b")),
+      bloomColumns = Seq("c_mktsegment"), bloomExpectedItems = 1000)
+    val planned = cat2.planFiles("cseg", Seq(EqString("c_mktsegment", "MACHINERY")))
+    assert(planned.map(_.path) == Seq(one("b")))
+  }
 }
