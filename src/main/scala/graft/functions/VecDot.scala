@@ -22,11 +22,18 @@ import org.apache.spark.sql.types._
   * before ever reaching for UDFs.
   *
   * Semantics match the HOF version bit-for-bit: elements widen to
-  * double, products accumulate sequentially in index order.
+  * double, products accumulate sequentially in index order — INCLUDING
+  * the null cases: mismatched lengths or a null element yield NULL,
+  * exactly as `aggregate(zip_with(a, b, (x, y) -> x * y), ...)` does
+  * (zip_with pads the shorter side with nulls), instead of silently
+  * truncating to the common prefix.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null on length mismatch / null element, regardless of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
@@ -42,12 +49,14 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = aa.numElements()
+    if (bb.numElements() != n) return null
     val aFloat = elemType(left) == FloatType
     val bFloat = elemType(right) == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
       val x = if (aFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
       val y = if (bFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
       acc += x * y
@@ -64,12 +73,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -43,13 +43,16 @@ final case class FileMeta(
 }
 
 /** A committed table version (reference: pyiceberg `Snapshot` surfaced
-  * through src/iceberg_management/metadata.py:160 `get_snapshot`). */
+  * through src/iceberg_management/metadata.py:160 `get_snapshot`).
+  * `props` carries committer metadata (e.g. streaming batch ids for
+  * idempotent ingest) atomically with the snapshot itself. */
 final case class SnapshotMeta(
     snapshotId: Long,
     timestampMs: Long,
     parentId: Option[Long],
     schemaJson: String,
-    files: Seq[FileMeta]) {
+    files: Seq[FileMeta],
+    props: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def totalRows: Long = files.map(_.rowCount).sum
   def totalBytes: Long = files.map(_.sizeBytes).sum
@@ -128,21 +131,23 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       bloomColumns: Seq[String] = Nil,
       bloomExpectedItems: Long = 1000000L,
       bloomFpp: Double = 0.03,
-      reuseMeta: Map[String, FileMeta] = Map.empty): SnapshotMeta = {
+      reuseMeta: Map[String, FileMeta] = Map.empty,
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
     val (reusedPaths, newPaths) = paths.map(normalize).partition(reuseMeta.contains)
     // no new files to scan: all-reused commits AND fully-empty commits
     // (e.g. a delete that removed every row) carry the schema forward
     if (newPaths.isEmpty) {
-      val prev0 = currentSnapshot(table).getOrElse(throw new IllegalArgumentException(
-        s"A commit with no new files requires an existing snapshot for $table (schema source)"))
-      val snap = SnapshotMeta(
-        snapshotId = prev0.snapshotId + 1,
-        timestampMs = clock(),
-        parentId = Some(prev0.snapshotId),
-        schemaJson = prev0.schemaJson,
-        files = reusedPaths.map(reuseMeta))
-      write(table, snap)
-      return snap
+      return publish(table) { prevOpt =>
+        val prev0 = prevOpt.getOrElse(throw new IllegalArgumentException(
+          s"A commit with no new files requires an existing snapshot for $table (schema source)"))
+        SnapshotMeta(
+          snapshotId = prev0.snapshotId + 1,
+          timestampMs = clock(),
+          parentId = Some(prev0.snapshotId),
+          schemaJson = prev0.schemaJson,
+          files = reusedPaths.map(reuseMeta),
+          props = props)
+      }
     }
     val df = spark.read.parquet(newPaths: _*)
     val schema = df.schema
@@ -152,7 +157,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         case _: NumericType =>
           Seq(min(col(f.name)).cast("double").as(s"minD__${f.name}"),
             max(col(f.name)).cast("double").as(s"maxD__${f.name}"))
-        case _: TimestampType | _: DateType =>
+        case _: TimestampType =>
+          // exact epoch-millis bounds with sub-second precision, widened
+          // by 1µs so IEEE division rounding can never shrink the range:
+          // unix_timestamp() truncates to whole seconds, which would let
+          // a millisecond-bounded prune wrongly skip a file
+          Seq((unix_micros(min(col(f.name))) / lit(1000.0) - lit(0.001)).as(s"minD__${f.name}"),
+            (unix_micros(max(col(f.name))) / lit(1000.0) + lit(0.001)).as(s"maxD__${f.name}"))
+        case _: DateType =>
           Seq((unix_timestamp(min(col(f.name)).cast("timestamp")) * 1000).cast("double").as(s"minD__${f.name}"),
             (unix_timestamp(max(col(f.name)).cast("timestamp")) * 1000).cast("double").as(s"maxD__${f.name}"))
         case _: StringType =>
@@ -204,15 +216,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }.toSeq
     val files = newFiles ++ reusedPaths.map(reuseMeta)
 
-    val prev = currentSnapshot(table)
-    val snap = SnapshotMeta(
-      snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
-      timestampMs = clock(),
-      parentId = prev.map(_.snapshotId),
-      schemaJson = schema.json,
-      files = files)
-    write(table, snap)
-    snap
+    publish(table) { prev =>
+      SnapshotMeta(
+        snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
+        timestampMs = clock(),
+        parentId = prev.map(_.snapshotId),
+        schemaJson = schema.json,
+        files = files,
+        props = props)
+    }
   }
 
   /** One bloom per (file, column), built in ONE Spark job for the whole
@@ -250,11 +262,48 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   // ---- snapshot log ----------------------------------------------------
 
-  private def write(table: String, snap: SnapshotMeta): Unit = {
+  /** Optimistic commit protocol (mirrors Iceberg's): build the snapshot
+    * against the observed current id, attempt an atomic fail-if-exists
+    * publish, and on id collision (a concurrent committer won) rebuild
+    * against the new current and retry. A crash mid-write never leaves a
+    * partial snap-*.json — content lands in a temp file first and
+    * publishes via hard-link (atomic, fails if the id is taken). */
+  private def publish(table: String)(mkSnap: Option[SnapshotMeta] => SnapshotMeta): SnapshotMeta = {
+    var attempts = 0
+    while (attempts < 100) {
+      val snap = mkSnap(currentSnapshot(table))
+      if (write(table, snap)) return snap
+      attempts += 1
+    }
+    throw new IllegalStateException(s"snapshot commit contention on $table: gave up after $attempts attempts")
+  }
+
+  /** Atomically publish one snapshot file; false iff the id is taken. */
+  private def write(table: String, snap: SnapshotMeta): Boolean = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
-    val json = Serialization.writePretty(snap)
-    Files.write(dir.resolve(f"snap-${snap.snapshotId}%06d.json"), json.getBytes(StandardCharsets.UTF_8))
+    val target = dir.resolve(f"snap-${snap.snapshotId}%06d.json")
+    val tmp = Files.createTempFile(dir, ".snap-", ".tmp")
+    try {
+      Files.write(tmp, Serialization.writePretty(snap).getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(target, tmp) // atomic + CREATE_NEW on POSIX
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links: atomic move, best-effort
+          // existence check for collision detection
+          if (Files.exists(target)) false
+          else {
+            Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          }
+      }
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
+    }
   }
 
   /** All snapshots, oldest first (reference: metadata.py:222

@@ -89,7 +89,8 @@ object Writers {
       table: String,
       df: DataFrame,
       dataDir: String,
-      bloomColumns: Seq[String] = Nil): SnapshotMeta = {
+      bloomColumns: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
     val dir = Paths.get(dataDir, s"commit-${UUID.randomUUID().toString.take(8)}")
     df.write.parquet(dir.toString)
     val files = Files.list(dir).iterator().asScala
@@ -97,6 +98,6 @@ object Writers {
       .map(_.toAbsolutePath.toString).toSeq.sorted
     val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files, bloomColumns,
-      reuseMeta = prevFiles.map(f => f.path -> f).toMap)
+      reuseMeta = prevFiles.map(f => f.path -> f).toMap, props = props)
   }
 }

@@ -19,6 +19,38 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object SnapshotSink {
 
+  private val BatchIdProp = "graft.ingest.batchId"
+  private val CheckpointProp = "graft.ingest.checkpoint"
+
+  /** Highest batch id this (table, checkpoint) pair has committed, read
+    * from snapshot props — the commit IS the record, so there is no
+    * window where data landed but the batch id didn't. */
+  private[streaming] def lastCommittedBatch(
+      catalog: SnapshotCatalog,
+      table: String,
+      checkpointDir: String): Long =
+    catalog.snapshots(table)
+      .filter(_.props.get(CheckpointProp).contains(checkpointDir))
+      .flatMap(_.props.get(BatchIdProp))
+      .map(_.toLong)
+      .reduceOption(_ max _)
+      .getOrElse(-1L)
+
+  /** Commit one micro-batch exactly once: a batch re-delivered after a
+    * crash between snapshot commit and checkpoint write (foreachBatch is
+    * at-least-once) is recognized by its id in the last snapshot's props
+    * and skipped, making ingestion idempotent end-to-end. */
+  private[streaming] def commitBatch(
+      catalog: SnapshotCatalog,
+      table: String,
+      dataDir: String,
+      checkpointDir: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty && batchId > lastCommittedBatch(catalog, table, checkpointDir)) {
+      Writers.writeSnapshot(catalog, table, batch, dataDir,
+        props = Map(BatchIdProp -> batchId.toString, CheckpointProp -> checkpointDir))
+      ()
+    }
+
   def start(
       stream: DataFrame,
       catalog: SnapshotCatalog,
@@ -29,11 +61,6 @@ object SnapshotSink {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          Writers.writeSnapshot(catalog, table, batch, dataDir)
-          ()
-        }
-      }
+      .foreachBatch(commitBatch(catalog, table, dataDir, checkpointDir) _)
       .start()
 }

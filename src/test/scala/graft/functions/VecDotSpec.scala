@@ -40,6 +40,22 @@ class VecDotSpec extends SparkSpec {
     assert(err.getMessage.contains("vec_dot") || err.getMessage.contains("DATATYPE"))
   }
 
+  test("vec_dot yields null on length mismatch and null elements, like zip_with") {
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0))),
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val rows = df.select(
+      VecFunctions.vecDot(col("a"), col("b")).as("native"), hof.as("interp")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // length mismatch
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // null element
+    assert(rows(2).getDouble(0) == 11.0 && rows(2).getDouble(1) == 11.0)
+  }
+
   test("vec_dot is SQL-registered and usable from the engine") {
     VecFunctions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()

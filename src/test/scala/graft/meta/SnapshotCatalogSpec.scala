@@ -98,4 +98,49 @@ class SnapshotCatalogSpec extends SparkSpec {
       cat.planFiles("customer", Nil, snapshotId = Some(99L))
     }
   }
+
+  test("timestamp stats keep sub-second precision: millisecond-range prune cannot skip matching rows") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-tsdata-").toString
+    // all rows inside one second: 10:00:00.200 .. 10:00:00.800
+    Seq("2024-01-01 10:00:00.2", "2024-01-01 10:00:00.8")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+      .coalesce(1).write.parquet(s"$data/f")
+    val p = new java.io.File(s"$data/f").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
+    val snap = cat.commit(spark, "tsx", Seq(p))
+    val st = snap.files.head.stats("ts")
+    val t200 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.2").getTime.toDouble
+    val t800 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.8").getTime.toDouble
+    assert(st.minD.get <= t200 && st.minD.get > t200 - 10,
+      s"minD ${st.minD.get} must tightly lower-bound $t200")
+    assert(st.maxD.get >= t800 && st.maxD.get < t800 + 10,
+      s"maxD ${st.maxD.get} must tightly upper-bound $t800")
+    // a [.500, .900] ms-range query overlaps the file; whole-second
+    // truncation (maxD = .000) would have wrongly pruned it
+    val kept = cat.planFiles("tsx", Seq(RangeNum("ts", t200 + 300, t200 + 700)))
+    assert(kept.nonEmpty, "sub-second range prune lost a matching file")
+  }
+
+  test("concurrent committers mint distinct ids; no snapshot is overwritten") {
+    val (_, low, high) = twoFileTable()
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
+    cat.commit(spark, "customer", Seq(low))
+    val base = cat.currentSnapshot("customer").get
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // metadata-only commits (reuseMeta) race on the snapshot id
+    val reuse = Map(base.files.head.path -> base.files.head)
+    val fs = (1 to 6).map { _ =>
+      Future(cat.commit(spark, "customer", Seq(base.files.head.path), reuseMeta = reuse))
+    }
+    val snaps = Await.result(Future.sequence(fs), 60.seconds)
+    assert(snaps.map(_.snapshotId).distinct.size == 6, "two committers minted the same id")
+    // every minted id is durably on disk (nothing overwritten)
+    val onDisk = cat.snapshots("customer").map(_.snapshotId).toSet
+    assert(snaps.forall(s => onDisk.contains(s.snapshotId)))
+    assert(onDisk.size == 7)
+  }
 }

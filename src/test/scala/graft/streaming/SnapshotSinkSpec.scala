@@ -43,4 +43,28 @@ class SnapshotSinkSpec extends SparkSpec {
     q3.awaitTermination(60000)
     assert(cat.read(spark, "ev").count() == 3)
   }
+
+  test("a re-delivered batch id is skipped: ingestion is idempotent") {
+    val tmp = Files.createTempDirectory("graft-sink-idem-").toString
+    val cat = new SnapshotCatalog(s"$tmp/cat")
+    val chk = s"$tmp/chk"
+    val batch = Seq((1L, "click", 1.0), (2L, "view", 2.0))
+      .toDF("event_id", "event_type", "value")
+
+    // foreachBatch is at-least-once: simulate a crash after the snapshot
+    // commit but before the checkpoint write by delivering batch 0 twice
+    SnapshotSink.commitBatch(cat, "ev", s"$tmp/data", chk)(batch, 0L)
+    assert(SnapshotSink.lastCommittedBatch(cat, "ev", chk) == 0L)
+    SnapshotSink.commitBatch(cat, "ev", s"$tmp/data", chk)(batch, 0L)
+    assert(cat.snapshots("ev").size == 1, "duplicate batch must not commit")
+    assert(cat.read(spark, "ev").count() == 2)
+
+    // the next batch id commits normally
+    SnapshotSink.commitBatch(cat, "ev", s"$tmp/data", chk)(batch, 1L)
+    assert(cat.snapshots("ev").size == 2)
+    assert(cat.read(spark, "ev").count() == 4)
+
+    // a DIFFERENT checkpoint (fresh stream) has its own batch-id space
+    assert(SnapshotSink.lastCommittedBatch(cat, "ev", s"$tmp/other-chk") == -1L)
+  }
 }
