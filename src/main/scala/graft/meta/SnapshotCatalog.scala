@@ -28,13 +28,20 @@ final case class ColStats(
     minS: Option[String] = None,
     maxS: Option[String] = None)
 
-/** One data file in a snapshot, with pruning indices. */
+/** One data file in a snapshot, with pruning indices.
+  * `partitionValues` are hive-layout `k=v` values parsed from the file's
+  * directory path at commit time (the analogue of Iceberg's partition
+  * tuple, reference: src/core/cache_data_model.py:36 `PartitionInfo`) —
+  * they prune files on partition columns that aren't stored IN the data
+  * files, closing the loop from partitioned writes (S21) to manifest
+  * pruning (S4). */
 final case class FileMeta(
     path: String,
     rowCount: Long,
     sizeBytes: Long,
     stats: Map[String, ColStats] = Map.empty,
-    blooms: Map[String, String] = Map.empty) {
+    blooms: Map[String, String] = Map.empty,
+    partitionValues: Map[String, String] = Map.empty) {
 
   def bloomFor(column: String): Option[BloomFilter] =
     blooms.get(column).map { b64 =>
@@ -114,6 +121,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   private def normalize(p: String): String =
     if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/') else p
+
+  /** Hive-style `k=v` directory segments of a file path, URL-decoded the
+    * way Spark's partitioned writer escapes them. */
+  private[meta] def parsePartitionValues(path: String): Map[String, String] =
+    path.split('/').dropRight(1).collect {
+      case seg if seg.count(_ == '=') == 1 && !seg.startsWith("=") && !seg.startsWith(".") =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
 
   // ---- commit ----------------------------------------------------------
 
@@ -212,7 +228,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         rowCount = row.getAs[Long]("__rows"),
         sizeBytes = fileSizes.getOrElse(path, 0L),
         stats = stats,
-        blooms = blooms.getOrElse(path, Map.empty))
+        blooms = blooms.getOrElse(path, Map.empty),
+        partitionValues = parsePartitionValues(path))
     }.toSeq
     val files = newFiles ++ reusedPaths.map(reuseMeta)
 
@@ -365,24 +382,34 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   // ---- pruning + read --------------------------------------------------
 
-  /** File survives iff no filter can prove it empty. */
+  /** File survives iff no filter can prove it empty. Partition values
+    * are checked first — exact, no footer or stats needed — then column
+    * stats and blooms. */
   private[meta] def fileMatches(f: FileMeta, filters: Seq[PruneFilter]): Boolean =
     filters.forall {
       case EqString(c, v) =>
-        val rangeOk = f.stats.get(c).forall { st =>
-          (st.minS, st.maxS) match {
-            case (Some(mi), Some(ma)) => mi <= v && v <= ma
-            case _ => true
-          }
+        f.partitionValues.get(c) match {
+          case Some(pv) => pv == v
+          case None =>
+            val rangeOk = f.stats.get(c).forall { st =>
+              (st.minS, st.maxS) match {
+                case (Some(mi), Some(ma)) => mi <= v && v <= ma
+                case _ => true
+              }
+            }
+            val bloomOk = f.bloomFor(c).forall(_.mightContainString(v))
+            rangeOk && bloomOk
         }
-        val bloomOk = f.bloomFor(c).forall(_.mightContainString(v))
-        rangeOk && bloomOk
       case RangeNum(c, lo, hi) =>
-        f.stats.get(c).forall { st =>
-          (st.minD, st.maxD) match {
-            case (Some(mi), Some(ma)) => ma >= lo && mi <= hi
-            case _ => true
-          }
+        f.partitionValues.get(c).flatMap(pv => scala.util.Try(pv.toDouble).toOption) match {
+          case Some(d) => d >= lo && d <= hi
+          case None =>
+            f.stats.get(c).forall { st =>
+              (st.minD, st.maxD) match {
+                case (Some(mi), Some(ma)) => ma >= lo && mi <= hi
+                case _ => true
+              }
+            }
         }
     }
 

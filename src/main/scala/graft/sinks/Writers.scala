@@ -30,6 +30,27 @@ object Writers {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Hive-partitioned write COMMITTED to the snapshot catalog: the
+    * partition values of every leaf file land in its manifest entry
+    * (parsed from the `k=v` path segments), so later
+    * `planFiles(EqString(partitionCol, v))` skips non-matching files
+    * from metadata alone — no footer reads, the same directory-level
+    * skip Iceberg gets from its partition spec (reference:
+    * src/iceberg_management/metadata.py:26 `get_data_files`). */
+  def writePartitionedSnapshot(
+      catalog: SnapshotCatalog,
+      table: String,
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
+    writePartitioned(df, path, partitionCols)
+    val files = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    catalog.commit(df.sparkSession, table, files, props = props)
+  }
+
   /** Bucketed + sorted managed table: pre-shuffled on `bucketCol` into
     * `numBuckets` files per partition, so joins between co-bucketed
     * tables skip the exchange entirely. */

@@ -39,6 +39,20 @@ object EventStreams {
       unix_timestamp(col("window.start")).as("ws_epoch"),
       col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream dedup (SURVEY §2.4 T3): drop rows whose `idCols` repeat
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates`) so per-key state is EVICTED once the
+    * watermark passes — bounded state at any stream length, the only
+    * formulation that survives an unbounded 100 TB-scale stream.
+    * Works identically on a batch frame (watermark is a no-op there). */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000
 
   /** Gap-based sessionization (30-min inactivity) via window functions:

@@ -63,6 +63,48 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup recall gates: planted near-identical vectors >= 0.85; weak pairs match LSH theory") {
+    import spark.implicits._
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // the operator's contract is recall on TRUE near-dups (cos -> 1):
+    // plant 30 perturbed copies (cos ~ 0.99) and require they're found
+    val rnd = new scala.util.Random(13)
+    val planted = rows.take(30).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat))
+    }
+    val corpus = (rows ++ planted).toSeq.toDF("vec_id", "embedding")
+    val found = Ann.cosineNearDup(corpus, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows.take(30).map { case (id, _) => (id, id + 1000000L) }.toSet
+    val plantedRecall = want.count(found.contains).toDouble / want.size
+    info(f"plantedNearDupRecall=$plantedRecall%.3f (${want.size} planted, cos~0.99)")
+    assert(plantedRecall >= 0.85, f"planted near-dup recall $plantedRecall%.3f")
+
+    // natural pairs here are WEAK (max cos 0.48, labels uncorrelated
+    // with geometry): recall must track the hyperplane collision model
+    // p(theta) = 1 - (1 - (1 - theta/pi)^8)^4, not an arbitrary bar
+    val byId = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val norms = byId.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }
+    val naturalPairs = (for {
+      (ia, va) <- byId.toSeq; (ib, vb) <- byId.toSeq if ia < ib
+      cos = va.zip(vb).map { case (x, y) => x * y }.sum / (norms(ia) * norms(ib))
+      if cos >= 0.35
+    } yield ((ia, ib), cos)).toMap
+    assert(naturalPairs.nonEmpty)
+    val naturalFound = Ann.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val observed = naturalPairs.keys.count(naturalFound.contains).toDouble / naturalPairs.size
+    val expected = naturalPairs.values.map { cos =>
+      val pPlane = 1.0 - math.acos(cos) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(pPlane, Ann.NumPlanes), Ann.NumTables)
+    }.sum / naturalPairs.size
+    info(f"weakPairs=${naturalPairs.size} observedRecall=$observed%.3f theoreticalRecall=$expected%.3f")
+    assert(observed >= expected * 0.5 && observed <= math.min(1.0, expected * 2.5 + 0.05),
+      f"recall $observed%.3f diverges from collision model $expected%.3f")
+  }
+
   test("ANN plans broadcast the query side (scale guard)") {
     val plan = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("query_id") < 10, 5)
       .queryExecution.executedPlan.toString

@@ -79,6 +79,26 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("planted-pair recall gates: minhash catches ALL jaccard>=0.97 pairs; simhash quantified") {
+    val planted = truePairs.filter(_._3 >= 0.97).map(t => (t._1, t._2))
+    assert(planted.nonEmpty, "test data should contain planted near-dup pairs")
+    val mh = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhRecall = planted.count(mh.contains).toDouble / planted.size
+    val sh = Dedup.simhashDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shRecall = planted.count(sh.contains).toDouble / planted.size
+    val lsh = Dedup.ngramJaccardSearchLsh(docs, "doc_id", "text", lit(true), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = planted.count(lsh.contains).toDouble / planted.size
+    info(f"planted=${planted.size} minhashRecall=$mhRecall%.3f " +
+      f"simhashRecall=$shRecall%.3f ngramLshRecall=$lshRecall%.3f")
+    // 16 bands x 4 rows at s=0.97: per-band hit 0.885, miss-all 3e-15
+    assert(mhRecall == 1.0, f"minhash recall $mhRecall%.3f")
+    assert(lshRecall == 1.0, f"ngram-LSH recall $lshRecall%.3f")
+    assert(shRecall >= 0.5, f"simhash recall $shRecall%.3f")
+  }
+
   test("minhash plan has no cartesian product (scale guard)") {
     val plan = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.5)
       .queryExecution.executedPlan.toString

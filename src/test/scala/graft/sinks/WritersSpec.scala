@@ -22,6 +22,46 @@ class WritersSpec extends SparkSpec {
       s"partition filter not pushed to scan:\n$plan")
   }
 
+  test("partitioned snapshot commit records partition values and prunes from metadata alone") {
+    val base = Files.createTempDirectory("graft-psnap-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    val snap = Writers.writePartitionedSnapshot(
+      cat, "cust_part", c, s"$base/data", Seq("c_mktsegment"))
+
+    // every manifest entry carries its hive partition value
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.partitionValues.contains("c_mktsegment")))
+    val segs = snap.files.map(_.partitionValues("c_mktsegment")).toSet
+    assert(segs.contains("BUILDING") && segs.size >= 3)
+
+    // the partition column is NOT in the data files (hive layout), so
+    // no column stats exist for it — pruning must come from the
+    // partition values, i.e. pure manifest metadata, no footer reads
+    assert(snap.files.forall(f => !f.stats.contains("c_mktsegment")))
+    val planned = cat.planFiles("cust_part",
+      Seq(graft.meta.EqString("c_mktsegment", "BUILDING")))
+    assert(planned.nonEmpty)
+    assert(planned.forall(_.partitionValues("c_mktsegment") == "BUILDING"))
+    assert(planned.size < snap.files.size, "other segments must be pruned")
+
+    // pruned read returns exactly the partition's rows
+    val n = cat.read(spark, "cust_part",
+      Seq(graft.meta.EqString("c_mktsegment", "BUILDING"))).count()
+    assert(n == c.filter(col("c_mktsegment") === "BUILDING").count())
+
+    // numeric partition values satisfy range pruning too
+    val cat2 = new SnapshotCatalog(s"$base/cat2")
+    val o = Tables.orders(spark, sfDir).withColumn("o_year", year(col("o_orderdate")))
+    val snap2 = Writers.writePartitionedSnapshot(
+      cat2, "orders_part", o, s"$base/data2", Seq("o_year"))
+    val kept = cat2.planFiles("orders_part", Seq(graft.meta.RangeNum("o_year", 1996, 1997)))
+    assert(kept.nonEmpty && kept.size < snap2.files.size)
+    assert(kept.forall { f =>
+      val y = f.partitionValues("o_year").toDouble; y >= 1996 && y <= 1997
+    })
+  }
+
   test("co-bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {

@@ -44,7 +44,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
     val df = mem.toDF().toDF("event_id", "ts")
-    val stream = df.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    val stream = EventStreams.dedupStream(df, Seq("event_id"), "ts", "1 hour")
       .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append()).start()
     mem.addData((1L, ts(1)), (2L, ts(2)), (1L, ts(3)), (3L, ts(4)), (2L, ts(5)))
     stream.processAllAvailable()
