@@ -70,22 +70,33 @@ object Dedup {
 
   /** (band, bandHash) rows per document: b bands of r contiguous
     * signature slots, hashed together. The LSH shuffle key. */
-  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBands: Int = NumBands): DataFrame = {
     val withSig = withShingles(docs, idCol, textCol)
       .select(col("id").as("doc_id"), transform(col("sh"), s => xxhash64(s)).as("__h"))
       .select(col("doc_id"), minhashSignatureFromHashes(col("__h")).as("sig"))
-    withSig.select(col("doc_id"), explode(array(bandStructs(col("sig")): _*)).as("b"))
+    withSig.select(col("doc_id"), explode(array(bandStructs(col("sig"), numBands): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
 
-  /** The b bands of r contiguous signature slots as struct columns —
-    * shared by every LSH banding path. */
-  private def bandStructs(sig: Column): Seq[Column] =
-    (0 until NumBands).map { j =>
+  /** The `numBands` bands of contiguous signature slots as struct
+    * columns — shared by every LSH banding path. The band count is THE
+    * recall/cost knob at 100 TB: more bands → higher recall at lower
+    * jaccard and more candidate pairs (recall at similarity s is
+    * 1-(1-s^r)^b with r = 64/b rows per band). */
+  private def bandStructs(sig: Column, numBands: Int): Seq[Column] = {
+    require(numBands > 0 && NumHashes % numBands == 0,
+      s"numBands must divide $NumHashes, got $numBands")
+    val rows = NumHashes / numBands
+    (0 until numBands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64((0 until RowsPerBand).map(i => sig.getItem(j * RowsPerBand + i)): _*)
+        xxhash64((0 until rows).map(i => sig.getItem(j * rows + i)): _*)
           .as("band_hash"))
     }
+  }
 
   /** Candidate pairs (docA < docB) sharing at least one LSH band, then
     * verified with exact shingle Jaccard ≥ `threshold`. Pairs are
@@ -95,8 +106,9 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.5): DataFrame = {
-    val banded = bandedSignatures(docs, idCol, textCol)
+      threshold: Double = 0.5,
+      numBands: Int = NumBands): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, numBands)
     val pairs = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
@@ -133,18 +145,27 @@ object Dedup {
     graft.functions.HashExprs.simhash64(
       expr(s"transform(split(lower($textExpr), ' '), w -> xxhash64(w))"))
 
-  /** SimHash near-dup pairs: bucket by 4×16-bit chunks (pigeonhole: any
-    * pair with hamming ≤ 3 shares a chunk), verify with exact popcount
-    * distance ≤ `maxHamming`. */
+  /** SimHash near-dup pairs: bucket by (maxHamming+1) bit chunks
+    * (pigeonhole: a pair differing in ≤ maxHamming bits must agree on at
+    * least one chunk — completeness holds for ANY partition of the 64
+    * bits into maxHamming+1 pieces), verify with exact popcount distance
+    * ≤ `maxHamming`. The default 3 gives the classic 4×16-bit split. */
   def simhashDuplicates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,63], got $maxHamming")
     val withSim = simhashDf(docs, idCol, textCol)
-    val chunks = (0 until 4).map(c =>
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val chunks = (0 until nChunks).map { c =>
+      val lo = bounds(c)
+      val w = bounds(c + 1) - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("chunk_val")))
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("chunk_val"))
+    }
     val bucketed = withSim
       .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"),
@@ -207,7 +228,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       queryPred: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      numBands: Int = NumBands): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("__w"))
       .filter(size(col("__w")) >= 3)
@@ -215,7 +237,7 @@ object Dedup {
       .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
     val banded = sh
       .select(col("id"), minhashSignatureFromHashes(col("sh")).as("sig"))
-      .select(col("id"), explode(array(bandStructs(col("sig")): _*)).as("b"))
+      .select(col("id"), explode(array(bandStructs(col("sig"), numBands): _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
     val pairs = banded.filter(queryPred).as("l")
       .join(banded.as("r"),

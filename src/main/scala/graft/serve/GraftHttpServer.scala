@@ -1,0 +1,130 @@
+package graft.serve
+
+import java.io.OutputStream
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sql.QueryEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Network serving endpoint over the engine — the reference capability a
+  * user hits first: its Arrow Flight server (reference:
+  * src/flight_server/server.py:9), re-expressed as a dependency-free
+  * HTTP/1.1 chunked-streaming server on the JDK's built-in HttpServer
+  * (no Flight/gRPC jars exist in this environment).
+  *
+  *   - `GET /tables`            — name → schema JSON for the served
+  *     corpus (reference: `list_flights`, server.py:14)
+  *   - `GET /schema?sql=...`    — result schema WITHOUT executing
+  *     (reference: `get_flight_info`, server.py:19)
+  *   - `GET /query?sql=...`     — newline-delimited JSON stream: first
+  *     line is the schema, then one row per line in batches (reference:
+  *     `do_get`, server.py:41, 10k-row record batches)
+  *
+  * Scale: rows stream through `toLocalIterator` one partition at a time
+  * — serving a 100 TB result never materializes it driver-side; the
+  * batch flush bounds consumer latency exactly like Flight's chunks.
+  * Binds loopback by default (a cache node serves co-located consumers;
+  * cross-node transport is the cluster's RPC layer, not this shim).
+  */
+final class GraftHttpServer(
+    spark: SparkSession,
+    dir: String,
+    port: Int = 0,
+    batchSize: Int = ServingApi.DefaultBatchSize) {
+
+  private val engine = new QueryEngine(spark, dir)
+  private var server: HttpServer = _
+
+  /** Bound port (ephemeral when constructed with port=0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): GraftHttpServer = synchronized {
+    require(server == null, "server already started")
+    engine.register()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/tables", (ex: HttpExchange) => safely(ex)(handleTables))
+    server.createContext("/schema", (ex: HttpExchange) => safely(ex)(handleSchema))
+    server.createContext("/query", (ex: HttpExchange) => safely(ex)(handleQuery))
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // ---- handlers --------------------------------------------------------
+
+  private def handleTables(ex: HttpExchange): Unit = {
+    val body = graft.Tables.names
+      .map(n => s""""$n":${graft.Tables.load(spark, dir, n).schema.json}""")
+      .mkString("{", ",", "}")
+    respond(ex, 200, body + "\n")
+  }
+
+  private def handleSchema(ex: HttpExchange): Unit =
+    respond(ex, 200, sqlParam(ex).map(engine.sql(_).schema.json + "\n")
+      .getOrElse(throw new IllegalArgumentException("missing sql parameter")))
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    val df: DataFrame = engine.sql(sqlParam(ex).getOrElse(
+      throw new IllegalArgumentException("missing sql parameter")))
+    ex.getResponseHeaders.add("Content-Type", "application/x-ndjson; charset=utf-8")
+    ex.sendResponseHeaders(200, 0) // 0 = chunked transfer
+    val os = ex.getResponseBody
+    try {
+      write(os, df.schema.json + "\n")
+      // toLocalIterator pulls one partition at a time; grouped() flushes
+      // size-bounded batches to the consumer
+      df.toJSON.toLocalIterator().asScala.grouped(batchSize).foreach { batch =>
+        batch.foreach(line => write(os, line + "\n"))
+        os.flush()
+      }
+    } finally os.close()
+  }
+
+  // ---- plumbing --------------------------------------------------------
+
+  private def sqlParam(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap {
+      _.split('&').collectFirst {
+        case kv if kv.startsWith("sql=") =>
+          URLDecoder.decode(kv.stripPrefix("sql="), "UTF-8")
+      }
+    }
+
+  private def safely(ex: HttpExchange)(h: HttpExchange => Unit): Unit =
+    try h(ex)
+    catch {
+      case e: Exception =>
+        // headers may already be sent mid-stream; then closing the body
+        // truncates the chunked stream, which the client sees as an error
+        try respond(ex, 400, s"""{"error":${quote(e.getMessage)}}\n""")
+        catch { case _: Exception => () }
+    } finally ex.close()
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def write(os: OutputStream, s: String): Unit = os.write(s.getBytes(UTF_8))
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+
+  private implicit class RichJIterator[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

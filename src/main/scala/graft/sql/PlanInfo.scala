@@ -21,7 +21,9 @@ final case class QueryPlanInfo(
     pushedFilters: Seq[String],
     cachedScans: Int,
     shuffles: Int,
-    broadcasts: Int) {
+    broadcasts: Int,
+    scanPartitions: Int = 0,
+    preferredHosts: Map[String, Int] = Map.empty) {
   def usesCache: Boolean = cachedScans > 0
 }
 
@@ -34,16 +36,29 @@ object PlanInfo {
     case _ => p +: p.children.flatMap(flatten)
   }
 
-  /** Analyze a DataFrame's physical plan without executing it. */
+  /** Analyze a DataFrame's physical plan without executing it.
+    *
+    * `scanPartitions`/`preferredHosts` surface the scheduler's locality
+    * view — the Spark-side analogue of the reference coordinator's
+    * partition-location bookkeeping (reference: src/core/coordinator.py:9
+    * local/remote partition maps): each scan task's preferred hosts come
+    * from the storage layer's block locations (empty on a local
+    * filesystem, populated on HDFS/object-store deployments), and the
+    * scheduler — not user code — routes tasks to them. */
   def analyze(df: DataFrame): QueryPlanInfo = {
     val nodes = flatten(df.queryExecution.executedPlan)
     val scans = nodes.collect { case f: FileSourceScanExec => f }
+    val hostCounts = scans
+      .flatMap(s => s.inputRDD.partitions.flatMap(p => s.inputRDD.preferredLocations(p)))
+      .groupBy(identity).view.mapValues(_.size).toMap
     QueryPlanInfo(
       scannedPaths = scans.flatMap(_.relation.location.rootPaths.map(_.toString)).distinct,
       readColumns = scans.flatMap(_.requiredSchema.fieldNames).distinct,
       pushedFilters = scans.flatMap(_.metadata.get("PushedFilters")).distinct,
       cachedScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec]),
       shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
-      broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]))
+      broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      scanPartitions = scans.map(_.inputRDD.partitions.length).sum,
+      preferredHosts = hostCounts)
   }
 }

@@ -99,6 +99,35 @@ class DedupSpec extends SparkSpec {
     assert(shRecall >= 0.5, f"simhash recall $shRecall%.3f")
   }
 
+  test("band schedule is a real parameter: wider banding keeps exactness and planted recall") {
+    val planted = truePairs.filter(_._3 >= 0.97).map(t => (t._1, t._2))
+    // 32 bands x 2 rows: higher recall at lower jaccard, same exact verify
+    val found = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.5, numBands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = truePairs.map(t => (t._1, t._2) -> t._3).toMap
+    found.foreach { case (a, b, j) =>
+      assert(truth.contains((a, b)) && math.abs(truth((a, b)) - j) < 1e-9)
+    }
+    assert(planted.subsetOf(found.map(r => (r._1, r._2)).toSet))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDuplicates(docs, "doc_id", "text", 0.5, numBands = 7)
+    }
+  }
+
+  test("simhash pigeonhole completeness holds for non-default maxHamming") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash("text").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (h <- Seq(1, 4)) { // 2 chunks of 32 bits; 5 chunks of 12-13 bits
+      val want = (for {
+        (ia, sa) <- sims; (ib, sb) <- sims
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (ia, ib)).toSet
+      val found = Dedup.simhashDuplicates(docs, "doc_id", "text", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == want, s"maxHamming=$h: missed ${want.diff(found)}, extra ${found.diff(want)}")
+    }
+  }
+
   test("minhash plan has no cartesian product (scale guard)") {
     val plan = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.5)
       .queryExecution.executedPlan.toString
