@@ -54,9 +54,15 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    System.err.println(json)
     Files.write(Paths.get("bench_out.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    // stop Spark FIRST so its shutdown logging can't land after the JSON:
+    // the bare line and the greppable sentinel are the very last output on
+    // both streams, surviving sbt's [info] stdout prefixes and log noise
     spark.stop()
+    println(json)
+    println(s"BENCH_JSON: $json")
+    System.err.println(json)
+    System.err.println(s"BENCH_JSON: $json")
+    System.out.flush(); System.err.flush()
   }
 }

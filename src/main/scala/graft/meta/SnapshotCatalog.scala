@@ -43,9 +43,15 @@ final case class FileMeta(
     blooms: Map[String, String] = Map.empty,
     partitionValues: Map[String, String] = Map.empty) {
 
+  /** Bloom values are sidecar file paths (current format) so manifests
+    * stay O(stats) bytes; inline base64 (pre-sidecar manifests) still
+    * reads back for compatibility. */
   def bloomFor(column: String): Option[BloomFilter] =
-    blooms.get(column).map { b64 =>
-      BloomFilter.readFrom(new ByteArrayInputStream(Base64.getDecoder.decode(b64)))
+    blooms.get(column).map { ref =>
+      if (ref.contains("/"))
+        BloomFilter.readFrom(Files.newInputStream(Paths.get(ref)))
+      else
+        BloomFilter.readFrom(new ByteArrayInputStream(Base64.getDecoder.decode(ref)))
     }
 }
 
@@ -76,21 +82,36 @@ final case class RangeNum(column: String, lo: Double, hi: Double) extends PruneF
   * entries: partial blooms build map-side per partition, merge once per
   * (file, column) group. Buffer rides Kryo (the sketch BloomFilter is a
   * plain bit array + params); output is the `writeTo` wire format that
-  * [[FileMeta.bloomFor]] reads back. */
-private[meta] final class BloomColumnAgg(expectedItems: Long, fpp: Double)
+  * [[FileMeta.bloomFor]] reads back.
+  *
+  * Each bloom is sized from ITS file's actual row count (an upper bound
+  * on distinct values per column), supplied by the same commit that
+  * already computed per-file stats — not a flat global guess. Because
+  * `zero` cannot see the group key, the buffer starts null and sizes
+  * itself on first `reduce`, where the file path is in hand. A flat-1M
+  * default made every (file, column) bloom ~900 KB regardless of file
+  * size; row-count sizing makes manifest+sidecar bytes proportional to
+  * the data actually committed. */
+private[meta] final class BloomColumnAgg(rowsByFile: Map[String, Long], fpp: Double)
     extends Aggregator[(String, String, String), BloomFilter, Array[Byte]] {
-  def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+  private def sized(file: String): BloomFilter = {
+    val norm = if (file.startsWith("file:")) "/" + file.stripPrefix("file:").dropWhile(_ == '/') else file
+    BloomFilter.create(math.max(rowsByFile.getOrElse(norm, 4096L), 64L), fpp)
+  }
+  def zero: BloomFilter = null
   def reduce(b: BloomFilter, a: (String, String, String)): BloomFilter = {
-    if (a._3 != null) b.putString(a._3)
-    b
+    val bf = if (b == null) sized(a._1) else b
+    if (a._3 != null) bf.putString(a._3)
+    bf
   }
-  def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = {
-    b1.mergeInPlace(b2)
-    b1
-  }
+  def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter =
+    if (b1 == null) b2
+    else if (b2 == null) b1
+    else { b1.mergeInPlace(b2); b1 }
   def finish(b: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    b.writeTo(bos)
+    val bf = if (b == null) BloomFilter.create(64L, fpp) else b
+    bf.writeTo(bos)
     bos.toByteArray
   }
   def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
@@ -145,7 +166,6 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       table: String,
       paths: Seq[String],
       bloomColumns: Seq[String] = Nil,
-      bloomExpectedItems: Long = 1000000L,
       bloomFpp: Double = 0.03,
       reuseMeta: Map[String, FileMeta] = Map.empty,
       props: Map[String, String] = Map.empty): SnapshotMeta = {
@@ -204,9 +224,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       p -> (if (Files.exists(f)) Files.size(f) else 0L)
     }.toMap
 
+    // per-file row counts from the stats pass size each file's blooms —
+    // see BloomColumnAgg; the flat-1M default wrote ~900 KB per
+    // (file, column) no matter how small the file
+    val rowsByFile: Map[String, Long] = perFile.map { r =>
+      normalize(r.getAs[String]("__file")) -> r.getAs[Long]("__rows")
+    }.toMap
     val blooms: Map[String, Map[String, String]] =
       if (bloomColumns.isEmpty) Map.empty
-      else buildBlooms(spark, newPaths, bloomColumns, bloomExpectedItems, bloomFpp)
+      else buildBlooms(spark, table, newPaths, bloomColumns, rowsByFile, bloomFpp)
 
     val newFiles = perFile.map { row =>
       val path = normalize(row.getAs[String]("__file"))
@@ -251,12 +277,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * one shuffle — never 100k sequential driver round-trips. Values are
     * indexed as strings (`putString`), matching the read side's
     * `mightContainString` in [[SnapshotCatalog.fileMatches]] — blooms
-    * are string-equality pruning indexes. */
+    * are string-equality pruning indexes.
+    *
+    * Bloom bytes land in SIDECAR files under `<table>/blooms/`, one per
+    * (file, column); the manifest stores only the sidecar path. Inlining
+    * them base64 made a 1k-file 2-column commit a multi-GB manifest JSON
+    * parsed on every read — the Iceberg analogue is puffin/stats files
+    * referenced from manifests, not embedded in them. */
   private def buildBlooms(
       spark: SparkSession,
+      table: String,
       paths: Seq[String],
       columns: Seq[String],
-      expectedItems: Long,
+      rowsByFile: Map[String, Long],
       fpp: Double): Map[String, Map[String, String]] = {
     val df = spark.read.parquet(paths: _*)
     val present = columns.filter(df.columns.contains)
@@ -267,12 +300,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .select(col("_metadata.file_path").as("f"), explode(array(entries: _*)).as("e"))
       .select(col("f"), col("e.c").as("c"), col("e.v").as("v"))
       .as[(String, String, String)]
-    val agg = new BloomColumnAgg(expectedItems, fpp)
+    val agg = new BloomColumnAgg(rowsByFile, fpp)
+    val bloomDir = tableDir(table).resolve("blooms")
+    Files.createDirectories(bloomDir)
     flat.groupByKey(t => (t._1, t._2)).agg(agg.toColumn.name("bloom")).collect()
       .groupBy { case ((file, _), _) => normalize(file) }
       .map { case (file, rows) =>
         file -> rows.map { case ((_, c), bytes) =>
-          c -> Base64.getEncoder.encodeToString(bytes)
+          val sidecar = bloomDir.resolve(
+            s"bloom-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
+          Files.write(sidecar, bytes)
+          c -> sidecar.toAbsolutePath.toString
         }.toMap
       }
   }
@@ -295,53 +333,134 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     throw new IllegalStateException(s"snapshot commit contention on $table: gave up after $attempts attempts")
   }
 
-  /** Atomically publish one snapshot file; false iff the id is taken. */
+  /** Atomically publish one snapshot file; false iff the id is taken.
+    * On success the `current` pointer advances and the parsed manifest
+    * is pre-seeded into the memo cache (its file is now immutable). */
   private def write(table: String, snap: SnapshotMeta): Boolean = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
-    val target = dir.resolve(f"snap-${snap.snapshotId}%06d.json")
+    val target = snapPath(table, snap.snapshotId)
     val tmp = Files.createTempFile(dir, ".snap-", ".tmp")
-    try {
-      Files.write(tmp, Serialization.writePretty(snap).getBytes(StandardCharsets.UTF_8))
+    val ok =
       try {
-        Files.createLink(target, tmp) // atomic + CREATE_NEW on POSIX
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // filesystem without hard links: atomic move, best-effort
-          // existence check for collision detection
-          if (Files.exists(target)) false
-          else {
-            Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            true
-          }
+        Files.write(tmp, Serialization.writePretty(snap).getBytes(StandardCharsets.UTF_8))
+        try {
+          Files.createLink(target, tmp) // atomic + CREATE_NEW on POSIX
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // filesystem without hard links: atomic move, best-effort
+            // existence check for collision detection
+            if (Files.exists(target)) false
+            else {
+              Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+            }
+        }
+      } finally {
+        Files.deleteIfExists(tmp)
+        ()
       }
-    } finally {
-      Files.deleteIfExists(tmp)
-      ()
+    if (ok) {
+      cachePut(target, snap)
+      writePointer(table, snap.snapshotId)
+    }
+    ok
+  }
+
+  // ---- manifest resolution (the streaming-scale path) ------------------
+  // Snapshot files are immutable once published (write-once hard-link
+  // publish), so parsed manifests memoize by path with no invalidation,
+  // and a `current` pointer file makes current-snapshot resolution O(1)
+  // file probes instead of an O(all-snapshots) list + parse — the moral
+  // equivalent of Iceberg's current-metadata pointer, which is what the
+  // reference leans on via its pyiceberg table cache (metadata.py:66).
+  // Without this, a streaming table (one commit per micro-batch → 10k+
+  // snapshots) pays 10k driver-side JSON parses per read and commits
+  // race quadratically through the publish retry loop.
+
+  /** Manifest JSON parses actually performed — the spec hook proving
+    * reads stay O(1) as the snapshot count grows. */
+  private[meta] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapshotMeta]()
+  /** Bound on memoized manifests; sidecar blooms keep entries small
+    * (stats only), so 8k entries is a few hundred MB worst-case. */
+  private val ManifestCacheCap = 8192
+
+  private def cachePut(p: Path, snap: SnapshotMeta): Unit = {
+    if (manifestCache.size >= ManifestCacheCap) manifestCache.clear()
+    manifestCache.put(p.toAbsolutePath.toString, snap)
+    ()
+  }
+
+  private def snapPath(table: String, id: Long): Path =
+    tableDir(table).resolve(f"snap-$id%06d.json")
+
+  private def parseSnap(p: Path): SnapshotMeta = {
+    val hit = manifestCache.get(p.toAbsolutePath.toString)
+    if (hit != null) hit
+    else {
+      manifestParses.incrementAndGet()
+      val snap = JsonMethods.parse(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).extract[SnapshotMeta]
+      cachePut(p, snap)
+      snap
     }
   }
 
+  private def pointerPath(table: String): Path = tableDir(table).resolve("current")
+
+  /** Last-writer-wins pointer update; a racing slower committer leaving
+    * it stale is healed by the forward probe in [[currentSnapshot]]. */
+  private def writePointer(table: String, id: Long): Unit =
+    try {
+      val tmp = Files.createTempFile(tableDir(table), ".current-", ".tmp")
+      Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointerPath(table), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch { case _: Exception => () } // the pointer is an optimization only
+
   /** All snapshots, oldest first (reference: metadata.py:222
-    * `list_snapshots`). */
+    * `list_snapshots`). One directory listing; parses only manifests
+    * not already memoized. */
   def snapshots(table: String): Seq[SnapshotMeta] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return Nil
     Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
       .toSeq
-      .map { p =>
-        val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        JsonMethods.parse(json).extract[SnapshotMeta]
-      }
+      .map(parseSnap)
       .sortBy(_.snapshotId)
   }
 
-  def currentSnapshot(table: String): Option[SnapshotMeta] = snapshots(table).lastOption
+  /** O(1) parses: pointer read + forward probe past any committer that
+    * won a race after the pointer was written. Falls back to a full
+    * listing only when the pointer is missing or dangling. */
+  def currentSnapshot(table: String): Option[SnapshotMeta] = {
+    val ptr = pointerPath(table)
+    val hinted =
+      if (Files.exists(ptr))
+        scala.util.Try(
+          new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim.toLong).toOption
+      else None
+    hinted match {
+      case Some(hint) if Files.exists(snapPath(table, hint)) =>
+        var id = hint
+        while (Files.exists(snapPath(table, id + 1))) id += 1
+        Some(parseSnap(snapPath(table, id)))
+      case _ => snapshots(table).lastOption
+    }
+  }
 
-  def snapshotById(table: String, id: Long): Option[SnapshotMeta] =
-    snapshots(table).find(_.snapshotId == id)
+  /** O(1): direct path probe, no listing. */
+  def snapshotById(table: String, id: Long): Option[SnapshotMeta] = {
+    val p = snapPath(table, id)
+    if (Files.exists(p)) Some(parseSnap(p)) else None
+  }
 
   /** Latest snapshot committed at or before `tsMs` (reference:
     * metadata.py:160 `get_snapshot(as_of_timestamp=...)`). */
@@ -428,9 +547,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     snap.files.filter(fileMatches(_, filters))
   }
 
-  /** Incremental read: rows in files ADDED between `fromSnapshotId`
+  /** Incremental read: rows APPENDED between `fromSnapshotId`
     * (exclusive) and `toSnapshotId` (inclusive; default current) — the
-    * Iceberg incremental-scan pattern for CDC-style consumption. */
+    * Iceberg incremental-append-scan pattern for CDC-style consumption.
+    *
+    * The chain is walked commit by commit so copy-on-write rewrites are
+    * never misread as inserts: only commits whose `operation` prop is
+    * `append` (the default for legacy snapshots) contribute added files;
+    * a delete/rewrite commit's outputs carry surviving OLD rows and are
+    * excluded, and a file removed mid-range drops out of the result
+    * (its appended rows did not survive intact to `to` — the same
+    * "appends only, no overwrites in range" contract Iceberg's
+    * incremental scan enforces). If interior snapshots were expired, the
+    * walk degrades to a path diff across the gap. */
   def readIncremental(
       spark: SparkSession,
       table: String,
@@ -442,12 +571,27 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         throw new IllegalArgumentException(s"Snapshot $id not found for $table")))
       .orElse(currentSnapshot(table))
       .get
-    val oldFiles = from.files.map(_.path).toSet
-    val added = to.files.filterNot(f => oldFiles.contains(f.path))
-    if (added.isEmpty)
+    var prevPaths = from.files.map(_.path).toSet
+    val added = scala.collection.mutable.LinkedHashSet[String]()
+    ((from.snapshotId + 1) to to.snapshotId).foreach { id =>
+      snapshotById(table, id).foreach { s =>
+        val curPaths = s.files.map(_.path)
+        val curSet = curPaths.toSet
+        val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
+        if (op == SnapshotCatalog.OpAppend)
+          added ++= curPaths.filterNot(prevPaths.contains)
+        // files this commit removed (rewritten or fully deleted) no
+        // longer hold their appended rows intact
+        prevPaths.diff(curSet).foreach(added.remove)
+        prevPaths = curSet
+      }
+    }
+    val toPaths = to.files.map(_.path).toSet
+    val files = added.toSeq.filter(toPaths.contains)
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
     else
-      spark.read.schema(to.schema).parquet(added.map(_.path): _*)
+      spark.read.schema(to.schema).parquet(files: _*)
   }
 
   /** Expire old snapshots, keeping the most recent `keepLast` manifests
@@ -457,9 +601,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     require(keepLast >= 1, "must keep at least one snapshot")
     val snaps = snapshots(table)
     val toDrop = snaps.dropRight(keepLast)
-    toDrop.foreach { s =>
-      Files.deleteIfExists(tableDir(table).resolve(f"snap-${s.snapshotId}%06d.json"))
-    }
+    toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
     toDrop.size
   }
 
@@ -482,4 +624,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     else
       spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
   }
+}
+
+object SnapshotCatalog {
+  /** Commit-operation snapshot props consumed by [[SnapshotCatalog.readIncremental]]. */
+  val OperationProp = "operation"
+  val OpAppend = "append"
+  val OpDelete = "delete"
+  val OpRewrite = "rewrite"
+  /** Comma-joined source paths a delete/rewrite commit rewrote. */
+  val RewrittenFromProp = "rewritten_from"
 }

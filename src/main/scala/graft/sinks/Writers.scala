@@ -48,7 +48,8 @@ object Writers {
     val files = Files.walk(Paths.get(path)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(_.toAbsolutePath.toString).toSeq.sorted
-    catalog.commit(df.sparkSession, table, files, props = props)
+    catalog.commit(df.sparkSession, table, files,
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
   }
 
   /** Bucketed + sorted managed table: pre-shuffled on `bucketCol` into
@@ -73,6 +74,7 @@ object Writers {
     * `pruneFilters` (manifest min/max + bloom) bounds the rewrite set.
     */
   def deleteWhere(
+      spark: SparkSession,
       catalog: SnapshotCatalog,
       table: String,
       rowPredicate: DataFrame => DataFrame,
@@ -82,7 +84,6 @@ object Writers {
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     val affected = catalog.planFiles(table, pruneFilters).map(_.path).toSet
     val untouchedMeta = current.files.filterNot(f => affected.contains(f.path))
-    val spark = org.apache.spark.sql.SparkSession.active
     val rewritten: Seq[String] =
       if (affected.isEmpty) Nil
       else {
@@ -95,9 +96,15 @@ object Writers {
           .map(_.toAbsolutePath.toString).toSeq.sorted
       }
     // untouched files keep their manifest metadata — the commit scans
-    // only the rewritten files
+    // only the rewritten files. The operation kind + rewrite lineage in
+    // props let incremental readers exclude rewrite outputs (surviving
+    // rows of a COW delete are NOT new rows — see
+    // SnapshotCatalog.readIncremental).
     catalog.commit(spark, table, untouchedMeta.map(_.path) ++ rewritten,
-      reuseMeta = untouchedMeta.map(f => f.path -> f).toMap)
+      reuseMeta = untouchedMeta.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpDelete,
+        SnapshotCatalog.RewrittenFromProp -> affected.toSeq.sorted.mkString(",")))
   }
 
   /** Write `df` as parquet under `dataDir` and commit the produced files
@@ -119,6 +126,7 @@ object Writers {
       .map(_.toAbsolutePath.toString).toSeq.sorted
     val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files, bloomColumns,
-      reuseMeta = prevFiles.map(f => f.path -> f).toMap, props = props)
+      reuseMeta = prevFiles.map(f => f.path -> f).toMap,
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
   }
 }

@@ -18,7 +18,7 @@ class BloomPruningSpec extends SparkSpec {
 
     val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
     val snap = cat.commit(spark, "nation", Seq(fa, fb),
-      bloomColumns = Seq("n_name"), bloomExpectedItems = 1000)
+      bloomColumns = Seq("n_name"))
     assert(snap.files.forall(_.blooms.contains("n_name")))
 
     // NATION_20 only lives in file b; lexicographic min/max can't prune
@@ -58,7 +58,7 @@ class BloomPruningSpec extends SparkSpec {
     try {
       val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
       val snap = cat.commit(spark, "customer", paths,
-        bloomColumns = Seq("c_mktsegment", "c_name"), bloomExpectedItems = 1000)
+        bloomColumns = Seq("c_mktsegment", "c_name"))
       Thread.sleep(1000) // listener events are async; let the bus drain
       assert(snap.files.size == nFiles)
       assert(snap.files.forall(f =>
@@ -77,7 +77,7 @@ class BloomPruningSpec extends SparkSpec {
     def one(sub: String) = new java.io.File(s"$byseg/$sub").listFiles()
       .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
     cat2.commit(spark, "cseg", Seq(one("a"), one("b")),
-      bloomColumns = Seq("c_mktsegment"), bloomExpectedItems = 1000)
+      bloomColumns = Seq("c_mktsegment"))
     val planned = cat2.planFiles("cseg", Seq(EqString("c_mktsegment", "MACHINERY")))
     assert(planned.map(_.path) == Seq(one("b")))
   }

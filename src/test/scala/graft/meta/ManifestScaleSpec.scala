@@ -1,0 +1,101 @@
+package graft.meta
+
+import java.nio.file.{Files, Paths}
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The streaming-scale contract of the manifest layer: a table with
+  * N snapshots (one commit per micro-batch is the design point) must
+  * resolve current-snapshot reads with O(1) manifest parses, and
+  * bloom-enabled commits must write manifests whose size tracks the
+  * data actually committed — not a flat 1M-item bloom per column.
+  */
+class ManifestScaleSpec extends SparkSpec {
+
+  private def oneFile(): String = {
+    val data = Files.createTempDirectory("graft-mscale-").toString
+    Tables.nation(spark, sfDir).coalesce(1).write.parquet(s"$data/f")
+    new java.io.File(s"$data/f").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+  }
+
+  test("read-side manifest parses stay O(1) at 1000 snapshots") {
+    val root = Files.createTempDirectory("graft-mcat-").toString
+    val writer = new SnapshotCatalog(root)
+    val base = writer.commit(spark, "t", Seq(oneFile()))
+    val reuse = Map(base.files.head.path -> base.files.head)
+    // 999 metadata-only commits: the streaming-ingest shape (one commit
+    // per micro-batch), no Spark jobs involved
+    (1 until 1000).foreach { _ =>
+      writer.commit(spark, "t", Seq(base.files.head.path), reuseMeta = reuse)
+    }
+    assert(writer.currentSnapshot("t").get.snapshotId == 1000L)
+
+    // a FRESH catalog (cold memo cache) resolving the current snapshot
+    // must not re-parse the whole log
+    val reader = new SnapshotCatalog(root)
+    val files = reader.planFiles("t")
+    assert(files.nonEmpty)
+    val parsesAfterPlan = reader.manifestParses.get()
+    assert(parsesAfterPlan <= 3,
+      s"planFiles parsed $parsesAfterPlan manifests for a 1000-snapshot table; must be O(1)")
+
+    // repeated reads and snapshot-by-id hits are memoized
+    reader.read(spark, "t").count()
+    reader.planFiles("t")
+    reader.snapshotById("t", 1000L)
+    assert(reader.manifestParses.get() <= parsesAfterPlan + 1,
+      "repeat current-snapshot reads must hit the manifest memo cache")
+
+    // history/listing still sees everything (and parses each once)
+    assert(reader.snapshots("t").size == 1000)
+    val afterList = reader.manifestParses.get()
+    reader.snapshots("t")
+    assert(reader.manifestParses.get() == afterList, "second listing must be fully memoized")
+  }
+
+  test("commit cost does not scale with snapshot count (pointer, not list+parse)") {
+    val root = Files.createTempDirectory("graft-mcat2-").toString
+    val writer = new SnapshotCatalog(root)
+    val base = writer.commit(spark, "t", Seq(oneFile()))
+    val reuse = Map(base.files.head.path -> base.files.head)
+    (1 until 500).foreach { _ =>
+      writer.commit(spark, "t", Seq(base.files.head.path), reuseMeta = reuse)
+    }
+    // a fresh committer against the 500-snapshot table: its publish path
+    // (currentSnapshot probe) must also be O(1) parses
+    val late = new SnapshotCatalog(root)
+    late.commit(spark, "t", Seq(base.files.head.path), reuseMeta = reuse)
+    assert(late.manifestParses.get() <= 3,
+      s"one metadata commit parsed ${late.manifestParses.get()} manifests; publish must be O(1)")
+  }
+
+  test("bloom-enabled manifest bytes are proportional to committed rows (sidecars, not inline)") {
+    val root = Files.createTempDirectory("graft-mcat3-").toString
+    val cat = new SnapshotCatalog(root)
+    val snap = cat.commit(spark, "nation", Seq(oneFile()), bloomColumns = Seq("n_name"))
+    val f = snap.files.head
+    assert(f.blooms.contains("n_name"))
+
+    // manifest JSON itself is small: stats + a sidecar path, no blob
+    val manifest = Paths.get(root, "nation").resolve(f"snap-${snap.snapshotId}%06d.json")
+    val manifestBytes = Files.size(manifest)
+    assert(manifestBytes < 20 * 1024,
+      s"manifest is $manifestBytes bytes; blooms must live in sidecars")
+
+    // the sidecar is sized from the file's actual rows (nation = tiny),
+    // not a flat 1M-item default (~900 KB)
+    val sidecar = Paths.get(f.blooms("n_name"))
+    assert(Files.exists(sidecar))
+    val sidecarBytes = Files.size(sidecar)
+    assert(sidecarBytes < 8 * 1024,
+      s"bloom sidecar is $sidecarBytes bytes for a ${f.rowCount}-row file; must be row-sized")
+
+    // and it still answers membership: present value yes, absent value
+    // prunes (fpp on one small file is negligible)
+    val planned = cat.planFiles("nation", Seq(EqString("n_name", "NATION_0")))
+    assert(planned.nonEmpty)
+    assert(cat.planFiles("nation", Seq(EqString("n_name", "NO_SUCH_NATION_X"))).isEmpty)
+  }
+}

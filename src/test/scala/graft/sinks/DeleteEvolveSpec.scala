@@ -18,7 +18,7 @@ class DeleteEvolveSpec extends SparkSpec {
     val lowFile = before.files.minBy(_.stats("c_custkey").minD.get)
 
     // delete custkeys 10..20: only the low file's range overlaps
-    val after = Writers.deleteWhere(cat, "cust",
+    val after = Writers.deleteWhere(spark, cat, "cust",
       rowPredicate = df => df.filter(!(col("c_custkey") >= 10 && col("c_custkey") <= 20)),
       pruneFilters = Seq(RangeNum("c_custkey", 10, 20)),
       dataDir = dataDir)
@@ -32,6 +32,40 @@ class DeleteEvolveSpec extends SparkSpec {
     assert(!after.files.exists(_.path == lowFile.path))
     // time travel still sees the pre-delete state
     assert(cat.read(spark, "cust", snapshotId = Some(before.snapshotId)).count() == c.count())
+  }
+
+  test("incremental read is CDC-correct across a COW delete: no resurrected rows") {
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cdc-").toString)
+    val dataDir = Files.createTempDirectory("graft-cdc-data-").toString
+    val c = Tables.customer(spark, sfDir)
+
+    val s1 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 50), dataDir)
+    val s2 = Writers.deleteWhere(spark, cat, "cust",
+      rowPredicate = df => df.filter(!(col("c_custkey") >= 10 && col("c_custkey") <= 20)),
+      pruneFilters = Seq(RangeNum("c_custkey", 10, 20)),
+      dataDir = dataDir)
+    val s3 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") > 100), dataDir)
+
+    // operation kind + rewrite lineage are durably in snapshot props
+    assert(s2.props.get(graft.meta.SnapshotCatalog.OperationProp)
+      .contains(graft.meta.SnapshotCatalog.OpDelete))
+    assert(s2.props(graft.meta.SnapshotCatalog.RewrittenFromProp).nonEmpty)
+    assert(s3.props.get(graft.meta.SnapshotCatalog.OperationProp)
+      .contains(graft.meta.SnapshotCatalog.OpAppend))
+
+    // s1 -> s2 is a pure delete: the rewritten file's surviving rows are
+    // NOT new data — a path diff would resurrect all of them here
+    assert(cat.readIncremental(spark, "cust", s1.snapshotId, Some(s2.snapshotId)).count() == 0)
+
+    // s2 -> s3 is a pure append: exactly the new rows
+    val expected = c.filter(col("c_custkey") > 100).count()
+    assert(cat.readIncremental(spark, "cust", s2.snapshotId, Some(s3.snapshotId))
+      .count() == expected)
+
+    // s1 -> s3 spans both: still only the true inserts
+    val inc = cat.readIncremental(spark, "cust", s1.snapshotId, Some(s3.snapshotId))
+    assert(inc.count() == expected)
+    assert(inc.agg(min(col("c_custkey"))).head().getLong(0) > 100)
   }
 
   test("schema evolution: appended column surfaces, old files read as null") {
