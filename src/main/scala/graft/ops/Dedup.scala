@@ -98,24 +98,60 @@ object Dedup {
     }
   }
 
+  /** Adversarial-skew guard for bucketed candidate generation: a bucket
+    * self-join is quadratic in bucket width, so a pathological corpus
+    * (10k byte-identical docs that skipped exact dedup) turns one
+    * (band, band_hash) bucket into ~50M candidate pairs per band.
+    * Buckets at or under `maxBucketWidth` keep the exact all-pairs join;
+    * wider buckets degrade to a STAR against the bucket's min-id
+    * representative — linear in width, and every member still links into
+    * the duplicate group through the representative (transitive closure
+    * downstream recovers the group; mass-duplicate clusters are exactly
+    * the case where per-pair edges are redundant). Width + representative
+    * ride the same shuffle key as the join, so AQE/ReuseExchange keeps
+    * this one exchange. */
+  private[ops] def boundedBucketPairs(
+      bucketed: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      maxBucketWidth: Int): DataFrame = {
+    require(maxBucketWidth >= 2, s"maxBucketWidth must be >= 2, got $maxBucketWidth")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    val withW = bucketed
+      .withColumn("__width", count(lit(1)).over(w))
+      .withColumn("__rep", min(col(idCol)).over(w))
+    val narrow = withW.filter(col("__width") <= maxBucketWidth)
+      .select((keyCols :+ idCol).map(col): _*)
+    val narrowPairs = narrow.as("l")
+      .join(narrow.as("r"),
+        keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+    val widePairs = withW
+      .filter(col("__width") > maxBucketWidth && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
+    narrowPairs.union(widePairs).distinct()
+  }
+
+  /** Default per-bucket width above which candidate generation degrades
+    * to star pairing — comfortably above any width an honest LSH
+    * schedule produces, far below quadratic blowup. */
+  val MaxBucketWidth = 256
+
   /** Candidate pairs (docA < docB) sharing at least one LSH band, then
     * verified with exact shingle Jaccard ≥ `threshold`. Pairs are
     * deduplicated BEFORE shingle arrays are joined back, so the banded
-    * shuffle carries ids only. */
+    * shuffle carries ids only; pathologically wide buckets are
+    * star-paired (see [[boundedBucketPairs]]). */
   def minhashDuplicates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double = 0.5,
-      numBands: Int = NumBands): DataFrame = {
+      numBands: Int = NumBands,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
     val banded = bandedSignatures(docs, idCol, textCol, numBands)
-    val pairs = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = boundedBucketPairs(banded, Seq("band", "band_hash"), "doc_id", maxBucketWidth)
     val sh = withShingles(docs, idCol, textCol)
       .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
     pairs
@@ -154,7 +190,8 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,63], got $maxHamming")
     val withSim = simhashDf(docs, idCol, textCol)
     val nChunks = maxHamming + 1
@@ -167,17 +204,17 @@ object Dedup {
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("chunk_val"))
     }
     val bucketed = withSim
-      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"),
-        col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
-    bucketed.as("l")
-      .join(bucketed.as("r"),
-        col("l.chunk") === col("r.chunk") &&
-        col("l.chunk_val") === col("r.chunk_val") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
-      .distinct()
+      .select(col("doc_id"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+    // id-only candidate dedup BEFORE the 64-bit signatures re-attach,
+    // with the same wide-bucket star guard as the minhash path (a mass
+    // clone cluster collapses every chunk bucket onto one value)
+    val pairs = boundedBucketPairs(bucketed, Seq("chunk", "chunk_val"), "doc_id", maxBucketWidth)
+    pairs
+      .join(withSim.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(withSim.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

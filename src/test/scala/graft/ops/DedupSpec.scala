@@ -128,6 +128,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("adversarial 10k-clone corpus: candidates bounded, run completes, non-clone recall intact") {
+    import spark.implicits._
+    val cloneText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val clones = (1L to 10000L).map(id => (id, cloneText))
+    // planted near-dup pairs on vocabularies disjoint from the clones
+    val pairTexts = Seq(
+      "red orange yellow green blue indigo violet crimson maroon teal navy coral amber jade",
+      "one two three four five six seven eight nine ten eleven twelve thirteen fourteen",
+      "north south east west spring summer autumn winter morning evening noon midnight dawn dusk")
+    val planted = pairTexts.zipWithIndex.flatMap { case (t, i) =>
+      val a = 20001L + 2 * i
+      Seq((a, t), (a + 1, t + " extra"))
+    }
+    val corpus = spark.createDataset(clones ++ planted).toDF("doc_id", "text")
+
+    // candidate generation stays linear: one wide bucket per band star-pairs
+    // (~10k candidates), not the ~50M-per-band all-pairs blowup (n^2/2 = 5e7)
+    val banded = Dedup.bandedSignatures(corpus, "doc_id", "text")
+    val cands = Dedup.boundedBucketPairs(
+      banded, Seq("band", "band_hash"), "doc_id", Dedup.MaxBucketWidth).count()
+    assert(cands < 50000L, s"$cands candidates for a 10k-clone corpus; star guard failed")
+
+    val found = Dedup.minhashDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every clone links into the duplicate group via the representative
+    val cloneLinks = found.filter(p => p._1 <= 10000L && p._2 <= 10000L)
+    assert(cloneLinks.length == 9999, s"${cloneLinks.length} clone links, want 9999")
+    assert(cloneLinks.forall(p => p._1 == 1L && p._3 == 1.0))
+    // planted non-clone pairs are in narrow buckets: recall unchanged
+    pairTexts.indices.foreach { i =>
+      val a = 20001L + 2 * i
+      assert(found.exists(p => p._1 == a && p._2 == a + 1),
+        s"planted pair ($a, ${a + 1}) lost to the skew guard")
+    }
+  }
+
   test("minhash plan has no cartesian product (scale guard)") {
     val plan = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.5)
       .queryExecution.executedPlan.toString
