@@ -59,4 +59,116 @@ class GraftHttpServerSpec extends SparkSpec {
       assert(mc == 400)
     } finally srv.stop()
   }
+
+  test("format=arrow streams IPC record batches row-for-row equal to the NDJSON path") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, batchSize = 100).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // multiple batches (250 rows / batchSize 100), mixed scalar types
+      val sql = "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 250"
+
+      val conn = URI.create(s"$base/query?format=arrow&sql=" + enc(sql))
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.contains("arrow"))
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(conn.getInputStream, alloc)
+      val arrowRows = scala.collection.mutable.ArrayBuffer[(Long, Double, String)]()
+      var batches = 0
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        batches += 1
+        (0 until root.getRowCount).foreach { i =>
+          arrowRows += ((
+            root.getVector("l_orderkey").getObject(i).asInstanceOf[Long],
+            root.getVector("l_quantity").getObject(i).toString.toDouble,
+            root.getVector("l_returnflag").getObject(i).toString))
+        }
+      }
+      reader.close(); alloc.close(); conn.disconnect()
+      assert(batches >= 3, s"250 rows at batchSize=100 must span >=3 batches, got $batches")
+
+      val (jc, jbody) = get(s"$base/query?sql=" + enc(sql))
+      assert(jc == 200)
+      val jsonRows = jbody.trim.split("\n").tail
+      assert(arrowRows.size == 250 && jsonRows.length == 250)
+      // row-for-row: same order, same values
+      arrowRows.zip(jsonRows).foreach { case ((k, q, f), line) =>
+        assert(line.contains(s""""l_orderkey":$k""") && line.contains(s""""l_returnflag":"$f""""),
+          s"arrow row ($k,$q,$f) != json $line")
+      }
+
+      // array columns (embeddings) survive the list encoding
+      val aconn = URI.create(s"$base/query?format=arrow&sql=" +
+        enc("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5"))
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(aconn.getResponseCode == 200)
+      val alloc2 = new RootAllocator()
+      val areader = new ArrowStreamReader(aconn.getInputStream, alloc2)
+      assert(areader.loadNextBatch())
+      val aroot = areader.getVectorSchemaRoot
+      assert(aroot.getRowCount == 5)
+      val emb0 = aroot.getVector("embedding").getObject(0)
+        .asInstanceOf[java.util.List[_]]
+      val expected0 = graft.Tables.load(spark, sfDir, "embeddings")
+        .orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+      assert(emb0.size == expected0.size)
+      assert(emb0.asScala.map(_.toString.toFloat).toSeq == expected0)
+      areader.close(); alloc2.close(); aconn.disconnect()
+    } finally srv.stop()
+  }
+
+  test("per-query timeout cancels the job group; no jobs left running") {
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, batchSize = 10,
+      queryTimeoutMs = 1500).start()
+    try {
+      val t0 = System.nanoTime()
+      // ~50ms/row over lineitem = minutes if allowed to run to completion
+      try get(s"http://127.0.0.1:${srv.boundPort}/query?sql=" +
+          enc("SELECT reflect('java.lang.Thread','sleep', 50L) AS z FROM lineitem"))
+        catch { case _: Exception => () }
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(elapsedSec < 60, f"query survived the timeout ($elapsedSec%.0f s)")
+      awaitNoActiveJobs(15000)
+    } finally srv.stop()
+  }
+
+  test("client disconnect mid-stream cancels the feeding jobs") {
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, batchSize = 5).start()
+    try {
+      // explicit REPARTITION(8) (AQE keeps user-specified partition counts)
+      // forces multiple result partitions so toLocalIterator streams early
+      // batches while later partition jobs still remain; disconnect is
+      // detected on the first write after the client left
+      val sql = enc("SELECT reflect('java.lang.Thread','sleep', 5L) AS z, k " +
+        "FROM (SELECT /*+ REPARTITION(8) */ l_orderkey AS k FROM lineitem)")
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      sock.getOutputStream.write(
+        s"GET /query?sql=$sql HTTP/1.1\r\nHost: localhost\r\n\r\n".getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      sock.getInputStream.read(new Array[Byte](64)) // headers arrived; query running
+      Thread.sleep(500)
+      sock.close() // abandon: the server's next flush must cancel the group
+      awaitNoActiveJobs(30000)
+    } finally srv.stop()
+  }
+
+  private def awaitNoActiveJobs(timeoutMs: Long): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (tracker.getActiveJobIds.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(tracker.getActiveJobIds.isEmpty,
+      s"jobs still running ${timeoutMs}ms after cancellation")
+  }
+
+  private implicit class RichJList[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      val b = scala.collection.mutable.ArrayBuffer[A]()
+      l.forEach(e => b += e)
+      b.toSeq
+    }
+  }
 }
