@@ -24,17 +24,30 @@ object SnapshotSink {
 
   /** Highest batch id this (table, checkpoint) pair has committed, read
     * from snapshot props — the commit IS the record, so there is no
-    * window where data landed but the batch id didn't. */
+    * window where data landed but the batch id didn't.
+    *
+    * Fast path: when the CURRENT snapshot belongs to this checkpoint
+    * (the steady state for a single-writer stream), its batch id is the
+    * maximum — batches commit in order per checkpoint — so the common
+    * per-micro-batch check is one O(1) pointer read, not a listing of
+    * the whole snapshot log. Interleaved writers fall back to the scan. */
   private[streaming] def lastCommittedBatch(
       catalog: SnapshotCatalog,
       table: String,
-      checkpointDir: String): Long =
-    catalog.snapshots(table)
-      .filter(_.props.get(CheckpointProp).contains(checkpointDir))
+      checkpointDir: String): Long = {
+    val current = catalog.currentSnapshot(table)
+    current.filter(_.props.get(CheckpointProp).contains(checkpointDir))
       .flatMap(_.props.get(BatchIdProp))
       .map(_.toLong)
-      .reduceOption(_ max _)
-      .getOrElse(-1L)
+      .getOrElse {
+        catalog.snapshots(table)
+          .filter(_.props.get(CheckpointProp).contains(checkpointDir))
+          .flatMap(_.props.get(BatchIdProp))
+          .map(_.toLong)
+          .reduceOption(_ max _)
+          .getOrElse(-1L)
+      }
+  }
 
   /** Commit one micro-batch exactly once: a batch re-delivered after a
     * crash between snapshot commit and checkpoint write (foreachBatch is
