@@ -28,13 +28,16 @@ object Stats {
       sum(q * p).cast("double").as("sxy"),
       sum(q * q).cast("double").as("sxx"),
       sum(p * p).cast("double").as("syy"))
+    // derived moments round to 6 decimals on BOTH engines: the moment
+    // sums are decimal-exact, but DuckDB contracts the downstream double
+    // arithmetic (FMA), so corr/stddev can differ in the last ulp
     agg.select(
       col("l_returnflag"), col("n"),
-      ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
-      (((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
+      round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6).as("covar_pop"),
+      round(((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
         (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")) *
-         sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n")))).as("corr"),
-      sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n")).as("stddev_price"))
+         sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))), 6).as("corr"),
+      round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n")), 6).as("stddev_price"))
   }
 
   /** 10-bin histogram of extended price over the global [min,max]. */
@@ -75,10 +78,10 @@ object Stats {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (sxy - sx * sy / n) / n AS covar_pop,
-        |  ((sxy - sx * sy / n) / n) /
-        |    (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)) AS corr,
-        |  sqrt((syy - sy * sy / n) / n) AS stddev_price
+        |  ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop,
+        |  ROUND(((sxy - sx * sy / n) / n) /
+        |    (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)), 6) AS corr,
+        |  ROUND(sqrt((syy - sy * sy / n) / n), 6) AS stddev_price
         |FROM m""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(least(floor((l_extendedprice - m.mn) / (m.mx - m.mn) * 10), 9) AS INT) AS bin,

@@ -81,12 +81,76 @@ object TrainPrep {
       .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * packs (the context-window fill step before tokenizer sharding).
+    * Docs pack contiguously by id WITHIN a hash bucket — packs need no
+    * global order, so there is no global sort: the window partitions by
+    * bucket (32k+ independent partitions at 100 TB), never by the whole
+    * corpus. Pack id = bucket * 1e6 + (tokens-before / budget); output
+    * is per-pack doc count and token load. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val d = Tables.documents(s, dir)
+    val tok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), (hashBucket(col("doc_id")) % 8).cast("int").as("bucket"),
+        tok.as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(
+        (col("bucket").cast("long") * 1000000L +
+          floor((col("cum") - col("tok")) / lit(budget.toDouble)).cast("long")).as("pack_id"),
+        col("tok"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
+  }
+
+  /** Test-set decontamination: corpus docs sharing >= 5 distinct 3-gram
+    * shingles with a benchmark set (stand-in: doc_id < 25) are flagged
+    * with their overlap count. The benchmark side is broadcast (eval
+    * sets are small by nature); the corpus side explodes shingles
+    * map-side — one broadcast join, no shuffle of the corpus. At real
+    * scale the shingles would be hashed (see Dedup); strings keep this
+    * form oracle-comparable. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sh = d
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shinglesFromWords(col("__w"))).as("sh"))
+    val bench = sh.filter(col("doc_id") < 25).select(col("sh")).distinct()
+    sh.filter(col("doc_id") >= 25)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      .filter(col("n_shared") >= 5)
+  }
+
+  /** Weighted mixture sampling: per-language keep rates (the dataset
+    * mixing step that composes a training corpus from sources at set
+    * proportions), hash-deterministic so the mix is reproducible. */
+  def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 100)
+      .when(col("lang") === "fr", 50)
+      .when(col("lang") === "es", 30)
+      .when(col("lang") === "de", 20)
+      .otherwise(10)
+    Tables.documents(s, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (qSampleHash _),
     "q_balanced_sample" -> (qBalancedSample _),
     "q_vocab_topk" -> (qVocabTopK _),
     "q_dedup_keep" -> (qDedupKeep _),
-    "q_clean_pipeline" -> (qCleanPipeline _))
+    "q_clean_pipeline" -> (qCleanPipeline _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_mixture_sample" -> (qMixtureSample _))
 
   private val bucketSql = (id: String) =>
     s"CAST(('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INT)"
@@ -131,5 +195,39 @@ object TrainPrep {
          |  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          |SELECT ff.doc_id, ff.lang, ff.n_words, ff.stop_ratio
          |FROM ff JOIN k USING (doc_id)
-         |WHERE ${bucketSql("ff.doc_id")} < 50""".stripMargin)
+         |WHERE ${bucketSql("ff.doc_id")} < 50""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok,
+         |    ${bucketSql("doc_id")} % 8 AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT bucket, tok,
+         |    SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT CAST(bucket AS BIGINT) * 1000000 +
+         |    CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY 1""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2]))) AS sh
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 3),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+        |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25)
+        |SELECT c.doc_id, COUNT(*) AS n_shared
+        |FROM corpus c JOIN bench b USING (sh)
+        |GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin,
+    "q_mixture_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${bucketSql("doc_id")} <
+         |  CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 30
+         |    WHEN 'de' THEN 20 ELSE 10 END""".stripMargin)
 }
