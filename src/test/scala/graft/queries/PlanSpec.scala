@@ -45,6 +45,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark side (corpus never shuffles for the join)") {
+    val plan = TrainPrep.qDecontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("sequence packing windows by bucket, not a single global partition") {
+    val plan = TrainPrep.qPackSequences(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"pack window must partition by bucket (no global sort):\n${plan.take(2000)}")
+    assert(!plan.contains("SinglePartition"),
+      "pack assignment must not funnel the corpus through one partition")
+  }
+
   test("aggregations combine map-side before the shuffle") {
     // partial_sum under the Exchange = map-side combine: the shuffle
     // carries one row per (group × task), not per input row
