@@ -136,6 +136,70 @@ object Ann {
       .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
   }
 
+  /** IVF top-k (the second scale path next to [[lshTopK]]): an
+    * inverted-file index over coarse cells. The cell model is `nCells`
+    * hash-chosen corpus vectors, L2-normalized driver-side (a bounded
+    * nCells × Dim model, materialized like any fitted model and embedded
+    * as literals — NOT a data-sized collect; k-means centroids would
+    * tighten the cells but change nothing structurally). Every corpus
+    * vector maps to its max-dot cell map-side; queries probe their
+    * `nProbe` best cells; only probed cells' members pay the exact
+    * cosine. Cost: one shuffle on cell id, candidates ≈ (nProbe/nCells)·N
+    * per query — the classic recall/cost dial. Precision is exact
+    * (candidates are ranked by true cosine). */
+  def ivfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int = 5,
+      nCells: Int = 32,
+      nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe in [1,$nCells], got $nProbe")
+    val base = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val centRows = corpus
+      .select(col(idCol).cast("string").as("cid"), col(vecCol).as("cvec"))
+      .orderBy(md5(col("cid")), col("cid"))
+      .limit(nCells)
+      .collect()
+    // unit-normalized centroids: argmax cosine == argmax dot, so cell
+    // assignment is nCells codegen'd dots per row, no norms
+    val cents = centRows.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      v.map(_ / n)
+    }.toSeq
+    def cellScores(vec: Column): Seq[Column] =
+      cents.zipWithIndex.map { case (cv, i) =>
+        struct(dot(vec, array(cv.map(lit): _*)).as("score"), lit(i).as("cell"))
+      }
+    def cellOf(vec: Column): Column =
+      array_max(array(cellScores(vec): _*)).getField("cell")
+    def probeCells(vec: Column): Column =
+      transform(slice(reverse(array_sort(array(cellScores(vec): _*))), 1, nProbe),
+        s => s.getField("cell"))
+
+    val c = base.withColumn("cell", cellOf(col("nn_vec")))
+    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .filter(queryPred)
+    val qp = q.select(col("query_id"), explode(probeCells(col("q_vec"))).as("cell"))
+    // candidate ids dedupe BEFORE vectors re-attach, as everywhere else
+    val candidates = broadcast(qp)
+      .join(c.drop("nn_vec"), Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(base, "nn_id")
+      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding near-dup pairs (L5): multi-table same-bucket candidates
     * verified at exact cosine ≥ `threshold`. */
   def cosineNearDup(

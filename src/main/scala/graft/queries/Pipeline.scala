@@ -81,6 +81,10 @@ object Pipeline {
     Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryPred = col("query_id") < 10, k = 5)
 
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("query_id") < 10, k = 5)
+
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35)
 
@@ -131,6 +135,7 @@ object Pipeline {
     "q_embed_meta" -> (qEmbedMeta _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_decode" -> (qMultimodalDecode _),

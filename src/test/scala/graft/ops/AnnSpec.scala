@@ -105,6 +105,44 @@ class AnnSpec extends SparkSpec {
       f"recall $observed%.3f diverges from collision model $expected%.3f")
   }
 
+  test("IVF top-k: planted near-identical queries find their source at rank 1") {
+    import spark.implicits._
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rnd = new scala.util.Random(29)
+    val planted = rows.take(30).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat))
+    }
+    val corpus = (rows ++ planted).toSeq.toDF("vec_id", "embedding")
+    val got = Ann.ivfTopK(corpus, "vec_id", "embedding",
+        col("query_id") >= 1000000L, k = 1, nCells = 32, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = planted.count { case (pid, _) => got.get(pid).contains(pid - 1000000L) }
+    val recall = hits.toDouble / planted.length
+    info(f"ivfPlantedRecall=$recall%.3f (${planted.length} planted, cos~0.99, nProbe=4/32)")
+    assert(recall >= 0.85, f"planted IVF recall $recall%.3f")
+  }
+
+  test("IVF top-k achieves reasonable recall@5 vs brute force while pruning most of the corpus") {
+    val nProbe = 8
+    val got = Ann.ivfTopK(emb, "vec_id", "embedding", col("query_id") < 10, 5,
+        nCells = 32, nProbe = nProbe)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = groundTruth.map { case (q, truth) =>
+      got.get(q).map(_.intersect(truth.toSet).size).getOrElse(0)
+    }.sum
+    val recall = hits.toDouble / (groundTruth.size * 5)
+    info(f"ivfRecall@5=$recall%.3f (nProbe=$nProbe/32, weak natural neighbors)")
+    assert(recall >= 0.2, s"recall@5 = $recall")
+    // precision exact: ranks are cosine-descending
+    val rows = Ann.ivfTopK(emb, "vec_id", "embedding", col("query_id") < 10, 5,
+      nCells = 32, nProbe = nProbe).orderBy("query_id", "rank").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val coss = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(coss.sameElements(coss.sortBy(-(_: Double))))
+    }
+  }
+
   test("ANN plans broadcast the query side (scale guard)") {
     val plan = Ann.bruteForceTopK(emb, "vec_id", "embedding", col("query_id") < 10, 5)
       .queryExecution.executedPlan.toString
