@@ -192,6 +192,28 @@ final class TableCache(
     entries.keysIterator.toList.foreach(evict)
   }
 
+  private var maintenance: Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  /** Background TTL maintenance on a daemon thread (reference:
+    * src/core/cache_node.py:66 `_start_maintenance_thread` — a 60 s loop
+    * evicting idle entries). The explicit [[expire]] stays the testable
+    * injected-clock surface; this just schedules it. */
+  def startMaintenance(intervalMillis: Long, ttlMillis: Long): Unit = synchronized {
+    require(maintenance.isEmpty, "maintenance already running")
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-cache-maintenance"); t.setDaemon(true); t
+    }
+    ex.scheduleAtFixedRate(new Runnable {
+      def run(): Unit = try { expire(ttlMillis); () } catch { case _: Exception => () }
+    }, intervalMillis, intervalMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    maintenance = Some(ex)
+  }
+
+  def stopMaintenance(): Unit = synchronized {
+    maintenance.foreach(_.shutdownNow())
+    maintenance = None
+  }
+
   def keys: Seq[String] = synchronized(entries.keysIterator.toList)
 
   /** Reference: src/core/lru_cache.py:66 `get_stats`. */

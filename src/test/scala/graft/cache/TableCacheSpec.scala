@@ -20,6 +20,23 @@ class TableCacheSpec extends SparkSpec {
     tc.clear()
   }
 
+  test("background maintenance evicts idle entries without explicit expire calls") {
+    var now = 1000L
+    val tc = new TableCache(maxSizeBytes = 1L << 40, clock = fixedClock(now))
+    tc.put(CacheKey("a"), Tables.nation(spark, sfDir), sizeHint = Some(100))
+    tc.startMaintenance(intervalMillis = 50, ttlMillis = 500)
+    try {
+      Thread.sleep(200) // several ticks at now=1000: nothing idle yet
+      assert(tc.stats.entries == 1)
+      now = 2000 // entry now idle 1000ms > ttl 500ms
+      val deadline = System.currentTimeMillis() + 5000
+      while (tc.stats.entries > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(tc.stats.entries == 0, "maintenance thread never expired the idle entry")
+      intercept[IllegalArgumentException](tc.startMaintenance(50, 500))
+    } finally tc.stopMaintenance()
+  }
+
   test("distinct predicates / column sets are distinct entries") {
     val tc = new TableCache(maxSizeBytes = 1L << 40)
     tc.getOrLoad(CacheKey("nation", "k<5", Set("n_name")))(Tables.nation(spark, sfDir))

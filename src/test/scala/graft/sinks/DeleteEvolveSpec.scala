@@ -66,6 +66,18 @@ class DeleteEvolveSpec extends SparkSpec {
     val inc = cat.readIncremental(spark, "cust", s1.snapshotId, Some(s3.snapshotId))
     assert(inc.count() == expected)
     assert(inc.agg(min(col("c_custkey"))).head().getLong(0) > 100)
+
+    // full row-level change feed: deletes reconstructed from lineage
+    val ch12 = cat.changesBetween(spark, "cust", s1.snapshotId, Some(s2.snapshotId))
+    assert(ch12.filter(col("_change_type") === "insert").count() == 0)
+    val deleted = ch12.filter(col("_change_type") === "delete")
+    assert(deleted.count() == 11)
+    assert(deleted.agg(min("c_custkey"), max("c_custkey")).head() ==
+      org.apache.spark.sql.Row(10L, 20L))
+
+    val ch13 = cat.changesBetween(spark, "cust", s1.snapshotId, Some(s3.snapshotId))
+    assert(ch13.filter(col("_change_type") === "insert").count() == expected)
+    assert(ch13.filter(col("_change_type") === "delete").count() == 11)
   }
 
   test("schema evolution: appended column surfaces, old files read as null") {
