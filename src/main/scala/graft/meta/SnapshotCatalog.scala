@@ -411,6 +411,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }
   }
 
+  /** Reference: metadata.py:319 `clear_cache`. */
+  def clearMetaCache(): Unit = manifestCache.clear()
+
+  /** Reference: metadata.py:324 `get_cache_stats`. */
+  def metaCacheStats: Map[String, Long] = Map(
+    "cached_manifests" -> manifestCache.size.toLong,
+    "manifest_parses" -> manifestParses.get())
+
   private def pointerPath(table: String): Path = tableDir(table).resolve("current")
 
   /** Last-writer-wins pointer update; a racing slower committer leaving

@@ -26,6 +26,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     record-batch stream (`application/vnd.apache.arrow.stream`), the
   *     reference's actual `do_get` wire format — ~10× fewer bytes and
   *     far less CPU than JSON on wide results (see [[ArrowStream]])
+  *   - `GET /table?name=...[&format=arrow]` — stream a whole table by
+  *     name: the reference's literal `do_get` ticket shape (server.py:40,
+  *     ticket = table id)
   *
   * Scale: rows stream through `toLocalIterator` one partition at a time
   * — serving a 100 TB result never materializes it driver-side; the
@@ -62,6 +65,7 @@ final class GraftHttpServer(
     server.createContext("/tables", (ex: HttpExchange) => safely(ex)(handleTables))
     server.createContext("/schema", (ex: HttpExchange) => safely(ex)(handleSchema))
     server.createContext("/query", (ex: HttpExchange) => safely(ex)(handleQuery))
+    server.createContext("/table", (ex: HttpExchange) => safely(ex)(handleTable))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     this
@@ -87,13 +91,26 @@ final class GraftHttpServer(
   private def handleQuery(ex: HttpExchange): Unit = {
     val sql = param(ex, "sql").getOrElse(
       throw new IllegalArgumentException("missing sql parameter"))
+    streamResult(ex, engine.sql(sql), s"/query: ${sql.take(120)}")
+  }
+
+  /** `do_get` by table name — the reference's actual ticket shape
+    * (server.py:40: ticket = table id, streamed in record batches). */
+  private def handleTable(ex: HttpExchange): Unit = {
+    val name = param(ex, "name").getOrElse(
+      throw new IllegalArgumentException("missing name parameter"))
+    if (!graft.Tables.names.contains(name))
+      throw new IllegalArgumentException(s"unknown table: $name")
+    streamResult(ex, graft.Tables.load(spark, dir, name), s"/table: $name")
+  }
+
+  private def streamResult(ex: HttpExchange, df: DataFrame, desc: String): Unit = {
     val arrow = param(ex, "format").contains("arrow")
-    val df: DataFrame = engine.sql(sql)
-    // one job group per query, interruptible: disconnect or timeout
+    // one job group per request, interruptible: disconnect or timeout
     // cancels the Spark jobs feeding the iterator, not just the stream
     val sc = spark.sparkContext
     val groupId = s"graft-http-${java.util.UUID.randomUUID().toString.take(8)}"
-    sc.setJobGroup(groupId, s"/query: ${sql.take(120)}", interruptOnCancel = true)
+    sc.setJobGroup(groupId, desc, interruptOnCancel = true)
     val timeout =
       if (queryTimeoutMs <= 0) None
       else Some(timeouts.schedule(

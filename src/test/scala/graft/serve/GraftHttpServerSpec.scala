@@ -57,6 +57,14 @@ class GraftHttpServerSpec extends SparkSpec {
 
       val (mc, _) = get(s"$base/query")
       assert(mc == 400)
+
+      // do_get by table name (the reference's ticket shape)
+      val (nc, nbody) = get(s"$base/table?name=nation")
+      assert(nc == 200)
+      assert(nbody.trim.split("\n").length ==
+        1 + graft.Tables.load(spark, sfDir, "nation").count().toInt)
+      val (uc, _) = get(s"$base/table?name=nope")
+      assert(uc == 400)
     } finally srv.stop()
   }
 
