@@ -48,7 +48,22 @@ object Stress {
     val (na, tAnn) = time {
       Ann.lshTopK(e, "vec_id", "embedding", col("query_id") < 10, 5).count()
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn}}""")
+    val (ni, tIvf) = time {
+      Ann.ivfTopK(e, "vec_id", "embedding", col("query_id") < 10, 5).count()
+    }
+    // adversarial skew: 200k byte-identical docs through the band join —
+    // linear star pairing, not a 2e10-candidate self-join
+    val (nc, tClones) = time {
+      import spark.implicits._
+      val clones = spark.range(200000)
+        .select(col("id").as("doc_id"),
+          lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("text"))
+      Dedup.minhashDuplicates(clones, "doc_id", "text", threshold = 0.9).count()
+    }
+    val (np, tPack) = time {
+      graft.queries.TrainPrep.qPackSequences(spark, sfDir).count()
+    }
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack}}""")
     spark.stop()
   }
 }
