@@ -69,6 +69,19 @@ object Pipeline {
       size(col("embedding")).cast("int").as("dim"),
       element_at(col("embedding"), 1).cast("double").as("c0"))
 
+  /** Per-label embedding centroid in long form (label, dim position,
+    * mean) — the class-centroid computation IVF/clustering training
+    * starts from. Element sums go through decimal so the reduction is
+    * order-independent (float accumulation order differs per engine);
+    * the one division rounds at 6 decimals. posexplode is map-side; the
+    * shuffle carries (label, pos) partial sums — dims × labels rows. */
+  def qVecCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("v").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6)
+        .as("mean_v"))
+
   /** Output ids+rank only: cosine VALUES differ across engines in the
     * last float bits, but rank order is stable (measured rank-boundary
     * gap 1.9e-5 vs 2.7e-8 cross-engine cosine error at sf0.01). */
@@ -133,6 +146,7 @@ object Pipeline {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_lsh" -> (qNgramJaccardLsh _),
     "q_embed_meta" -> (qEmbedMeta _),
+    "q_vec_centroids" -> (qVecCentroids _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -212,6 +226,15 @@ object Pipeline {
         |  CAST(len(embedding) AS INT) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS c0
         |FROM embeddings""".stripMargin,
+    "q_vec_centroids" ->
+      """SELECT label, pos,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v
+        |FROM (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings) t
+        |GROUP BY 1, 2""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

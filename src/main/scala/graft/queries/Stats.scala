@@ -40,6 +40,18 @@ object Stats {
       round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n")), 6).as("stddev_price"))
   }
 
+  /** Exact distribution quantiles per group — the baseline the approx
+    * sketches (q_approx_stats) are graded against. Spark's `percentile`
+    * is exact (full value aggregation) with R-7 interpolation, the same
+    * definition as DuckDB's quantile_cont; outputs round to 6 decimals
+    * so the one interpolation step can't flake the hash compare. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+
   /** 10-bin histogram of extended price over the global [min,max]. */
   def qHistogram(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
@@ -64,6 +76,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_agg" -> (qStatsAgg _),
+    "q_percentiles" -> (qPercentiles _),
     "q_histogram" -> (qHistogram _),
     "q_edit_distance" -> (qEditDistance _))
 
@@ -83,6 +96,11 @@ object Stats {
         |    (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)), 6) AS corr,
         |  ROUND(sqrt((syy - sy * sy / n) / n), 6) AS stddev_price
         |FROM m""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(least(floor((l_extendedprice - m.mn) / (m.mx - m.mn) * 10), 9) AS INT) AS bin,
         |  COUNT(*) AS n_rows
