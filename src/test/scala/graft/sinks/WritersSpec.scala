@@ -80,6 +80,51 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered write prunes files on EVERY z dimension; linear layouts cannot") {
+    import graft.meta.RangeNum
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-zcat-").toString)
+    val dataDir = Files.createTempDirectory("graft-zdata-").toString
+    val l = Tables.lineitem(spark, sfDir)
+    val stats = l.agg(
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (okLo, okHi) = (stats.getLong(0), stats.getLong(1))
+    val (pkLo, pkHi) = (stats.getLong(2), stats.getLong(3))
+
+    val snap = Writers.writeZOrderedSnapshot(cat, "lz", l, dataDir,
+      Seq("l_orderkey", "l_partkey"), nFiles = 16)
+    assert(snap.files.size >= 8, s"${snap.files.size} files")
+    assert(cat.read(spark, "lz").count() == l.count())
+
+    // a ~6% slice on EITHER dimension must skip most files
+    def kept(colName: String, lo: Double, hi: Double): Int =
+      cat.planFiles("lz", Seq(RangeNum(colName, lo, hi))).size
+    val okSlice = kept("l_orderkey", okLo.toDouble, okLo + (okHi - okLo) * 0.06)
+    val pkSlice = kept("l_partkey", pkLo.toDouble, pkLo + (pkHi - pkLo) * 0.06)
+    assert(okSlice <= snap.files.size / 2,
+      s"orderkey slice kept $okSlice of ${snap.files.size} files")
+    assert(pkSlice <= snap.files.size / 2,
+      s"partkey slice kept $pkSlice of ${snap.files.size} files")
+
+    // contrast: the same data sorted linearly by orderkey prunes orderkey
+    // slices perfectly but partkey slices not at all
+    val linDir = Files.createTempDirectory("graft-lindata-").toString
+    l.repartitionByRange(16, col("l_orderkey"))
+      .write.parquet(s"$linDir/files")
+    val linFiles = new java.io.File(s"$linDir/files").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq.sorted
+    val linSnap = cat.commit(spark, "llin", linFiles)
+    val linPk = cat.planFiles("llin",
+      Seq(RangeNum("l_partkey", pkLo.toDouble, pkLo + (pkHi - pkLo) * 0.06))).size
+    assert(linPk >= linSnap.files.size - 1,
+      s"linear layout unexpectedly pruned partkey ($linPk of ${linSnap.files.size})")
+    // pruning is sound: no matching row lives in a skipped file
+    val hiKey = okLo + ((okHi - okLo) * 0.06)
+    assert(cat.read(spark, "lz", Seq(RangeNum("l_orderkey", okLo.toDouble, hiKey)))
+      .filter(col("l_orderkey") >= okLo && col("l_orderkey") <= hiKey).count() ==
+      l.filter(col("l_orderkey") >= okLo && col("l_orderkey") <= hiKey).count())
+  }
+
   test("writeSnapshot commits appends; incremental read sees only new rows") {
     val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
     val dataDir = Files.createTempDirectory("graft-data-").toString
