@@ -165,6 +165,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over a near-dup
+    * pair list, labeling every member with its cluster's min id — the
+    * step that turns pairwise dedup output into one canonical keeper per
+    * group (transitive closure, so A~B~C collapses even when A~C was
+    * never verified).
+    *
+    * Spark-first mechanics: min-label propagation to fixpoint. Each
+    * iteration is one join + one groupBy (shuffles on id), lineage is
+    * truncated via eager localCheckpoint, and the loop ends when no
+    * label changes. Iterations = cluster diameter; near-dup clusters are
+    * near-cliques (diameter 2-3) and the star-paired mass clusters from
+    * [[boundedBucketPairs]] have diameter exactly 2, so the loop is a
+    * handful of passes even at 100 TB — the same shape GraphX's
+    * connected components runs. */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "u").withColumnRenamed("label", "ulabel"), "u")
+        .groupBy(col("v").as("id"))
+        .agg(min(col("ulabel")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_root"))
+  }
+
   // ---- SimHash (L3) ----------------------------------------------------
 
   /** (doc_id, simhash): 64-bit SimHash of the word multiset — per-word

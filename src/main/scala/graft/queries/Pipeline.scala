@@ -54,6 +54,16 @@ object Pipeline {
     Dedup.ngramJaccardSearch(Tables.documents(s, dir), "doc_id", "text",
       queryPred = col("id") < 50, threshold = 0.15)
 
+  /** Duplicate clusters via connected components over exact-Jaccard
+    * pairs (bounded to doc_id < 500 so DuckDB's recursive CTE can
+    * replay it as the oracle; DedupSpec exercises the operator on
+    * LSH-candidate pairs at scale). */
+  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardSearch(docs, "doc_id", "text", lit(true), 0.5)
+    Dedup.duplicateClusters(pairs)
+  }
+
   /** Same search via LSH candidates — the benched scale path (rows-only:
     * recall is the band schedule's, so no SQL oracle; the exact form
     * above stays as the oracle gate). */
@@ -144,6 +154,7 @@ object Pipeline {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dup_clusters" -> (qDupClusters _),
     "q_ngram_jaccard_lsh" -> (qNgramJaccardLsh _),
     "q_embed_meta" -> (qEmbedMeta _),
     "q_vec_centroids" -> (qVecCentroids _),
@@ -221,6 +232,28 @@ object Pipeline {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE a.doc_id < 50) t
         |WHERE jaccard >= 0.15""".stripMargin,
+    "q_dup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |      i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |           string_split(lower(text), ' ')[i+1] || ' ' ||
+        |           string_split(lower(text), ' ')[i+2])) AS s
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 3 AND doc_id < 500),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u)
+        |SELECT id AS doc_id, MIN(r) AS cluster_root FROM reach GROUP BY 1""".stripMargin,
     "q_embed_meta" ->
       """SELECT vec_id, label,
         |  CAST(len(embedding) AS INT) AS dim,

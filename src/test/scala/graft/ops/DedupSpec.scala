@@ -164,6 +164,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicate clusters: transitive closure labels every member with the min id") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val alt = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    // a chain where the endpoints are BELOW the pair threshold: only the
+    // transitive closure merges them into one cluster
+    // adjacent jaccard 12/16 = 0.75 >= 0.7; endpoints 10/18 = 0.56 < 0.7
+    val chain0 = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16"
+    val chain1 = chain0.replace("c15 c16", "d15 d16")
+    val chain2 = chain1.replace("c1 c2", "d1 d2")
+    val corpus = Seq(
+      (1L, base), (2L, base), (3L, base), (4L, base),
+      (10L, alt), (11L, alt), (12L, alt),
+      (20L, chain0), (21L, chain1), (22L, chain2),
+      (30L, "solo unique text nothing like the others at all here end")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDuplicates(corpus, "doc_id", "text", threshold = 0.7)
+    // endpoints are not a direct pair (jaccard ~0.56 < 0.7)...
+    assert(!pairs.collect().exists(r => r.getLong(0) == 20L && r.getLong(1) == 22L))
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(clusters(_) == 10L))
+    // ...but the closure still collapses the chain to one root
+    assert(Seq(20L, 21L, 22L).forall(clusters(_) == 20L))
+    assert(!clusters.contains(30L), "singletons must not appear in the cluster map")
+  }
+
   test("minhash plan has no cartesian product (scale guard)") {
     val plan = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.5)
       .queryExecution.executedPlan.toString
