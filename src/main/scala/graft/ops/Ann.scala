@@ -147,6 +147,79 @@ object Ann {
     * cosine. Cost: one shuffle on cell id, candidates ≈ (nProbe/nCells)·N
     * per query — the classic recall/cost dial. Precision is exact
     * (candidates are ranked by true cosine). */
+  /** Materialized IVF index: per-row coarse-cell assignment
+    * (`nn_id, nn_vec, cell`) plus the unit-normalized centroid model.
+    * Build once per corpus version, search many times — at 100 TB the
+    * assignment is a persisted table next to the data, exactly like the
+    * snapshot catalog's manifests. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Seq[Seq[Double]])
+
+  private def ivfCellScores(cents: Seq[Seq[Double]], vec: Column): Seq[Column] =
+    cents.zipWithIndex.map { case (cv, i) =>
+      struct(dot(vec, array(cv.map(lit): _*)).as("score"), lit(i).as("cell"))
+    }
+
+  /** Build the IVF index: `nCells` hash-chosen corpus vectors become
+    * unit-normalized centroids (argmax cosine == argmax dot, so cell
+    * assignment is nCells codegen'd dots per row, no norms). */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 32): IvfIndex = {
+    val base = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val centRows = corpus
+      .select(col(idCol).cast("string").as("cid"), col(vecCol).as("cvec"))
+      .orderBy(md5(col("cid")), col("cid"))
+      .limit(nCells)
+      .collect()
+    val cents = centRows.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      v.map(_ / n)
+    }.toSeq
+    val assigned = base.withColumn("cell",
+      array_max(array(ivfCellScores(cents, col("nn_vec")): _*)).getField("cell"))
+    IvfIndex(assigned, cents)
+  }
+
+  /** Search a prebuilt [[IvfIndex]]: queries probe their `nProbe` best
+    * cells; only probed cells' members pay the exact cosine. Candidates
+    * ≈ (nProbe/nCells)·N per query — the recall/cost dial. Precision is
+    * exact (candidates rank by true cosine). */
+  def ivfSearch(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val nCells = index.centroids.size
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe in [1,$nCells], got $nProbe")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qp = q.select(col("query_id"),
+      explode(transform(
+        slice(reverse(array_sort(array(ivfCellScores(index.centroids, col("q_vec")): _*))),
+          1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    // candidate ids dedupe BEFORE vectors re-attach, as everywhere else
+    val candidates = broadcast(qp)
+      .join(index.assigned.drop("nn_vec"), Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(index.assigned.select(col("nn_id"), col("nn_vec")), "nn_id")
+      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+  }
+
+  /** One-shot convenience: build + search in a single call. */
   def ivfTopK(
       corpus: DataFrame,
       idCol: String,
@@ -155,49 +228,10 @@ object Ann {
       k: Int = 5,
       nCells: Int = 32,
       nProbe: Int = 4): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCells, s"nProbe in [1,$nCells], got $nProbe")
-    val base = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
-    val centRows = corpus
-      .select(col(idCol).cast("string").as("cid"), col(vecCol).as("cvec"))
-      .orderBy(md5(col("cid")), col("cid"))
-      .limit(nCells)
-      .collect()
-    // unit-normalized centroids: argmax cosine == argmax dot, so cell
-    // assignment is nCells codegen'd dots per row, no norms
-    val cents = centRows.map { r =>
-      val v = r.getSeq[Float](1).map(_.toDouble)
-      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
-      v.map(_ / n)
-    }.toSeq
-    def cellScores(vec: Column): Seq[Column] =
-      cents.zipWithIndex.map { case (cv, i) =>
-        struct(dot(vec, array(cv.map(lit): _*)).as("score"), lit(i).as("cell"))
-      }
-    def cellOf(vec: Column): Column =
-      array_max(array(cellScores(vec): _*)).getField("cell")
-    def probeCells(vec: Column): Column =
-      transform(slice(reverse(array_sort(array(cellScores(vec): _*))), 1, nProbe),
-        s => s.getField("cell"))
-
-    val c = base.withColumn("cell", cellOf(col("nn_vec")))
+    val index = ivfIndex(corpus, idCol, vecCol, nCells)
     val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .filter(queryPred)
-    val qp = q.select(col("query_id"), explode(probeCells(col("q_vec"))).as("cell"))
-    // candidate ids dedupe BEFORE vectors re-attach, as everywhere else
-    val candidates = broadcast(qp)
-      .join(c.drop("nn_vec"), Seq("cell"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    candidates
-      .join(broadcast(q), "query_id")
-      .join(base, "nn_id")
-      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+    ivfSearch(index, q, "query_id", "q_vec", k, nProbe)
   }
 
   /** Embedding near-dup pairs (L5): multi-table same-bucket candidates
