@@ -43,12 +43,14 @@ final case class FileMeta(
     blooms: Map[String, String] = Map.empty,
     partitionValues: Map[String, String] = Map.empty) {
 
-  /** Bloom values are sidecar file paths (current format) so manifests
-    * stay O(stats) bytes; inline base64 (pre-sidecar manifests) still
-    * reads back for compatibility. */
+  /** Bloom values are ABSOLUTE sidecar file paths (current format) so
+    * manifests stay O(stats) bytes; inline base64 (pre-sidecar
+    * manifests) still reads back for compatibility. The discriminator is
+    * a leading '/': standard base64 can CONTAIN '/' but never starts
+    * with one, while sidecar paths are always absolute. */
   def bloomFor(column: String): Option[BloomFilter] =
     blooms.get(column).map { ref =>
-      if (ref.contains("/"))
+      if (ref.startsWith("/"))
         BloomFilter.readFrom(Files.newInputStream(Paths.get(ref)))
       else
         BloomFilter.readFrom(new ByteArrayInputStream(Base64.getDecoder.decode(ref)))
@@ -94,10 +96,9 @@ final case class RangeNum(column: String, lo: Double, hi: Double) extends PruneF
   * the data actually committed. */
 private[meta] final class BloomColumnAgg(rowsByFile: Map[String, Long], fpp: Double)
     extends Aggregator[(String, String, String), BloomFilter, Array[Byte]] {
-  private def sized(file: String): BloomFilter = {
-    val norm = if (file.startsWith("file:")) "/" + file.stripPrefix("file:").dropWhile(_ == '/') else file
-    BloomFilter.create(math.max(rowsByFile.getOrElse(norm, 4096L), 64L), fpp)
-  }
+  private def sized(file: String): BloomFilter =
+    BloomFilter.create(
+      math.max(rowsByFile.getOrElse(SnapshotCatalog.normalizePath(file), 4096L), 64L), fpp)
   def zero: BloomFilter = null
   def reduce(b: BloomFilter, a: (String, String, String)): BloomFilter = {
     val bf = if (b == null) sized(a._1) else b
@@ -140,8 +141,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 
-  private def normalize(p: String): String =
-    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/') else p
+  private def normalize(p: String): String = SnapshotCatalog.normalizePath(p)
 
   /** Hive-style `k=v` directory segments of a file path, URL-decoded the
     * way Spark's partitioned writer escapes them. */
@@ -438,9 +438,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def snapshots(table: String): Seq[SnapshotMeta] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir)
+    val paths = try stream.iterator().asScala.toList finally stream.close()
+    paths
       .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
-      .toSeq
       .map(parseSnap)
       .sortBy(_.snapshotId)
   }
@@ -602,14 +603,23 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       spark.read.schema(to.schema).parquet(files: _*)
   }
 
-  /** Row-level change feed between two snapshots: every row appended in
-    * the range tagged `insert`, every row removed by a COW delete tagged
-    * `delete`, in a `_change_type` column — full CDC, not just the
-    * appends of [[readIncremental]] (Iceberg's incremental scan refuses
-    * ranges containing overwrites; here the `rewritten_from` lineage
-    * each delete commit records makes deletes reconstructable: removed
-    * rows = rows of the rewritten files at the parent snapshot EXCEPT
-    * ALL rows of the rewrite outputs).
+  /** Row-level NET change feed between two snapshots, in a
+    * `_change_type` column: `insert` = rows present at `to` but not at
+    * `from`; `delete` = rows present at `from` but not at `to` — so
+    * applying the feed to the `from` state reproduces the `to` state.
+    * Iceberg's incremental scan refuses ranges containing overwrites;
+    * here the chain walk classifies each COW rewrite by whether its
+    * inputs were themselves appended inside the range:
+    *
+    *   - pure in-range rewrite (all inputs appended since `from`): the
+    *     outputs carry only surviving in-range rows, so they remain on
+    *     the insert side and nothing is a `from`-row delete;
+    *   - pre-existing rewrite: outputs carry surviving OLD rows
+    *     (excluded from inserts) and `before EXCEPT ALL after` emits
+    *     exactly the net-deleted `from` rows;
+    *   - mixed inputs: the pre-existing side's deletes stay exact;
+    *     surviving in-range rows inside the mixed outputs are dropped
+    *     from the insert side (best-effort, documented).
     *
     * Scale: per delete commit this reads only the files that commit
     * actually rewrote (bounded by the delete's prune set), and the
@@ -627,33 +637,44 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         throw new IllegalArgumentException(s"Snapshot $id not found for $table")))
       .orElse(currentSnapshot(table))
       .get
-    val inserted = readIncremental(spark, table, from.snapshotId, Some(to.snapshotId))
-      .withColumn("_change_type", lit("insert"))
-    val deletes: Seq[DataFrame] =
-      ((from.snapshotId + 1) to to.snapshotId).flatMap { id =>
-        snapshotById(table, id).filter { s =>
-          s.props.get(SnapshotCatalog.OperationProp)
-            .exists(op => op == SnapshotCatalog.OpDelete || op == SnapshotCatalog.OpRewrite)
-        }.flatMap { s =>
-          val parent = s.parentId.flatMap(snapshotById(table, _))
-          val rewrittenFrom = s.props.get(SnapshotCatalog.RewrittenFromProp)
-            .map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
-          val outputs = parent.map { p =>
-            val parentPaths = p.files.map(_.path).toSet
-            s.files.map(_.path).filterNot(parentPaths.contains)
-          }.getOrElse(Nil)
-          if (rewrittenFrom.isEmpty) None
-          else {
-            val before = spark.read.schema(s.schema).parquet(rewrittenFrom: _*)
+    var prevPaths = from.files.map(_.path).toSet
+    val added = scala.collection.mutable.LinkedHashSet[String]()
+    val deleteParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    ((from.snapshotId + 1) to to.snapshotId).foreach { id =>
+      snapshotById(table, id).foreach { s =>
+        val curSet = s.files.map(_.path).toSet
+        val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
+        val removed = prevPaths.diff(curSet)
+        val newPaths = s.files.map(_.path).filterNot(prevPaths.contains)
+        if (op == SnapshotCatalog.OpAppend) {
+          added ++= newPaths
+        } else {
+          val removedInRange = removed.filter(added.contains)
+          val removedPreExisting = removed.diff(removedInRange)
+          removed.foreach(added.remove)
+          if (removedPreExisting.isEmpty && removed.nonEmpty) {
+            // pure in-range rewrite: outputs are surviving in-range rows
+            added ++= newPaths
+          } else if (removedPreExisting.nonEmpty) {
+            val before = spark.read.schema(s.schema).parquet(removedPreExisting.toSeq: _*)
             val after =
-              if (outputs.isEmpty)
+              if (newPaths.isEmpty)
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
-              else spark.read.schema(s.schema).parquet(outputs: _*)
-            Some(before.exceptAll(after))
+              else spark.read.schema(s.schema).parquet(newPaths: _*)
+            deleteParts += before.exceptAll(after)
           }
         }
+        prevPaths = curSet
       }
-    val deleted = deletes
+    }
+    val toPaths = to.files.map(_.path).toSet
+    val insertFiles = added.toSeq.filter(toPaths.contains)
+    val inserted =
+      (if (insertFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
+      else spark.read.schema(to.schema).parquet(insertFiles: _*))
+        .withColumn("_change_type", lit("insert"))
+    val deleted = deleteParts
       .reduceOption(_ unionByName _)
       .map(_.withColumn("_change_type", lit("delete")))
       .getOrElse {
@@ -671,6 +692,20 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val snaps = snapshots(table)
     val toDrop = snaps.dropRight(keepLast)
     toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
+    // GC bloom sidecars no surviving snapshot references (reuseMeta can
+    // carry refs forward, so liveness = union over survivors). Like
+    // Iceberg's expire, this is a maintenance op: do not run concurrently
+    // with an in-flight bloom commit, whose sidecars land before its
+    // manifest publishes.
+    val bloomDir = tableDir(table).resolve("blooms")
+    if (Files.isDirectory(bloomDir)) {
+      val live = snaps.takeRight(keepLast).flatMap(_.files)
+        .flatMap(_.blooms.values).toSet
+      val stream = Files.list(bloomDir)
+      val all = try stream.iterator().asScala.toList finally stream.close()
+      all.filterNot(p => live.contains(p.toAbsolutePath.toString))
+        .foreach(p => Files.deleteIfExists(p))
+    }
     toDrop.size
   }
 
@@ -696,6 +731,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 }
 
 object SnapshotCatalog {
+  /** `file:` URI → plain path, shared by the driver-side manifest layer
+    * and the executor-side bloom sizing (one definition, so the
+    * rowsByFile lookup can never silently diverge from commit's keys). */
+  private[meta] def normalizePath(p: String): String =
+    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/') else p
+
   /** Commit-operation snapshot props consumed by [[SnapshotCatalog.readIncremental]]. */
   val OperationProp = "operation"
   val OpAppend = "append"

@@ -210,6 +210,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // partially-propagated labels split one true component into several —
+    // fail loudly instead of returning silently wrong clusters
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters iterations " +
+        "(component diameter exceeds maxIters); raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_root"))
   }
 

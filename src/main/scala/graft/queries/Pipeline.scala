@@ -109,14 +109,21 @@ object Pipeline {
   // catalog's manifests), so the benched cost is SEARCH — mirroring how
   // q_snapshot_read benches the pruned read, not the commit.
   private val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Ann.IvfIndex]
-  private def ivfIndexFor(s: SparkSession, dir: String): Ann.IvfIndex =
-    ivfIndexes.getOrElseUpdate((System.identityHashCode(s), dir), {
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, Ann.IvfIndex)]
+  private def ivfIndexFor(s: SparkSession, dir: String): Ann.IvfIndex = {
+    def build() = {
       val idx = Ann.ivfIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
       idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .count() // build eagerly
-      idx
-    })
+      (s, idx)
+    }
+    val key = (System.identityHashCode(s), dir)
+    val (owner, idx) = ivfIndexes.getOrElseUpdate(key, build())
+    // identityHashCode can recur after GC: rebuild if the cached entry
+    // belongs to a different (e.g. stopped) session
+    if (owner eq s) idx
+    else { val fresh = build(); ivfIndexes.put(key, fresh); fresh._2 }
+  }
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndexFor(s, dir)

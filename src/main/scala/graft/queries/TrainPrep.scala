@@ -97,8 +97,10 @@ object TrainPrep {
     d.select(col("doc_id"), (hashBucket(col("doc_id")) % 8).cast("int").as("bucket"),
         tok.as("tok"))
       .withColumn("cum", sum(col("tok")).over(w))
+      // bucket rides the high bits (2^40 pack slots per bucket ≈ 2.3e15
+      // tokens) so pack ids can never collide across buckets at scale
       .select(
-        (col("bucket").cast("long") * 1000000L +
+        (col("bucket").cast("long") * lit(1L << 40) +
           floor((col("cum") - col("tok")) / lit(budget.toDouble)).cast("long")).as("pack_id"),
         col("tok"))
       .groupBy(col("pack_id"))
@@ -207,7 +209,7 @@ object TrainPrep {
          |    SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
          |      ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM t)
-         |SELECT CAST(bucket AS BIGINT) * 1000000 +
+         |SELECT CAST(bucket AS BIGINT) * 1099511627776 +
          |    CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS pack_id,
          |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens
          |FROM c GROUP BY 1""".stripMargin,

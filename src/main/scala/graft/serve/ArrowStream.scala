@@ -24,9 +24,9 @@ import scala.jdk.CollectionConverters._
   * consumer as soon as it's full, bounding latency exactly like Flight's
   * chunks.
   *
-  * Scalar types plus one level of primitive/string arrays (embeddings)
-  * cover the engine's query surface; an unsupported column type fails
-  * fast with the column name rather than streaming garbage.
+  * Scalar types plus one level of numeric arrays (embeddings) cover the
+  * engine's query surface; an unsupported column type fails fast at
+  * schema construction — before any byte streams — with the column name.
   */
 object ArrowStream {
 
@@ -49,6 +49,11 @@ object ArrowStream {
       case DateType => prim(new ArrowType.Date(DateUnit.DAY))
       case _: TimestampType => prim(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
       case ArrayType(et, _) =>
+        // fail at SCHEMA time, before the 200 header and stream start: the
+        // writer only implements these element types
+        if (!Seq(IntegerType, LongType, FloatType, DoubleType).contains(et))
+          throw new IllegalArgumentException(
+            s"column '${f.name}': array<$et> not supported on the arrow wire")
         val child = arrowField(StructField("element", et))
         new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
           java.util.List.of(child))

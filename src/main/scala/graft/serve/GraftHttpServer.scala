@@ -51,15 +51,17 @@ final class GraftHttpServer(
 
   private val engine = new QueryEngine(spark, dir)
   private var server: HttpServer = _
-  private lazy val timeouts = Executors.newSingleThreadScheduledExecutor { r =>
-    val t = new Thread(r, "graft-http-timeouts"); t.setDaemon(true); t
-  }
+  // per-start() lifecycle so stop()/start() cycles get a fresh scheduler
+  private var timeouts: java.util.concurrent.ScheduledExecutorService = _
 
   /** Bound port (ephemeral when constructed with port=0). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): GraftHttpServer = synchronized {
     require(server == null, "server already started")
+    timeouts = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-http-timeouts"); t.setDaemon(true); t
+    }
     engine.register()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/tables", (ex: HttpExchange) => safely(ex)(handleTables))
@@ -72,7 +74,10 @@ final class GraftHttpServer(
   }
 
   def stop(): Unit = synchronized {
-    if (server != null) { server.stop(0); server = null; timeouts.shutdownNow(); () }
+    if (server != null) {
+      server.stop(0); server = null
+      timeouts.shutdownNow(); timeouts = null
+    }
   }
 
   // ---- handlers --------------------------------------------------------

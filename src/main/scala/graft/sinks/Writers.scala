@@ -22,6 +22,16 @@ import scala.jdk.CollectionConverters._
   */
 object Writers {
 
+  /** List .parquet leaves, closing the directory stream (Files.list/walk
+    * leak an fd if abandoned — a long-lived committer driver cares). */
+  private def listParquet(dir: java.nio.file.Path, recursive: Boolean = false): Seq[String] = {
+    val stream = if (recursive) Files.walk(dir) else Files.list(dir)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toList.sorted
+    finally stream.close()
+  }
+
   /** Hive-style partitioned parquet write. Readers filtering on
     * `partitionCols` scan only matching directories. */
   def writePartitioned(
@@ -46,9 +56,7 @@ object Writers {
       partitionCols: Seq[String],
       props: Map[String, String] = Map.empty): SnapshotMeta = {
     writePartitioned(df, path, partitionCols)
-    val files = Files.walk(Paths.get(path)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath.toString).toSeq.sorted
+    val files = listParquet(Paths.get(path), recursive = true)
     catalog.commit(df.sparkSession, table, files,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
   }
@@ -113,9 +121,7 @@ object Writers {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.parquet(dir.toString)
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath.toString).toSeq.sorted
+    val files = listParquet(dir)
     catalog.commit(df.sparkSession, table, files,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
   }
@@ -144,9 +150,7 @@ object Writers {
           spark.read.schema(current.schema).parquet(affected.toSeq: _*))
         val dir = Paths.get(dataDir, s"rewrite-${UUID.randomUUID().toString.take(8)}")
         remaining.write.parquet(dir.toString)
-        Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(_.toAbsolutePath.toString).toSeq.sorted
+        listParquet(dir)
       }
     // untouched files keep their manifest metadata — the commit scans
     // only the rewritten files. The operation kind + rewrite lineage in
@@ -174,9 +178,7 @@ object Writers {
       props: Map[String, String] = Map.empty): SnapshotMeta = {
     val dir = Paths.get(dataDir, s"commit-${UUID.randomUUID().toString.take(8)}")
     df.write.parquet(dir.toString)
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath.toString).toSeq.sorted
+    val files = listParquet(dir)
     val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files, bloomColumns,
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,

@@ -80,6 +80,31 @@ class DeleteEvolveSpec extends SparkSpec {
     assert(ch13.filter(col("_change_type") === "delete").count() == 11)
   }
 
+  test("change feed nets out in-range appends partially deleted in-range (no phantom events)") {
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-net-").toString)
+    val dataDir = Files.createTempDirectory("graft-net-data-").toString
+    val c = Tables.customer(spark, sfDir)
+    val s1 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 50), dataDir)
+    Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey") > 50 && col("c_custkey") <= 100), dataDir)
+    val s3 = Writers.deleteWhere(spark, cat, "cust",
+      rowPredicate = df => df.filter(!(col("c_custkey") >= 60 && col("c_custkey") <= 70)),
+      pruneFilters = Seq(RangeNum("c_custkey", 60, 70)),
+      dataDir = dataDir)
+
+    // net s1 -> s3: the appended file was rewritten IN-RANGE, so its
+    // surviving rows are still inserts and nothing is a delete — a feed
+    // that excluded rewrite outputs would lose the 39 survivors, one
+    // that emitted the 11 removed rows would delete rows never in s1
+    val ch = cat.changesBetween(spark, "cust", s1.snapshotId, Some(s3.snapshotId))
+    assert(ch.filter(col("_change_type") === "delete").count() == 0)
+    val ins = ch.filter(col("_change_type") === "insert")
+    assert(ins.count() == 39)
+    assert(ins.agg(min("c_custkey"), max("c_custkey")).head() ==
+      org.apache.spark.sql.Row(51L, 100L))
+    assert(ins.filter(col("c_custkey") >= 60 && col("c_custkey") <= 70).count() == 0)
+  }
+
   test("schema evolution: appended column surfaces, old files read as null") {
     val cat = new SnapshotCatalog(Files.createTempDirectory("graft-evo-").toString)
     val dataDir = Files.createTempDirectory("graft-evo-data-").toString
