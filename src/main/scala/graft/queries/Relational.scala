@@ -25,10 +25,16 @@ object Relational {
       .agg(
         sumMoney(col("l_quantity")).as("sum_qty"),
         sumMoney(col("l_extendedprice")).as("sum_base_price"),
-        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        // ROUND to money scale BEFORE the double cast: the scale-8 exact
+        // sums need ~18 significant digits at sf>=0.1, beyond double, and
+        // engines round the decimal->double conversion differently. Both
+        // engines' ROUND is half-away-from-zero (a decimal CAST would
+        // truncate in DuckDB)
+        round(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-          * (lit(1) + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        round(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          * (lit(1) + rate(col("l_tax")))), 2)
+          .cast("double").as("sum_charge"),
         avgMoney(col("l_quantity")).as("avg_qty"),
         avgMoney(col("l_extendedprice")).as("avg_price"),
         avgMoney(col("l_discount")).as("avg_disc"),
@@ -284,8 +290,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
