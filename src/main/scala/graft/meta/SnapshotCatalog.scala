@@ -45,9 +45,11 @@ final case class FileMeta(
 
   /** Bloom values are ABSOLUTE sidecar file paths (current format) so
     * manifests stay O(stats) bytes; inline base64 (pre-sidecar
-    * manifests) still reads back for compatibility. The discriminator is
-    * a leading '/': standard base64 can CONTAIN '/' but never starts
-    * with one, while sidecar paths are always absolute. */
+    * manifests) still reads back for compatibility. Discriminator: a
+    * leading '/' means sidecar path. Safe for legacy blobs because the
+    * sketch BloomFilter serial form begins with a small version byte
+    * (< 0xFC), whose base64 encoding can never start with '/' — base64
+    * only leads with '/' when the first byte's top 6 bits are all set. */
   def bloomFor(column: String): Option[BloomFilter] =
     blooms.get(column).map { ref =>
       if (ref.startsWith("/"))
@@ -646,7 +648,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
         val removed = prevPaths.diff(curSet)
         val newPaths = s.files.map(_.path).filterNot(prevPaths.contains)
-        if (op == SnapshotCatalog.OpAppend) {
+        // a true append never removes files: a commit that does (e.g. a
+        // legacy COW delete whose manifest predates the operation prop)
+        // takes the rewrite classification regardless of the labeled op
+        if (op == SnapshotCatalog.OpAppend && removed.isEmpty) {
           added ++= newPaths
         } else {
           val removedInRange = removed.filter(added.contains)

@@ -193,7 +193,8 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
     val nCells = index.centroids.size
     require(nProbe >= 1 && nProbe <= nCells, s"nProbe in [1,$nCells], got $nProbe")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -202,12 +203,15 @@ object Ann {
         slice(reverse(array_sort(array(ivfCellScores(index.centroids, col("q_vec")): _*))),
           1, nProbe),
         s => s.getField("cell"))).as("cell"))
-    // candidate ids dedupe BEFORE vectors re-attach, as everywhere else
-    val candidates = broadcast(qp)
+    // candidate ids dedupe BEFORE vectors re-attach, as everywhere else.
+    // excludeSelf only makes sense when queries ARE corpus rows (see
+    // ivfTopK); external query ids must not suppress same-id corpus hits
+    val candidates0 = broadcast(qp)
       .join(index.assigned.drop("nn_vec"), Seq("cell"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"))
-      .distinct()
+    val candidates =
+      (if (excludeSelf) candidates0.filter(col("query_id") =!= col("nn_id")) else candidates0)
+        .select(col("query_id"), col("nn_id"))
+        .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     candidates
@@ -231,7 +235,7 @@ object Ann {
     val index = ivfIndex(corpus, idCol, vecCol, nCells)
     val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .filter(queryPred)
-    ivfSearch(index, q, "query_id", "q_vec", k, nProbe)
+    ivfSearch(index, q, "query_id", "q_vec", k, nProbe, excludeSelf = true)
   }
 
   /** Embedding near-dup pairs (L5): multi-table same-bucket candidates

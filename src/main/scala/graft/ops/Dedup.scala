@@ -206,6 +206,10 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .limit(1).count()
+      // `updated` is materialized (eager checkpoint): the superseded
+      // generation's blocks release now, so storage holds two label
+      // tables at any moment, not one per iteration
+      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1

@@ -120,9 +120,15 @@ object Pipeline {
     val key = (System.identityHashCode(s), dir)
     val (owner, idx) = ivfIndexes.getOrElseUpdate(key, build())
     // identityHashCode can recur after GC: rebuild if the cached entry
-    // belongs to a different (e.g. stopped) session
+    // belongs to a different (e.g. stopped) session, releasing the stale
+    // entry's persisted blocks
     if (owner eq s) idx
-    else { val fresh = build(); ivfIndexes.put(key, fresh); fresh._2 }
+    else {
+      try idx.assigned.unpersist() catch { case _: Exception => () } // session may be stopped
+      val fresh = build()
+      ivfIndexes.put(key, fresh)
+      fresh._2
+    }
   }
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -130,7 +136,7 @@ object Pipeline {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       .filter(col("query_id") < 10)
-    Ann.ivfSearch(idx, q, "query_id", "q_vec", k = 5)
+    Ann.ivfSearch(idx, q, "query_id", "q_vec", k = 5, excludeSelf = true)
   }
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =

@@ -59,11 +59,13 @@ final class GraftHttpServer(
 
   def start(): GraftHttpServer = synchronized {
     require(server == null, "server already started")
+    engine.register()
+    // bind BEFORE allocating the scheduler: a BindException must not leak
+    // a daemon thread across retried start() calls
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     timeouts = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-http-timeouts"); t.setDaemon(true); t
     }
-    engine.register()
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/tables", (ex: HttpExchange) => safely(ex)(handleTables))
     server.createContext("/schema", (ex: HttpExchange) => safely(ex)(handleSchema))
     server.createContext("/query", (ex: HttpExchange) => safely(ex)(handleQuery))
@@ -116,9 +118,12 @@ final class GraftHttpServer(
     val sc = spark.sparkContext
     val groupId = s"graft-http-${java.util.UUID.randomUUID().toString.take(8)}"
     sc.setJobGroup(groupId, desc, interruptOnCancel = true)
+    // capture once: stop() nulls the field concurrently with in-flight
+    // handlers (server.stop(0) does not quiesce them)
+    val sched = timeouts
     val timeout =
-      if (queryTimeoutMs <= 0) None
-      else Some(timeouts.schedule(
+      if (queryTimeoutMs <= 0 || sched == null) None
+      else Some(sched.schedule(
         new Runnable { def run(): Unit = sc.cancelJobGroup(groupId) },
         queryTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
     try {

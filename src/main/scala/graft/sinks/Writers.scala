@@ -122,7 +122,12 @@ object Writers {
       .drop("__z")
       .write.parquet(dir.toString)
     val files = listParquet(dir)
-    catalog.commit(df.sparkSession, table, files,
+    // append semantics, like writeSnapshot: prior files survive with their
+    // manifest metadata intact (a full OPTIMIZE-style recluster is
+    // read-everything + deleteWhere, an explicit user choice)
+    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
+      reuseMeta = prevFiles.map(f => f.path -> f).toMap,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
   }
 
