@@ -123,6 +123,11 @@ class WritersSpec extends SparkSpec {
     assert(cat.read(spark, "lz", Seq(RangeNum("l_orderkey", okLo.toDouble, hiKey)))
       .filter(col("l_orderkey") >= okLo && col("l_orderkey") <= hiKey).count() ==
       l.filter(col("l_orderkey") >= okLo && col("l_orderkey") <= hiKey).count())
+
+    // z-write onto an existing table APPENDS: prior files survive
+    Writers.writeZOrderedSnapshot(cat, "lz", l.limit(100), dataDir,
+      Seq("l_orderkey", "l_partkey"), nFiles = 4)
+    assert(cat.read(spark, "lz").count() == l.count() + 100)
   }
 
   test("writeSnapshot commits appends; incremental read sees only new rows") {
