@@ -53,6 +53,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Ann.cosineNearDup(emptyVec, "vec_id", "embedding", 0.5).count() == 0)
   }
 
+  test("duplicate clusters on empty and singleton pair lists") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(noPairs).count() == 0)
+    val one = Seq((7L, 9L)).toDF("doc_a", "doc_b")
+    val m = Dedup.duplicateClusters(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(7L -> 7L, 9L -> 7L))
+  }
+
+  test("IVF survives degenerate corpora: fewer vectors than cells, zero vectors") {
+    val tiny = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    val got = Ann.ivfTopK(tiny, "vec_id", "embedding", col("query_id") === 1L,
+      k = 1, nCells = 8, nProbe = 2) // more cells requested than vectors exist
+    assert(got.count() == 1 && got.head().getLong(1) == 3L)
+    // zero-norm vector must not divide by zero during centroid normalization
+    val withZero = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Ann.ivfIndex(withZero, "vec_id", "embedding", nCells = 2)
+      .assigned.count() == 2)
+  }
+
+  test("sequence packing and decontamination survive empty corpora") {
+    import graft.queries.TrainPrep
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-").toString
+    empty.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L))
+      .write.parquet(s"$dir/documents.parquet")
+    assert(TrainPrep.qPackSequences(spark, dir).count() == 0)
+    assert(TrainPrep.qDecontaminate(spark, dir).count() == 0)
+    assert(TrainPrep.qMixtureSample(spark, dir).count() == 0)
+  }
+
   test("multimodal decode tolerates empty payloads") {
     val recs = Multimodal.toMediaRecords(
       Seq((9L, "", "zh", "src0", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
