@@ -32,6 +32,23 @@ object Writers {
     finally stream.close()
   }
 
+  /** Morton (z-order) value of the given columns under per-column sorted
+    * bucket boundaries: bucket index = #boundaries strictly below the
+    * value (rank binning), 6 bits per dimension, bit i of dimension d at
+    * position i·nDims+d. Pure column expression — property-tested against
+    * an independent driver-side reimplementation. */
+  private[sinks] def zorderValue(colsAndBounds: Seq[(String, Seq[Double])]): Column = {
+    val idxs = colsAndBounds.map { case (c, bs) =>
+      size(filter(array(bs.map(lit): _*), b => b < col(c).cast("double"))).cast("long")
+    }
+    val nDims = colsAndBounds.length
+    val terms = for {
+      (idx, d) <- idxs.zipWithIndex
+      i <- 0 until 6
+    } yield shiftleft(shiftright(idx, i).bitwiseAND(lit(1L)), i * nDims + d)
+    terms.reduce(_ + _)
+  }
+
   /** Hive-style partitioned parquet write. Readers filtering on
     * `partitionCols` scan only matching directories. */
   def writePartitioned(
@@ -103,18 +120,7 @@ object Writers {
     val bounds: Seq[Seq[Double]] = zCols.map { c =>
       df.stat.approxQuantile(c, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01).toSeq
     }
-    val zValue: Column = {
-      val idxs = zCols.zip(bounds).map { case (c, bs) =>
-        // bucket index = #boundaries below the value (rank binning)
-        size(filter(array(bs.map(lit): _*), b => b < col(c).cast("double"))).cast("long")
-      }
-      val nDims = zCols.length
-      val terms = for {
-        (idx, d) <- idxs.zipWithIndex
-        i <- 0 until 6
-      } yield shiftleft(shiftright(idx, i).bitwiseAND(lit(1L)), i * nDims + d)
-      terms.reduce(_ + _)
-    }
+    val zValue = zorderValue(zCols.zip(bounds))
     val dir = Paths.get(dataDir, s"zorder-${UUID.randomUUID().toString.take(8)}")
     df.withColumn("__z", zValue)
       .repartitionByRange(nFiles, col("__z"))

@@ -65,6 +65,19 @@ class GraftHttpServerSpec extends SparkSpec {
         1 + graft.Tables.load(spark, sfDir, "nation").count().toInt)
       val (uc, _) = get(s"$base/table?name=nope")
       assert(uc == 400)
+
+      // and the same table over the Arrow wire
+      val tconn = URI.create(s"$base/table?format=arrow&name=nation")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(tconn.getResponseCode == 200 && tconn.getContentType.contains("arrow"))
+      val talloc = new org.apache.arrow.memory.RootAllocator()
+      val treader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        tconn.getInputStream, talloc)
+      var arrowTableRows = 0
+      while (treader.loadNextBatch())
+        arrowTableRows += treader.getVectorSchemaRoot.getRowCount
+      treader.close(); talloc.close(); tconn.disconnect()
+      assert(arrowTableRows == graft.Tables.load(spark, sfDir, "nation").count())
     } finally srv.stop()
   }
 

@@ -130,6 +130,30 @@ class WritersSpec extends SparkSpec {
     assert(cat.read(spark, "lz").count() == l.count() + 100)
   }
 
+  test("zorderValue matches an independent driver-side reimplementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(300)((rnd.nextDouble() * 1000, rnd.nextDouble() * 50 - 25))
+    val boundsA = Seq.fill(63)(rnd.nextDouble() * 1000).sorted
+    val boundsB = Seq.fill(63)(rnd.nextDouble() * 50 - 25).sorted
+
+    def refZ(a: Double, b: Double): Long = {
+      def bucket(v: Double, bs: Seq[Double]): Long = bs.count(_ < v).toLong
+      val (ia, ib) = (bucket(a, boundsA), bucket(b, boundsB))
+      (0 until 6).map { i =>
+        (((ia >> i) & 1L) << (i * 2)) + (((ib >> i) & 1L) << (i * 2 + 1))
+      }.sum
+    }
+
+    val got = rows.toDF("a", "b")
+      .withColumn("z", Writers.zorderValue(Seq("a" -> boundsA, "b" -> boundsB)))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == refZ(r.getDouble(0), r.getDouble(1)),
+        s"z mismatch at (${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+  }
+
   test("writeSnapshot commits appends; incremental read sees only new rows") {
     val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
     val dataDir = Files.createTempDirectory("graft-data-").toString
