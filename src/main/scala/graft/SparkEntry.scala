@@ -12,12 +12,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Engine.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.Advanced.queries ++
-      graft.queries.TrainPrep.queries ++ graft.queries.Stats.queries
+      graft.queries.TrainPrep.queries ++ graft.queries.Stats.queries ++
+      graft.queries.Vectors.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Engine.oracles ++
       graft.queries.Pipeline.oracles ++ graft.queries.Advanced.oracles ++
-      graft.queries.TrainPrep.oracles ++ graft.queries.Stats.oracles
+      graft.queries.TrainPrep.oracles ++ graft.queries.Stats.oracles ++
+      graft.queries.Vectors.oracles
 }

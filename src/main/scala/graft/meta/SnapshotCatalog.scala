@@ -81,6 +81,10 @@ sealed trait PruneFilter { def column: String }
 final case class EqString(column: String, value: String) extends PruneFilter
 /** Numeric/timestamp range overlap: keep file iff [lo,hi] ∩ [min,max] ≠ ∅. */
 final case class RangeNum(column: String, lo: Double, hi: Double) extends PruneFilter
+/** Lexicographic range overlap on a string column — the string analogue
+  * of [[RangeNum]], used e.g. to bound a MERGE's rewrite set by the
+  * source's key range. */
+final case class RangeString(column: String, lo: String, hi: String) extends PruneFilter
 
 /** Distributive bloom-filter aggregator over (file, column, stringValue)
   * entries: partial blooms build map-side per partition, merge once per
@@ -541,6 +545,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
               }
             }
         }
+      case RangeString(c, lo, hi) =>
+        f.partitionValues.get(c) match {
+          case Some(pv) => pv >= lo && pv <= hi
+          case None =>
+            f.stats.get(c).forall { st =>
+              (st.minS, st.maxS) match {
+                case (Some(mi), Some(ma)) => ma >= lo && mi <= hi
+                case _ => true
+              }
+            }
+        }
     }
 
   /** Files of a snapshot surviving manifest pruning. */
@@ -569,7 +584,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * excluded, and a file removed mid-range drops out of the result
     * (its appended rows did not survive intact to `to` — the same
     * "appends only, no overwrites in range" contract Iceberg's
-    * incremental scan enforces). If interior snapshots were expired, the
+    * incremental scan enforces). Two rewrite kinds keep their appends
+    * anyway: a `merge` contributes exactly its net-new files (recorded
+    * in `insert_files` at commit), and a row-preserving `compact`
+    * substitutes outputs for in-range inputs — path-wise when all its
+    * inputs were in-range, row-wise (outputs minus pre-existing rows)
+    * when the bin mixed eras. If interior snapshots were expired, the
     * walk degrades to a path diff across the gap. */
   def readIncremental(
       spark: SparkSession,
@@ -584,25 +604,61 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .get
     var prevPaths = from.files.map(_.path).toSet
     val added = scala.collection.mutable.LinkedHashSet[String]()
+    // row-level parts for rewrites whose appends can't be carved out
+    // path-wise (a compaction that bin-packed pre-existing files together
+    // with in-range appends)
+    val extraParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     ((from.snapshotId + 1) to to.snapshotId).foreach { id =>
       snapshotById(table, id).foreach { s =>
         val curPaths = s.files.map(_.path)
         val curSet = curPaths.toSet
         val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
-        if (op == SnapshotCatalog.OpAppend)
-          added ++= curPaths.filterNot(prevPaths.contains)
+        val removed = prevPaths.diff(curSet)
+        val newPaths = curPaths.filterNot(prevPaths.contains)
+        op match {
+          case SnapshotCatalog.OpAppend =>
+            added ++= newPaths
+          case SnapshotCatalog.OpMerge =>
+            // a merge commit separates its outputs: survivor rewrites
+            // (old rows — excluded) vs pure net-new files (listed in
+            // insert_files — these ARE appends: new keys and new
+            // versions of updated keys)
+            val ins = s.props.get(SnapshotCatalog.InsertFilesProp)
+              .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            added ++= ins.filter(curSet.contains)
+          case SnapshotCatalog.OpCompact if removed.forall(added.contains) =>
+            // row-preserving rewrite whose inputs were ALL appended
+            // in-range: the outputs hold exactly those appended rows, so
+            // lineage substitutes outputs for inputs — compaction does
+            // not eat in-range appends
+            added ++= newPaths
+          case SnapshotCatalog.OpCompact if removed.exists(added.contains) =>
+            // mixed-input compaction: outputs interleave pre-existing
+            // rows with in-range appends. Row-level lineage recovers the
+            // appends exactly — outputs minus the pre-existing inputs'
+            // rows (compaction preserves rows, so the multiset
+            // difference IS the in-range contribution). Cost is bounded
+            // by the compacted bytes, not the table.
+            val preExisting = removed.filterNot(added.contains)
+            extraParts += spark.read.schema(s.schema).parquet(newPaths: _*)
+              .exceptAll(spark.read.schema(s.schema).parquet(preExisting.toSeq: _*))
+          case _ => // delete / generic rewrite / all-pre-existing compact:
+            // outputs carry surviving OLD rows — never appends
+        }
         // files this commit removed (rewritten or fully deleted) no
         // longer hold their appended rows intact
-        prevPaths.diff(curSet).foreach(added.remove)
+        removed.foreach(added.remove)
         prevPaths = curSet
       }
     }
     val toPaths = to.files.map(_.path).toSet
     val files = added.toSeq.filter(toPaths.contains)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
-    else
-      spark.read.schema(to.schema).parquet(files: _*)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
+      else
+        spark.read.schema(to.schema).parquet(files: _*)
+    extraParts.foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Row-level NET change feed between two snapshots, in a
@@ -642,31 +698,43 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     var prevPaths = from.files.map(_.path).toSet
     val added = scala.collection.mutable.LinkedHashSet[String]()
     val deleteParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val insertParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     ((from.snapshotId + 1) to to.snapshotId).foreach { id =>
       snapshotById(table, id).foreach { s =>
         val curSet = s.files.map(_.path).toSet
         val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
         val removed = prevPaths.diff(curSet)
         val newPaths = s.files.map(_.path).filterNot(prevPaths.contains)
-        // a true append never removes files: a commit that does (e.g. a
-        // legacy COW delete whose manifest predates the operation prop)
-        // takes the rewrite classification regardless of the labeled op
-        if (op == SnapshotCatalog.OpAppend && removed.isEmpty) {
+        // a commit that removes no files only adds rows, whatever its
+        // label (plain append, insert-only merge): all outputs are net-new
+        if (removed.isEmpty) {
           added ++= newPaths
         } else {
+          // a true append never removes files: a commit that does (e.g. a
+          // legacy COW delete whose manifest predates the operation prop)
+          // takes the rewrite classification regardless of the labeled op
           val removedInRange = removed.filter(added.contains)
           val removedPreExisting = removed.diff(removedInRange)
           removed.foreach(added.remove)
-          if (removedPreExisting.isEmpty && removed.nonEmpty) {
+          if (removedPreExisting.isEmpty) {
             // pure in-range rewrite: outputs are surviving in-range rows
             added ++= newPaths
-          } else if (removedPreExisting.nonEmpty) {
+          } else {
+            // rewrite touching pre-existing rows (COW delete, merge,
+            // compaction, mixed inputs): the NET effect inside the
+            // rewritten region is exact in both directions —
+            //   deletes = before \ after  (rows that did not survive)
+            //   inserts = after \ before  (new versions, new keys, and
+            //             surviving rows of in-range inputs)
+            // Identical rows cancel multiset-wise, so a no-op rewrite or
+            // a compaction of pre-existing files contributes NOTHING.
             val before = spark.read.schema(s.schema).parquet(removedPreExisting.toSeq: _*)
             val after =
               if (newPaths.isEmpty)
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
               else spark.read.schema(s.schema).parquet(newPaths: _*)
             deleteParts += before.exceptAll(after)
+            insertParts += after.exceptAll(before)
           }
         }
         prevPaths = curSet
@@ -674,11 +742,13 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }
     val toPaths = to.files.map(_.path).toSet
     val insertFiles = added.toSeq.filter(toPaths.contains)
-    val inserted =
+    val insertedBase =
       (if (insertFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
       else spark.read.schema(to.schema).parquet(insertFiles: _*))
-        .withColumn("_change_type", lit("insert"))
+    val inserted = insertParts
+      .foldLeft(insertedBase)(_ unionByName _)
+      .withColumn("_change_type", lit("insert"))
     val deleted = deleteParts
       .reduceOption(_ unionByName _)
       .map(_.withColumn("_change_type", lit("delete")))
@@ -747,6 +817,16 @@ object SnapshotCatalog {
   val OpAppend = "append"
   val OpDelete = "delete"
   val OpRewrite = "rewrite"
+  /** Keyed upsert: some outputs are rewritten survivors, some are pure
+    * net-new rows (listed in [[InsertFilesProp]]). */
+  val OpMerge = "merge"
+  /** Row-preserving bin-pack rewrite: outputs hold exactly the union of
+    * the rewritten inputs' rows. */
+  val OpCompact = "compact"
   /** Comma-joined source paths a delete/rewrite commit rewrote. */
   val RewrittenFromProp = "rewritten_from"
+  /** Comma-joined output paths of a merge commit that carry ONLY net-new
+    * rows (the inserted/updated source rows), never surviving old rows —
+    * the incremental reader treats exactly these as appends. */
+  val InsertFilesProp = "insert_files"
 }

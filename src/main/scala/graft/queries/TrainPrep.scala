@@ -144,7 +144,43 @@ object TrainPrep {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Stratified train/val/test split: hash-deterministic 90/5/5
+    * assignment, reported per (lang, split) with doc counts and token
+    * loads — the reproducible split step before training. A row's split
+    * never changes as the corpus grows (pure function of doc_id). */
+  def qStratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val b = hashBucket(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+      .withColumn("tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+  }
+
+  /** Per-document key terms: top-3 words by a tf/df importance score
+    * (integer-scaled, so cross-engine exact — the tf-idf family's
+    * ordering without float logarithms). Two shuffles — one for
+    * per-(doc, term) tf, one joining term document-frequency back —
+    * then a per-doc top-k window; every stage is linear in tokens. */
+  def qTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", expr("(tf * 1000000L) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_split" -> (qStratifiedSplit _),
+    "q_tfidf_topterms" -> (qTfidfTopTerms _),
     "q_sample_hash" -> (qSampleHash _),
     "q_balanced_sample" -> (qBalancedSample _),
     "q_vocab_topk" -> (qVocabTopK _),
@@ -158,6 +194,29 @@ object TrainPrep {
     s"CAST(('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "q_stratified_split" ->
+      s"""SELECT lang,
+         |  CASE WHEN ${bucketSql("doc_id")} < 90 THEN 'train'
+         |       WHEN ${bucketSql("doc_id")} < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY 1, 2""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, (tf.tf * 1000000) // df.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rk AS INT) AS rk
+        |FROM s WHERE rk <= 3""".stripMargin,
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, ${bucketSql("doc_id")} AS bucket
          |FROM documents

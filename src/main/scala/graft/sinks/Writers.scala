@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Paths}
 import java.util.UUID
 
-import graft.meta.{SnapshotCatalog, SnapshotMeta}
+import graft.meta.{FileMeta, PruneFilter, RangeNum, RangeString, SnapshotCatalog, SnapshotMeta}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,156 @@ object Writers {
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpDelete,
         SnapshotCatalog.RewrittenFromProp -> affected.toSeq.sorted.mkString(",")))
+  }
+
+  /** Range-partitioned snapshot write: one shuffle splits `df` into
+    * `nFiles` files with disjoint, sorted `rangeCol` ranges, so manifest
+    * min/max pruning (and a merge's key-bound rewrite set) is selective
+    * on that column from the first commit. */
+  def writeRangedSnapshot(
+      catalog: SnapshotCatalog,
+      table: String,
+      df: DataFrame,
+      dataDir: String,
+      rangeCol: String,
+      nFiles: Int,
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
+    val dir = Paths.get(dataDir, s"ranged-${UUID.randomUUID().toString.take(8)}")
+    df.repartitionByRange(nFiles, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.parquet(dir.toString)
+    val files = listParquet(dir)
+    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
+      reuseMeta = prevFiles.map(f => f.path -> f).toMap,
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+  }
+
+  /** Per-key-column min/max of `source`, as manifest prune filters — ONE
+    * small aggregate job bounds a merge's rewrite set by the source's
+    * key range before any bloom/footer work. */
+  private def keyBoundFilters(source: DataFrame, keyCols: Seq[String]): Seq[PruneFilter] = {
+    val aggs = keyCols.flatMap { c =>
+      source.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          Seq(min(col(c)).cast("double").as(s"lo__$c"), max(col(c)).cast("double").as(s"hi__$c"))
+        case _: org.apache.spark.sql.types.StringType =>
+          Seq(min(col(c)).as(s"lo__$c"), max(col(c)).as(s"hi__$c"))
+        case _ => Nil
+      }
+    }
+    if (aggs.isEmpty) return Nil
+    val row = source.agg(aggs.head, aggs.tail: _*).collect().head
+    keyCols.flatMap { c =>
+      source.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          Option(row.getAs[Any](s"lo__$c")).map(lo =>
+            RangeNum(c, lo.asInstanceOf[Double], row.getAs[Double](s"hi__$c")))
+        case _: org.apache.spark.sql.types.StringType =>
+          Option(row.getAs[String](s"lo__$c")).map(lo =>
+            RangeString(c, lo, row.getAs[String](s"hi__$c")))
+        case _ => None
+      }
+    }
+  }
+
+  /** Keyed upsert (Iceberg/Delta MERGE INTO semantics, copy-on-write):
+    * target rows whose key matches a source row are replaced by the
+    * source version; source rows with no match are inserted; everything
+    * else survives untouched. One atomic metadata commit.
+    *
+    * Scale: the rewrite set is bounded TWICE before any data moves —
+    * manifest pruning by the source's key range (min/max per key column,
+    * one tiny agg job), then only those files are read and anti-joined.
+    * Files outside the source key range keep their manifest metadata and
+    * are never opened. The anti-join shuffles only the affected files'
+    * rows against the source keys (broadcast when small — Catalyst's
+    * choice). Outputs are split into survivor files (old rows) and
+    * insert files (all source rows), and the split is recorded in the
+    * commit props so incremental/CDC readers classify a merge exactly:
+    * [[SnapshotCatalog.readIncremental]] treats insert files as appends;
+    * [[SnapshotCatalog.changesBetween]] nets old versions out as deletes.
+    *
+    * `source` must carry the target's schema (same columns; key columns
+    * non-null). */
+  def mergeInto(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      dataDir: String): SnapshotMeta = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val targetCols = current.schema.fieldNames.toSeq
+    require(targetCols.toSet.subsetOf(source.columns.toSet),
+      s"source is missing target columns: ${targetCols.toSet.diff(source.columns.toSet).mkString(", ")}")
+    val src = source.select(targetCols.map(col): _*)
+
+    val affected = catalog.planFiles(table, keyBoundFilters(src, keyCols)).map(_.path)
+    val affectedSet = affected.toSet
+    val untouchedMeta: Seq[FileMeta] =
+      current.files.filterNot(f => affectedSet.contains(f.path))
+    val survivorFiles: Seq[String] =
+      if (affected.isEmpty) Nil
+      else {
+        val survivors = spark.read.schema(current.schema).parquet(affected: _*)
+          .join(src.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        val dir = Paths.get(dataDir, s"merge-rw-${UUID.randomUUID().toString.take(8)}")
+        survivors.write.parquet(dir.toString)
+        listParquet(dir)
+      }
+    val insDir = Paths.get(dataDir, s"merge-ins-${UUID.randomUUID().toString.take(8)}")
+    src.write.parquet(insDir.toString)
+    val insertFiles = listParquet(insDir)
+
+    catalog.commit(spark, table, untouchedMeta.map(_.path) ++ survivorFiles ++ insertFiles,
+      reuseMeta = untouchedMeta.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMerge,
+        SnapshotCatalog.RewrittenFromProp -> affected.sorted.mkString(","),
+        SnapshotCatalog.InsertFilesProp -> insertFiles.mkString(",")))
+  }
+
+  /** Small-file compaction (Iceberg rewrite_data_files bin-pack): files
+    * under `smallBytes` are rewritten into ~`targetBytes` outputs; files
+    * already big enough keep their manifest metadata untouched. The
+    * antidote to streaming ingest's file-per-micro-batch explosion —
+    * scan cost tracks data volume again instead of commit count.
+    *
+    * Spark-first: ONE read of all small files, `coalesce` (no shuffle —
+    * compaction moves no rows between keys) into ceil(totalBytes /
+    * targetBytes) outputs, one O(touched) metadata commit. The commit is
+    * labeled row-preserving (`operation=compact`), which CDC readers
+    * exploit: a compaction emits NO spurious changes, and incremental
+    * reads substitute outputs for inputs when the inputs were themselves
+    * in-range appends. Returns None when fewer than `minFiles` files
+    * qualify (nothing worth rewriting). */
+  def compact(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      dataDir: String,
+      targetBytes: Long = 128L << 20,
+      smallBytes: Long = 32L << 20,
+      minFiles: Int = 2): Option[SnapshotMeta] = {
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val (small, big) = current.files.partition(_.sizeBytes < smallBytes)
+    if (small.size < minFiles) return None
+    val totalBytes = small.map(_.sizeBytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val dir = Paths.get(dataDir, s"compact-${UUID.randomUUID().toString.take(8)}")
+    spark.read.schema(current.schema).parquet(small.map(_.path): _*)
+      .coalesce(nOut)
+      .write.parquet(dir.toString)
+    val outputs = listParquet(dir)
+    Some(catalog.commit(spark, table, big.map(_.path) ++ outputs,
+      reuseMeta = big.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpCompact,
+        SnapshotCatalog.RewrittenFromProp -> small.map(_.path).sorted.mkString(","))))
   }
 
   /** Write `df` as parquet under `dataDir` and commit the produced files

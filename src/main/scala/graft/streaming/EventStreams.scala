@@ -53,6 +53,36 @@ object EventStreams {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Watermarked stream-stream interval join (SURVEY §2.4 T4): each
+    * `purchase` event joins the same user's `view` events from the
+    * preceding `windowMinutes` — the attribution join. Both sides carry
+    * event-time watermarks and the join predicate bounds the time
+    * difference, which is exactly what lets Spark EVICT buffered rows
+    * once the watermark passes: state stays proportional to the join
+    * window, not the stream length — the only interval-join formulation
+    * that survives an unbounded stream. The same code runs in batch
+    * (watermarks are no-ops there), so the semantics are testable
+    * against a plain SQL interval join. */
+  def viewPurchaseJoin(
+      views: DataFrame,
+      purchases: DataFrame,
+      windowMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"),
+        col("purchase_value"))
+  }
+
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000
 
   /** Gap-based sessionization (30-min inactivity) via window functions:

@@ -87,4 +87,42 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(1).start_us == ts(95).getTime * 1000)
     }
   }
+
+  test("stream-stream interval join: attribution pairs match batch; late views evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val pMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cols = Seq("event_id", "user_id", "ts", "value")
+    val views = vMem.toDF().toDF(cols: _*)
+    val purchases = pMem.toDF().toDF(cols: _*)
+
+    val stream = EventStreams.viewPurchaseJoin(views, purchases)
+      .writeStream.format("memory").queryName("vpj").outputMode(OutputMode.Append()).start()
+
+    // user 1: view at t=10 and t=25, purchase at t=30 → both views join;
+    // user 2: view at t=0, purchase at t=45 → outside the 30-min window;
+    // user 3: purchase with no view → no row
+    vMem.addData((101L, 1L, ts(10), 0.0), (102L, 1L, ts(25), 0.0), (201L, 2L, ts(0), 0.0))
+    pMem.addData((901L, 1L, ts(30), 9.5), (902L, 2L, ts(45), 3.0), (903L, 3L, ts(40), 1.0))
+    stream.processAllAvailable()
+    // advance both watermarks so buffered state can be evicted
+    vMem.addData((999L, 98L, ts(600), 0.0))
+    pMem.addData((998L, 99L, ts(600), 0.0))
+    stream.processAllAvailable()
+
+    val got = spark.table("vpj")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((901L, 101L), (901L, 102L)))
+
+    // batch parity: the same transform over static frames equals a plain
+    // SQL interval join
+    val vb = Seq((101L, 1L, ts(10), 0.0), (102L, 1L, ts(25), 0.0), (201L, 2L, ts(0), 0.0))
+      .toDF(cols: _*)
+    val pb = Seq((901L, 1L, ts(30), 9.5), (902L, 2L, ts(45), 3.0), (903L, 3L, ts(40), 1.0))
+      .toDF(cols: _*)
+    val batch = EventStreams.viewPurchaseJoin(vb, pb)
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+    stream.stop()
+  }
 }
