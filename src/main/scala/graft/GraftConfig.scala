@@ -39,6 +39,14 @@ final class GraftNode(
     * src/core/cache_node.py:77) — explicit, caller-scheduled. */
   def maintain(): Int = cache.expire(config.cacheTtlMillis)
 
+  /** Stand up the node's serving endpoint (reference: the Flight server
+    * a cache node exposes, src/flight_server/server.py:9), wired to this
+    * node's snapshot catalog so `/changes` and `/history` serve when one
+    * is configured. Caller owns the returned server's lifecycle. */
+  def serve(port: Int = 0, queryTimeoutMs: Long = 0L): graft.serve.GraftHttpServer =
+    new graft.serve.GraftHttpServer(spark, dataDir, port,
+      queryTimeoutMs = queryTimeoutMs, catalog = catalog).start()
+
   def cacheStats: graft.cache.CacheStats = cache.stats
 }
 

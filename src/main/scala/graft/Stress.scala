@@ -63,7 +63,31 @@ object Stress {
     val (np, tPack) = time {
       graft.queries.TrainPrep.qPackSequences(spark, sfDir).count()
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack}}""")
+    // metadata layer at streaming scale: a 200-file table (200 commits),
+    // then a MERGE whose key range touches a small slice, then a full
+    // compaction. Merge cost must track the AFFECTED slice, not the
+    // table; compaction must be one read + one O(touched) commit.
+    val (nm, tMerge, tCompact) = {
+      val cat = new graft.meta.SnapshotCatalog(
+        java.nio.file.Files.createTempDirectory("graft-stress-meta-").toString)
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-data-").toString
+      val keyed = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      (0 until 200).foreach { i =>
+        graft.sinks.Writers.writeRangedSnapshot(cat, "ord",
+          keyed.filter(col("o_orderkey") % 200 === i).coalesce(1), dataDir,
+          "o_orderkey", 1)
+      }
+      val src = keyed.filter(col("o_orderkey") < 5000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val (m, t1) = time {
+        graft.sinks.Writers.mergeInto(spark, cat, "ord", src, Seq("o_orderkey"), dataDir)
+      }
+      val (_, t2) = time {
+        graft.sinks.Writers.compact(spark, cat, "ord", dataDir).get
+      }
+      (m.totalRows, t1, t2)
+    }
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact}}""")
     spark.stop()
   }
 }

@@ -477,6 +477,56 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     if (Files.exists(p)) Some(parseSnap(p)) else None
   }
 
+  // ---- named refs (tags) ----------------------------------------------
+
+  private def tagDir(table: String): Path = tableDir(table).resolve("tags")
+  private def tagPath(table: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,128}"), s"invalid tag name: $name")
+    tagDir(table).resolve(name)
+  }
+
+  /** Tag a snapshot with a stable name (the Iceberg named-ref analogue):
+    * a tag is a tiny pointer file, so resolution is O(1) at any snapshot
+    * count and retagging is an atomic last-writer-wins move — the
+    * "production", "validated", "training-run-17" handles a pipeline
+    * pins itself to instead of raw snapshot ids. */
+  def tag(table: String, name: String, snapshotId: Long): Unit = {
+    require(snapshotById(table, snapshotId).isDefined,
+      s"cannot tag: snapshot $snapshotId not found for $table")
+    Files.createDirectories(tagDir(table))
+    val tmp = Files.createTempFile(tagDir(table), ".tag-", ".tmp")
+    Files.write(tmp, snapshotId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tagPath(table, name), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** All tags of a table (name → snapshot id). */
+  def tags(table: String): Map[String, Long] = {
+    val dir = tagDir(table)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val stream = Files.list(dir)
+    val names = try stream.iterator().asScala.toList finally stream.close()
+    names.filterNot(_.getFileName.toString.startsWith(".")).flatMap { p =>
+      scala.util.Try(
+        p.getFileName.toString ->
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong).toOption
+    }.toMap
+  }
+
+  def dropTag(table: String, name: String): Boolean =
+    Files.deleteIfExists(tagPath(table, name))
+
+  /** Resolve a tag to its snapshot: one pointer read + one (memoized)
+    * manifest parse. */
+  def snapshotByTag(table: String, name: String): Option[SnapshotMeta] = {
+    val p = tagPath(table, name)
+    if (!Files.exists(p)) None
+    else scala.util.Try(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong).toOption
+      .flatMap(snapshotById(table, _))
+  }
+
   /** Latest snapshot committed at or before `tsMs` (reference:
     * metadata.py:160 `get_snapshot(as_of_timestamp=...)`). */
   def snapshotAsOf(table: String, tsMs: Long): Option[SnapshotMeta] =
@@ -760,12 +810,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   }
 
   /** Expire old snapshots, keeping the most recent `keepLast` manifests
-    * (metadata-only; data files are untouched, like Iceberg's
-    * expire_snapshots). Returns the number removed. */
+    * plus any snapshot a tag references (ref-reachability, as Iceberg's
+    * expire_snapshots honors refs; metadata-only — data files are
+    * untouched). Returns the number removed. */
   def expireSnapshots(table: String, keepLast: Int): Int = {
     require(keepLast >= 1, "must keep at least one snapshot")
     val snaps = snapshots(table)
-    val toDrop = snaps.dropRight(keepLast)
+    val tagged = tags(table).values.toSet
+    val toDrop = snaps.dropRight(keepLast).filterNot(s => tagged.contains(s.snapshotId))
+    val dropped = toDrop.map(_.snapshotId).toSet
     toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
     // GC bloom sidecars no surviving snapshot references (reuseMeta can
     // carry refs forward, so liveness = union over survivors). Like
@@ -774,7 +827,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     // manifest publishes.
     val bloomDir = tableDir(table).resolve("blooms")
     if (Files.isDirectory(bloomDir)) {
-      val live = snaps.takeRight(keepLast).flatMap(_.files)
+      val live = snaps.filterNot(s => dropped.contains(s.snapshotId)).flatMap(_.files)
         .flatMap(_.blooms.values).toSet
       val stream = Files.list(bloomDir)
       val all = try stream.iterator().asScala.toList finally stream.close()

@@ -64,6 +64,23 @@ object Pipeline {
     Dedup.duplicateClusters(pairs)
   }
 
+  /** The END-TO-END near-dup dedup a corpus pipeline actually runs
+    * (SURVEY L24): similarity pairs → connected components → keep one
+    * doc per cluster (the min-id root) plus every unclustered doc.
+    * Transitive closure matters: pairwise keep-min would retain B from
+    * a chain A~B, B~C where only the cluster root A should survive.
+    * Scale: clustering runs on near-dup PAIRS (≪ corpus), the final
+    * keep-set anti-join is one shuffle on doc_id. */
+  def qNeardupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardSearch(docs, "doc_id", "text", lit(true), 0.5)
+    val drop = Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_root"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Same search via LSH candidates — the benched scale path (rows-only:
     * recall is the band schedule's, so no SQL oracle; the exact form
     * above stays as the oracle gate). */
@@ -186,6 +203,7 @@ object Pipeline {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_neardup_keep" -> (qNeardupKeep _),
     "q_ngram_jaccard_lsh" -> (qNgramJaccardLsh _),
     "q_embed_meta" -> (qEmbedMeta _),
     "q_vec_centroids" -> (qVecCentroids _),
@@ -285,6 +303,32 @@ object Pipeline {
         |  UNION
         |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u)
         |SELECT id AS doc_id, MIN(r) AS cluster_root FROM reach GROUP BY 1""".stripMargin,
+    "q_neardup_keep" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |      i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |           string_split(lower(text), ' ')[i+1] || ' ' ||
+        |           string_split(lower(text), ' ')[i+2])) AS s
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 3 AND doc_id < 500),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+        |drop_ids AS (
+        |  SELECT id FROM reach GROUP BY id HAVING MIN(r) <> id)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id < 500 AND d.doc_id NOT IN (SELECT id FROM drop_ids)""".stripMargin,
     "q_embed_meta" ->
       """SELECT vec_id, label,
         |  CAST(len(embedding) AS INT) AS dim,

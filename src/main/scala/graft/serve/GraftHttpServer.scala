@@ -29,6 +29,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `GET /table?name=...[&format=arrow]` — stream a whole table by
   *     name: the reference's literal `do_get` ticket shape (server.py:40,
   *     ticket = table id)
+  *   - `GET /changes?table=...&from=ID[&to=ID][&format=arrow]` — stream
+  *     the net row-level change feed between two snapshots (CDC as a
+  *     service; needs a `SnapshotCatalog` wired at construction)
+  *   - `GET /history?table=...[&limit=N]` — snapshot history, newest
+  *     first (reference: `get_snapshot_history`, metadata.py:189)
   *
   * Scale: rows stream through `toLocalIterator` one partition at a time
   * — serving a 100 TB result never materializes it driver-side; the
@@ -47,7 +52,8 @@ final class GraftHttpServer(
     dir: String,
     port: Int = 0,
     batchSize: Int = ServingApi.DefaultBatchSize,
-    queryTimeoutMs: Long = 0L) {
+    queryTimeoutMs: Long = 0L,
+    catalog: Option[graft.meta.SnapshotCatalog] = None) {
 
   private val engine = new QueryEngine(spark, dir)
   private var server: HttpServer = _
@@ -70,6 +76,8 @@ final class GraftHttpServer(
     server.createContext("/schema", (ex: HttpExchange) => safely(ex)(handleSchema))
     server.createContext("/query", (ex: HttpExchange) => safely(ex)(handleQuery))
     server.createContext("/table", (ex: HttpExchange) => safely(ex)(handleTable))
+    server.createContext("/changes", (ex: HttpExchange) => safely(ex)(handleChanges))
+    server.createContext("/history", (ex: HttpExchange) => safely(ex)(handleHistory))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     this
@@ -109,6 +117,36 @@ final class GraftHttpServer(
     if (!graft.Tables.names.contains(name))
       throw new IllegalArgumentException(s"unknown table: $name")
     streamResult(ex, graft.Tables.load(spark, dir, name), s"/table: $name")
+  }
+
+  private def cat: graft.meta.SnapshotCatalog = catalog.getOrElse(
+    throw new IllegalArgumentException("no snapshot catalog configured on this server"))
+
+  /** Net row-level change feed between snapshots, streamed like any
+    * query result — CDC-as-a-service over
+    * [[graft.meta.SnapshotCatalog.changesBetween]]:
+    * `GET /changes?table=T&from=ID[&to=ID][&format=arrow]`. */
+  private def handleChanges(ex: HttpExchange): Unit = {
+    val table = param(ex, "table").getOrElse(
+      throw new IllegalArgumentException("missing table parameter"))
+    val from = param(ex, "from").getOrElse(
+      throw new IllegalArgumentException("missing from parameter")).toLong
+    val to = param(ex, "to").map(_.toLong)
+    streamResult(ex, cat.changesBetween(spark, table, from, to),
+      s"/changes: $table $from..${to.getOrElse("current")}")
+  }
+
+  /** Snapshot history, newest first (reference: `get_snapshot_history`,
+    * src/iceberg_management/metadata.py:189):
+    * `GET /history?table=T[&limit=N]`. */
+  private def handleHistory(ex: HttpExchange): Unit = {
+    val table = param(ex, "table").getOrElse(
+      throw new IllegalArgumentException("missing table parameter"))
+    val limit = param(ex, "limit").map(_.toInt)
+    val body = cat.history(table, limit).map { m =>
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    respond(ex, 200, body + "\n")
   }
 
   private def streamResult(ex: HttpExchange, df: DataFrame, desc: String): Unit = {

@@ -24,4 +24,23 @@ class GraftNodeSpec extends SparkSpec {
     assert(tables("lineitem").fieldNames.contains("l_orderkey"))
     assert(tables("events").fields.find(_.name == "ts").get.dataType.typeName == "timestamp")
   }
+
+  test("node.serve stands up the HTTP endpoint wired to the node's catalog") {
+    val root = java.nio.file.Files.createTempDirectory("graft-node-cat-").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-node-data-").toString
+    val node = GraftConfig.node(spark, sfDir, GraftConfig(catalogRoot = Some(root)))
+    graft.sinks.Writers.writeSnapshot(node.catalog.get, "cust",
+      Tables.customer(spark, sfDir), dataDir)
+    val srv = node.serve()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def get(url: String): Int = {
+        val c = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode; c.disconnect(); code
+      }
+      assert(get(s"$base/tables") == 200)
+      assert(get(s"$base/history?table=cust") == 200)
+    } finally srv.stop()
+  }
 }

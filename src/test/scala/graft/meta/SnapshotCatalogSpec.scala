@@ -143,4 +143,44 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(snaps.forall(s => onDisk.contains(s.snapshotId)))
     assert(onDisk.size == 7)
   }
+
+  test("tags: named refs resolve, retag moves, expire keeps tagged snapshots") {
+    import graft.sinks.Writers
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-tag-").toString)
+    val dataDir = Files.createTempDirectory("graft-tag-data-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    val s1 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 30), dataDir)
+    val s2 = Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey").between(31, 60)), dataDir)
+    val s3 = Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey").between(61, 90)), dataDir)
+
+    cat.tag("cust", "validated", s1.snapshotId)
+    cat.tag("cust", "production", s2.snapshotId)
+    assert(cat.tags("cust") ==
+      Map("validated" -> s1.snapshotId, "production" -> s2.snapshotId))
+    assert(cat.snapshotByTag("cust", "validated").get.snapshotId == s1.snapshotId)
+    // a read pinned to the tag sees the tagged state
+    val viaTag = cat.read(spark, "cust",
+      snapshotId = cat.snapshotByTag("cust", "validated").map(_.snapshotId))
+    assert(viaTag.count() == c.filter(col("c_custkey") <= 30).count())
+    // retag is last-writer-wins
+    cat.tag("cust", "production", s3.snapshotId)
+    assert(cat.tags("cust")("production") == s3.snapshotId)
+    // tagging an unknown snapshot refuses
+    intercept[IllegalArgumentException] { cat.tag("cust", "nope", 999L) }
+    intercept[IllegalArgumentException] { cat.tag("cust", "../evil", s1.snapshotId) }
+
+    // expire keeps the newest 1 AND the tagged s1 (ref-reachability);
+    // untagged s2 goes
+    val removed = cat.expireSnapshots("cust", keepLast = 1)
+    assert(removed == 1)
+    assert(cat.snapshotById("cust", s1.snapshotId).isDefined)
+    assert(cat.snapshotById("cust", s2.snapshotId).isEmpty)
+    assert(cat.snapshotById("cust", s3.snapshotId).isDefined)
+    // dropTag then expire removes the now-unreachable snapshot
+    assert(cat.dropTag("cust", "validated"))
+    assert(cat.expireSnapshots("cust", keepLast = 1) == 1)
+    assert(cat.snapshotById("cust", s1.snapshotId).isEmpty)
+  }
 }

@@ -176,6 +176,42 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/changes streams the net CDC feed and /history the snapshot log") {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.meta.SnapshotCatalog(
+      java.nio.file.Files.createTempDirectory("graft-http-cdc-").toString)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-http-cdc-d-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    val s1 = graft.sinks.Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey") <= 50), dataDir)
+    graft.sinks.Writers.deleteWhere(spark, cat, "cust",
+      rowPredicate = df => df.filter(!col("c_custkey").between(10, 20)),
+      pruneFilters = Seq(graft.meta.RangeNum("c_custkey", 10, 20)),
+      dataDir = dataDir)
+    graft.sinks.Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey").between(51, 60)), dataDir)
+
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, catalog = Some(cat)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (cc, body) = get(s"$base/changes?table=cust&from=${s1.snapshotId}")
+      assert(cc == 200)
+      val rows = body.trim.split("\n").tail // first line = schema
+      assert(rows.count(_.contains("\"delete\"")) == 11)
+      assert(rows.count(_.contains("\"insert\"")) == 10)
+
+      val (hc, hist) = get(s"$base/history?table=cust&limit=2")
+      assert(hc == 200)
+      assert(hist.trim.startsWith("[") && hist.contains("\"snapshot_id\":3"))
+      assert(hist.contains("\"snapshot_id\":2"))
+      assert(!hist.contains("\"snapshot_id\":1")) // limit honored, newest first
+
+      // missing catalog params are clean 400s
+      assert(get(s"$base/changes?table=cust")._1 == 400)
+      assert(get(s"$base/history")._1 == 400)
+    } finally srv.stop()
+  }
+
   private def awaitNoActiveJobs(timeoutMs: Long): Unit = {
     val tracker = spark.sparkContext.statusTracker
     val deadline = System.currentTimeMillis() + timeoutMs
