@@ -72,13 +72,22 @@ object Stress {
         java.nio.file.Files.createTempDirectory("graft-stress-meta-").toString)
       val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-data-").toString
       val keyed = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // commits carry DISJOINT key ranges (the realistic ingest layout),
+      // so the merge's key-bound pruning has real ranges to exclude
+      val maxKey = keyed.agg(max(col("o_orderkey"))).head().getLong(0)
+      val width = maxKey / 200 + 1
       (0 until 200).foreach { i =>
         graft.sinks.Writers.writeRangedSnapshot(cat, "ord",
-          keyed.filter(col("o_orderkey") % 200 === i).coalesce(1), dataDir,
+          keyed.filter(col("o_orderkey") >= i * width &&
+            col("o_orderkey") < (i + 1) * width).coalesce(1), dataDir,
           "o_orderkey", 1)
       }
+      // materialize the source first: the measured cost is the MERGE
+      // machinery (prune + anti-join + commit), not re-evaluating the
+      // 16-way-union source plan
       val src = keyed.filter(col("o_orderkey") < 5000)
         .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .localCheckpoint(true)
       val (m, t1) = time {
         graft.sinks.Writers.mergeInto(spark, cat, "ord", src, Seq("o_orderkey"), dataDir)
       }

@@ -837,6 +837,34 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     toDrop.size
   }
 
+  /** Orphan data-file GC (the Iceberg remove_orphan_files analogue):
+    * delete `.parquet` files under `dataDir` that NO surviving snapshot
+    * of `table` references — the data-side complement of
+    * [[expireSnapshots]] (which is metadata-only). COW rewrites and
+    * compactions strand their input files once the snapshots that
+    * referenced them expire; without GC, storage grows with write
+    * amplification instead of live data.
+    *
+    * `dataDir` must belong exclusively to this table (the same contract
+    * Iceberg's action has for a table location). Files newer than
+    * `graceMs` are kept: an in-flight commit writes data files BEFORE
+    * its manifest publishes, and the grace window keeps the race away.
+    * Returns the deleted paths. */
+  def vacuumDataFiles(table: String, dataDir: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
+    val live: Set[String] = snapshots(table).flatMap(_.files).map(f => normalize(f.path)).toSet
+    val cutoff = clock() - graceMs
+    val stream = Files.walk(Paths.get(dataDir))
+    val candidates = try stream.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toList
+    finally stream.close()
+    candidates
+      .filterNot(p => live.contains(normalize(p)))
+      .filter(p => scala.util.Try(
+        Files.getLastModifiedTime(Paths.get(p)).toMillis < cutoff).getOrElse(false))
+      .filter(p => Files.deleteIfExists(Paths.get(p)))
+  }
+
   /** Time-travel read with manifest pruning (reference: metadata.py:257
     * `time_travel_scan`). Returns an empty frame with the snapshot schema
     * when every file is pruned. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines (SURVEY §2.3 L8–L11).
@@ -82,4 +82,33 @@ object TextAnalysis {
     * stable hash. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Per-document repetition profile (SURVEY §2.3 L25) — the
+    * boilerplate/low-diversity quality signal pretraining filters gate
+    * on: word count, distinct-word count, repetition ratio
+    * (1 − distinct/total), and the most frequent word with its count
+    * (ties broken lexicographically). Scale: one explode (map-side) +
+    * two aggregations partitioned by doc — linear in tokens, and the
+    * per-doc groups are tiny so no skew. */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("c").desc, col("w"))
+    val top = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("w").as("top_word"))
+    counts.groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+      .withColumn("rep_ratio",
+        round(lit(1) - col("n_distinct") / col("n_words").cast("double"), 6))
+      .join(top, idCol)
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        col("rep_ratio"), col("top_freq"), col("top_word"))
+  }
 }

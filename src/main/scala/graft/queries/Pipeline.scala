@@ -39,6 +39,9 @@ object Pipeline {
       col("lang").as("labeled_lang"),
       TextAnalysis.langId("text").as("pred_lang"))
 
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")
+
   // ---- dedup -----------------------------------------------------------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -198,6 +201,7 @@ object Pipeline {
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
     "q_lang_id" -> (qLangId _),
+    "q_repetition" -> (qRepetition _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -259,6 +263,25 @@ object Pipeline {
          |       WHEN fr >= de THEN 'fr'
          |       ELSE 'de' END AS pred_lang
          |FROM h""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_freq
+        |  FROM c GROUP BY 1),
+        |tw AS (
+        |  SELECT doc_id, w AS top_word FROM (
+        |    SELECT doc_id, w,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn
+        |    FROM c) r
+        |  WHERE rn = 1)
+        |SELECT a.doc_id, a.n_words, a.n_distinct,
+        |  ROUND(1 - a.n_distinct / CAST(a.n_words AS DOUBLE), 6) AS rep_ratio,
+        |  a.top_freq, tw.top_word
+        |FROM a JOIN tw USING (doc_id)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
         |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies

@@ -244,7 +244,10 @@ object Writers {
     * [[SnapshotCatalog.changesBetween]] nets old versions out as deletes.
     *
     * `source` must carry the target's schema (same columns; key columns
-    * non-null). */
+    * non-null) and at most one row per key — duplicate-key sources are
+    * written as-is (both rows land), the same "multiple matches" hazard
+    * Delta/Iceberg MERGE guards with an error; dedup the source first
+    * (e.g. [[graft.ops.Dedup.exactGroups]]) when keys can repeat. */
   def mergeInto(
       spark: SparkSession,
       catalog: SnapshotCatalog,

@@ -183,4 +183,38 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(cat.expireSnapshots("cust", keepLast = 1) == 1)
     assert(cat.snapshotById("cust", s1.snapshotId).isEmpty)
   }
+
+  test("vacuum deletes orphaned data files but never live or in-grace ones") {
+    import graft.sinks.Writers
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-vac-").toString)
+    val dataDir = Files.createTempDirectory("graft-vac-data-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 75), dataDir)
+    // COW delete rewrites the file; the original becomes orphaned once
+    // the pre-delete snapshot expires
+    Writers.deleteWhere(spark, cat, "cust",
+      rowPredicate = df => df.filter(col("c_custkey") > 10),
+      pruneFilters = Seq(graft.meta.RangeNum("c_custkey", 0, 10)),
+      dataDir = dataDir)
+    val preCount = cat.read(spark, "cust").count()
+
+    def parquetCount = {
+      val s = Files.walk(java.nio.file.Paths.get(dataDir))
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val before = parquetCount
+
+    // both snapshots alive -> nothing is orphaned even with zero grace
+    assert(cat.vacuumDataFiles("cust", dataDir, graceMs = 0L).isEmpty)
+    // expire the pre-delete snapshot; its rewritten-away input is orphaned
+    cat.expireSnapshots("cust", keepLast = 1)
+    // a fresh grace window still protects recently-written files
+    assert(cat.vacuumDataFiles("cust", dataDir, graceMs = 3600 * 1000L).isEmpty)
+    val deleted = cat.vacuumDataFiles("cust", dataDir, graceMs = 0L)
+    assert(deleted.nonEmpty)
+    assert(parquetCount == before - deleted.size)
+    // the live table is untouched
+    assert(cat.read(spark, "cust").count() == preCount)
+  }
 }
