@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * expressions over exact integers, identical in Spark and DuckDB.
   * The 1e-7 grid is far below the float32 resolution of the inputs, so
   * downstream consumers see the same vectors to ~7 significant digits.
+  *
+  * Domain: components |v| ≤ ~30 at dim ≤ 1024 keeps every fixed-point
+  * square-sum below 2⁶³ (1024 · (3·10⁸)² ≈ 9.2·10¹⁸) — embeddings are
+  * unit-ish by construction, orders of magnitude inside the bound.
   */
 object VectorOps {
 

@@ -71,6 +71,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(agree >= (expected.size * 0.99).toInt, s"$agree/${expected.size}")
   }
 
+  test("property: fixed-point dot/norm match plain Scala over random vectors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val vec: Gen[Seq[Float]] =
+      Gen.listOfN(16, Gen.chooseNum(-8.0, 8.0).map(_.toFloat))
+    val cases = (0 until 120).flatMap { i =>
+      for (a <- vec(Gen.Parameters.default, Seed(100L + i));
+           b <- vec(Gen.Parameters.default, Seed(900L + i)))
+        yield (i.toLong, a, b)
+    }
+    def fp(x: Float): Long = math.round(x.toDouble * 1e7)
+    val got = cases.toDF("i", "a", "b")
+      .select(col("i"),
+        VectorOps.dotFixed(VectorOps.fixedPoint(col("a")),
+          VectorOps.fixedPoint(col("b"))).as("dot"),
+        VectorOps.normSq(VectorOps.fixedPoint(col("a"))).as("na"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.foreach { case (i, a, b) =>
+      val dotRef = a.zip(b).map { case (x, y) => fp(x) * fp(y) }.sum
+      val naRef = a.map(x => { val v = fp(x); v * v }).sum
+      assert(got(i) == ((dotRef, naRef)), s"case $i")
+    }
+  }
+
   test("assignment plan broadcasts the centroids (no shuffle of the corpus side)") {
     val e = Tables.embeddings(spark, sfDir)
     val cents = e.filter(col("vec_id") < 8)

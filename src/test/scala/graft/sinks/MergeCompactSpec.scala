@@ -124,6 +124,32 @@ class MergeCompactSpec extends SparkSpec {
     assert(ch.count() == 0)
   }
 
+  test("model property: random upsert batches through mergeInto equal a Map-based model") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-mmod-").toString)
+    val dataDir = Files.createTempDirectory("graft-mmod-data-").toString
+    val rnd = new scala.util.Random(42)
+    var model = (0L until 100L).map(k => k -> s"v0-$k").toMap
+    Writers.writeRangedSnapshot(cat, "t",
+      model.toSeq.toDF("k", "v"), dataDir, "k", 4)
+
+    (1 to 4).foreach { gen =>
+      // each batch: ~20 updates of existing keys + ~10 brand-new keys
+      val updates = rnd.shuffle(model.keys.toSeq).take(20).map(k => k -> s"v$gen-$k")
+      val maxK = model.keys.max
+      val inserts = (1L to 10L).map(i => (maxK + i) -> s"n$gen-${maxK + i}")
+      val batch = updates ++ inserts
+      model = model ++ batch
+      Writers.mergeInto(spark, cat, "t", batch.toDF("k", "v"), Seq("k"), dataDir)
+
+      val got = cat.read(spark, "t").as[(Long, String)].collect().toMap
+      assert(got == model, s"diverged at batch $gen")
+    }
+    // after the batches, compaction must not disturb the state either
+    Writers.compact(spark, cat, "t", dataDir)
+    assert(cat.read(spark, "t").as[(Long, String)].collect().toMap == model)
+  }
+
   test("compaction never eats in-range appends from incremental reads (pure and mixed bins)") {
     val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cinc-").toString)
     val dataDir = Files.createTempDirectory("graft-cinc-data-").toString
