@@ -18,4 +18,14 @@ object GraftColumnShim {
       ext: SparkSessionExtensions,
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** Re-tag a batch frame as streaming (isStreaming=true) — what a v1
+    * `Source.getBatch` must hand back to MicroBatchExecution. The same
+    * internalCreateDataFrame path Spark's own FileStreamSource takes;
+    * the RDD stays lazy, so no work runs at tag time. */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
