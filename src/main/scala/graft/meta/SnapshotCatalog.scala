@@ -528,9 +528,54 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   }
 
   /** Latest snapshot committed at or before `tsMs` (reference:
-    * metadata.py:160 `get_snapshot(as_of_timestamp=...)`). */
-  def snapshotAsOf(table: String, tsMs: Long): Option[SnapshotMeta] =
-    snapshots(table).filter(_.timestampMs <= tsMs).lastOption
+    * metadata.py:160 `get_snapshot(as_of_timestamp=...)`).
+    *
+    * O(log n) manifest parses: ids are dense (the publish protocol mints
+    * prev+1) and commit timestamps are non-decreasing in id (each commit
+    * stamps `clock()` at publish), so binary search over the id range
+    * resolves the as-of point without listing or parsing the whole log —
+    * the same reason Iceberg's metadata keeps a snapshot-log array it
+    * can bisect. Falls back to the full listing when the id range has
+    * holes (partial expiration). */
+  def snapshotAsOf(table: String, tsMs: Long): Option[SnapshotMeta] = {
+    val cur = currentSnapshot(table).getOrElse(return None)
+    if (cur.timestampMs <= tsMs) return Some(cur)
+    // lower boundary of the dense id run ending at current, found with
+    // O(log n) existence probes (exponential bracket + bisect) — probes
+    // stat the file, they never parse JSON. Tag-preserved islands below
+    // an expiration hole can fool the bracket; every such case lands in
+    // the full-listing fallback below, trading speed for correctness.
+    val lowest = {
+      var step = 1L
+      var known = cur.snapshotId
+      while (known - step >= 1 && Files.exists(snapPath(table, known - step))) {
+        known -= step; step *= 2
+      }
+      var lo = math.max(1L, known - step + 1)
+      var hi = known
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (Files.exists(snapPath(table, mid))) hi = mid else lo = mid + 1
+      }
+      hi
+    }
+    val lo0 = snapshotById(table, lowest).getOrElse(return None)
+    if (lo0.timestampMs > tsMs)
+      // the as-of point predates the dense tail: a tag-preserved
+      // snapshot below an expiration hole may still match — full scan
+      return snapshots(table).filter(_.timestampMs <= tsMs).lastOption
+    var lo = lowest
+    var hi = cur.snapshotId
+    while (lo < hi) { // invariant: ts(lo) <= tsMs < ts(hi+1 side)
+      val mid = lo + (hi - lo + 1) / 2
+      snapshotById(table, mid) match {
+        case Some(s) if s.timestampMs <= tsMs => lo = mid
+        case Some(_) => hi = mid - 1
+        case None => return snapshots(table).filter(_.timestampMs <= tsMs).lastOption
+      }
+    }
+    snapshotById(table, lo)
+  }
 
   /** Newest-first history summaries (reference: metadata.py:189
     * `get_snapshot_history`). */

@@ -55,6 +55,33 @@ class ManifestScaleSpec extends SparkSpec {
     assert(reader.manifestParses.get() == afterList, "second listing must be fully memoized")
   }
 
+  test("as-of resolution is O(log n) parses on a cold cache; holes fall back correctly") {
+    val root = Files.createTempDirectory("graft-masof-").toString
+    var tick = 1000L
+    val writer = new SnapshotCatalog(root, clock = () => { tick += 1000; tick })
+    val base = writer.commit(spark, "t", Seq(oneFile()))
+    val reuse = Map(base.files.head.path -> base.files.head)
+    (1 until 500).foreach { _ =>
+      writer.commit(spark, "t", Seq(base.files.head.path), reuseMeta = reuse)
+    }
+    // snapshot k has timestamp 1000*(k+1); pick the as-of point between
+    // snapshots 250 and 251
+    val reader = new SnapshotCatalog(root)
+    val hit = reader.snapshotAsOf("t", 251_500L)
+    assert(hit.map(_.snapshotId).contains(250L))
+    val parses = reader.manifestParses.get()
+    assert(parses <= 14, s"as-of on 500 snapshots parsed $parses manifests; must be O(log n)")
+
+    // carve a hole: tag snapshot 3, expire to the last 50 — as-of points
+    // inside the expired era resolve to the tag-preserved snapshot
+    writer.tag("t", "old", 3L)
+    writer.expireSnapshots("t", keepLast = 50)
+    val reader2 = new SnapshotCatalog(root)
+    assert(reader2.snapshotAsOf("t", 100_000L).map(_.snapshotId).contains(3L))
+    // and points in the dense tail still bisect
+    assert(reader2.snapshotAsOf("t", 480_500L).map(_.snapshotId).contains(479L))
+  }
+
   test("commit cost does not scale with snapshot count (pointer, not list+parse)") {
     val root = Files.createTempDirectory("graft-mcat2-").toString
     val writer = new SnapshotCatalog(root)

@@ -94,4 +94,44 @@ class EdgeCaseSpec extends SparkSpec {
     val f = Multimodal.decodeFeatures(recs).head()
     assert(f.byteLen == 0 && f.sha256.nonEmpty)
   }
+
+  test("vector ops survive empty input and singleton centroids") {
+    val emptyVec = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorOps.l2Normalize(emptyVec, "vec_id", "embedding").count() == 0)
+    assert(VectorOps.quantizeInt8(emptyVec, "vec_id", "embedding").count() == 0)
+    val one = Seq((1L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val cents = Seq((7L, Seq(1.0f, 0.0f))).toDF("cid", "cvec")
+    val got = VectorOps.assignNearestCentroid(one, "vec_id", "embedding",
+      cents, "cid", "cvec").collect()
+    assert(got.length == 1 && got.head.getAs[Long]("cid") == 7L)
+    assert(VectorOps.assignNearestCentroid(emptyVec, "vec_id", "embedding",
+      cents, "cid", "cvec").count() == 0)
+  }
+
+  test("repetition profile survives empty corpus and single-word docs") {
+    assert(TextAnalysis.repetitionProfile(empty, "doc_id", "text").count() == 0)
+    val single = Seq((1L, "word"), (2L, "a a a a")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionProfile(single, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("rep_ratio"), r.getAs[String]("top_word"))).toMap
+    assert(rows(1L) == ((1L, 0.0, "word")))
+    assert(rows(2L) == ((4L, 0.75, "a")))
+  }
+
+  test("merge and compact handle empty sources and nothing-to-do tables") {
+    import graft.sinks.Writers
+    import graft.meta.SnapshotCatalog
+    val cat = new SnapshotCatalog(
+      java.nio.file.Files.createTempDirectory("graft-edge-m-").toString)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-edge-md-").toString
+    val t = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    Writers.writeSnapshot(cat, "t", t, dataDir)
+    // empty source: a no-op upsert — table unchanged, commit still clean
+    val emptySrc = Seq.empty[(Long, String)].toDF("k", "v")
+    Writers.mergeInto(spark, cat, "t", emptySrc, Seq("k"), dataDir)
+    assert(cat.read(spark, "t").count() == 2)
+    // single small file: nothing to compact
+    assert(Writers.compact(spark, cat, "t", dataDir, minFiles = 2).isEmpty ||
+      cat.read(spark, "t").count() == 2)
+  }
 }
