@@ -95,20 +95,20 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("c"))
+    // single pass over the (doc, word) counts: rank the top word in a
+    // window, then fold everything in ONE per-doc aggregate (the
+    // join-back formulation scans and aggregates the token stream twice)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("c").desc, col("w"))
-    val top = counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("w").as("top_word"))
-    counts.groupBy(col(idCol))
+    counts.withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
       .agg(
         sum(col("c")).as("n_words"),
         count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_freq"))
-      .withColumn("rep_ratio",
-        round(lit(1) - col("n_distinct") / col("n_words").cast("double"), 6))
-      .join(top, idCol)
+        max(col("c")).as("top_freq"),
+        max(when(col("rn") === 1, col("w"))).as("top_word"))
       .select(col(idCol), col("n_words"), col("n_distinct"),
-        col("rep_ratio"), col("top_freq"), col("top_word"))
+        round(lit(1) - col("n_distinct") / col("n_words").cast("double"), 6).as("rep_ratio"),
+        col("top_freq"), col("top_word"))
   }
 }

@@ -160,18 +160,20 @@ object TrainPrep {
 
   /** Per-document key terms: top-3 words by a tf/df importance score
     * (integer-scaled, so cross-engine exact — the tf-idf family's
-    * ordering without float logarithms). Two shuffles — one for
-    * per-(doc, term) tf, one joining term document-frequency back —
-    * then a per-doc top-k window; every stage is linear in tokens. */
+    * ordering without float logarithms). ONE scan: per-(doc, term) tf,
+    * then document frequency as a count window over the same rows (no
+    * second aggregation of the token stream — plan-audited, the naive
+    * tf⋈df self-join scans and aggregates the corpus twice), then the
+    * per-doc top-k window; every stage is linear in (doc, term) rows. */
   def qTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wDf = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score", expr("(tf * 1000000L) div df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
