@@ -77,6 +77,51 @@ object Engine {
       cat
     })
 
+  // Memoized co-bucketed lineitem/orders tables per (session, dir): the
+  // bucketed write is the one-time layout investment (like an ingest
+  // repartition); the benched/verified path is the exchange-free join.
+  private val bucketedTabs = TrieMap.empty[(Int, String), (String, String)]
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) =
+    bucketedTabs.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val tag = Integer.toHexString(dir.hashCode).takeWhile(_ != '-')
+      val lt = s"graft_bkt_l_$tag"
+      val ot = s"graft_bkt_o_$tag"
+      // a previous JVM may have left the managed location on disk while
+      // this session's catalog has never heard of the table — drop both
+      // sides of that split-brain before (re)creating
+      def fresh(name: String)(write: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+          val loc = java.nio.file.Paths.get(wh, name)
+          if (java.nio.file.Files.isDirectory(loc)) {
+            val stream = java.nio.file.Files.walk(loc)
+            try stream.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally stream.close()
+          }
+          write
+        }
+      fresh(lt)(Writers.writeBucketed(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice")), lt, 8, "l_orderkey"))
+      fresh(ot)(Writers.writeBucketed(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")), ot, 8, "o_orderkey"))
+      (lt, ot)
+    })
+
+  /** Join two CO-BUCKETED tables on their bucket key (SURVEY §2 S22 at
+    * the query level): both sides were pre-shuffled once at write time,
+    * so the join itself plans with NO Exchange on either side — the
+    * layout lever that turns every repeated fact-fact join at 100 TB
+    * from a full shuffle into local sorted merges. Result equals the
+    * plain-scan oracle join. */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedFor(s, dir)
+    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sumMoney(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** Read the table state after a MERGE INTO upsert (SURVEY §2 S32):
     * matched keys carry the source version, unmatched source keys are
     * inserted, everything else survives — the whole merged state must be
@@ -126,6 +171,7 @@ object Engine {
     "q_cached_agg" -> (qCachedAgg _),
     "q_snapshot_read" -> (qSnapshotRead _),
     "q_merge_read" -> (qMergeRead _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +195,11 @@ object Engine {
         |UNION ALL
         |SELECT o_orderkey + 100000000 AS o_orderkey, 1.0 AS price, 'N' AS status
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_sql_engine" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price

@@ -36,6 +36,26 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("LeftAnti"))
   }
 
+  test("co-bucketed join plans with no Exchange below the join (pre-shuffled at write)") {
+    // at test scale the small side would broadcast (also exchange-free,
+    // but not the claim): force the big-side plan shape both sides take
+    // at 100 TB, where neither fact table fits a broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Engine.qBucketedJoin(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join of bucketed tables:\n${plan.take(1500)}")
+      // everything BELOW the join (its inputs) must be exchange-free; the
+      // groupBy above it still shuffles (that one is the point of an agg)
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join inputs still shuffle:\n${belowJoin.take(1500)}")
+      assert(plan.contains("SelectedBucketsCount"), "scan is not bucket-aware")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no query in the battery plans a CartesianProduct") {
     // brute-force ANN legitimately uses BroadcastNestedLoopJoin over a
     // bounded query set; an unbounded CartesianProduct is always a bug
