@@ -112,7 +112,23 @@ object Advanced {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
 
+  /** Semi-structured extraction: pull a typed field out of a JSON
+    * string column and aggregate it (the schema-on-read path event
+    * pipelines run constantly). `get_json_object` is a codegen'd
+    * Catalyst expression, so extraction happens map-side inside the
+    * scan stage — no UDF, no shuffle beyond the final agg. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_missing"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (qJsonExtract _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
@@ -123,6 +139,12 @@ object Advanced {
     "q_approx_stats" -> (qApproxStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_missing
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
         |  COUNT(*) AS n_orders,

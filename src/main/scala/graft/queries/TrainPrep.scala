@@ -49,33 +49,32 @@ object TrainPrep {
       .limit(100)
 
   /** The cleaned corpus after exact dedup: keep one doc (min id) per
-    * distinct normalized content. */
+    * distinct normalized content. ONE scan: the keeper is a min window
+    * over the fingerprint partition (the keepers-then-join-back form
+    * scans and fingerprints the corpus twice). */
   def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val keepers = d
-      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    d.join(keepers, "doc_id")
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+    Tables.documents(s, dir)
+      .withColumn("__keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__keeper"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
   /** End-to-end cleaning chain: length filter → stopword-ratio filter →
     * exact-dedup keeper → deterministic 50% sample. The shape every
-    * LLM-corpus pipeline runs, as one declarative plan. */
+    * LLM-corpus pipeline runs, as one declarative plan — and ONE scan:
+    * the dedup keeper is a min window over the fingerprint partition
+    * instead of a keepers-then-join-back self-join. */
   def qCleanPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val nWords = size(split(lower(col("text")), " ")).cast("long")
     val stopHits = TextAnalysis.stopwordHits("text", TextAnalysis.EnStop)
-    val filtered = d
-      .withColumn("n_words", nWords)
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+    d.withColumn("n_words", nWords)
       .withColumn("stop_ratio", stopHits / nWords)
       .filter(col("n_words") >= 30 && col("stop_ratio") >= 0.01)
-    val keepers = filtered
-      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    filtered.join(keepers, "doc_id")
+      .withColumn("__keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__keeper"))
       .withColumn("bucket", hashBucket(col("doc_id")))
       .filter(col("bucket") < 50)
       .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
@@ -180,7 +179,29 @@ object TrainPrep {
       .select(col("doc_id"), col("term"), col("score"), col("rk"))
   }
 
+  /** Document chunking (SURVEY L26): split each doc into overlapping
+    * fixed-width word windows (width 32, stride 24 → 8-word overlap) —
+    * the context-window chunker RAG indexing and pretraining tokenizer
+    * sharding run before embedding/packing. Pure map-side explode of a
+    * `sequence` of chunk starts: zero shuffle, linear in tokens. */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val width = 32
+    val stride = 24
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("s"))
+      .select(
+        col("doc_id"),
+        expr(s"(s - 1) div $stride").cast("int").as("chunk_idx"),
+        least(lit(width.toLong), (col("n") - col("s") + 1).cast("long")).as("n_tok"),
+        element_at(col("ws"), col("s")).as("head_word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> (qChunkDocs _),
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_tfidf_topterms" -> (qTfidfTopTerms _),
     "q_sample_hash" -> (qSampleHash _),
@@ -196,6 +217,19 @@ object TrainPrep {
     s"CAST(('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+        |    len(string_split(lower(text), ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws, n, unnest(generate_series(1, n, 24)) AS s
+        |  FROM w WHERE n >= 1)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 24 AS INT) AS chunk_idx,
+        |  CAST(least(32, n - s + 1) AS BIGINT) AS n_tok,
+        |  ws[s] AS head_word
+        |FROM c""".stripMargin,
     "q_stratified_split" ->
       s"""SELECT lang,
          |  CASE WHEN ${bucketSql("doc_id")} < 90 THEN 'train'
