@@ -209,6 +209,24 @@ class GraftHttpServerSpec extends SparkSpec {
       // missing catalog params are clean 400s
       assert(get(s"$base/changes?table=cust")._1 == 400)
       assert(get(s"$base/history")._1 == 400)
+
+      // the CDC feed also serves as Arrow IPC (same transport as /query)
+      val aconn = java.net.URI.create(
+          s"$base/changes?table=cust&from=${s1.snapshotId}&format=arrow")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(aconn.getResponseCode == 200 && aconn.getContentType.contains("arrow"))
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        aconn.getInputStream, alloc)
+      var n = 0
+      var changeTypeSeen = false
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        changeTypeSeen ||= root.getSchema.getFields.asScala.exists(_.getName == "_change_type")
+        n += root.getRowCount
+      }
+      reader.close(); alloc.close(); aconn.disconnect()
+      assert(n == 21 && changeTypeSeen) // 11 deletes + 10 inserts
     } finally srv.stop()
   }
 
