@@ -127,8 +127,32 @@ object Advanced {
         max(col("k")).as("max_k"),
         count(when(col("k").isNull, 1)).as("n_missing"))
 
+  /** Table profiling (the data-quality monitoring sweep): per-column
+    * row/null/distinct counts and min/max, for ALL profiled columns in
+    * ONE pass — a single aggregate computes every metric, then `stack`
+    * unpivots to long form. At 100 TB this is one scan of the table,
+    * not one per column. Long/string columns only: their VARCHAR
+    * rendering is identical across engines (doubles are not). */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"nn__$c"),
+        count_distinct(col(c)).as(s"nd__$c"),
+        min(col(c)).cast("string").as(s"mn__$c"),
+        max(col(c)).cast("string").as(s"mx__$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', n, nn__$c, nd__$c, mn__$c, mx__$c").mkString(", ")
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
+    "q_profile" -> (qProfile _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
@@ -139,6 +163,14 @@ object Advanced {
     "q_approx_stats" -> (qApproxStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
