@@ -15,6 +15,10 @@ run / fork := true
 // of sbt's logger, so the bench's final JSON line reaches the caller
 // WITHOUT an "[info] " prefix (the driver json-parses the last line).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: …" epilogue so the bench's JSON
+// line is the LITERAL LAST line of stdout (the driver parses the last
+// line; with the epilogue the JSON was second-to-last → parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,14 +55,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
-    // stop Spark FIRST so its shutdown logging can't land after the JSON:
-    // the bare line and the greppable sentinel are the very last output on
-    // both streams, surviving sbt's [info] stdout prefixes and log noise
+    // stop Spark FIRST so its shutdown logging can't land after the JSON.
+    // Print the greppable sentinel first and the BARE json line LAST: with
+    // build.sbt's StdoutOutput + showSuccess:=false the bare line is the
+    // literal final line of sbt stdout, so a last-line JSON parse succeeds.
     spark.stop()
-    println(json)
     println(s"BENCH_JSON: $json")
-    System.err.println(json)
+    println(json)
     System.err.println(s"BENCH_JSON: $json")
+    System.err.println(json)
     System.out.flush(); System.err.flush()
   }
 }
