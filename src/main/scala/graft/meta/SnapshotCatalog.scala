@@ -701,8 +701,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val added = scala.collection.mutable.LinkedHashSet[String]()
     // row-level parts for rewrites whose appends can't be carved out
     // path-wise (a compaction that bin-packed pre-existing files together
-    // with in-range appends)
-    val extraParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // with in-range appends), keyed by the rewrite's output paths so a
+    // LATER commit rewriting those outputs invalidates the part
+    val extraParts = scala.collection.mutable.ArrayBuffer[(Set[String], DataFrame)]()
     ((from.snapshotId + 1) to to.snapshotId).foreach { id =>
       snapshotById(table, id).foreach { s =>
         val curPaths = s.files.map(_.path)
@@ -710,6 +711,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
         val removed = prevPaths.diff(curSet)
         val newPaths = curPaths.filterNot(prevPaths.contains)
+        // a commit that rewrites any output of an earlier mixed
+        // compaction may have retired some of that carve-out's rows; the
+        // row-level lineage can't tell which, so the whole part is
+        // dropped — conservative under-report (this feed promises
+        // appended-rows-that-survive, never resurrection)
+        extraParts.filterInPlace { case (outs, _) => outs.intersect(removed).isEmpty }
         op match {
           case SnapshotCatalog.OpAppend =>
             added ++= newPaths
@@ -735,8 +742,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
             // difference IS the in-range contribution). Cost is bounded
             // by the compacted bytes, not the table.
             val preExisting = removed.filterNot(added.contains)
-            extraParts += spark.read.schema(s.schema).parquet(newPaths: _*)
-              .exceptAll(spark.read.schema(s.schema).parquet(preExisting.toSeq: _*))
+            extraParts += ((newPaths.toSet,
+              spark.read.schema(s.schema).parquet(newPaths: _*)
+                .exceptAll(spark.read.schema(s.schema).parquet(preExisting.toSeq: _*))))
           case _ => // delete / generic rewrite / all-pre-existing compact:
             // outputs carry surviving OLD rows — never appends
         }
@@ -753,7 +761,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
       else
         spark.read.schema(to.schema).parquet(files: _*)
-    extraParts.foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
+    extraParts.collect { case (outs, df) if outs.subsetOf(toPaths) => df }
+      .foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Row-level NET change feed between two snapshots, in a
@@ -770,9 +779,20 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     *   - pre-existing rewrite: outputs carry surviving OLD rows
     *     (excluded from inserts) and `before EXCEPT ALL after` emits
     *     exactly the net-deleted `from` rows;
-    *   - mixed inputs: the pre-existing side's deletes stay exact;
-    *     surviving in-range rows inside the mixed outputs are dropped
-    *     from the insert side (best-effort, documented).
+    *   - mixed inputs: the rewrite contributes `before EXCEPT ALL
+    *     after` deletes and `after EXCEPT ALL before` inserts, and the
+    *     two row-level sides are multiset-cancelled against each other
+    *     at the end, so a row version that was both introduced AND
+    *     retired inside the range (a merge's insert later re-merged,
+    *     a delete of a row a rewrite had produced) never surfaces.
+    *
+    * Guarantees (property-tested over random op interleavings in
+    * `CdcLifecycleSpec`): applying the feed to the `from` state
+    * reproduces the `to` state as a multiset; every `delete` row was
+    * present at `from`; every `insert` row is present at `to`. A row
+    * present at both endpoints whose physical copy turned over (deleted
+    * from a pre-existing file, re-appended later) may appear as a
+    * matched insert+delete pair — net-equivalent under apply.
     *
     * Scale: per delete commit this reads only the files that commit
     * actually rewrote (bounded by the delete's prune set), and the
@@ -841,11 +861,26 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       (if (insertFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
       else spark.read.schema(to.schema).parquet(insertFiles: _*))
-    val inserted = insertParts
+    // Net the row-level sides against each other: a row version
+    // introduced by one in-range rewrite (e.g. a merge's insert files)
+    // and retired by a later one appears in both insertParts and
+    // deleteParts — without cancellation the feed would emit a delete
+    // for a row that was never present at `from`. Both sides are
+    // bounded by the range's rewritten bytes (never whole snapshots),
+    // so the two except-alls stay cheap at scale; the file-level
+    // append side (insertedBase ⊆ `to`'s files) can't produce phantom
+    // rows and is deliberately left out of the netting so bulk appends
+    // remain a straight parquet scan.
+    val insPart = insertParts.reduceOption(_ unionByName _)
+    val delPart = deleteParts.reduceOption(_ unionByName _)
+    val (netIns, netDel) = (insPart, delPart) match {
+      case (Some(i), Some(d)) => (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
+      case other => other
+    }
+    val inserted = netIns
       .foldLeft(insertedBase)(_ unionByName _)
       .withColumn("_change_type", lit("insert"))
-    val deleted = deleteParts
-      .reduceOption(_ unionByName _)
+    val deleted = netDel
       .map(_.withColumn("_change_type", lit("delete")))
       .getOrElse {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)

@@ -159,6 +159,22 @@ object Ann {
       struct(dot(vec, array(cv.map(lit): _*)).as("score"), lit(i).as("cell"))
     }
 
+  /** The centroid-bootstrap query, factored out so its PLAN is a spec
+    * contract (`AnnSpec`): `orderBy(md5).limit(nCells)` must execute as
+    * `TakeOrderedAndProject` — a per-partition top-k heap merged on the
+    * driver, cost O(N) scan + O(nCells) result — never a global sort.
+    * A Spark upgrade that regressed this to Exchange+Sort would turn
+    * the bootstrap into the most expensive stage at 100 TB. */
+  private[ops] def ivfCentroidQuery(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int): DataFrame =
+    corpus
+      .select(col(idCol).cast("string").as("cid"), col(vecCol).as("cvec"))
+      .orderBy(md5(col("cid")), col("cid"))
+      .limit(nCells)
+
   /** Build the IVF index: `nCells` hash-chosen corpus vectors become
     * unit-normalized centroids (argmax cosine == argmax dot, so cell
     * assignment is nCells codegen'd dots per row, no norms). */
@@ -168,11 +184,7 @@ object Ann {
       vecCol: String,
       nCells: Int = 32): IvfIndex = {
     val base = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
-    val centRows = corpus
-      .select(col(idCol).cast("string").as("cid"), col(vecCol).as("cvec"))
-      .orderBy(md5(col("cid")), col("cid"))
-      .limit(nCells)
-      .collect()
+    val centRows = ivfCentroidQuery(corpus, idCol, vecCol, nCells).collect()
     val cents = centRows.map { r =>
       val v = r.getSeq[Float](1).map(_.toDouble)
       val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)

@@ -44,9 +44,18 @@ object Advanced {
     * a last-non-null window — no pair explosion, the scalable as-of
     * (both engines use the identical (ts, event_id) frame, so ties are
     * deterministic). */
-  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .filter(col("event_type").isin("click", "purchase"))
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame =
+    asofLastClick(Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase")))
+
+  /** The as-of core over any `(event_id, user_id, ts, event_type)`
+    * frame, factored out so the skew stress spec (`AsofSkewStressSpec`)
+    * drives the exact production window. Skew posture: one pathological
+    * user serializes ONE task at O(n log n) sort + O(n) scan — measured
+    * near-linear through 800k rows/key; the range-bucketed
+    * pre-partition escalation documented in SURVEY §7 stays unbuilt
+    * until a real corpus shows >10M-event keys. */
+  def asofLastClick(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -150,9 +159,36 @@ object Advanced {
         s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)"))
   }
 
+  /** The 100 TB profiling sweep: same single-scan shape as [[qProfile]]
+    * but HLL-approximate distincts. The exact form's 4 `count_distinct`s
+    * in one aggregate plan via Expand — every input row replicated
+    * (nCols+1)× through the first agg stage — which is linear but a 5×
+    * row amplification a petabyte sweep shouldn't pay. HLL sketches
+    * merge in the aggregate buffer (no Expand, no amplification); the
+    * accuracy contract vs the exact form is spec-tested
+    * (`AdvancedSpec`). Rows-only for the driver: sketch estimates are
+    * engine-specific by design. */
+  def qProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"nn__$c"),
+        approx_count_distinct(col(c)).as(s"nd__$c"),
+        min(col(c)).cast("string").as(s"mn__$c"),
+        max(col(c)).cast("string").as(s"mx__$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', n, nn__$c, nd__$c, mn__$c, mx__$c").mkString(", ")
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_profile" -> (qProfile _),
+    "q_profile_approx" -> (qProfileApprox _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),

@@ -1,0 +1,143 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.sinks.Writers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-lifecycle CDC property test.
+  *
+  * The per-operation CDC contracts (DeleteEvolveSpec, MergeCompactSpec)
+  * prove each commit kind in isolation; this spec proves the
+  * COMPOSITIONAL contract over random interleavings of
+  * append / deleteWhere / mergeInto / compact / expireSnapshots:
+  *
+  *   1. every surviving snapshot reads back exactly the model state at
+  *      the time it was committed (time travel is exact under churn);
+  *   2. for EVERY surviving snapshot pair (a, b):
+  *      state(a) minus the feed's deletes plus its inserts == state(b)
+  *      as multisets — `changesBetween` is an exact NET row feed no
+  *      matter which commit kinds the range spans (including ranges
+  *      whose interior snapshots were expired: the chain walk collapses
+  *      the missing commits into one file-level diff);
+  *   3. `readIncremental(a, b)` never resurrects a row: every row it
+  *      emits (with multiplicity) is present in state(b). (Incremental
+  *      read is an appended-rows feed, so ⊆ is the contract; exactness
+  *      is per-kind spec'd.)
+  *
+  * All tables are tiny (≤ ~200 rows), so each check is one collect and
+  * the multiset algebra runs driver-side — the spec's cost is Spark job
+  * scheduling, not data.
+  */
+class CdcLifecycleSpec extends SparkSpec {
+
+  private type MS = Map[(Long, Long), Int] // multiset of (id, v)
+
+  private def ms(rows: Seq[(Long, Long)]): MS =
+    rows.groupBy(identity).map { case (k, g) => k -> g.size }
+
+  private def plus(a: MS, b: MS): MS =
+    (a.keySet ++ b.keySet).map(k => k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0)))
+      .filter(_._2 != 0).toMap
+
+  private def minus(a: MS, b: MS): MS =
+    (a.keySet ++ b.keySet).map(k => k -> (a.getOrElse(k, 0) - b.getOrElse(k, 0)))
+      .filter(_._2 != 0).toMap
+
+  private def subsetOf(a: MS, b: MS): Boolean =
+    a.forall { case (k, n) => b.getOrElse(k, 0) >= n }
+
+  private def collectMs(df: DataFrame): MS =
+    ms(df.select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+
+  test("changesBetween/readIncremental hold over 100 random op sequences") {
+    import spark.implicits._
+    val rnd = new Random(20260812L)
+    val nSequences = 100
+    val opsPerSeq = 4
+
+    for (seq <- 0 until nSequences) {
+      val cat = new SnapshotCatalog(Files.createTempDirectory(s"graft-cdcp-$seq-").toString)
+      val dataDir = Files.createTempDirectory(s"graft-cdcp-data-$seq-").toString
+      val t = "t"
+
+      def batch(n: Int): Seq[(Long, Long)] =
+        Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+      def df(rows: Seq[(Long, Long)]): DataFrame =
+        rows.toDF("id", "v").coalesce(1)
+
+      // recorded (snapshotId -> model state) in commit order
+      var states = Vector.empty[(Long, MS)]
+      var state: MS = Map.empty
+
+      // first op is always an append so every later op has a snapshot
+      val first = batch(5 + rnd.nextInt(20))
+      state = plus(state, ms(first))
+      states :+= (Writers.writeSnapshot(cat, t, df(first), dataDir).snapshotId, state)
+
+      for (_ <- 1 until opsPerSeq) {
+        rnd.nextInt(5) match {
+          case 0 => // append
+            val b = batch(5 + rnd.nextInt(20))
+            state = plus(state, ms(b))
+            states :+= (Writers.writeSnapshot(cat, t, df(b), dataDir).snapshotId, state)
+          case 1 => // COW delete of an id range
+            val lo = rnd.nextInt(90).toLong
+            val hi = lo + rnd.nextInt(20).toLong
+            val snap = Writers.deleteWhere(spark, cat, t,
+              d => d.filter(!col("id").between(lo, hi)),
+              Seq(RangeNum("id", lo.toDouble, hi.toDouble)), dataDir)
+            state = state.filter { case ((id, _), _) => id < lo || id > hi }
+            states :+= (snap.snapshotId, state)
+          case 2 => // keyed merge (distinct source keys, some new some old)
+            val keys = rnd.shuffle((0 until 100).toList).take(1 + rnd.nextInt(8))
+            val src = keys.map(k => (k.toLong, rnd.nextInt(1000).toLong))
+            val snap = Writers.mergeInto(spark, cat, t, df(src), Seq("id"), dataDir)
+            state = plus(state.filter { case ((id, _), _) => !keys.contains(id.toInt) }, ms(src))
+            states :+= (snap.snapshotId, state)
+          case 3 => // bin-pack compaction: row-preserving, maybe a no-op
+            Writers.compact(spark, cat, t, dataDir).foreach { snap =>
+              states :+= (snap.snapshotId, state)
+            }
+          case 4 => // expire old manifests; table state unchanged
+            cat.expireSnapshots(t, keepLast = 1 + rnd.nextInt(3))
+            val surviving = cat.snapshots(t).map(_.snapshotId).toSet
+            states = states.filter { case (id, _) => surviving.contains(id) }
+        }
+      }
+
+      // 1. every surviving snapshot time-travels to its model state
+      for ((id, expected) <- states) {
+        val got = collectMs(cat.read(spark, t, snapshotId = Some(id)))
+        assert(got == expected, s"seq=$seq snapshot $id read != model state")
+      }
+
+      // 2 + 3. every surviving pair
+      for (i <- states.indices; j <- (i + 1) until states.size) {
+        val (aId, aState) = states(i)
+        val (bId, bState) = states(j)
+
+        val feed = cat.changesBetween(spark, t, aId, Some(bId))
+          .select(col("id"), col("v"), col("_change_type")).collect()
+        val ins = ms(feed.filter(_.getString(2) == "insert").map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        val del = ms(feed.filter(_.getString(2) == "delete").map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        val applied = plus(minus(aState, del), ins)
+        assert(applied == bState,
+          s"seq=$seq changesBetween($aId,$bId) applied to a != b: " +
+            s"extra=${minus(applied, bState)} missing=${minus(bState, applied)}")
+        // deletes must have been present at a, inserts must exist at b
+        assert(subsetOf(del, aState), s"seq=$seq changesBetween($aId,$bId) deletes rows absent at a")
+        assert(subsetOf(ins, bState), s"seq=$seq changesBetween($aId,$bId) inserts rows absent at b")
+
+        val inc = collectMs(cat.readIncremental(spark, t, aId, Some(bId)))
+        assert(subsetOf(inc, bState),
+          s"seq=$seq readIncremental($aId,$bId) resurrects rows: ${minus(inc, bState)}")
+      }
+    }
+  }
+}

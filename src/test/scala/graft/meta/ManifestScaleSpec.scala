@@ -82,6 +82,46 @@ class ManifestScaleSpec extends SparkSpec {
     assert(reader2.snapshotAsOf("t", 480_500L).map(_.snapshotId).contains(479L))
   }
 
+  test("commit latency and read parses stay flat from 1k to 10k snapshots") {
+    // the T5 streaming design point (one commit per micro-batch) reaches
+    // 10k+ snapshots in days; the whole metadata path must stay O(1)
+    // per operation — no hidden directory listing or log replay.
+    val root = Files.createTempDirectory("graft-m10k-").toString
+    val writer = new SnapshotCatalog(root)
+    val base = writer.commit(spark, "t", Seq(oneFile()))
+    val reuse = Map(base.files.head.path -> base.files.head)
+    def commits(n: Int): Unit = (0 until n).foreach { _ =>
+      writer.commit(spark, "t", Seq(base.files.head.path), reuseMeta = reuse)
+    }
+    def perCommitMs(n: Int): Double = {
+      val t0 = System.nanoTime()
+      commits(n)
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+    commits(799) // id 800
+    val at1k = perCommitMs(200) // ids 801..1000
+    commits(8800) // id 9800
+    val at10k = perCommitMs(200) // ids 9801..10000
+    assert(writer.currentSnapshot("t").get.snapshotId == 10000L)
+    info(f"per-commit latency: $at1k%.2f ms @1k, $at10k%.2f ms @10k")
+
+    // cold readers at 10k parse the same O(1) manifests as at 1k
+    val reader = new SnapshotCatalog(root)
+    assert(reader.planFiles("t").nonEmpty)
+    assert(reader.manifestParses.get() <= 3,
+      s"planFiles parsed ${reader.manifestParses.get()} manifests at 10k snapshots")
+    val late = new SnapshotCatalog(root)
+    late.commit(spark, "t", Seq(base.files.head.path), reuseMeta = reuse)
+    assert(late.manifestParses.get() <= 3,
+      s"commit at 10k snapshots parsed ${late.manifestParses.get()} manifests")
+
+    // latency flat: generous 8x band + 3 ms absolute floor absorbs fs
+    // jitter while still catching any O(n)-per-commit regression (an
+    // O(n) publish would be ~10x slower at 10k than 1k by construction)
+    assert(at10k <= at1k * 8 + 3.0,
+      f"per-commit latency grew $at1k%.2f ms @1k -> $at10k%.2f ms @10k; publish must be O(1)")
+  }
+
   test("commit cost does not scale with snapshot count (pointer, not list+parse)") {
     val root = Files.createTempDirectory("graft-mcat2-").toString
     val writer = new SnapshotCatalog(root)

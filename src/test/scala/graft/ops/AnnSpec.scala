@@ -148,4 +148,16 @@ class AnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("IVF centroid bootstrap plans as TakeOrderedAndProject, never a global sort") {
+    // orderBy(md5).limit(nCells) must stay a per-partition top-k heap:
+    // O(N) scan, O(nCells) driver result. A regression to Exchange+Sort
+    // (full shuffle-sort of the corpus) would dominate at 100 TB — pin
+    // the plan so a Spark upgrade can't silently change it.
+    val plan = Ann.ivfCentroidQuery(emb, "vec_id", "embedding", 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    assert(!plan.contains("SortExec") && !plan.contains("rangepartitioning"),
+      s"centroid bootstrap must not global-sort:\n$plan")
+  }
 }

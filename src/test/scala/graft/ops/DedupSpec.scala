@@ -96,7 +96,22 @@ class DedupSpec extends SparkSpec {
     // 16 bands x 4 rows at s=0.97: per-band hit 0.885, miss-all 3e-15
     assert(mhRecall == 1.0, f"minhash recall $mhRecall%.3f")
     assert(lshRecall == 1.0, f"ngram-LSH recall $lshRecall%.3f")
-    assert(shRecall >= 0.5, f"simhash recall $shRecall%.3f")
+    // SimHash's end-to-end recall on jaccard-planted pairs is bounded by
+    // the HASH's locality, not the bucketing: a 0.97-jaccard edit can
+    // still flip >maxHamming sign bits (each token shifts all 64 bit
+    // sums). The bucketing itself is COMPLETE for hamming<=maxHamming
+    // (pigeonhole, spec'd above) — proven again here: every planted pair
+    // simhash missed is OUTSIDE the operator's contract radius, so
+    // conditional recall (pairs within radius) is exactly 1.0. The 0.9
+    // floor is the measured deterministic locality of this corpus.
+    assert(shRecall >= 0.9, f"simhash recall $shRecall%.3f")
+    val hashes = docs.select(col("doc_id"), Dedup.simhash("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val missed = planted.filterNot(sh.contains)
+    missed.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      assert(d > 3, s"pair ($a,$b) at hamming $d <= 3 was missed: bucketing incomplete")
+    }
   }
 
   test("band schedule is a real parameter: wider banding keeps exactness and planted recall") {

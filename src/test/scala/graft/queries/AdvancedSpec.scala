@@ -20,6 +20,32 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("approx profile matches exact profile within HLL tolerance, no Expand in plan") {
+    // exact and approx forms agree on everything but n_distinct, where
+    // the HLL estimate must land within the sketch's default rsd band
+    val exact = Advanced.qProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Advanced.qProfileApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(a.getLong(1) == e.getLong(1), s"$c n_rows")
+      assert(a.getLong(2) == e.getLong(2), s"$c n_null")
+      assert(a.getString(4) == e.getString(4) && a.getString(5) == e.getString(5),
+        s"$c min/max")
+      val (ad, ed) = (a.getLong(3), e.getLong(3))
+      assert(math.abs(ad - ed).toDouble / math.max(ed, 1L) < 0.10,
+        s"$c HLL distinct off >10%: $ad vs exact $ed")
+    }
+    // the point of the variant: the exact form's count_distinct Expand
+    // (rows × (nCols+1) amplification) must be absent from the approx plan
+    val exactPlan = Advanced.qProfile(spark, sfDir).queryExecution.executedPlan.toString
+    val approxPlan = Advanced.qProfileApprox(spark, sfDir).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact form is the Expand baseline")
+    assert(!approxPlan.contains("Expand"), s"approx profile must not Expand:\n$approxPlan")
+  }
+
   test("salted aggregation equals direct group-by exactly") {
     val salted = Advanced.qSaltedAgg(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
