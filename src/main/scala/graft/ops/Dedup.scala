@@ -55,6 +55,25 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Boilerplate/template clusters (SURVEY §2.3 L30): documents that
+    * share their first `k` words — the prefix-fingerprint pass web
+    * pipelines run to catch templated pages (licence headers, scraper
+    * banners, form letters) that full-document hashing misses because
+    * the tails differ. Map-side prefix key + ONE hash groupBy, linear
+    * at any corpus size; emits only clusters of >= 2 docs with the
+    * lowest doc id as the keeper. Real deployments set k ~ 8-32; the
+    * synthetic battery query uses a small k so the grouped path is
+    * actually exercised. */
+  def prefixClusters(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"prefix length must be >= 1, got $k")
+    docs
+      .select(col(idCol).as("__pid"),
+        array_join(slice(TextAnalysis.words(col(textCol)), 1, k), " ").as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__pid")).as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   // ---- MinHash + LSH (L2) ----------------------------------------------
 
   val NumHashes = 64

@@ -83,6 +83,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Per-document lexical diversity (SURVEY §2.3 L29): type-token
+    * ratio and hapax-legomenon rate — the vocabulary-richness signals
+    * pretraining quality filters gate on alongside [[repetitionProfile]]
+    * (a doc whose TTR collapses is template spam; one whose hapax ratio
+    * spikes is OCR noise). Same linear shape as the repetition profile:
+    * one map-side explode, per-(doc,word) counts, one per-doc aggregate;
+    * per-doc groups are tiny so no skew at 100 TB. */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(idCol), col("n_words"), col("n_types"), col("n_hapax"),
+        round(col("n_types") / col("n_words").cast("double"), 6).as("ttr"),
+        round(col("n_hapax") / col("n_types").cast("double"), 6).as("hapax_ratio"))
+  }
+
   /** Per-document repetition profile (SURVEY §2.3 L25) — the
     * boilerplate/low-diversity quality signal pretraining filters gate
     * on: word count, distinct-word count, repetition ratio

@@ -196,7 +196,18 @@ object Pipeline {
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionize(Tables.events(s, dir))
 
+  /** Lexical diversity (L29): TTR + hapax rate per document. */
+  def qLexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Boilerplate prefix clusters (L30). k=2 on the synthetic word-soup
+    * corpus so clusters actually form; real corpora use k ~ 8-32. */
+  def qBoilerplatePrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixClusters(Tables.documents(s, dir), "doc_id", "text", k = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lexical_diversity" -> (qLexicalDiversity _),
+    "q_boilerplate_prefix" -> (qBoilerplatePrefix _),
     "q_token_count" -> (qTokenCount _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
@@ -227,6 +238,22 @@ object Pipeline {
   private val deL = stop(TextAnalysis.DeStop)
 
   val oracles: Map[String, String] = Map(
+    "q_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+        |  ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_boilerplate_prefix" ->
+      """SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 2), ' ') AS prefix,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -200,7 +200,47 @@ object TrainPrep {
         element_at(col("ws"), col("s")).as("head_word"))
   }
 
+  /** Collocation mining (SURVEY §2.3 L31): corpus-level bigram
+    * association by lift — the PMI-family signal phrase-mining and
+    * tokenizer-vocabulary work runs over a corpus ("new york" is a
+    * unit; "the the" is noise). Lift = P(w1,w2)/(P(w1)·P(w2)) orders
+    * identically to PMI (its log) without a transcendental, so the
+    * derived double is three IEEE divisions and two multiplications in
+    * a fixed order — bit-identical cross-engine. Scale: bigrams via a
+    * map-side `zip_with` of two slices (zero shuffle to form pairs),
+    * then two linear hash aggregations (pair counts, unigram counts)
+    * and a join of pair counts against the vocabulary table — the
+    * vocab side is ≪ corpus; totals are 1-row cross joins. Top-30 by
+    * lift with lexicographic tiebreak keeps the result bounded. */
+  def qBigramLift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(split(lower(col("text")), " ").as("ws"))
+    val toks = docs.select(explode(col("ws")).as("w"))
+    val uc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val np = pairs.agg(count(lit(1)).as("np"))
+    bc.filter(col("c12") >= 10)
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(np))
+      .withColumn("lift", round(
+        (col("c12") / col("np").cast("double")) *
+          (col("n") / col("c1").cast("double")) *
+          (col("n") / col("c2").cast("double")), 6))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(30)
+      .select(col("w1"), col("w2"), col("c12"), col("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lift" -> (qBigramLift _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_tfidf_topterms" -> (qTfidfTopTerms _),
@@ -217,6 +257,26 @@ object TrainPrep {
     s"CAST(('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_lift" ->
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS w FROM d),
+        |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM u),
+        |bp AS (
+        |  SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
+        |    unnest(list_slice(ws, 2, len(ws))) AS w2
+        |  FROM d WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bp GROUP BY 1, 2),
+        |bt AS (SELECT COUNT(*) AS np FROM bp)
+        |SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+        |  ROUND((bc.c12 / CAST(bt.np AS DOUBLE)) * (tot.n / CAST(u1.c AS DOUBLE))
+        |    * (tot.n / CAST(u2.c AS DOUBLE)), 6) AS lift
+        |FROM bc
+        |JOIN uc u1 ON bc.w1 = u1.w
+        |JOIN uc u2 ON bc.w2 = u2.w
+        |CROSS JOIN tot CROSS JOIN bt
+        |WHERE bc.c12 >= 10
+        |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin,
     "q_chunk_docs" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws,

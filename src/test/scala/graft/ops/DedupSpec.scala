@@ -63,6 +63,20 @@ class DedupSpec extends SparkSpec {
     assert(g.agg(sum("n_copies")).head().getLong(0) == docs.count())
   }
 
+  test("prefix clusters match driver-side ground truth and respect k") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+    def want(k: Int): Map[String, (Long, Long)] = texts
+      .groupBy { case (_, ws) => ws.take(k).mkString(" ") }
+      .collect { case (p, g) if g.size >= 2 => p -> ((g.size.toLong, g.map(_._1).min)) }
+    for (k <- Seq(2, 3)) {
+      val got = Dedup.prefixClusters(docs, "doc_id", "text", k)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want(k), s"k=$k")
+    }
+    assert(want(2).nonEmpty, "corpus should form prefix clusters at k=2")
+  }
+
   test("ngram jaccard search matches driver-side ground truth") {
     val got = Dedup.ngramJaccardSearch(docs, "doc_id", "text", col("id") < 100, 0.15)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -50,6 +50,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(3L) != fps(2L))
   }
 
+  test("lexical diversity matches driver-side ground truth") {
+    val got = TextAnalysis.lexicalDiversity(Tables.documents(spark, sfDir), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val want = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map { r =>
+        val counts = r.getString(1).toLowerCase.split(" ", -1)
+          .groupBy(identity).map { case (_, g) => g.length }
+        val nWords = counts.sum.toLong
+        val nTypes = counts.size.toLong
+        val nHapax = counts.count(_ == 1).toLong
+        def r6(x: Double) = math.rint(x * 1e6) / 1e6 // assert-tolerance only
+        r.getLong(0) -> ((nWords, nTypes, nHapax,
+          r6(nTypes.toDouble / nWords), r6(nHapax.toDouble / nTypes)))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nw, nt, nh, ttr, hr)) =>
+      val (wnw, wnt, wnh, wttr, whr) = want(id)
+      assert((nw, nt, nh) == ((wnw, wnt, wnh)), s"doc $id counts")
+      assert(math.abs(ttr - wttr) < 1e-6 && math.abs(hr - whr) < 1e-6, s"doc $id ratios")
+    }
+  }
+
   test("quality features are sane on the corpus") {
     val feats = TextAnalysis.qualityFeatures("text")
     val df = Tables.documents(spark, sfDir)

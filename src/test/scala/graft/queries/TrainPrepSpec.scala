@@ -7,6 +7,32 @@ import org.apache.spark.sql.functions._
   * bounds and mixture-rate composition. */
 class TrainPrepSpec extends SparkSpec {
 
+  test("bigram lift matches driver-side ground truth (counts exact, lift to 1e-6)") {
+    val texts = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ", -1).toSeq)
+    val uni = texts.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val n = texts.map(_.size.toLong).sum
+    val bi = texts.filter(_.size >= 2)
+      .flatMap(ws => ws.init.zip(ws.tail))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val np = bi.values.sum
+    val wantAll = bi.collect { case ((w1, w2), c12) if c12 >= 10 =>
+      val lift = (c12 / np.toDouble) * (n / uni(w1).toDouble) * (n / uni(w2).toDouble)
+      (w1, w2) -> ((c12, math.rint(lift * 1e6) / 1e6))
+    }
+    val wantTop = wantAll.toSeq
+      .sortBy { case ((w1, w2), (_, l)) => (-l, w1, w2) }.take(30).toMap
+    val got = TrainPrep.qBigramLift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == wantTop.size)
+    assert(got.keySet == wantTop.keySet,
+      s"missing=${wantTop.keySet -- got.keySet} extra=${got.keySet -- wantTop.keySet}")
+    got.foreach { case (p, (c12, l)) =>
+      assert(c12 == wantTop(p)._1, s"pair $p count")
+      assert(math.abs(l - wantTop(p)._2) < 1e-6, s"pair $p lift $l vs ${wantTop(p)._2}")
+    }
+  }
+
   test("sequence packs respect the token budget modulo one boundary document") {
     val budget = 2048L
     val maxDocTok = Tables.documents(spark, sfDir)
