@@ -67,7 +67,7 @@ object Stress {
     // then a MERGE whose key range touches a small slice, then a full
     // compaction. Merge cost must track the AFFECTED slice, not the
     // table; compaction must be one read + one O(touched) commit.
-    val (nm, tMerge, tCompact) = {
+    val (nm, tMerge, tCompact, nCdc, tCdc) = {
       val cat = new graft.meta.SnapshotCatalog(
         java.nio.file.Files.createTempDirectory("graft-stress-meta-").toString)
       val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-data-").toString
@@ -94,9 +94,17 @@ object Stress {
       val (_, t2) = time {
         graft.sinks.Writers.compact(spark, cat, "ord", dataDir).get
       }
-      (m.totalRows, t1, t2)
+      // the NET change feed across the WHOLE 202-commit chain (200
+      // ranged appends + merge + compaction): the chain walk must
+      // collapse the range into one file-level diff plus row-level
+      // parts bounded by the merge's rewritten slice — cost tracks the
+      // table's bytes once, never per-commit
+      val (cRows, t3) = time {
+        cat.changesBetween(spark, "ord", 1L, None).count()
+      }
+      (m.totalRows, t1, t2, cRows, t3)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact}}""")
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc}}""")
     spark.stop()
   }
 }
