@@ -46,6 +46,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows(2L).getLong(1) == 1) // empty string → one empty token
   }
 
+  test("lexical diversity and prefix clusters survive null/empty/short text") {
+    val ld = TextAnalysis.lexicalDiversity(edgy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // null text explodes to no rows → doc absent (same as repetitionProfile)
+    assert(!ld.contains(5L))
+    // empty text is one empty-string token: 1 word, 1 type, 1 hapax, ttr 1.0
+    assert(ld(2L).getLong(1) == 1L && ld(2L).getLong(2) == 1L && ld(2L).getDouble(4) == 1.0)
+    // all-distinct doc: ttr 1.0, hapax_ratio 1.0
+    assert(ld(1L).getDouble(4) == 1.0 && ld(1L).getDouble(5) == 1.0)
+    assert(TextAnalysis.lexicalDiversity(empty, "doc_id", "text").count() == 0)
+
+    // no two docs share a first word → no clusters; k beyond doc length clamps
+    assert(Dedup.prefixClusters(edgy, "doc_id", "text", 1).count() == 0)
+    assert(Dedup.prefixClusters(empty, "doc_id", "text", 8).count() == 0)
+    val twins = Seq((1L, "same start differs here"), (2L, "same start other tail"),
+      (3L, "same")).toDF("doc_id", "text")
+    val c = Dedup.prefixClusters(twins, "doc_id", "text", 2).collect()
+    assert(c.length == 1 && c.head.getString(0) == "same start" &&
+      c.head.getLong(1) == 2L && c.head.getLong(2) == 1L)
+    // k=1: "same" prefix of doc 3 joins the cluster (slice clamps)
+    val c1 = Dedup.prefixClusters(twins, "doc_id", "text", 1).collect()
+    assert(c1.length == 1 && c1.head.getLong(1) == 3L)
+  }
+
   test("ANN operators survive an empty corpus") {
     val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Ann.bruteForceTopK(emptyVec, "vec_id", "embedding", col("query_id") < 5).count() == 0)
