@@ -63,6 +63,24 @@ object Stress {
     val (np, tPack) = time {
       graft.queries.TrainPrep.qPackSequences(spark, sfDir).count()
     }
+    // as-of join with one pathological user holding 5M of 5.15M events:
+    // the hot partition is ONE task (sort + running frame) — this is
+    // the measured single-task rate behind SURVEY §6's "a 10M-event
+    // hot key costs single-digit seconds" claim
+    val (nasof, tAsof) = time {
+      val ev = spark.range(5150000).select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(103)) < 100, 0L)
+          .otherwise(pmod(col("id"), lit(31)) + 1).as("user_id"),
+        timestamp_micros(col("id") * 1000L + 1L).as("ts"),
+        when(pmod(col("id"), lit(3)) === 0, "purchase").otherwise("click")
+          .as("event_type"))
+      // aggregate OVER the as-of output column: a bare count() would let
+      // Catalyst prune the unused window and time only the row count
+      graft.queries.Advanced.asofLastClick(ev)
+        .agg(count(col("last_click_us")).as("n"), max(col("last_click_us")))
+        .head().getLong(0)
+    }
     // metadata layer at streaming scale: a 200-file table (200 commits),
     // then a MERGE whose key range touches a small slice, then a full
     // compaction. Merge cost must track the AFFECTED slice, not the
@@ -104,7 +122,7 @@ object Stress {
       }
       (m.totalRows, t1, t2, cRows, t3)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc}}""")
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc}}""")
     spark.stop()
   }
 }

@@ -85,6 +85,12 @@ final case class RangeNum(column: String, lo: Double, hi: Double) extends PruneF
   * of [[RangeNum]], used e.g. to bound a MERGE's rewrite set by the
   * source's key range. */
 final case class RangeString(column: String, lo: String, hi: String) extends PruneFilter
+/** IN-list on a string column (the multi-tenant id-list scan:
+  * `WHERE tenant IN (...)`): a file survives iff ANY listed value
+  * might be present by partition value, min/max range, and bloom —
+  * an id list over a bloom-indexed table prunes to the handful of
+  * files that could hold those ids, independent of table size. */
+final case class InString(column: String, values: Seq[String]) extends PruneFilter
 
 /** Distributive bloom-filter aggregator over (file, column, stringValue)
   * entries: partial blooms build map-side per partition, merge once per
@@ -650,6 +656,20 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
                 case _ => true
               }
             }
+        }
+      case InString(c, vs) =>
+        f.partitionValues.get(c) match {
+          case Some(pv) => vs.contains(pv)
+          case None => vs.exists { v =>
+            val rangeOk = f.stats.get(c).forall { st =>
+              (st.minS, st.maxS) match {
+                case (Some(mi), Some(ma)) => mi <= v && v <= ma
+                case _ => true
+              }
+            }
+            val bloomOk = f.bloomFor(c).forall(_.mightContainString(v))
+            rangeOk && bloomOk
+          }
         }
     }
 

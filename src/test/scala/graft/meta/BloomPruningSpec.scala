@@ -34,6 +34,19 @@ class BloomPruningSpec extends SparkSpec {
     val df = cat.read(spark, "nation", Seq(EqString("n_name", "NATION_20")))
       .filter(col("n_name") === "NATION_20")
     assert(df.count() == 1)
+
+    // IN-list pruning (the id-list scan): a file survives iff ANY
+    // listed value might be present — two absent values prune all,
+    // one present value keeps exactly its file, an empty list is IN ()
+    assert(cat.planFiles("nation",
+      Seq(InString("n_name", Seq("NATION_9999", "NATION_8888")))).isEmpty)
+    assert(cat.planFiles("nation",
+      Seq(InString("n_name", Seq("NATION_9999", "NATION_20")))).map(_.path) == Seq(fb))
+    assert(cat.planFiles("nation", Seq(InString("n_name", Nil))).isEmpty)
+    val inDf = cat.read(spark, "nation",
+        Seq(InString("n_name", Seq("NATION_20", "NATION_9999"))))
+      .filter(col("n_name").isin("NATION_20", "NATION_9999"))
+    assert(inDf.count() == 1)
   }
 
   test("bloom-enabled commit runs O(1) Spark jobs regardless of file count") {

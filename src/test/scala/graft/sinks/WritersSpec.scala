@@ -50,6 +50,14 @@ class WritersSpec extends SparkSpec {
       Seq(graft.meta.EqString("c_mktsegment", "BUILDING"))).count()
     assert(n == c.filter(col("c_mktsegment") === "BUILDING").count())
 
+    // IN-list pruning on partition values: keeps exactly the listed
+    // partitions, no footer reads
+    val inPlanned = cat.planFiles("cust_part",
+      Seq(graft.meta.InString("c_mktsegment", Seq("BUILDING", "MACHINERY"))))
+    assert(inPlanned.nonEmpty && inPlanned.size < snap.files.size)
+    assert(inPlanned.forall(f =>
+      Set("BUILDING", "MACHINERY").contains(f.partitionValues("c_mktsegment"))))
+
     // numeric partition values satisfy range pruning too
     val cat2 = new SnapshotCatalog(s"$base/cat2")
     val o = Tables.orders(spark, sfDir).withColumn("o_year", year(col("o_orderdate")))
