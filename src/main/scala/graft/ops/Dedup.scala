@@ -69,6 +69,9 @@ object Dedup {
     docs
       .select(col(idCol).as("__pid"),
         array_join(slice(TextAnalysis.words(col(textCol)), 1, k), " ").as("prefix"))
+      // null text propagates to a null prefix; without this filter two
+      // null-text docs would group into a spurious "boilerplate" cluster
+      .filter(col("prefix").isNotNull)
       .groupBy(col("prefix"))
       .agg(count(lit(1)).as("n_docs"), min(col("__pid")).as("keeper_id"))
       .filter(col("n_docs") >= 2)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Exact._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,12 +142,20 @@ object Advanced {
     * unpivots to long form. At 100 TB this is one scan of the table,
     * not one per column. Long/string columns only: their VARCHAR
     * rendering is identical across engines (doubles are not). */
-  def qProfile(s: SparkSession, dir: String): DataFrame = {
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    profileScan(s, dir, c => count_distinct(col(c)))
+
+  /** Shared single-scan profile scaffold: one aggregate computes every
+    * per-column metric, `stack` unpivots to long form; only the
+    * distinct-count aggregator differs between the exact oracle-gate
+    * form and the HLL sweep form. */
+  private def profileScan(
+      s: SparkSession, dir: String, distinctAgg: String => Column): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"nn__$c"),
-        count_distinct(col(c)).as(s"nd__$c"),
+        distinctAgg(c).as(s"nd__$c"),
         min(col(c)).cast("string").as(s"mn__$c"),
         max(col(c)).cast("string").as(s"mx__$c"))
     }
@@ -168,22 +176,8 @@ object Advanced {
     * accuracy contract vs the exact form is spec-tested
     * (`AdvancedSpec`). Rows-only for the driver: sketch estimates are
     * engine-specific by design. */
-  def qProfileApprox(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
-      Seq(
-        count(when(col(c).isNull, 1)).as(s"nn__$c"),
-        approx_count_distinct(col(c)).as(s"nd__$c"),
-        min(col(c)).cast("string").as(s"mn__$c"),
-        max(col(c)).cast("string").as(s"mx__$c"))
-    }
-    val stackArgs = cols.map(c =>
-      s"'$c', n, nn__$c, nd__$c, mn__$c, mx__$c").mkString(", ")
-    Tables.orders(s, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)"))
-  }
+  def qProfileApprox(s: SparkSession, dir: String): DataFrame =
+    profileScan(s, dir, c => approx_count_distinct(col(c)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),

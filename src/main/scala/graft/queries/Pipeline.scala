@@ -253,7 +253,8 @@ object Pipeline {
     "q_boilerplate_prefix" ->
       """SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 2), ' ') AS prefix,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
-        |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

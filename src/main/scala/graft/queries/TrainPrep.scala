@@ -217,14 +217,16 @@ object TrainPrep {
       .select(split(lower(col("text")), " ").as("ws"))
     val toks = docs.select(explode(col("ws")).as("w"))
     val uc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val n = toks.agg(count(lit(1)).as("n"))
     val pairs = docs.filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
           "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val np = pairs.agg(count(lit(1)).as("np"))
+    // totals derive from the ALREADY-AGGREGATED sides (vocab-sized, and
+    // bc pre-filter), not fresh corpus scans: 2 corpus reads, not 4
+    val n = uc.agg(sum(col("c")).as("n"))
+    val np = bc.agg(sum(col("c12")).as("np"))
     bc.filter(col("c12") >= 10)
       .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")

@@ -157,7 +157,10 @@ class AnnSpec extends SparkSpec {
     val plan = Ann.ivfCentroidQuery(emb, "vec_id", "embedding", 32)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
-    assert(!plan.contains("SortExec") && !plan.contains("rangepartitioning"),
+    // a Sort node renders as "Sort [" in the plan string (nodeName,
+    // not the SortExec class name); TakeOrderedAndProject renders its
+    // ordering as "orderBy=[...]" so this can't false-positive
+    assert(!plan.contains("Sort [") && !plan.contains("rangepartitioning"),
       s"centroid bootstrap must not global-sort:\n$plan")
   }
 }

@@ -59,6 +59,10 @@ class EdgeCaseSpec extends SparkSpec {
 
     // no two docs share a first word → no clusters; k beyond doc length clamps
     assert(Dedup.prefixClusters(edgy, "doc_id", "text", 1).count() == 0)
+    // two null-text docs must NOT form a spurious null-prefix cluster
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real text here")).toDF("doc_id", "text")
+    assert(Dedup.prefixClusters(nulls, "doc_id", "text", 2).count() == 0)
     assert(Dedup.prefixClusters(empty, "doc_id", "text", 8).count() == 0)
     val twins = Seq((1L, "same start differs here"), (2L, "same start other tail"),
       (3L, "same")).toDF("doc_id", "text")
