@@ -894,7 +894,13 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val insPart = insertParts.reduceOption(_ unionByName _)
     val delPart = deleteParts.reduceOption(_ unionByName _)
     val (netIns, netDel) = (insPart, delPart) match {
-      case (Some(i), Some(d)) => (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
+      case (Some(i), Some(d0)) =>
+        // exceptAll resolves POSITIONALLY; parts from different commits
+        // can carry the same columns in evolved order — align by name
+        // first (differing column SETS already fail loudly in the
+        // unionByName reduce above)
+        val d = d0.select(i.columns.map(col): _*)
+        (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
       case other => other
     }
     val inserted = netIns
