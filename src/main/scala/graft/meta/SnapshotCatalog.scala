@@ -276,7 +276,13 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
         timestampMs = clock(),
         parentId = prev.map(_.snapshotId),
-        schemaJson = schema.json,
+        // additive evolution (the Iceberg model): the table schema is
+        // the union of history — prior field order kept (with the new
+        // commit's type on a widened field), new columns appended. A
+        // narrow append after an evolution must not silently drop the
+        // evolved columns from the current schema.
+        schemaJson = prev.map(p => SnapshotCatalog.mergeSchemas(p.schema, schema))
+          .getOrElse(schema).json,
         files = files,
         props = props)
     }
@@ -673,6 +679,16 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         }
     }
 
+  /** Project `df` into `target`'s columns and order: missing columns
+    * null-fill, present ones cast to the target type — how an evolved
+    * table renders rows written under an older schema (old files read
+    * through the current schema). */
+  private def renderAs(target: StructType, df: DataFrame): DataFrame =
+    df.select(target.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   /** Files of a snapshot surviving manifest pruning. */
   def planFiles(
       table: String,
@@ -868,8 +884,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
               if (newPaths.isEmpty)
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
               else spark.read.schema(s.schema).parquet(newPaths: _*)
-            deleteParts += before.exceptAll(after)
-            insertParts += after.exceptAll(before)
+            // parts render in the END schema (columns evolved later in
+            // the range null-fill; the within-commit diff runs on the
+            // commit's own schema first, so its cancellation is exact)
+            deleteParts += renderAs(to.schema, before.exceptAll(after))
+            insertParts += renderAs(to.schema, after.exceptAll(before))
           }
         }
         prevPaths = curSet
@@ -998,6 +1017,16 @@ object SnapshotCatalog {
     * rowsByFile lookup can never silently diverge from commit's keys). */
   private[meta] def normalizePath(p: String): String =
     if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/') else p
+
+  /** Additive schema merge: prior field order kept (a field present in
+    * both takes the NEW commit's type — widening wins), new fields
+    * appended in commit order. */
+  private[meta] def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val prevNames = prev.fieldNames.toSet
+    StructType(
+      prev.fields.map(f => next.fields.find(_.name == f.name).getOrElse(f)) ++
+        next.fields.filterNot(f => prevNames.contains(f.name)))
+  }
 
   /** Commit-operation snapshot props consumed by [[SnapshotCatalog.readIncremental]]. */
   val OperationProp = "operation"

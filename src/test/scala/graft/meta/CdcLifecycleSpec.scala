@@ -68,8 +68,14 @@ class CdcLifecycleSpec extends SparkSpec {
 
       def batch(n: Int): Seq[(Long, Long)] =
         Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
-      def df(rows: Seq[(Long, Long)]): DataFrame =
-        rows.toDF("id", "v").coalesce(1)
+      // once the table schema evolved (+w column), every later batch
+      // carries it (merge sources must match the target schema; the
+      // invariants below are projections onto (id, v) either way)
+      var evolved = false
+      def df(rows: Seq[(Long, Long)]): DataFrame = {
+        val base = rows.toDF("id", "v")
+        (if (evolved) base.withColumn("w", col("id") * 2L) else base).coalesce(1)
+      }
 
       // recorded (snapshotId -> model state) in commit order
       var states = Vector.empty[(Long, MS)]
@@ -81,7 +87,7 @@ class CdcLifecycleSpec extends SparkSpec {
       states :+= (Writers.writeSnapshot(cat, t, df(first), dataDir).snapshotId, state)
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -108,6 +114,14 @@ class CdcLifecycleSpec extends SparkSpec {
             cat.expireSnapshots(t, keepLast = 1 + rnd.nextInt(3))
             val surviving = cat.snapshots(t).map(_.snapshotId).toSet
             states = states.filter { case (id, _) => surviving.contains(id) }
+          case 5 => // schema evolution: append a batch carrying a NEW
+            // column — later feeds spanning this boundary must render
+            // earlier parts null-filled in the end schema, and a later
+            // narrow-looking commit must not regress the table schema
+            evolved = true
+            val b = batch(5 + rnd.nextInt(10))
+            state = plus(state, ms(b))
+            states :+= (Writers.writeSnapshot(cat, t, df(b), dataDir).snapshotId, state)
         }
       }
 
