@@ -13,7 +13,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Engine.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.Advanced.queries ++
       graft.queries.TrainPrep.queries ++ graft.queries.Stats.queries ++
-      graft.queries.Vectors.queries
+      graft.queries.Vectors.queries ++ graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +21,5 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.Engine.oracles ++
       graft.queries.Pipeline.oracles ++ graft.queries.Advanced.oracles ++
       graft.queries.TrainPrep.oracles ++ graft.queries.Stats.oracles ++
-      graft.queries.Vectors.oracles
+      graft.queries.Vectors.oracles ++ graft.queries.Analytics.oracles
 }
