@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Paths}
 import java.util.UUID
 
-import graft.meta.{FileMeta, PruneFilter, RangeNum, RangeString, SnapshotCatalog, SnapshotMeta}
+import graft.meta.{FileMeta, PartTransform, PartitionTransforms, PruneFilter, RangeNum, RangeString, SnapshotCatalog, SnapshotMeta}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,49 @@ object Writers {
     catalog.commit(df.sparkSession, table, files,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
   }
+
+  /** Hidden-partitioned write (Iceberg partition-spec transforms,
+    * SURVEY §2 S35): materializes each transform's partition value as a
+    * derived column, writes Hive-partitioned on those, commits — the
+    * derived values land in each file's manifest `partitionValues`, so
+    * [[readTransformed]] can prune whole partition directories from a
+    * predicate on the SOURCE column alone (the reader never names the
+    * hidden column — Iceberg's hidden-partitioning contract). */
+  def writeTransformedSnapshot(
+      catalog: SnapshotCatalog,
+      table: String,
+      df: DataFrame,
+      path: String,
+      spec: Seq[PartTransform],
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
+    require(spec.nonEmpty, "need at least one transform")
+    val withCols = spec.foldLeft(df)((d, t) => d.withColumn(t.partCol, t.colExpr))
+    writePartitioned(withCols, path, spec.map(_.partCol))
+    val files = listParquet(Paths.get(path), recursive = true)
+    // append semantics: prior files survive with their manifest metadata
+    // intact — including files written under a DIFFERENT partition spec
+    // (Iceberg partition evolution: each file prunes by its own layout's
+    // partition values; filters mapped for a spec a file doesn't carry
+    // fall back to its column stats and never mis-prune)
+    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
+      reuseMeta = prevFiles.map(f => f.path -> f).toMap,
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+  }
+
+  /** Read a transform-partitioned table with predicates stated on RAW
+    * columns only: raw filters prune via per-file column stats, their
+    * transform-mapped derivatives prune via partition values — both from
+    * the manifest, no footer reads. The caller still applies the exact
+    * row filter (pruning is a superset guarantee). */
+  def readTransformed(
+      catalog: SnapshotCatalog,
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      spec: Seq[PartTransform],
+      rawFilters: Seq[PruneFilter]): DataFrame =
+    catalog.read(spark, table,
+      rawFilters ++ PartitionTransforms.mapFilters(spec, rawFilters))
 
   /** Bucketed + sorted managed table: pre-shuffled on `bucketCol` into
     * `numBuckets` files per partition, so joins between co-bucketed
