@@ -172,7 +172,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * metadata is supplied in `reuseMeta` are NOT re-scanned — a commit
     * that touches k of n files costs O(k), which is what keeps
     * copy-on-write deletes and appends viable on 100k-file tables.
-    */
+    *
+    * Bloom-indexed columns are STICKY table metadata (recorded in
+    * snapshot props): once a commit indexes columns, every later commit
+    * re-indexes its NEW files on the same columns automatically — a
+    * merge/delete/compact rewrite can't silently strip the index the
+    * IN-list scan path depends on. Passing `bloomColumns` explicitly
+    * replaces the sticky set. (Iceberg analogue: table write properties
+    * driving puffin/stats maintenance across rewrites.) */
   def commit(
       spark: SparkSession,
       table: String,
@@ -182,6 +189,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       reuseMeta: Map[String, FileMeta] = Map.empty,
       props: Map[String, String] = Map.empty): SnapshotMeta = {
     val (reusedPaths, newPaths) = paths.map(normalize).partition(reuseMeta.contains)
+    val stickyBloomCols =
+      if (bloomColumns.nonEmpty) bloomColumns
+      else currentSnapshot(table)
+        .flatMap(_.props.get(SnapshotCatalog.BloomColumnsProp))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val withSticky =
+      if (stickyBloomCols.isEmpty) props
+      else props + (SnapshotCatalog.BloomColumnsProp -> stickyBloomCols.mkString(","))
     // no new files to scan: all-reused commits AND fully-empty commits
     // (e.g. a delete that removed every row) carry the schema forward
     if (newPaths.isEmpty) {
@@ -194,7 +209,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           parentId = Some(prev0.snapshotId),
           schemaJson = prev0.schemaJson,
           files = reusedPaths.map(reuseMeta),
-          props = props)
+          props = withSticky)
       }
     }
     val df = spark.read.parquet(newPaths: _*)
@@ -243,8 +258,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       normalize(r.getAs[String]("__file")) -> r.getAs[Long]("__rows")
     }.toMap
     val blooms: Map[String, Map[String, String]] =
-      if (bloomColumns.isEmpty) Map.empty
-      else buildBlooms(spark, table, newPaths, bloomColumns, rowsByFile, bloomFpp)
+      if (stickyBloomCols.isEmpty) Map.empty
+      else buildBlooms(spark, table, newPaths, stickyBloomCols, rowsByFile, bloomFpp)
 
     val newFiles = perFile.map { row =>
       val path = normalize(row.getAs[String]("__file"))
@@ -284,7 +299,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         schemaJson = prev.map(p => SnapshotCatalog.mergeSchemas(p.schema, schema))
           .getOrElse(schema).json,
         files = files,
-        props = props)
+        props = withSticky)
     }
   }
 
@@ -619,6 +634,37 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         "file_count" -> s.files.size,
         "current_snapshot_id" -> currentSnapshot(table).map(_.snapshotId).getOrElse(-1L))
     }.getOrElse(Map("table_id" -> table))
+  }
+
+  /** Iceberg `table$snapshots` metadata table: one row per live
+    * snapshot, queryable/joinable like any DataFrame. Driver-side
+    * assembly is bounded by metadata size (one row per snapshot), never
+    * by data size. */
+  def snapshotsDf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    snapshots(table).map { s =>
+      (s.snapshotId, s.parentId.getOrElse(-1L), s.timestampMs,
+        s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend),
+        s.files.size, s.totalRows, s.totalBytes)
+    }.toDF("snapshot_id", "parent_id", "timestamp_ms", "operation",
+      "n_files", "total_rows", "total_bytes")
+  }
+
+  /** Iceberg `table$files` metadata table: one row per data file of a
+    * snapshot (default current) with its manifest metadata — size, row
+    * count, hive partition values, and which columns carry min/max
+    * stats. The file-skipping debugging surface: join against a
+    * predicate's bounds to see which files a prune would keep. */
+  def filesDf(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snap = snapshotId.flatMap(snapshotById(table, _))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    snap.files.map { f =>
+      (f.path, f.sizeBytes, f.rowCount, f.partitionValues,
+        f.stats.keys.toSeq.sorted, f.blooms.keys.toSeq.sorted)
+    }.toDF("path", "size_bytes", "row_count", "partition_values",
+      "stat_columns", "bloom_columns")
   }
 
   // ---- pruning + read --------------------------------------------------
@@ -1029,6 +1075,10 @@ object SnapshotCatalog {
   }
 
   /** Commit-operation snapshot props consumed by [[SnapshotCatalog.readIncremental]]. */
+  /** Sticky table prop listing the bloom-indexed columns (comma-joined);
+    * carried forward and re-applied to new files by every commit. */
+  val BloomColumnsProp = "graft.bloom.columns"
+
   val OperationProp = "operation"
   val OpAppend = "append"
   val OpDelete = "delete"

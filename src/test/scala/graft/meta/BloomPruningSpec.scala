@@ -49,6 +49,32 @@ class BloomPruningSpec extends SparkSpec {
     assert(inDf.count() == 1)
   }
 
+  test("bloom index is sticky: a COW delete's rewritten files are re-indexed") {
+    val base = Files.createTempDirectory("graft-bloomstick-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val n = Tables.nation(spark, sfDir)
+    graft.sinks.Writers.writeSnapshot(cat, "nation", n, s"$base/data",
+      bloomColumns = Seq("n_name"))
+    val s1 = cat.currentSnapshot("nation").get
+    assert(s1.props.get(SnapshotCatalog.BloomColumnsProp).contains("n_name"))
+
+    // the rewrite does NOT name bloom columns — stickiness must
+    val s2 = graft.sinks.Writers.deleteWhere(spark, cat, "nation",
+      df => df.filter(col("n_nationkey") =!= 0), Nil, s"$base/data")
+    assert(s2.props.get(SnapshotCatalog.BloomColumnsProp).contains("n_name"))
+    assert(s2.files.nonEmpty)
+    assert(s2.files.forall(_.blooms.contains("n_name")),
+      "rewritten files lost their bloom index")
+
+    // and the index still prunes after the rewrite
+    val miss = cat.planFiles("nation", Seq(EqString("n_name", "NATION_9999")))
+    assert(miss.isEmpty)
+
+    // an append that names nothing keeps indexing its new files too
+    val s3 = graft.sinks.Writers.writeSnapshot(cat, "nation", n.limit(3), s"$base/data")
+    assert(s3.files.forall(_.blooms.contains("n_name")))
+  }
+
   test("bloom-enabled commit runs O(1) Spark jobs regardless of file count") {
     val data = Files.createTempDirectory("graft-bloomjobs-").toString
     val c = Tables.customer(spark, sfDir)

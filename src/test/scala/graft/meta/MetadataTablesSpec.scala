@@ -1,0 +1,55 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import graft.sinks.Writers
+import org.apache.spark.sql.functions._
+
+/** Iceberg `$snapshots` / `$files` metadata tables: catalog state as
+  * queryable DataFrames. */
+class MetadataTablesSpec extends SparkSpec {
+
+  test("snapshotsDf: one row per snapshot with operation lineage") {
+    val base = Files.createTempDirectory("graft-metatbl-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val n = Tables.nation(spark, sfDir)
+    Writers.writeSnapshot(cat, "nation", n, s"$base/data")
+    Writers.writeSnapshot(cat, "nation", n.limit(5), s"$base/data")
+    Writers.deleteWhere(spark, cat, "nation",
+      df => df.filter(col("n_nationkey") =!= 0), Nil, s"$base/data")
+
+    val df = cat.snapshotsDf(spark, "nation")
+    val rows = df.orderBy(col("snapshot_id")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("operation")).toSeq == Seq("append", "append", "delete"))
+    // parent chain is dense
+    assert(rows.map(_.getAs[Long]("parent_id")).toSeq == Seq(-1L, 1L, 2L))
+    // row counts reflect the operations: 25, +5 dup, then both copies of
+    // key 0 deleted
+    assert(rows.map(_.getAs[Long]("total_rows")).toSeq == Seq(25L, 30L, 28L))
+    // it is a real DataFrame: aggregate over it
+    val appends = df.filter(col("operation") === "append").count()
+    assert(appends == 2)
+  }
+
+  test("filesDf: one row per manifest file incl. partition values and stat columns") {
+    val base = Files.createTempDirectory("graft-metatbl2-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writePartitionedSnapshot(cat, "cust", c, s"$base/data", Seq("c_mktsegment"))
+
+    val df = cat.filesDf(spark, "cust")
+    val rows = df.collect()
+    assert(rows.length == cat.currentSnapshot("cust").get.files.size)
+    // partition values surface as a queryable map column
+    val segs = df.select(element_at(col("partition_values"), "c_mktsegment").as("seg"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(segs.contains("BUILDING") && segs.size >= 3)
+    // stats columns recorded for data columns (partition col is path-only)
+    assert(rows.forall(_.getAs[Seq[String]]("stat_columns").contains("c_acctbal")))
+    // sizes and row counts are live manifest numbers
+    val totRows = df.agg(sum(col("row_count"))).collect()(0).getLong(0)
+    assert(totRows == c.count())
+  }
+}
