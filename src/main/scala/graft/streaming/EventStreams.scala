@@ -12,6 +12,16 @@ final case class StreamEvent(event_id: Long, user_id: Long, ts: java.sql.Timesta
 /** A closed (or timed-out) session emitted by the streaming sessionizer. */
 final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+/** Typed event (with type) for the streaming funnel state machine. */
+final case class TypedEvent(
+    event_id: Long, user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+/** A funnel stage advance: `stage` 1..3, with the qualifying event time. */
+final case class FunnelOut(user_id: Long, stage: Int, stage_name: String, at_us: Long)
+
+/** Per-user funnel progress carried between micro-batches. */
+final case class FunnelProgress(stage: Int, atUs: Long)
+
 /** Open-session state carried between micro-batches. */
 final case class SessionState(startUs: Long, lastUs: Long, n: Long)
 
@@ -150,5 +160,48 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+  val FunnelStageNames: Seq[String] = Seq("view", "click_after_view", "purchase_after_click")
+
+  /** Streaming ordered funnel (SURVEY §2.4 T6): the live counterpart of
+    * the batch `q_funnel` — a per-user state machine advancing
+    * view → click → purchase, where each stage's qualifying event must
+    * be STRICTLY LATER than the previous stage's timestamp; a stage
+    * advance is emitted the micro-batch it happens.
+    *
+    * Scale: state is ONE tiny record (stage, ts) per user, partitioned
+    * by user_id; a user who completes the funnel has their state REMOVED
+    * — long-run state is proportional to in-flight users, not stream
+    * length or total users.
+    */
+  def funnelStream(events: Dataset[TypedEvent]): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
+
+    val fn = (userId: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelProgress]) => {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = Seq.newBuilder[FunnelOut]
+      var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+      sorted.foreach { e =>
+        if (cur.stage < FunnelStages.size &&
+            e.event_type == FunnelStages(cur.stage) &&
+            micros(e.ts) > cur.atUs) {
+          cur = FunnelProgress(cur.stage + 1, micros(e.ts))
+          out += FunnelOut(userId, cur.stage, FunnelStageNames(cur.stage - 1), cur.atUs)
+        }
+      }
+      if (cur.stage >= FunnelStages.size) state.remove()
+      else if (cur.stage > 0) state.update(cur)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 }

@@ -125,4 +125,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
     stream.stop()
   }
+
+  test("streaming funnel: stage advances match the batch state machine; state removed on completion") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    val stream = EventStreams.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("fnl").outputMode(OutputMode.Append()).start()
+
+    // user 1 completes across micro-batches; user 2 stalls at view;
+    // user 3's click PRECEDES its view (strictly-after gate must hold it
+    // at stage 1); user 4's purchase arrives without a click (no skip)
+    mem.addData(
+      TypedEvent(1, 1, "view", ts(0)), TypedEvent(2, 1, "click", ts(5)),
+      TypedEvent(3, 2, "view", ts(1)),
+      TypedEvent(4, 3, "click", ts(2)), TypedEvent(5, 3, "view", ts(3)),
+      TypedEvent(6, 4, "view", ts(4)), TypedEvent(7, 4, "purchase", ts(6)))
+    stream.processAllAvailable()
+    mem.addData(
+      TypedEvent(8, 1, "purchase", ts(10)),
+      TypedEvent(9, 3, "click", ts(12)))
+    stream.processAllAvailable()
+
+    val got = spark.table("fnl").as[FunnelOut].collect()
+    val byUser = got.groupBy(_.user_id).view.mapValues(_.map(_.stage).sorted.toSeq).toMap
+    assert(byUser(1L) == Seq(1, 2, 3), "user 1 walks all three stages")
+    assert(byUser(2L) == Seq(1))
+    assert(byUser(3L) == Seq(1, 2), "pre-view click must not count; later click advances")
+    assert(byUser(4L) == Seq(1), "purchase without click must not skip a stage")
+    // stage timestamps are the qualifying events'
+    val u1 = got.filter(_.user_id == 1).sortBy(_.stage)
+    assert(u1.map(_.at_us).toSeq ==
+      Seq(ts(0), ts(5), ts(10)).map(_.getTime * 1000))
+    assert(u1.map(_.stage_name).toSeq ==
+      Seq("view", "click_after_view", "purchase_after_click"))
+    stream.stop()
+  }
 }
