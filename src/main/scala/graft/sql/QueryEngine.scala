@@ -50,4 +50,15 @@ final class QueryEngine(
     register()
     spark.sql(query)
   }
+
+  /** Register a catalog table's metadata tables as SQL views —
+    * `<table>__snapshots` and `<table>__files` — so operational queries
+    * run in plain SQL over live manifest state (Iceberg's
+    * `SELECT * FROM t$snapshots` surface; `$` is not legal in a Spark
+    * temp-view name, hence `__`). Re-invoke after commits to observe a
+    * newer snapshot. */
+  def registerMetadata(catalog: graft.meta.SnapshotCatalog, table: String): Unit = {
+    catalog.snapshotsDf(spark, table).createOrReplaceTempView(s"${table}__snapshots")
+    catalog.filesDf(spark, table).createOrReplaceTempView(s"${table}__files")
+  }
 }

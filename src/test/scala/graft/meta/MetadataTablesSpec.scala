@@ -52,4 +52,26 @@ class MetadataTablesSpec extends SparkSpec {
     val totRows = df.agg(sum(col("row_count"))).collect()(0).getLong(0)
     assert(totRows == c.count())
   }
+
+  test("metadata tables are SQL-queryable through the engine") {
+    val base = Files.createTempDirectory("graft-metasql-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val n = Tables.nation(spark, sfDir)
+    Writers.writeSnapshot(cat, "nation", n, s"$base/data")
+    Writers.writeSnapshot(cat, "nation", n.limit(7), s"$base/data")
+
+    val engine = new graft.sql.QueryEngine(spark, sfDir)
+    engine.registerMetadata(cat, "nation")
+    // snapshot growth in plain SQL (Iceberg's t$snapshots surface)
+    val growth = engine.sql(
+      """SELECT snapshot_id, total_rows,
+        |  total_rows - lag(total_rows) OVER (ORDER BY snapshot_id) AS added
+        |FROM nation__snapshots ORDER BY snapshot_id""".stripMargin).collect()
+    assert(growth.length == 2)
+    assert(growth(1).getAs[Long]("added") == 7L)
+    // files view joins like any table
+    val nFiles = engine.sql(
+      "SELECT COUNT(*) AS n FROM nation__files").collect()(0).getAs[Long]("n")
+    assert(nFiles == cat.currentSnapshot("nation").get.files.size)
+  }
 }

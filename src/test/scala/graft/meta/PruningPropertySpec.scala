@@ -67,4 +67,48 @@ class PruningPropertySpec extends AnyFunSuite {
         RangeString("absent", "a", "b"))))
     }
   }
+
+  test("property: transform-mapped filters never skip the partition holding the value") {
+    // truncate: a file whose partition is trunc(v) must survive every
+    // filter shape mentioning v; prefix truncation must stay monotone
+    val tr = TruncateTransform("c", 3)
+    sample(strings, 200, 19L).zipWithIndex.foreach { case (vs0, i) =>
+      val vs = vs0.map(s => if (s.isEmpty) "x" else s)
+      val v = vs(i % vs.size)
+      val f = FileMeta("/f", 1L, 0L, partitionValues = Map(tr.partCol -> tr.truncOf(v)))
+      assert(cat.fileMatches(f, PartitionTransforms.mapFilters(Seq(tr), Seq(EqString("c", v)))),
+        s"case $i truncate Eq skipped $v")
+      assert(cat.fileMatches(f,
+        PartitionTransforms.mapFilters(Seq(tr), Seq(RangeString("c", vs.min, vs.max))) ++
+          Nil) || !(vs.min <= v && v <= vs.max),
+        s"case $i truncate range skipped $v")
+      assert(cat.fileMatches(f, PartitionTransforms.mapFilters(Seq(tr), Seq(InString("c", vs)))),
+        s"case $i truncate IN skipped $v")
+      // monotonicity of the mapped range itself
+      assert(tr.truncOf(vs.min) <= tr.truncOf(v) && tr.truncOf(v) <= tr.truncOf(vs.max))
+    }
+    // bucket: the file in bucketOf(v) must survive Eq/IN on v
+    val b = BucketTransform("c", 7)
+    sample(strings, 200, 23L).zipWithIndex.foreach { case (vs0, i) =>
+      val vs = vs0.map(s => if (s.isEmpty) "y" else s)
+      val v = vs(i % vs.size)
+      val f = FileMeta("/f", 1L, 0L, partitionValues = Map(b.partCol -> b.bucketOf(v)))
+      assert(cat.fileMatches(f, PartitionTransforms.mapFilters(Seq(b), Seq(EqString("c", v)))),
+        s"case $i bucket Eq skipped $v")
+      assert(cat.fileMatches(f, PartitionTransforms.mapFilters(Seq(b), Seq(InString("c", vs)))),
+        s"case $i bucket IN skipped $v")
+    }
+    // days: a file whose partition is the day of any ms in [lo, hi] must
+    // survive the mapped range
+    val d = DaysTransform("ts")
+    sample(Gen.chooseNum(0L, 3_000_000_000_000L), 200, 29L).zipWithIndex.foreach { case (ms, i) =>
+      val f = FileMeta("/f", 1L, 0L,
+        partitionValues = Map(d.partCol -> d.dayOfMillis(ms.toDouble)))
+      val lo = math.max(0L, ms - 86400000L * 3)
+      val hi = ms + 86400000L * 2
+      assert(cat.fileMatches(f,
+        PartitionTransforms.mapFilters(Seq(d), Seq(RangeNum("ts", lo.toDouble, hi.toDouble)))),
+        s"case $i days skipped ms=$ms")
+    }
+  }
 }

@@ -65,6 +65,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("zipf profile's top-k is a TakeOrdered, never a global sort of the vocabulary") {
+    val plan = Analytics.qZipfProfile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must plan as top-k:\n${plan.take(2000)}")
+    // the 50-row rank/cumsum window is the ONLY single-partition stage
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "corpus total must broadcast, not shuffle")
+  }
+
   test("decontamination broadcasts the benchmark side (corpus never shuffles for the join)") {
     val plan = TrainPrep.qDecontaminate(spark, sfDir)
       .queryExecution.executedPlan.toString
