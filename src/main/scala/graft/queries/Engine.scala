@@ -225,6 +225,37 @@ object Engine {
       .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
   }
 
+  // Memoized z-order-clustered orders catalog per sf-dir: the morton
+  // layout on (o_totalprice, o_custkey) is the one-time investment; the
+  // benched/verified path is the two-dimensional stats-pruned read.
+  private val zorderCats = TrieMap.empty[String, SnapshotCatalog]
+  private def zorderCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    zorderCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-zorder-").toString
+      val cat = new SnapshotCatalog(tmp)
+      Writers.writeZOrderedSnapshot(cat, "orders", Tables.orders(s, dir),
+        s"$tmp/data", Seq("o_totalprice", "o_custkey"), nFiles = 16)
+      cat
+    })
+
+  /** Z-order-pruned two-dimensional range read (SURVEY §2 at the query
+    * level, on the S-layer morton layout): after clustering on
+    * (o_totalprice, o_custkey), BOTH range predicates prune files
+    * through plain min/max stats — each file covers a small
+    * hyper-rectangle, so a 2-D selection opens a handful of the 16
+    * files where a linear layout would open nearly all; the row filter
+    * restores exactness and the result equals the plain-scan oracle. */
+  def qZorderRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = zorderCatFor(s, dir)
+    cat.read(s, "orders", filters = Seq(
+        RangeNum("o_totalprice", 100000.0, 200000.0),
+        RangeNum("o_custkey", 0.0, 300.0)))
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") <= 200000.0 &&
+        col("o_custkey") <= 300)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
   /** Arbitrary SQL through QueryEngine's registered corpus (SURVEY §2
     * S18) — the reference's `execute_query` path (src/sql/engine.py:66). */
   def qSqlEngine(s: SparkSession, dir: String): DataFrame =
@@ -240,6 +271,7 @@ object Engine {
     "q_snapshot_read" -> (qSnapshotRead _),
     "q_inlist_read" -> (qInlistRead _),
     "q_days_read" -> (qDaysRead _),
+    "q_zorder_read" -> (qZorderRead _),
     "q_merge_read" -> (qMergeRead _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_sql_engine" -> (qSqlEngine _))
@@ -260,6 +292,13 @@ object Engine {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q_zorder_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+        |  AND o_custkey <= 300
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_days_read" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value

@@ -337,14 +337,22 @@ object Writers {
     * antidote to streaming ingest's file-per-micro-batch explosion —
     * scan cost tracks data volume again instead of commit count.
     *
-    * Spark-first: ONE read of all small files, `coalesce` (no shuffle —
-    * compaction moves no rows between keys) into ceil(totalBytes /
-    * targetBytes) outputs, one O(touched) metadata commit. The commit is
-    * labeled row-preserving (`operation=compact`), which CDC readers
-    * exploit: a compaction emits NO spurious changes, and incremental
-    * reads substitute outputs for inputs when the inputs were themselves
-    * in-range appends. Returns None when fewer than `minFiles` files
-    * qualify (nothing worth rewriting). */
+    * PARTITION-AWARE: small files are binned WITHIN their partition
+    * (identical `partitionValues`), and each bin's outputs are written
+    * under re-encoded `k=v` path segments — so compaction preserves
+    * partition pruning (incl. hidden-transform layouts) instead of
+    * collapsing pruned directories into unprunable mixed files. A
+    * partition with a single small file is left alone (nothing to pack
+    * with); unpartitioned tables degenerate to one bin, the old
+    * behavior.
+    *
+    * Spark-first: ONE read + `coalesce` per bin (no shuffle — compaction
+    * moves no rows between keys), one O(touched) metadata commit. The
+    * commit is labeled row-preserving (`operation=compact`), which CDC
+    * readers exploit: a compaction emits NO spurious changes, and
+    * incremental reads substitute outputs for inputs when the inputs
+    * were themselves in-range appends. Returns None when fewer than
+    * `minFiles` files qualify (nothing worth rewriting). */
   def compact(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -357,18 +365,31 @@ object Writers {
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     val (small, big) = current.files.partition(_.sizeBytes < smallBytes)
     if (small.size < minFiles) return None
-    val totalBytes = small.map(_.sizeBytes).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val dir = Paths.get(dataDir, s"compact-${UUID.randomUUID().toString.take(8)}")
-    spark.read.schema(current.schema).parquet(small.map(_.path): _*)
-      .coalesce(nOut)
-      .write.parquet(dir.toString)
-    val outputs = listParquet(dir)
-    Some(catalog.commit(spark, table, big.map(_.path) ++ outputs,
-      reuseMeta = big.map(f => f.path -> f).toMap,
+    val groups = small.groupBy(_.partitionValues)
+    val (binned, loners) = groups.partition(_._2.size >= 2)
+    if (binned.isEmpty || binned.values.map(_.size).sum < minFiles) return None
+    val base = Paths.get(dataDir, s"compact-${UUID.randomUUID().toString.take(8)}")
+    val outputs = binned.toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .zipWithIndex.flatMap { case ((pv, fs), gi) =>
+        val sub = pv.toSeq.sortBy(_._1).foldLeft(base.resolve(s"g$gi")) {
+          case (p, (k, v)) =>
+            p.resolve(s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}")
+        }
+        val totalBytes = fs.map(_.sizeBytes).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        spark.read.schema(current.schema).parquet(fs.map(_.path): _*)
+          .coalesce(nOut)
+          .write.parquet(sub.toString)
+        listParquet(sub)
+      }
+    val rewritten = binned.values.flatten.toSeq
+    val kept = big ++ loners.values.flatten
+    Some(catalog.commit(spark, table, kept.map(_.path) ++ outputs,
+      reuseMeta = kept.map(f => f.path -> f).toMap,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpCompact,
-        SnapshotCatalog.RewrittenFromProp -> small.map(_.path).sorted.mkString(","))))
+        SnapshotCatalog.RewrittenFromProp -> rewritten.map(_.path).sorted.mkString(","))))
   }
 
   /** Write `df` as parquet under `dataDir` and commit the produced files

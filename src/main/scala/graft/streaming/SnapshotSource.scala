@@ -34,7 +34,8 @@ import org.apache.spark.sql.types.StructType
 final class SnapshotSource(
     sqlContext: SQLContext,
     root: String,
-    table: String) extends Source {
+    table: String,
+    maxSnapshotsPerTrigger: Option[Long] = None) extends Source {
 
   private val catalog = new SnapshotCatalog(root)
   private def spark = sqlContext.sparkSession
@@ -43,8 +44,28 @@ final class SnapshotSource(
     throw new IllegalArgumentException(
       s"table $table has no snapshots under $root (the source needs a schema)"))
 
+  // last end offset handed to getBatch — the rate-limit anchor. Restored
+  // naturally on checkpoint restart: MicroBatchExecution replays the
+  // last committed range through getBatch before polling getOffset.
+  @volatile private var lastEnd: Option[Long] = None
+
+  /** Latest offset to OFFER this trigger: the current snapshot, capped
+    * to `lastEnd + maxSnapshotsPerTrigger` — a consumer catching up on a
+    * deep backlog takes it in bounded micro-batches (the Delta
+    * `maxFilesPerTrigger` analogue) instead of one unbounded batch. If
+    * expiration removed the snapshot at the cap, the offer slides down
+    * to the nearest surviving id (never past `lastEnd`). */
   override def getOffset: Option[Offset] =
-    catalog.currentSnapshot(table).map(s => LongOffset(s.snapshotId))
+    catalog.currentSnapshot(table).map { s =>
+      val capped = (lastEnd, maxSnapshotsPerTrigger) match {
+        case (Some(le), Some(m)) if le + m < s.snapshotId =>
+          ((le + m) to (le + 1) by -1)
+            .find(id => catalog.snapshotById(table, id).isDefined)
+            .getOrElse(s.snapshotId)
+        case _ => s.snapshotId
+      }
+      LongOffset(capped)
+    }
 
   private def id(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -52,6 +73,7 @@ final class SnapshotSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastEnd = Some(id(end))
     val batch = start match {
       // first batch: the whole table as of the end snapshot
       case None => catalog.read(spark, table, snapshotId = Some(id(end)))
@@ -96,5 +118,6 @@ final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceR
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new SnapshotSource(sqlContext, opt(parameters, "catalogRoot"), opt(parameters, "table"))
+    new SnapshotSource(sqlContext, opt(parameters, "catalogRoot"), opt(parameters, "table"),
+      parameters.get("maxSnapshotsPerTrigger").map(_.toLong))
 }

@@ -75,6 +75,43 @@ class PartitionTransformSpec extends SparkSpec {
     }
   }
 
+  test("compaction bins within partitions and preserves hidden-partition pruning") {
+    val base = Files.createTempDirectory("graft-cpt-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val e = Tables.events(spark, sfDir)
+    val spec = Seq(DaysTransform("ts"))
+    // two appends → ≥2 small files per day partition
+    Writers.writeTransformedSnapshot(cat, "ev", e, s"$base/d1", spec)
+    val s2 = Writers.writeTransformedSnapshot(cat, "ev", e, s"$base/d2", spec)
+    val nDays = s2.files.map(_.partitionValues("__p_ts_day")).toSet.size
+    assert(s2.files.size >= 2 * nDays)
+
+    val s3 = Writers.compact(spark, cat, "ev", s"$base/cpt",
+      targetBytes = Long.MaxValue, smallBytes = Long.MaxValue).get
+    // every bin stayed inside one partition and re-encoded its value
+    assert(s3.files.forall(_.partitionValues.contains("__p_ts_day")))
+    assert(s3.files.size == nDays, s"want one output per day, got ${s3.files.size}/$nDays")
+
+    // pruning still works from metadata alone after the rewrite
+    val utc = java.time.ZoneOffset.UTC
+    def ms(d: String) =
+      java.time.LocalDate.parse(d).atStartOfDay(utc).toInstant.toEpochMilli.toDouble
+    val raw = Seq(RangeNum("ts", ms("2024-01-10"), ms("2024-01-13")))
+    val kept = cat.planFiles("ev", raw ++ PartitionTransforms.mapFilters(spec, raw))
+    assert(kept.nonEmpty && kept.size <= 4, s"kept ${kept.size} files")
+    assert(kept.forall(f =>
+      Set("2024-01-10", "2024-01-11", "2024-01-12", "2024-01-13")
+        .contains(f.partitionValues("__p_ts_day"))))
+
+    // row preservation: both appended copies survive the rewrite
+    val got = Writers.readTransformed(cat, spark, "ev", spec, raw)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-13").cast("timestamp")).count()
+    val want = e.filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+      col("ts") < lit("2024-01-13").cast("timestamp")).count()
+    assert(got == 2 * want && want > 0)
+  }
+
   test("partition evolution: files written under different specs prune by their own layout") {
     val base = Files.createTempDirectory("graft-evo-").toString
     val cat = new SnapshotCatalog(s"$base/cat")

@@ -54,6 +54,38 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("maxSnapshotsPerTrigger bounds catch-up batches; backlog still drains completely") {
+    val root = Files.createTempDirectory("graft-rate-").toString
+    val dataDir = Files.createTempDirectory("graft-rate-data-").toString
+    val cat = new SnapshotCatalog(root)
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 20), dataDir)
+    val stream = spark.readStream
+      .format("graft.streaming.SnapshotSourceProvider")
+      .option("catalogRoot", root).option("table", "cust")
+      .option("maxSnapshotsPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("ratesrc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.processAllAvailable()
+      // a 4-commit backlog accumulates while the stream is live (the
+      // initial full-table load is one snapshot READ — the cap governs
+      // incremental ranges, where batch size ∝ commits covered)
+      (1 to 4).foreach { i =>
+        Writers.writeSnapshot(cat, "cust",
+          c.filter(col("c_custkey").between(20 * i + 1, 20 * i + 20)), dataDir)
+      }
+      stream.processAllAvailable()
+      // complete drain despite the cap
+      assert(spark.table("ratesrc").count() == c.filter(col("c_custkey") <= 100).count())
+      // the backlog arrived in bounded batches: the cap forces ≥ 4
+      // incremental triggers after the initial load (1 snapshot each)
+      val batches = stream.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 5, s"backlog must drain in capped batches, saw $batches")
+    } finally stream.stop()
+  }
+
   test("restart from checkpoint resumes at the last committed snapshot offset") {
     val root = Files.createTempDirectory("graft-ckpt-").toString
     val dataDir = Files.createTempDirectory("graft-ckpt-data-").toString
