@@ -41,7 +41,8 @@ final case class FileMeta(
     sizeBytes: Long,
     stats: Map[String, ColStats] = Map.empty,
     blooms: Map[String, String] = Map.empty,
-    partitionValues: Map[String, String] = Map.empty) {
+    partitionValues: Map[String, String] = Map.empty,
+    sketches: Map[String, String] = Map.empty) {
 
   /** Bloom values are ABSOLUTE sidecar file paths (current format) so
     * manifests stay O(stats) bytes; inline base64 (pre-sidecar
@@ -187,16 +188,24 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       bloomColumns: Seq[String] = Nil,
       bloomFpp: Double = 0.03,
       reuseMeta: Map[String, FileMeta] = Map.empty,
-      props: Map[String, String] = Map.empty): SnapshotMeta = {
+      props: Map[String, String] = Map.empty,
+      sketchColumns: Seq[String] = Nil): SnapshotMeta = {
     val (reusedPaths, newPaths) = paths.map(normalize).partition(reuseMeta.contains)
     val stickyBloomCols =
       if (bloomColumns.nonEmpty) bloomColumns
       else currentSnapshot(table)
         .flatMap(_.props.get(SnapshotCatalog.BloomColumnsProp))
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val withSticky =
-      if (stickyBloomCols.isEmpty) props
-      else props + (SnapshotCatalog.BloomColumnsProp -> stickyBloomCols.mkString(","))
+    val stickySketchCols =
+      if (sketchColumns.nonEmpty) sketchColumns
+      else currentSnapshot(table)
+        .flatMap(_.props.get(SnapshotCatalog.SketchColumnsProp))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val withSticky = props ++
+      (if (stickyBloomCols.isEmpty) Map.empty
+       else Map(SnapshotCatalog.BloomColumnsProp -> stickyBloomCols.mkString(","))) ++
+      (if (stickySketchCols.isEmpty) Map.empty
+       else Map(SnapshotCatalog.SketchColumnsProp -> stickySketchCols.mkString(",")))
     // no new files to scan: all-reused commits AND fully-empty commits
     // (e.g. a delete that removed every row) carry the schema forward
     if (newPaths.isEmpty) {
@@ -237,14 +246,37 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       }
     }.toSeq
 
+    // NDV sketches ride the SAME stats job: one datasketches HLL per
+    // (file, sketch column), aggregated map-side alongside min/max —
+    // zero extra scans. Values sketch as strings (consistent with the
+    // bloom index), so any column type is sketchable.
+    val sketchCols = stickySketchCols.filter(c => schema.fieldNames.contains(c))
+    val sketchAggs = sketchCols.map(c =>
+      hll_sketch_agg(col(c).cast("string")).as(s"sk__$c"))
+
     // _metadata.file_path, not input_file_name(): the hidden column adds
     // to the scan schema, so Spark's CacheManager never substitutes a
     // cached InMemoryRelation (where input_file_name() yields "").
     val perFile = df
       .withColumn("__file", col("_metadata.file_path"))
       .groupBy(col("__file"))
-      .agg(count(lit(1)).as("__rows"), statAggs: _*)
+      .agg(count(lit(1)).as("__rows"), statAggs ++ sketchAggs: _*)
       .collect()
+
+    // sketch sidecars, like bloom sidecars: manifests stay stats-sized
+    val sketchDir = tableDir(table).resolve("sketches")
+    if (sketchCols.nonEmpty) Files.createDirectories(sketchDir)
+    val sketchRefs: Map[String, Map[String, String]] = perFile.map { row =>
+      val path = normalize(row.getAs[String]("__file"))
+      path -> sketchCols.flatMap { c =>
+        Option(row.getAs[Array[Byte]](s"sk__$c")).map { bytes =>
+          val sidecar = sketchDir.resolve(
+            s"hll-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
+          Files.write(sidecar, bytes)
+          c -> sidecar.toAbsolutePath.toString
+        }
+      }.toMap
+    }.toMap
 
     val fileSizes: Map[String, Long] = newPaths.map { p =>
       val f = Paths.get(p)
@@ -282,7 +314,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         sizeBytes = fileSizes.getOrElse(path, 0L),
         stats = stats,
         blooms = blooms.getOrElse(path, Map.empty),
-        partitionValues = parsePartitionValues(path))
+        partitionValues = parsePartitionValues(path),
+        sketches = sketchRefs.getOrElse(path, Map.empty))
     }.toSeq
     val files = newFiles ++ reusedPaths.map(reuseMeta)
 
@@ -662,9 +695,43 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     snap.files.map { f =>
       (f.path, f.sizeBytes, f.rowCount, f.partitionValues,
-        f.stats.keys.toSeq.sorted, f.blooms.keys.toSeq.sorted)
+        f.stats.keys.toSeq.sorted, f.blooms.keys.toSeq.sorted,
+        f.sketches.keys.toSeq.sorted)
     }.toDF("path", "size_bytes", "row_count", "partition_values",
-      "stat_columns", "bloom_columns")
+      "stat_columns", "bloom_columns", "sketch_columns")
+  }
+
+  /** Metadata-only approximate NDV (Iceberg puffin theta-sketch
+    * analogue): merge the per-file HLL sketches of a column into one
+    * estimate WITHOUT touching a data file — the answer a query planner
+    * or profiling sweep wants at 100 TB, where an exact distinct is a
+    * full-table shuffle. Mergeability is the point: sketches compose
+    * across files, appends, rewrites and snapshots, so the estimate is
+    * always current at metadata cost (one tiny local job over ≤ nFiles
+    * sketch binaries).
+    *
+    * Returns None when any non-empty file lacks a sketch for `column`
+    * (an estimate that silently ignored files would be a lie). */
+  def approxCountDistinct(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      snapshotId: Option[Long] = None): Option[Long] = {
+    val snap = snapshotId.flatMap(snapshotById(table, _))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    if (snap.files.exists(f => f.rowCount > 0 && !f.sketches.contains(column))) None
+    else {
+      val bins = snap.files.flatMap(_.sketches.get(column))
+        .map(p => Files.readAllBytes(Paths.get(p)))
+      if (bins.isEmpty) Some(0L)
+      else {
+        import spark.implicits._
+        Some(bins.toDF("sk")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("ndv"))
+          .collect()(0).getLong(0))
+      }
+    }
   }
 
   // ---- pruning + read --------------------------------------------------
@@ -1078,6 +1145,10 @@ object SnapshotCatalog {
   /** Sticky table prop listing the bloom-indexed columns (comma-joined);
     * carried forward and re-applied to new files by every commit. */
   val BloomColumnsProp = "graft.bloom.columns"
+
+  /** Sticky table prop listing the HLL-sketched columns (comma-joined);
+    * carried forward and re-applied to new files by every commit. */
+  val SketchColumnsProp = "graft.sketch.columns"
 
   val OperationProp = "operation"
   val OpAppend = "append"

@@ -403,13 +403,15 @@ object Writers {
       df: DataFrame,
       dataDir: String,
       bloomColumns: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty): SnapshotMeta = {
+      props: Map[String, String] = Map.empty,
+      sketchColumns: Seq[String] = Nil): SnapshotMeta = {
     val dir = Paths.get(dataDir, s"commit-${UUID.randomUUID().toString.take(8)}")
     df.write.parquet(dir.toString)
     val files = listParquet(dir)
     val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files, bloomColumns,
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,
-      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props,
+      sketchColumns = sketchColumns)
   }
 }
