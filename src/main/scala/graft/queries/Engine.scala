@@ -256,6 +256,34 @@ object Engine {
       .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("sum_price"))
   }
 
+  // Memoized sketch-indexed customer catalog per sf-dir (SURVEY §2 S37).
+  private val sketchCats = TrieMap.empty[String, SnapshotCatalog]
+  private val sketchedCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  private def sketchCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    sketchCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-sketch-").toString
+      val cat = new SnapshotCatalog(tmp)
+      Writers.writeSnapshot(cat, "customer",
+        Tables.customer(s, dir).repartition(8), s"$tmp/data",
+        sketchColumns = sketchedCols)
+      cat
+    })
+
+  /** Metadata-only table profile (SURVEY §2 S37 at the query level): per
+    * column, the NDV estimate from merged manifest HLL sketches plus the
+    * manifest row count — the profiling sweep `q_profile` answers by
+    * scanning, answered here WITHOUT opening a data file. Rows-only by
+    * design (estimates); `SketchStatsSpec` pins the accuracy. */
+  def qMetaProfile(s: SparkSession, dir: String): DataFrame = {
+    val cat = sketchCatFor(s, dir)
+    val snap = cat.currentSnapshot("customer").get
+    import s.implicits._
+    sketchedCols.map { c =>
+      (c, cat.approxCountDistinct(s, "customer", c).getOrElse(-1L), snap.totalRows)
+    }.toDF("column", "ndv_est", "total_rows")
+  }
+
   /** Arbitrary SQL through QueryEngine's registered corpus (SURVEY §2
     * S18) — the reference's `execute_query` path (src/sql/engine.py:66). */
   def qSqlEngine(s: SparkSession, dir: String): DataFrame =
@@ -272,6 +300,7 @@ object Engine {
     "q_inlist_read" -> (qInlistRead _),
     "q_days_read" -> (qDaysRead _),
     "q_zorder_read" -> (qZorderRead _),
+    "q_meta_profile" -> (qMetaProfile _),
     "q_merge_read" -> (qMergeRead _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_sql_engine" -> (qSqlEngine _))

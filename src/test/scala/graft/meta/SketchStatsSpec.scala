@@ -59,6 +59,19 @@ class SketchStatsSpec extends SparkSpec {
     assert(math.abs(atFirst - exact).toDouble / exact <= 0.05)
   }
 
+  test("q_meta_profile: the no-scan profile tracks exact NDVs per column") {
+    val got = graft.queries.Engine.qMetaProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val c = Tables.customer(spark, sfDir)
+    val n = c.count()
+    got.foreach { case (colName, (ndv, total)) =>
+      assert(total == n)
+      val exact = c.select(col(colName)).distinct().count()
+      assert(ndv >= 0 && math.abs(ndv - exact).toDouble / math.max(1L, exact) <= 0.05,
+        s"$colName: $ndv vs $exact")
+    }
+  }
+
   test("un-sketched columns refuse to estimate rather than lie") {
     val base = Files.createTempDirectory("graft-sk3-").toString
     val cat = new SnapshotCatalog(s"$base/cat")
