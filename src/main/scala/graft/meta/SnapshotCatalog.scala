@@ -60,6 +60,18 @@ final case class FileMeta(
     }
 }
 
+/** A staged-but-unpublished append (write-audit-publish): file paths
+  * written and recorded OUTSIDE the snapshot chain — prospective state,
+  * never table metadata until published. `parentId` documents what the
+  * stager saw; publish applies onto whatever is current then (append
+  * cherry-pick). */
+final case class StagedMeta(
+    stagedId: String,
+    parentId: Option[Long],
+    timestampMs: Long,
+    paths: Seq[String],
+    props: Map[String, String] = Map.empty)
+
 /** A committed table version (reference: pyiceberg `Snapshot` surfaced
   * through src/iceberg_management/metadata.py:160 `get_snapshot`).
   * `props` carries committer metadata (e.g. streaming batch ids for
@@ -701,6 +713,85 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       "stat_columns", "bloom_columns", "sketch_columns")
   }
 
+  // ---- write-audit-publish (staged commits) ----------------------------
+
+  /** Stage an append WITHOUT touching the table (Iceberg's WAP pattern:
+    * `spark.wap.branch` / stage-only commits): the data files are
+    * written and their paths recorded in a staged manifest OUTSIDE the
+    * dense snapshot chain, so readers, CDC and streaming sources see
+    * nothing until [[publishStaged]]. Returns the staged id the audit
+    * step passes around. */
+  def stageAppend(
+      table: String,
+      paths: Seq[String],
+      props: Map[String, String] = Map.empty): String = {
+    val dir = tableDir(table)
+    Files.createDirectories(dir)
+    val stagedId = java.util.UUID.randomUUID().toString.take(12)
+    val meta = StagedMeta(
+      stagedId = stagedId,
+      parentId = currentSnapshot(table).map(_.snapshotId),
+      timestampMs = clock(),
+      paths = paths.map(SnapshotCatalog.normalizePath),
+      props = props)
+    Files.write(stagedPath(table, stagedId),
+      Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+    stagedId
+  }
+
+  /** The staged manifest, or None if unknown/already published. */
+  def staged(table: String, stagedId: String): Option[StagedMeta] = {
+    val p = stagedPath(table, stagedId)
+    if (!Files.exists(p)) None
+    else Some(JsonMethods.parse(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).extract[StagedMeta])
+  }
+
+  /** Staged-but-unpublished ids for a table (audit queue). */
+  def listStaged(table: String): Seq[String] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return Nil
+    val stream = Files.list(dir)
+    val names = try stream.iterator().asScala.map(_.getFileName.toString).toList
+      finally stream.close()
+    names
+      .filter(n => n.startsWith("staged-") && n.endsWith(".json"))
+      .map(_.stripPrefix("staged-").stripSuffix(".json"))
+      .sorted
+  }
+
+  /** Publish a staged append: its files land on top of the CURRENT
+    * snapshot through the normal atomic-optimistic commit — commits that
+    * happened after staging are preserved (append cherry-pick, the only
+    * WAP publish that is always safe), and the staged record is
+    * consumed. Stats/blooms/sketches are computed here, at publish — the
+    * staged state was never table metadata. */
+  def publishStaged(
+      spark: SparkSession,
+      table: String,
+      stagedId: String): SnapshotMeta = {
+    val st = staged(table, stagedId).getOrElse(throw new IllegalArgumentException(
+      s"no staged commit $stagedId for table $table"))
+    val prev = currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val snap = commit(spark, table, prev.map(_.path) ++ st.paths,
+      reuseMeta = prev.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
+        SnapshotCatalog.WapIdProp -> stagedId) ++ st.props)
+    discardStaged(table, stagedId)
+    snap
+  }
+
+  /** Drop a staged commit that failed its audit. Data files are left for
+    * [[vacuumDataFiles]] (they were never referenced by any snapshot). */
+  def discardStaged(table: String, stagedId: String): Unit = {
+    Files.deleteIfExists(stagedPath(table, stagedId))
+    ()
+  }
+
+  private def stagedPath(table: String, id: String): Path =
+    tableDir(table).resolve(s"staged-$id.json")
+
   /** Metadata-only approximate NDV (Iceberg puffin theta-sketch
     * analogue): merge the per-file HLL sketches of a column into one
     * estimate WITHOUT touching a data file — the answer a query planner
@@ -1089,7 +1180,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * its manifest publishes, and the grace window keeps the race away.
     * Returns the deleted paths. */
   def vacuumDataFiles(table: String, dataDir: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
-    val live: Set[String] = snapshots(table).flatMap(_.files).map(f => normalize(f.path)).toSet
+    // staged-but-unpublished WAP files are live too: an in-audit stage
+    // must survive a routine vacuum (discard is the explicit path out)
+    val stagedLive = listStaged(table)
+      .flatMap(staged(table, _)).flatMap(_.paths).map(normalize)
+    val live: Set[String] =
+      (snapshots(table).flatMap(_.files).map(f => normalize(f.path)) ++ stagedLive).toSet
     val cutoff = clock() - graceMs
     val stream = Files.walk(Paths.get(dataDir))
     val candidates = try stream.iterator().asScala
@@ -1149,6 +1245,10 @@ object SnapshotCatalog {
   /** Sticky table prop listing the HLL-sketched columns (comma-joined);
     * carried forward and re-applied to new files by every commit. */
   val SketchColumnsProp = "graft.sketch.columns"
+
+  /** Set on a published snapshot to the staged id it came from —
+    * the WAP audit trail (Iceberg's `wap.id` summary entry). */
+  val WapIdProp = "graft.wap.id"
 
   val OperationProp = "operation"
   val OpAppend = "append"

@@ -392,6 +392,36 @@ object Writers {
         SnapshotCatalog.RewrittenFromProp -> rewritten.map(_.path).sorted.mkString(","))))
   }
 
+  /** Write-audit-publish, stage step: `df`'s files are written and
+    * recorded OUTSIDE the snapshot chain — readers, CDC and streaming
+    * sources see NOTHING until `catalog.publishStaged`. Audit the
+    * prospective state with [[readStaged]]; a failed audit is
+    * `catalog.discardStaged` (the files fall to vacuum). */
+  def stageAppendSnapshot(
+      catalog: SnapshotCatalog,
+      table: String,
+      df: DataFrame,
+      dataDir: String,
+      props: Map[String, String] = Map.empty): String = {
+    val dir = Paths.get(dataDir, s"staged-${UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(dir.toString)
+    catalog.stageAppend(table, listParquet(dir), props)
+  }
+
+  /** The PROSPECTIVE table state of a staged append — current snapshot
+    * plus the staged files — for audit queries (row counts, quality
+    * gates, dedup checks) before anything becomes visible. */
+  def readStaged(
+      catalog: SnapshotCatalog,
+      spark: SparkSession,
+      table: String,
+      stagedId: String): DataFrame = {
+    val st = catalog.staged(table, stagedId).getOrElse(throw new IllegalArgumentException(
+      s"no staged commit $stagedId for table $table"))
+    val cur = catalog.currentSnapshot(table).map(_.files.map(_.path)).getOrElse(Nil)
+    spark.read.parquet((cur ++ st.paths): _*)
+  }
+
   /** Write `df` as parquet under `dataDir` and commit the produced files
     * as a new snapshot of `table` — the transactional append pattern
     * (write files, then one atomic metadata commit), mirroring the
