@@ -284,6 +284,36 @@ object Engine {
     }.toDF("column", "ndv_est", "total_rows")
   }
 
+  // Memoized incrementally-maintained view per sf-dir (SURVEY §2 S39):
+  // base commit + append + CDC-folded refresh happen once; the benched/
+  // verified path reads the view — which must equal a from-scratch
+  // aggregate of the WHOLE source (the oracle's plain GROUP BY).
+  private val mvCats = TrieMap.empty[String, SnapshotCatalog]
+  private def mvCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    mvCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-mv-").toString
+      val cat = new SnapshotCatalog(tmp)
+      val o = Tables.orders(s, dir)
+      Writers.writeSnapshot(cat, "orders", o.filter(col("o_orderkey") % 2 === 0), s"$tmp/data")
+      graft.sinks.MaterializedAgg.build(s, cat, "orders", "orders_mv",
+        Seq("o_orderstatus"), Seq("o_totalprice"), s"$tmp/view")
+      Writers.writeSnapshot(cat, "orders", o.filter(col("o_orderkey") % 2 =!= 0), s"$tmp/data")
+      graft.sinks.MaterializedAgg.refresh(s, cat, "orders", "orders_mv",
+        Seq("o_orderstatus"), Seq("o_totalprice"), s"$tmp/view")
+      cat
+    })
+
+  /** Incrementally-maintained aggregate view read (SURVEY §2 S39 at the
+    * query level): the view was built on half the source and refreshed
+    * from the other half's change feed — reading it must equal the
+    * oracle's from-scratch GROUP BY over the full table. */
+  def qMvRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = mvCatFor(s, dir)
+    cat.read(s, "orders_mv")
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("sum_price"))
+  }
+
   /** Arbitrary SQL through QueryEngine's registered corpus (SURVEY §2
     * S18) — the reference's `execute_query` path (src/sql/engine.py:66). */
   def qSqlEngine(s: SparkSession, dir: String): DataFrame =
@@ -301,6 +331,7 @@ object Engine {
     "q_days_read" -> (qDaysRead _),
     "q_zorder_read" -> (qZorderRead _),
     "q_meta_profile" -> (qMetaProfile _),
+    "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_sql_engine" -> (qSqlEngine _))
@@ -321,6 +352,11 @@ object Engine {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q_mv_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_zorder_read" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
