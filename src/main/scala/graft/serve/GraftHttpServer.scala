@@ -34,6 +34,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     service; needs a `SnapshotCatalog` wired at construction)
   *   - `GET /history?table=...[&limit=N]` — snapshot history, newest
   *     first (reference: `get_snapshot_history`, metadata.py:189)
+  *   - `GET /ndv?table=...&column=...[&snapshot=ID]` — metadata-only
+  *     approximate distinct count from manifest HLL sketches (S37)
+  *   - `GET /staged?table=...` — pending write-audit-publish stages (S38)
   *
   * Scale: rows stream through `toLocalIterator` one partition at a time
   * — serving a 100 TB result never materializes it driver-side; the
@@ -78,6 +81,8 @@ final class GraftHttpServer(
     server.createContext("/table", (ex: HttpExchange) => safely(ex)(handleTable))
     server.createContext("/changes", (ex: HttpExchange) => safely(ex)(handleChanges))
     server.createContext("/history", (ex: HttpExchange) => safely(ex)(handleHistory))
+    server.createContext("/ndv", (ex: HttpExchange) => safely(ex)(handleNdv))
+    server.createContext("/staged", (ex: HttpExchange) => safely(ex)(handleStaged))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     this
@@ -145,6 +150,37 @@ final class GraftHttpServer(
     val limit = param(ex, "limit").map(_.toInt)
     val body = cat.history(table, limit).map { m =>
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    respond(ex, 200, body + "\n")
+  }
+
+  /** Metadata-only NDV from manifest HLL sketches (SURVEY §2 S37):
+    * `GET /ndv?table=T&column=C[&snapshot=ID]` → `{"table":…,"column":…,
+    * "ndv":N}` or 404 when the column is not sketch-indexed — answered
+    * without touching a data file. */
+  private def handleNdv(ex: HttpExchange): Unit = {
+    val table = param(ex, "table").getOrElse(
+      throw new IllegalArgumentException("missing table parameter"))
+    val column = param(ex, "column").getOrElse(
+      throw new IllegalArgumentException("missing column parameter"))
+    val snap = param(ex, "snapshot").map(_.toLong)
+    cat.approxCountDistinct(spark, table, column, snap) match {
+      case Some(n) =>
+        respond(ex, 200, s"""{"table":"$table","column":"$column","ndv":$n}""" + "\n")
+      case None =>
+        respond(ex, 404,
+          s"""{"error":"column $column of $table is not sketch-indexed"}""" + "\n")
+    }
+  }
+
+  /** Pending write-audit-publish stages (SURVEY §2 S38):
+    * `GET /staged?table=T` → the audit queue. */
+  private def handleStaged(ex: HttpExchange): Unit = {
+    val table = param(ex, "table").getOrElse(
+      throw new IllegalArgumentException("missing table parameter"))
+    val body = cat.listStaged(table).flatMap(id => cat.staged(table, id)).map { st =>
+      s"""{"staged_id":"${st.stagedId}","parent_id":${st.parentId.getOrElse(-1L)},""" +
+        s""""timestamp_ms":${st.timestampMs},"n_files":${st.paths.size}}"""
     }.mkString("[", ",", "]")
     respond(ex, 200, body + "\n")
   }

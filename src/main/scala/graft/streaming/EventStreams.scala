@@ -166,19 +166,28 @@ object EventStreams {
   val FunnelStageNames: Seq[String] = Seq("view", "click_after_view", "purchase_after_click")
 
   /** Streaming ordered funnel (SURVEY §2.4 T6): the live counterpart of
-    * the batch `q_funnel` — a per-user state machine advancing
-    * view → click → purchase, where each stage's qualifying event must
-    * be STRICTLY LATER than the previous stage's timestamp; a stage
-    * advance is emitted the micro-batch it happens.
+    * the batch `q_funnel` — a per-user state machine advancing through
+    * `stages` in order, where each stage's qualifying event must be
+    * STRICTLY LATER than the previous stage's timestamp; a stage
+    * advance is emitted the micro-batch it happens. The stage list is a
+    * parameter, so the same operator runs any ordered-conversion
+    * definition (default: the battery's view → click → purchase).
     *
     * Scale: state is ONE tiny record (stage, ts) per user, partitioned
     * by user_id; a user who completes the funnel has their state REMOVED
     * — long-run state is proportional to in-flight users, not stream
     * length or total users.
     */
-  def funnelStream(events: Dataset[TypedEvent]): Dataset[FunnelOut] = {
+  def funnelStream(
+      events: Dataset[TypedEvent],
+      stages: Seq[String] = FunnelStages): Dataset[FunnelOut] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val spark = events.sparkSession
     import spark.implicits._
+
+    val stageNames = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0) s else s"${s}_after_${stages(i - 1)}"
+    }
 
     def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
 
@@ -187,14 +196,14 @@ object EventStreams {
       val out = Seq.newBuilder[FunnelOut]
       var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
       sorted.foreach { e =>
-        if (cur.stage < FunnelStages.size &&
-            e.event_type == FunnelStages(cur.stage) &&
+        if (cur.stage < stages.size &&
+            e.event_type == stages(cur.stage) &&
             micros(e.ts) > cur.atUs) {
           cur = FunnelProgress(cur.stage + 1, micros(e.ts))
-          out += FunnelOut(userId, cur.stage, FunnelStageNames(cur.stage - 1), cur.atUs)
+          out += FunnelOut(userId, cur.stage, stageNames(cur.stage - 1), cur.atUs)
         }
       }
-      if (cur.stage >= FunnelStages.size) state.remove()
+      if (cur.stage >= stages.size) state.remove()
       else if (cur.stage > 0) state.update(cur)
       out.result().iterator
     }

@@ -230,6 +230,32 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/ndv answers from manifest sketches and /staged lists the audit queue") {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.meta.SnapshotCatalog(
+      java.nio.file.Files.createTempDirectory("graft-http-ndv-").toString)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-http-ndv-d-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    graft.sinks.Writers.writeSnapshot(cat, "cust", c, dataDir,
+      sketchColumns = Seq("c_mktsegment"))
+    val stagedId = graft.sinks.Writers.stageAppendSnapshot(cat, "cust",
+      c.filter(col("c_custkey") <= 10), dataDir)
+
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, catalog = Some(cat)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (nc, ndv) = get(s"$base/ndv?table=cust&column=c_mktsegment")
+      assert(nc == 200 && ndv.contains("\"ndv\":5"), ndv)
+      // un-sketched column refuses with 404, not a fake number
+      assert(get(s"$base/ndv?table=cust&column=c_name")._1 == 404)
+
+      val (sc2, staged) = get(s"$base/staged?table=cust")
+      assert(sc2 == 200 && staged.contains(s""""staged_id":"$stagedId""""), staged)
+      cat.discardStaged("cust", stagedId)
+      assert(get(s"$base/staged?table=cust")._2.trim == "[]")
+    } finally srv.stop()
+  }
+
   private def awaitNoActiveJobs(timeoutMs: Long): Unit = {
     val tracker = spark.sparkContext.statusTracker
     val deadline = System.currentTimeMillis() + timeoutMs

@@ -160,4 +160,23 @@ class StreamingSpec extends SparkSpec {
       Seq("view", "click_after_view", "purchase_after_click"))
     stream.stop()
   }
+
+  test("funnel stages are a parameter: a 4-stage definition runs the same operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    val stream = EventStreams.funnelStream(mem.toDS(),
+        stages = Seq("signup", "view", "click", "purchase"))
+      .writeStream.format("memory").queryName("fnl4").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      TypedEvent(1, 9, "signup", ts(0)), TypedEvent(2, 9, "view", ts(1)),
+      TypedEvent(3, 9, "click", ts(2)), TypedEvent(4, 9, "purchase", ts(3)),
+      // no signup → never enters the funnel
+      TypedEvent(5, 8, "view", ts(1)), TypedEvent(6, 8, "purchase", ts(2)))
+    stream.processAllAvailable()
+    val got = spark.table("fnl4").as[FunnelOut].collect()
+    stream.stop()
+    assert(got.filter(_.user_id == 9).map(_.stage).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(got.filter(_.user_id == 9).maxBy(_.stage).stage_name == "purchase_after_click")
+    assert(!got.exists(_.user_id == 8), "no signup, no funnel entry")
+  }
 }
