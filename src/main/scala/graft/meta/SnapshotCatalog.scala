@@ -713,6 +713,51 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       "stat_columns", "bloom_columns", "sketch_columns")
   }
 
+  // ---- snapshot management: rollback + cherry-pick ---------------------
+
+  /** Roll the table back to an earlier snapshot's state (Iceberg
+    * `rollback_to_snapshot`): a NEW commit whose file list is exactly
+    * the target's — history moves forward only (the bad commits stay
+    * inspectable and expirable; nothing is deleted here). The commit is
+    * labeled `rewrite`, so the change feed across the rollback nets to
+    * exactly the inverse of the rolled-back changes and an incremental
+    * reader never resurrects the undone rows as fresh appends. O(1)
+    * data work: every file is metadata-reused, none re-scanned. */
+  def rollbackTo(spark: SparkSession, table: String, snapshotId: Long): SnapshotMeta = {
+    val target = snapshotById(table, snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"Snapshot $snapshotId not found for $table"))
+    commit(spark, table, target.files.map(_.path),
+      reuseMeta = target.files.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite,
+        SnapshotCatalog.RollbackOfProp -> snapshotId.toString))
+  }
+
+  /** Re-apply an APPEND commit's added files onto the current head
+    * (Iceberg `cherrypick_snapshot`, append case — the one that is
+    * always safe): the files `snapshotId` added over its parent are
+    * committed again on top of whatever is current. Rejects non-append
+    * sources (a rewrite's outputs carry surviving old rows — replaying
+    * them would duplicate data). With [[rollbackTo]] this is the
+    * revert-then-replay toolkit: roll back a bad commit, cherry-pick
+    * the good ones that followed it. */
+  def cherryPick(spark: SparkSession, table: String, snapshotId: Long): SnapshotMeta = {
+    val src = snapshotById(table, snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"Snapshot $snapshotId not found for $table"))
+    val op = src.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
+    require(op == SnapshotCatalog.OpAppend,
+      s"cherryPick supports append snapshots only; $snapshotId is a $op")
+    val parentPaths = src.parentId.flatMap(snapshotById(table, _))
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val added = src.files.filterNot(f => parentPaths.contains(f.path))
+    val cur = currentSnapshot(table).map(_.files).getOrElse(Nil)
+    commit(spark, table, cur.map(_.path) ++ added.map(_.path),
+      reuseMeta = (cur ++ added).map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
+        SnapshotCatalog.CherryPickOfProp -> snapshotId.toString))
+  }
+
   // ---- write-audit-publish (staged commits) ----------------------------
 
   /** Stage an append WITHOUT touching the table (Iceberg's WAP pattern:
@@ -1249,6 +1294,12 @@ object SnapshotCatalog {
   /** Set on a published snapshot to the staged id it came from —
     * the WAP audit trail (Iceberg's `wap.id` summary entry). */
   val WapIdProp = "graft.wap.id"
+
+  /** Set on a rollback commit: the snapshot id whose state it restored. */
+  val RollbackOfProp = "graft.rollback.of"
+
+  /** Set on a cherry-pick commit: the append snapshot it replayed. */
+  val CherryPickOfProp = "graft.cherrypick.of"
 
   val OperationProp = "operation"
   val OpAppend = "append"

@@ -1,0 +1,73 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import graft.sinks.Writers
+import org.apache.spark.sql.functions._
+
+/** Rollback + cherry-pick: the revert-then-replay toolkit. History only
+  * moves forward; the change feed stays net-exact across both. */
+class SnapshotMgmtSpec extends SparkSpec {
+
+  private def keys(cat: SnapshotCatalog, table: String): Set[Long] =
+    cat.read(spark, table).select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+
+  test("rollback restores an earlier file state as a NEW net-exact commit") {
+    val base = Files.createTempDirectory("graft-rb-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    val sA = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 50), s"$base/d")
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey").between(51, 80)), s"$base/d")
+    val sC = Writers.deleteWhere(spark, cat, "cust",
+      df => df.filter(col("c_custkey") > 10), Nil, s"$base/d")
+
+    val rb = cat.rollbackTo(spark, "cust", sA.snapshotId)
+    // forward-only history: the rollback is snapshot 4, nothing erased
+    assert(rb.snapshotId == sC.snapshotId + 1)
+    assert(rb.props.get(SnapshotCatalog.RollbackOfProp).contains(sA.snapshotId.toString))
+    assert(keys(cat, "cust") ==
+      c.filter(col("c_custkey") <= 50)
+        .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+    // the bad states remain time-travelable (C kept only custkey > 10)
+    assert(cat.read(spark, "cust", snapshotId = Some(sC.snapshotId)).count() ==
+      c.filter(col("c_custkey").between(11, 80)).count())
+
+    // net feed from A to the rollback is EMPTY (state identical)
+    assert(cat.changesBetween(spark, "cust", sA.snapshotId, Some(rb.snapshotId)).isEmpty)
+    // incremental read across the rollback resurrects nothing: the
+    // reinstated files are rewrite outputs, not fresh appends
+    assert(cat.readIncremental(spark, "cust", sA.snapshotId, Some(rb.snapshotId)).isEmpty)
+  }
+
+  test("cherry-pick replays an append onto the current head; rejects rewrites") {
+    val base = Files.createTempDirectory("graft-cp-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    val sA = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 30), s"$base/d")
+    val sB = Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey").between(31, 60)), s"$base/d")
+    val sC = Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey").between(61, 90)), s"$base/d")
+
+    // revert B and C, then replay only C
+    cat.rollbackTo(spark, "cust", sA.snapshotId)
+    val cp = cat.cherryPick(spark, "cust", sC.snapshotId)
+    assert(cp.props.get(SnapshotCatalog.CherryPickOfProp).contains(sC.snapshotId.toString))
+    val expect = c.filter(col("c_custkey") <= 30 ||
+      col("c_custkey").between(61, 90)).count()
+    assert(cat.read(spark, "cust").count() == expect)
+
+    // ...and B can follow (order-independent appends)
+    cat.cherryPick(spark, "cust", sB.snapshotId)
+    assert(cat.read(spark, "cust").count() == c.filter(col("c_custkey") <= 90).count())
+    // the replayed rows ARE appends for an incremental reader
+    assert(cat.readIncremental(spark, "cust", cp.snapshotId).count() ==
+      c.filter(col("c_custkey").between(31, 60)).count())
+
+    // a delete/rewrite source refuses: replaying survivors duplicates rows
+    val del = Writers.deleteWhere(spark, cat, "cust",
+      df => df.filter(col("c_custkey") =!= 1), Nil, s"$base/d")
+    intercept[IllegalArgumentException](cat.cherryPick(spark, "cust", del.snapshotId))
+  }
+}
