@@ -60,6 +60,24 @@ final case class FileMeta(
     }
 }
 
+/** A merge-on-read position-delete file (the Iceberg v2 position-delete
+  * analogue, format spec "Position Delete Files"): a small parquet of
+  * `(_file: string, _pos: long)` rows marking individual data-file rows
+  * as deleted WITHOUT rewriting the data files. `_file` holds the data
+  * file's scan URI (the `_metadata.file_path` the row was read under) so
+  * the read-side anti-join matches it natively; `dataPaths` are the
+  * normalized data-file paths the entries reference, used for
+  * carry-forward liveness (a delete file whose referenced data files
+  * were ALL rewritten is dropped — its entries would match nothing) and
+  * for scoping the read-side join to affected files only. Entries
+  * pointing at paths no longer in the snapshot are inert by
+  * construction: the anti-join key includes the file path. */
+final case class DeleteFileMeta(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    dataPaths: Seq[String])
+
 /** A staged-but-unpublished append (write-audit-publish): file paths
   * written and recorded OUTSIDE the snapshot chain — prospective state,
   * never table metadata until published. `parentId` documents what the
@@ -82,10 +100,19 @@ final case class SnapshotMeta(
     parentId: Option[Long],
     schemaJson: String,
     files: Seq[FileMeta],
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    deleteFiles: Seq[DeleteFileMeta] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def totalRows: Long = files.map(_.rowCount).sum
   def totalBytes: Long = files.map(_.sizeBytes).sum
+  /** Outstanding position-delete entries (raw count; entries whose data
+    * file left the snapshot are inert but still counted here). */
+  def totalDeleteRows: Long = deleteFiles.map(_.rowCount).sum
+  /** Delete files whose entries could affect ANY of `paths`. */
+  def deletesFor(paths: Seq[String]): Seq[DeleteFileMeta] = {
+    val set = paths.toSet
+    deleteFiles.filter(_.dataPaths.exists(set.contains))
+  }
 }
 
 /** File-skipping predicates evaluated against manifest indices. */
@@ -201,8 +228,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       bloomFpp: Double = 0.03,
       reuseMeta: Map[String, FileMeta] = Map.empty,
       props: Map[String, String] = Map.empty,
-      sketchColumns: Seq[String] = Nil): SnapshotMeta = {
+      sketchColumns: Seq[String] = Nil,
+      deleteFilesOverride: Option[Seq[DeleteFileMeta]] = None): SnapshotMeta = {
     val (reusedPaths, newPaths) = paths.map(normalize).partition(reuseMeta.contains)
+    // MoR delete-file carry-forward: unless the caller overrides (a MoR
+    // delete adds one, a rollback restores the target's), the parent's
+    // delete files survive iff they still reference a live data file —
+    // a rewrite that replaced every referenced file retires the delete
+    // file with it (Iceberg's rewrite_data_files does the same).
+    def carriedDeletes(prev: Option[SnapshotMeta], live: Set[String]): Seq[DeleteFileMeta] =
+      deleteFilesOverride.getOrElse(
+        prev.map(_.deleteFiles.filter(_.dataPaths.exists(live.contains))).getOrElse(Nil))
     val stickyBloomCols =
       if (bloomColumns.nonEmpty) bloomColumns
       else currentSnapshot(table)
@@ -230,7 +266,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           parentId = Some(prev0.snapshotId),
           schemaJson = prev0.schemaJson,
           files = reusedPaths.map(reuseMeta),
-          props = withSticky)
+          props = withSticky,
+          deleteFiles = carriedDeletes(prevOpt, reusedPaths.toSet))
       }
     }
     val df = spark.read.parquet(newPaths: _*)
@@ -344,7 +381,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         schemaJson = prev.map(p => SnapshotCatalog.mergeSchemas(p.schema, schema))
           .getOrElse(schema).json,
         files = files,
-        props = withSticky)
+        props = withSticky,
+        deleteFiles = carriedDeletes(prev, files.map(_.path).toSet))
     }
   }
 
@@ -730,7 +768,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       reuseMeta = target.files.map(f => f.path -> f).toMap,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite,
-        SnapshotCatalog.RollbackOfProp -> snapshotId.toString))
+        SnapshotCatalog.RollbackOfProp -> snapshotId.toString),
+      // restoring a state restores its delete files too: visible rows at
+      // the rollback must equal visible rows at the target exactly
+      deleteFilesOverride = Some(target.deleteFiles))
   }
 
   /** Re-apply an APPEND commit's added files onto the current head
@@ -983,6 +1024,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .orElse(currentSnapshot(table))
       .get
     var prevPaths = from.files.map(_.path).toSet
+    var prevSnap = from
     val added = scala.collection.mutable.LinkedHashSet[String]()
     // row-level parts for rewrites whose appends can't be carved out
     // path-wise (a compaction that bin-packed pre-existing files together
@@ -1027,9 +1069,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
             // difference IS the in-range contribution). Cost is bounded
             // by the compacted bytes, not the table.
             val preExisting = removed.filterNot(added.contains)
+            // visible rows on both sides: the pre-existing inputs as the
+            // compaction saw them (prev's delete mask — compact reads
+            // visible rows, so its outputs hold no MoR-deleted row), the
+            // outputs under `to`'s mask (a LATER MoR delete on an output
+            // must not resurface those rows as in-range appends)
             extraParts += ((newPaths.toSet,
-              spark.read.schema(s.schema).parquet(newPaths: _*)
-                .exceptAll(spark.read.schema(s.schema).parquet(preExisting.toSeq: _*))))
+              visibleAs(spark, s.schema, to, newPaths)
+                .exceptAll(visibleAs(spark, s.schema, prevSnap, preExisting.toSeq))))
           case _ => // delete / generic rewrite / all-pre-existing compact:
             // outputs carry surviving OLD rows — never appends
         }
@@ -1037,15 +1084,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         // longer hold their appended rows intact
         removed.foreach(added.remove)
         prevPaths = curSet
+        prevSnap = s
       }
     }
     val toPaths = to.files.map(_.path).toSet
     val files = added.toSeq.filter(toPaths.contains)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
-      else
-        spark.read.schema(to.schema).parquet(files: _*)
+    // appended files read under `to`'s delete mask: an appended row
+    // MoR-deleted inside the range did not survive, and must not surface
+    val base = visibleAs(spark, to.schema, to, files)
     extraParts.collect { case (outs, df) if outs.subsetOf(toPaths) => df }
       .foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1096,6 +1142,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .orElse(currentSnapshot(table))
       .get
     var prevPaths = from.files.map(_.path).toSet
+    var prevSnap = from
     val added = scala.collection.mutable.LinkedHashSet[String]()
     val deleteParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val insertParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -1103,8 +1150,29 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       snapshotById(table, id).foreach { s =>
         val curSet = s.files.map(_.path).toSet
         val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
-        val removed = prevPaths.diff(curSet)
-        val newPaths = s.files.map(_.path).filterNot(prevPaths.contains)
+        val removedFiles = prevPaths.diff(curSet)
+        // A data file whose MoR delete-entry coverage CHANGED while the
+        // file itself stayed put (a new position-delete masked rows, or a
+        // rollback unmasked them) is a rewrite-in-place: its visible rows
+        // changed with zero file churn. Fold those paths into the rewrite
+        // classification as removed+re-added, and let the visible-row
+        // before/after diff below net the exact row delta — a delete
+        // materialization (same visible rows, new physical files) then
+        // cancels to nothing by the same arithmetic.
+        def coverage(m: SnapshotMeta): Map[String, Set[String]] =
+          m.deleteFiles.flatMap(d => d.dataPaths.map(_ -> d.path))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val morTouched: Set[String] =
+          if (prevSnap.deleteFiles == s.deleteFiles) Set.empty
+          else {
+            val (pc, cc) = (coverage(prevSnap), coverage(s))
+            (pc.keySet ++ cc.keySet)
+              .filter(p => pc.getOrElse(p, Set.empty) != cc.getOrElse(p, Set.empty))
+              .intersect(prevPaths).intersect(curSet)
+          }
+        val removed = removedFiles ++ morTouched
+        val newPaths =
+          s.files.map(_.path).filterNot(prevPaths.contains) ++ morTouched.toSeq.sorted
         // a commit that removes no files only adds rows, whatever its
         // label (plain append, insert-only merge): all outputs are net-new
         if (removed.isEmpty) {
@@ -1128,11 +1196,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
             //             surviving rows of in-range inputs)
             // Identical rows cancel multiset-wise, so a no-op rewrite or
             // a compaction of pre-existing files contributes NOTHING.
-            val before = spark.read.schema(s.schema).parquet(removedPreExisting.toSeq: _*)
-            val after =
-              if (newPaths.isEmpty)
-                spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
-              else spark.read.schema(s.schema).parquet(newPaths: _*)
+            // Before/after are VISIBLE rows (each side under its own
+            // snapshot's delete mask): a MoR delete diffs to exactly its
+            // killed rows, a materialization to exactly nothing.
+            val before = visibleAs(spark, s.schema, prevSnap, removedPreExisting.toSeq)
+            val after = visibleAs(spark, s.schema, s, newPaths)
             // parts render in the END schema (columns evolved later in
             // the range null-fill; the within-commit diff runs on the
             // commit's own schema first, so its cancellation is exact)
@@ -1141,14 +1209,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           }
         }
         prevPaths = curSet
+        prevSnap = s
       }
     }
     val toPaths = to.files.map(_.path).toSet
     val insertFiles = added.toSeq.filter(toPaths.contains)
-    val insertedBase =
-      (if (insertFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
-      else spark.read.schema(to.schema).parquet(insertFiles: _*))
+    // file-level appends read under `to`'s delete mask: an in-range
+    // append later MoR-deleted in-range contributes only its survivors
+    val insertedBase = visibleAs(spark, to.schema, to, insertFiles)
     // Net the row-level sides against each other: a row version
     // introduced by one in-range rewrite (e.g. a merge's insert files)
     // and retired by a later one appears in both insertParts and
@@ -1229,8 +1297,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     // must survive a routine vacuum (discard is the explicit path out)
     val stagedLive = listStaged(table)
       .flatMap(staged(table, _)).flatMap(_.paths).map(normalize)
+    val snaps = snapshots(table)
     val live: Set[String] =
-      (snapshots(table).flatMap(_.files).map(f => normalize(f.path)) ++ stagedLive).toSet
+      (snaps.flatMap(_.files).map(f => normalize(f.path)) ++
+        snaps.flatMap(_.deleteFiles).map(d => normalize(d.path)) ++ stagedLive).toSet
     val cutoff = clock() - graceMs
     val stream = Files.walk(Paths.get(dataDir))
     val candidates = try stream.iterator().asScala
@@ -1244,9 +1314,68 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .filter(p => Files.deleteIfExists(Paths.get(p)))
   }
 
+  /** The rows of `paths` VISIBLE under `snap` — raw parquet rows minus
+    * the snapshot's outstanding merge-on-read position deletes. This is
+    * the one read primitive every consumer (table reads, CDC walks,
+    * copy-on-write rewrites, compaction) routes through, so a MoR delete
+    * is indistinguishable from a COW delete everywhere above it.
+    *
+    * Fast path: no delete file references any of `paths` → a plain
+    * parquet scan, byte-identical plan to the pre-MoR engine (pushdown,
+    * pruning and codegen untouched). Slow path: the scan adds the
+    * constant-per-file `_metadata` columns and LEFT ANTI joins the
+    * (file, pos) entries; delete files are tiny relative to data (a 1-row
+    * delete on a 1 GB file is ~100 bytes), so the join side is
+    * explicitly broadcast — at 100 TB the apply is a map-side hash probe
+    * per row, never a shuffle of the data. */
+  def visibleRows(spark: SparkSession, snap: SnapshotMeta, paths: Seq[String]): DataFrame =
+    visibleAs(spark, snap.schema, snap, paths)
+
+  /** [[visibleRows]] with independent schema and delete-entry sources:
+    * the CDC walks read one commit's files under a LATER snapshot's
+    * delete mask (e.g. a mixed compaction's outputs masked by `to`'s
+    * entries) or an EARLIER one's (the before-image of a rewrite). */
+  private[meta] def visibleAs(
+      spark: SparkSession,
+      schema: StructType,
+      entrySnap: SnapshotMeta,
+      paths: Seq[String]): DataFrame = {
+    if (paths.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val base = spark.read.schema(schema).parquet(paths: _*)
+    val dels = entrySnap.deletesFor(paths)
+    if (dels.isEmpty) base
+    else {
+      base
+        .withColumn("_file", col("_metadata.file_path"))
+        .withColumn("_pos", col("_metadata.row_index"))
+        .join(broadcast(deleteEntries(spark, dels)), Seq("_file", "_pos"), "left_anti")
+        .drop("_file", "_pos")
+    }
+  }
+
+  /** Visible rows WITH their `_file`/`_pos` scan lineage attached — the
+    * MoR delete writer marks rows through this so a second delete on the
+    * same file records RAW positions (stable for the file's life) while
+    * only ever seeing still-live rows. */
+  def visibleRowsLineage(spark: SparkSession, snap: SnapshotMeta, paths: Seq[String]): DataFrame = {
+    val base = spark.read.schema(snap.schema).parquet(paths: _*)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+    val dels = snap.deletesFor(paths)
+    if (dels.isEmpty) base
+    else base.join(broadcast(deleteEntries(spark, dels)), Seq("_file", "_pos"), "left_anti")
+  }
+
+  private def deleteEntries(spark: SparkSession, dels: Seq[DeleteFileMeta]): DataFrame =
+    spark.read.parquet(dels.map(_.path): _*)
+      .select(col("_file"), col("_pos")).dropDuplicates("_file", "_pos")
+
   /** Time-travel read with manifest pruning (reference: metadata.py:257
     * `time_travel_scan`). Returns an empty frame with the snapshot schema
-    * when every file is pruned. */
+    * when every file is pruned. Outstanding MoR position deletes are
+    * applied (see [[visibleRows]]); min/max/bloom pruning stays sound
+    * because a file's visible rows are a subset of its raw rows. */
   def read(
       spark: SparkSession,
       table: String,
@@ -1258,10 +1387,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .orElse(currentSnapshot(table))
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     val files = snap.files.filter(fileMatches(_, filters))
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else
-      spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
+    visibleRows(spark, snap, files.map(_.path))
   }
 }
 
@@ -1269,7 +1395,7 @@ object SnapshotCatalog {
   /** `file:` URI → plain path, shared by the driver-side manifest layer
     * and the executor-side bloom sizing (one definition, so the
     * rowsByFile lookup can never silently diverge from commit's keys). */
-  private[meta] def normalizePath(p: String): String =
+  private[graft] def normalizePath(p: String): String =
     if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/') else p
 
   /** Additive schema merge: prior field order kept (a field present in
@@ -1311,6 +1437,13 @@ object SnapshotCatalog {
   /** Row-preserving bin-pack rewrite: outputs hold exactly the union of
     * the rewritten inputs' rows. */
   val OpCompact = "compact"
+  /** Merge-on-read position delete: data files untouched, a new delete
+    * file masks rows. The CDC walks key on the delete-file DELTA, not
+    * this label, so legacy tools that relabel commits stay safe. */
+  val OpMorDelete = "mor-delete"
+  /** Set on a delete-materializing rewrite: comma-joined delete-file
+    * paths it applied and retired. */
+  val MaterializedDeletesProp = "graft.materialized.deletes"
   /** Comma-joined source paths a delete/rewrite commit rewrote. */
   val RewrittenFromProp = "rewritten_from"
   /** Comma-joined output paths of a merge commit that carry ONLY net-new

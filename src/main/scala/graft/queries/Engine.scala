@@ -77,6 +77,37 @@ object Engine {
       cat
     })
 
+  // Memoized MoR-deleted customer catalog per sf-dir: the ranged write +
+  // two stacked position-delete commits are table maintenance; the
+  // benched/verified path is the masked read (broadcast anti-join apply).
+  private val morCats = TrieMap.empty[String, SnapshotCatalog]
+  private def morCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    morCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-mor-").toString
+      val cat = new SnapshotCatalog(tmp)
+      Writers.writeRangedSnapshot(cat, "customer", Tables.customer(s, dir),
+        tmp, "c_custkey", 4)
+      // stacked deletes: a value predicate over the whole table, then a
+      // key range whose prune filter bounds the marking scan to one file
+      Writers.deleteWhereMoR(s, cat, "customer", col("c_acctbal") < 0, Nil, tmp)
+      Writers.deleteWhereMoR(s, cat, "customer",
+        col("c_custkey").between(100, 200),
+        Seq(RangeNum("c_custkey", 100.0, 200.0)), tmp)
+      cat
+    })
+
+  /** Read the table state under outstanding merge-on-read position
+    * deletes (SURVEY §2 S40): two stacked delete files mask rows with
+    * ZERO data-file rewrites, the scan applies them as a broadcast
+    * anti-join, and the visible state must equal the oracle's
+    * plain-WHERE formulation exactly. */
+  def qMorRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = morCatFor(s, dir)
+    cat.read(s, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sumMoney(col("c_acctbal")).as("sum_bal"))
+  }
+
   // Memoized co-bucketed lineitem/orders tables per (session, dir): the
   // bucketed write is the one-time layout investment (like an ingest
   // repartition); the benched/verified path is the exchange-free join.
@@ -333,6 +364,7 @@ object Engine {
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
+    "q_mor_read" -> (qMorRead _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_sql_engine" -> (qSqlEngine _))
 
@@ -381,6 +413,12 @@ object Engine {
         |UNION ALL
         |SELECT o_orderkey + 100000000 AS o_orderkey, 1.0 AS price, 'N' AS status
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "q_mor_read" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0) AND NOT (c_custkey BETWEEN 100 AND 200)
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price

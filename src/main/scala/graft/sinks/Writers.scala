@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Paths}
 import java.util.UUID
 
-import graft.meta.{FileMeta, PartTransform, PartitionTransforms, PruneFilter, RangeNum, RangeString, SnapshotCatalog, SnapshotMeta}
+import graft.meta.{DeleteFileMeta, FileMeta, PartTransform, PartitionTransforms, PruneFilter, RangeNum, RangeString, SnapshotCatalog, SnapshotMeta}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -203,8 +203,10 @@ object Writers {
     val rewritten: Seq[String] =
       if (affected.isEmpty) Nil
       else {
+        // VISIBLE rows: a COW rewrite of files carrying outstanding MoR
+        // position deletes must not resurrect the masked rows
         val remaining = rowPredicate(
-          spark.read.schema(current.schema).parquet(affected.toSeq: _*))
+          catalog.visibleRows(spark, current, affected.toSeq))
         val dir = Paths.get(dataDir, s"rewrite-${UUID.randomUUID().toString.take(8)}")
         remaining.write.parquet(dir.toString)
         listParquet(dir)
@@ -219,6 +221,96 @@ object Writers {
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpDelete,
         SnapshotCatalog.RewrittenFromProp -> affected.toSeq.sorted.mkString(",")))
+  }
+
+  /** Merge-on-read row-level delete (the Iceberg v2 position-delete
+    * write path, format spec "Position Delete Files"): rows matching
+    * `deleteCond` are MARKED deleted in a small sidecar parquet of
+    * `(_file, _pos)` entries — no data file is rewritten. The commit is
+    * pure metadata (every data file's manifest entry is reused), so
+    * deleting 1 row from a 1 GB file costs ~100 bytes of write, not 1 GB:
+    * at 100 TB this is what makes frequent small deletes (GDPR erasure,
+    * late-data retractions) affordable. The read-side cost is a
+    * broadcast anti-join per scan until [[materializeDeletes]] or any
+    * rewrite of the file retires the entries — the same write-now /
+    * pay-on-read trade Iceberg v2 makes. A delete matching a large
+    * FRACTION of the table should use the COW [[deleteWhere]] instead:
+    * its one-time rewrite beats masking millions of rows on every read.
+    *
+    * The marking scan sees VISIBLE rows only (prior deletes applied), so
+    * stacked deletes never double-mark; positions are raw
+    * `_metadata.row_index` values, stable for the file's life. Entries
+    * land sorted by (file, pos) in one file per call. Returns the
+    * current snapshot unchanged when nothing matches. */
+  def deleteWhereMoR(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      deleteCond: Column,
+      pruneFilters: Seq[graft.meta.PruneFilter],
+      dataDir: String): SnapshotMeta = {
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val affected = catalog.planFiles(table, pruneFilters).map(_.path)
+    if (affected.isEmpty) return current
+    val marked = catalog.visibleRowsLineage(spark, current, affected)
+      .filter(deleteCond)
+      .select(col("_file"), col("_pos"))
+    val dir = Paths.get(dataDir, s"mor-del-${UUID.randomUUID().toString.take(8)}")
+    marked.repartition(1).sortWithinPartitions("_file", "_pos").write.parquet(dir.toString)
+    val delPath = listParquet(dir).head
+    // one bounded pass over the (tiny) delete file: per-data-file entry
+    // counts give dataPaths + rowCount without a second scan of the data
+    val perFile = spark.read.parquet(delPath).groupBy("_file").count().collect()
+    if (perFile.isEmpty) {
+      Files.deleteIfExists(Paths.get(delPath))
+      return current
+    }
+    val delMeta = DeleteFileMeta(
+      path = delPath,
+      rowCount = perFile.map(_.getLong(1)).sum,
+      sizeBytes = Files.size(Paths.get(delPath)),
+      dataPaths = perFile.map(r => SnapshotCatalog.normalizePath(r.getString(0))).toSeq.sorted)
+    catalog.commit(spark, table, current.files.map(_.path),
+      reuseMeta = current.files.map(f => f.path -> f).toMap,
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMorDelete),
+      deleteFilesOverride = Some(current.deleteFiles :+ delMeta))
+  }
+
+  /** Apply every outstanding position delete and retire the delete files
+    * (Iceberg's rewrite_position_delete_files taken to its endpoint):
+    * each data file with masked rows is rewritten to its visible rows;
+    * untouched files keep their manifest metadata. Visible rows are
+    * IDENTICAL before and after, so the commit is labeled `compact` —
+    * the change feed across a materialization nets to exactly nothing
+    * and incremental readers substitute outputs for in-range inputs,
+    * the same row-preserving contract as bin-packing. Run it when the
+    * masked-row fraction makes the per-scan anti-join noticeable; until
+    * then reads pay a broadcast hash probe, never a shuffle. */
+  def materializeDeletes(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      dataDir: String): Option[SnapshotMeta] = {
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    if (current.deleteFiles.isEmpty) return None
+    val livePaths = current.files.map(_.path).toSet
+    val masked = current.deleteFiles.flatMap(_.dataPaths).distinct
+      .filter(livePaths.contains)
+    if (masked.isEmpty) return None
+    val keep = current.files.filterNot(f => masked.contains(f.path))
+    val dir = Paths.get(dataDir, s"mor-mat-${UUID.randomUUID().toString.take(8)}")
+    catalog.visibleRows(spark, current, masked).write.parquet(dir.toString)
+    val outputs = listParquet(dir)
+    Some(catalog.commit(spark, table, keep.map(_.path) ++ outputs,
+      reuseMeta = keep.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpCompact,
+        SnapshotCatalog.RewrittenFromProp -> masked.sorted.mkString(","),
+        SnapshotCatalog.MaterializedDeletesProp ->
+          current.deleteFiles.map(_.path).sorted.mkString(",")),
+      deleteFilesOverride = Some(Nil)))
   }
 
   /** Range-partitioned snapshot write: one shuffle splits `df` into
@@ -316,7 +408,8 @@ object Writers {
     val survivorFiles: Seq[String] =
       if (affected.isEmpty) Nil
       else {
-        val survivors = spark.read.schema(current.schema).parquet(affected: _*)
+        // visible rows: never resurrect MoR-masked rows into survivors
+        val survivors = catalog.visibleRows(spark, current, affected)
           .join(src.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
         val dir = Paths.get(dataDir, s"merge-rw-${UUID.randomUUID().toString.take(8)}")
         survivors.write.parquet(dir.toString)
@@ -381,7 +474,10 @@ object Writers {
         }
         val totalBytes = fs.map(_.sizeBytes).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        spark.read.schema(current.schema).parquet(fs.map(_.path): _*)
+        // visible rows: compacting a file with outstanding MoR deletes
+        // materializes them for that bin (row-preserving in VISIBLE
+        // terms — the CDC contract this commit's `compact` label claims)
+        catalog.visibleRows(spark, current, fs.map(_.path))
           .coalesce(nOut)
           .write.parquet(sub.toString)
         listParquet(sub)

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * The per-operation CDC contracts (DeleteEvolveSpec, MergeCompactSpec)
   * prove each commit kind in isolation; this spec proves the
   * COMPOSITIONAL contract over random interleavings of
-  * append / deleteWhere / mergeInto / compact / expireSnapshots:
+  * append / deleteWhere / mergeInto / compact / expireSnapshots /
+  * deleteWhereMoR / materializeDeletes / rollbackTo:
   *
   *   1. every surviving snapshot reads back exactly the model state at
   *      the time it was committed (time travel is exact under churn);
@@ -87,7 +88,7 @@ class CdcLifecycleSpec extends SparkSpec {
       states :+= (Writers.writeSnapshot(cat, t, df(first), dataDir).snapshotId, state)
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(9) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -122,6 +123,30 @@ class CdcLifecycleSpec extends SparkSpec {
             val b = batch(5 + rnd.nextInt(10))
             state = plus(state, ms(b))
             states :+= (Writers.writeSnapshot(cat, t, df(b), dataDir).snapshotId, state)
+          case 6 => // merge-on-read delete of an id range: same model
+            // effect as the COW delete, zero data-file churn
+            val lo = rnd.nextInt(90).toLong
+            val hi = lo + rnd.nextInt(20).toLong
+            val before = cat.currentSnapshot(t).map(_.snapshotId)
+            val snap = Writers.deleteWhereMoR(spark, cat, t,
+              col("id").between(lo, hi),
+              Seq(RangeNum("id", lo.toDouble, hi.toDouble)), dataDir)
+            if (before.contains(snap.snapshotId)) () // matched nothing: no commit
+            else {
+              state = state.filter { case ((id, _), _) => id < lo || id > hi }
+              states :+= (snap.snapshotId, state)
+            }
+          case 7 => // materialize outstanding MoR deletes: visible-row
+            // preserving, maybe a no-op
+            Writers.materializeDeletes(spark, cat, t, dataDir).foreach { snap =>
+              states :+= (snap.snapshotId, state)
+            }
+          case 8 => // rollback to a random surviving snapshot: state
+            // becomes that snapshot's model state, history moves forward
+            val (targetId, targetState) = states(rnd.nextInt(states.size))
+            val snap = cat.rollbackTo(spark, t, targetId)
+            state = targetState
+            states :+= (snap.snapshotId, state)
         }
       }
 
