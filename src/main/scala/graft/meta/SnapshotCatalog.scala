@@ -76,7 +76,15 @@ final case class DeleteFileMeta(
     path: String,
     rowCount: Long,
     sizeBytes: Long,
-    dataPaths: Seq[String])
+    dataPaths: Seq[String],
+    equalityColumns: Seq[String] = Nil) {
+  /** Position delete (`(_file,_pos)` entries) vs equality delete (key
+    * tuples in `equalityColumns`, masking matching rows of `dataPaths`
+    * — the files that existed when the delete committed, so a LATER
+    * append of the same key is never masked: the Iceberg v2 sequence-
+    * number rule expressed as an explicit file scope). */
+  def isEquality: Boolean = equalityColumns.nonEmpty
+}
 
 /** A staged-but-unpublished append (write-audit-publish): file paths
   * written and recorded OUTSIDE the snapshot chain — prospective state,
@@ -1346,10 +1354,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val dels = entrySnap.deletesFor(paths)
     if (dels.isEmpty) base
     else {
-      base
-        .withColumn("_file", col("_metadata.file_path"))
-        .withColumn("_pos", col("_metadata.row_index"))
-        .join(broadcast(deleteEntries(spark, dels)), Seq("_file", "_pos"), "left_anti")
+      applyDeleteMasks(spark,
+        base
+          .withColumn("_file", col("_metadata.file_path"))
+          .withColumn("_pos", col("_metadata.row_index")),
+        dels)
         .drop("_file", "_pos")
     }
   }
@@ -1362,14 +1371,42 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val base = spark.read.schema(snap.schema).parquet(paths: _*)
       .withColumn("_file", col("_metadata.file_path"))
       .withColumn("_pos", col("_metadata.row_index"))
-    val dels = snap.deletesFor(paths)
-    if (dels.isEmpty) base
-    else base.join(broadcast(deleteEntries(spark, dels)), Seq("_file", "_pos"), "left_anti")
+    applyDeleteMasks(spark, base, snap.deletesFor(paths))
   }
 
-  private def deleteEntries(spark: SparkSession, dels: Seq[DeleteFileMeta]): DataFrame =
-    spark.read.parquet(dels.map(_.path): _*)
-      .select(col("_file"), col("_pos")).dropDuplicates("_file", "_pos")
+  /** Subtract every delete mask from a lineaged frame (`_file`/`_pos`
+    * attached). Position entries collapse into ONE broadcast anti-join
+    * regardless of how many delete files stack; each equality delete
+    * file is one broadcast anti-join on its key columns, scoped to the
+    * data files that existed when it committed (a later append of the
+    * same key stays visible). All joins are broadcast (delete files are
+    * tiny by design) — the apply cost is map-side hash probes, and
+    * [[graft.sinks.Writers.materializeDeletes]] collapses a long stack
+    * back to zero. */
+  private def applyDeleteMasks(
+      spark: SparkSession,
+      base: DataFrame,
+      dels: Seq[DeleteFileMeta]): DataFrame = {
+    if (dels.isEmpty) return base
+    val (eqDels, posDels) = dels.partition(_.isEquality)
+    var cur = base
+    if (posDels.nonEmpty) {
+      val entries = spark.read.parquet(posDels.map(_.path): _*)
+        .select(col("_file"), col("_pos")).dropDuplicates("_file", "_pos")
+      cur = cur.join(broadcast(entries), Seq("_file", "_pos"), "left_anti")
+    }
+    // normalized data-file path of each row, matching DeleteFileMeta
+    // dataPaths ("file://host/p" and "file:///p" both → "/p")
+    lazy val fileNorm = regexp_replace(col("_file"), "^file:/*", "/")
+    eqDels.foreach { d =>
+      val keys = spark.read.parquet(d.path)
+      val cond = d.equalityColumns
+        .map(c => cur(c) <=> keys(c))
+        .reduce(_ && _) && fileNorm.isin(d.dataPaths: _*)
+      cur = cur.join(broadcast(keys), cond, "left_anti")
+    }
+    cur
+  }
 
   /** Time-travel read with manifest pruning (reference: metadata.py:257
     * `time_travel_scan`). Returns an empty frame with the snapshot schema

@@ -83,6 +83,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Email / IPv4 / US-phone regexes, written in the common subset of
+    * Java regex and RE2 so the SAME pattern runs in Spark's codegen'd
+    * regexp_replace and a DuckDB/Trino oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction (SURVEY §2.3 L34): emails, IPv4s and phone numbers
+    * replaced by typed placeholder tokens. Pure codegen'd column
+    * expressions — three regexp passes inside the scan stage, zero
+    * shuffles, linear at 100 TB. Email first (its local-part may embed
+    * digits a later pass would half-eat), then IP, then phone. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Count of matches for `re` in `text` (the redaction audit column). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Canonical text normalization (SURVEY §2.3 L35): lowercase,
+    * whitespace runs (spaces/tabs/newlines) collapsed to single spaces,
+    * ends trimmed — the shared preprocessing step the dedup fingerprint
+    * already bakes in, exposed as its own operator so downstream
+    * tokenization sees one canonical form. Map-side expressions only. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Per-document lexical diversity (SURVEY §2.3 L29): type-token
     * ratio and hapax-legomenon rate — the vocabulary-richness signals
     * pretraining quality filters gate on alongside [[repetitionProfile]]

@@ -205,7 +205,39 @@ object Pipeline {
   def qBoilerplatePrefix(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixClusters(Tables.documents(s, dir), "doc_id", "text", k = 2)
 
+  /** PII redaction over synthesized-but-deterministic PII (SURVEY §2.3
+    * L34): the corpus carries no emails/phones/IPs, so the query plants
+    * one of each per document, derived from `doc_id` IDENTICALLY in the
+    * oracle SQL — redaction and audit counts are then hash-exact
+    * checkable end to end. All map-side codegen'd expressions. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com ip 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0.1 tel 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.piiRedact(raw).as("redacted"),
+      TextAnalysis.piiCount(raw, TextAnalysis.EmailRe).as("n_emails"),
+      TextAnalysis.piiCount(raw, TextAnalysis.Ipv4Re).as("n_ips"),
+      TextAnalysis.piiCount(raw, TextAnalysis.PhoneRe).as("n_phones"))
+  }
+
+  /** Canonical normalization (SURVEY §2.3 L35) over a deliberately
+    * messy form (upper-cased text + tab/space runs), hash-checked
+    * against the oracle's identical formulation. */
+  def qNormalizeText(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(upper(col("text")), lit("  \t  The  End   "))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.normalizeText(raw).as("norm_text"),
+      length(TextAnalysis.normalizeText(raw)).cast("long").as("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_normalize_text" -> (qNormalizeText _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_boilerplate_prefix" -> (qBoilerplatePrefix _),
     "q_token_count" -> (qTokenCount _),
@@ -238,6 +270,31 @@ object Pipeline {
   private val deL = stop(TextAnalysis.DeStop)
 
   val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.0.1 tel 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(r, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(r, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones
+        |FROM raw""".stripMargin,
+    "q_normalize_text" ->
+      """WITH raw AS (
+        |  SELECT doc_id, upper(text) || '  ' || chr(9) || '  The  End   ' AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(r), '\s+', ' ', 'g')) AS norm_text,
+        |  length(trim(regexp_replace(lower(r), '\s+', ' ', 'g'))) AS n_chars
+        |FROM raw""".stripMargin,
     "q_lexical_diversity" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

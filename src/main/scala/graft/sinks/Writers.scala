@@ -277,6 +277,54 @@ object Writers {
       deleteFilesOverride = Some(current.deleteFiles :+ delMeta))
   }
 
+  /** Merge-on-read EQUALITY delete (the Iceberg v2 equality-delete file,
+    * format spec "Equality Delete Files"): rows whose key columns match
+    * any tuple in `keys` are masked — with ZERO scans of the table. The
+    * write cost is O(|keys|): one tiny parquet of key tuples plus one
+    * metadata commit; not even the affected files are opened (their
+    * manifest min/max + blooms bound the mask's scope). This is the
+    * GDPR-erasure path at 100 TB: deleting one user is milliseconds of
+    * driver work regardless of table size, paid back as a broadcast
+    * anti-join per read until a rewrite retires the mask.
+    *
+    * Scope rule (Iceberg's sequence numbers, expressed as an explicit
+    * file list): the mask applies to the data files that exist NOW — a
+    * later append of the same key is a fresh row and stays visible.
+    * Returns the current snapshot unchanged when no file could hold a
+    * matching key. */
+  def deleteByKeys(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      dataDir: String): SnapshotMeta = {
+    require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val src = keys.select(keyCols.map(col): _*).distinct()
+    val affected = catalog.planFiles(table, keyBoundFilters(src, keyCols)).map(_.path)
+    if (affected.isEmpty) return current
+    val dir = Paths.get(dataDir, s"eq-del-${UUID.randomUUID().toString.take(8)}")
+    src.coalesce(1).write.parquet(dir.toString)
+    val delPath = listParquet(dir).head
+    val nKeys = spark.read.parquet(delPath).count()
+    if (nKeys == 0) {
+      Files.deleteIfExists(Paths.get(delPath))
+      return current
+    }
+    val delMeta = DeleteFileMeta(
+      path = delPath,
+      rowCount = nKeys,
+      sizeBytes = Files.size(Paths.get(delPath)),
+      dataPaths = affected.sorted,
+      equalityColumns = keyCols)
+    catalog.commit(spark, table, current.files.map(_.path),
+      reuseMeta = current.files.map(f => f.path -> f).toMap,
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMorDelete),
+      deleteFilesOverride = Some(current.deleteFiles :+ delMeta))
+  }
+
   /** Apply every outstanding position delete and retire the delete files
     * (Iceberg's rewrite_position_delete_files taken to its endpoint):
     * each data file with masked rows is rewritten to its visible rows;

@@ -88,7 +88,7 @@ class CdcLifecycleSpec extends SparkSpec {
       states :+= (Writers.writeSnapshot(cat, t, df(first), dataDir).snapshotId, state)
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -147,6 +147,16 @@ class CdcLifecycleSpec extends SparkSpec {
             val snap = cat.rollbackTo(spark, t, targetId)
             state = targetState
             states :+= (snap.snapshotId, state)
+          case 9 => // zero-scan equality delete of random ids: masks only
+            // rows existing NOW (a later append of the same id re-adds)
+            val ids = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(100).toLong).distinct
+            val before = cat.currentSnapshot(t).map(_.snapshotId)
+            val snap = Writers.deleteByKeys(spark, cat, t,
+              ids.toDF("id"), Seq("id"), dataDir)
+            if (!before.contains(snap.snapshotId)) {
+              state = state.filter { case ((id, _), _) => !ids.contains(id) }
+              states :+= (snap.snapshotId, state)
+            }
         }
       }
 
