@@ -440,7 +440,8 @@ object Writers {
       table: String,
       source: DataFrame,
       keyCols: Seq[String],
-      dataDir: String): SnapshotMeta = {
+      dataDir: String,
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val current = catalog.currentSnapshot(table)
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
@@ -469,7 +470,7 @@ object Writers {
 
     catalog.commit(spark, table, untouchedMeta.map(_.path) ++ survivorFiles ++ insertFiles,
       reuseMeta = untouchedMeta.map(f => f.path -> f).toMap,
-      props = Map(
+      props = props ++ Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMerge,
         SnapshotCatalog.RewrittenFromProp -> affected.sorted.mkString(","),
         SnapshotCatalog.InsertFilesProp -> insertFiles.mkString(",")))
