@@ -723,6 +723,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         "total_records" -> s.totalRows,
         "total_files_size" -> s.totalBytes,
         "file_count" -> s.files.size,
+        "delete_file_count" -> s.deleteFiles.size,
+        "masked_delete_rows" -> s.totalDeleteRows,
         "current_snapshot_id" -> currentSnapshot(table).map(_.snapshotId).getOrElse(-1L))
     }.getOrElse(Map("table_id" -> table))
   }
@@ -757,6 +759,22 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         f.sketches.keys.toSeq.sorted)
     }.toDF("path", "size_bytes", "row_count", "partition_values",
       "stat_columns", "bloom_columns", "sketch_columns")
+  }
+
+  /** Iceberg `table$delete_files` metadata table: one row per live MoR
+    * delete file of the snapshot (position or equality), with the data
+    * files its entries reference. Bounded by metadata size. */
+  def deleteFilesDf(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snap = snapshotId.flatMap(snapshotById(table, _))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    snap.deleteFiles.map { d =>
+      (d.path,
+        if (d.isEquality) "equality" else "position",
+        d.rowCount, d.sizeBytes, d.equalityColumns, d.dataPaths)
+    }.toDF("path", "kind", "entry_count", "size_bytes",
+      "equality_columns", "data_paths")
   }
 
   // ---- snapshot management: rollback + cherry-pick ---------------------

@@ -82,6 +82,7 @@ final class GraftHttpServer(
     server.createContext("/changes", (ex: HttpExchange) => safely(ex)(handleChanges))
     server.createContext("/history", (ex: HttpExchange) => safely(ex)(handleHistory))
     server.createContext("/ndv", (ex: HttpExchange) => safely(ex)(handleNdv))
+    server.createContext("/stats", (ex: HttpExchange) => safely(ex)(handleStats))
     server.createContext("/staged", (ex: HttpExchange) => safely(ex)(handleStaged))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
@@ -151,6 +152,21 @@ final class GraftHttpServer(
     val body = cat.history(table, limit).map { m =>
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
+    respond(ex, 200, body + "\n")
+  }
+
+  /** Table stats straight from the manifest (the reference's
+    * `get_table_stats` surface): `GET /stats?table=T[&snapshot=ID]` →
+    * row/file/byte counts plus outstanding MoR delete-file and
+    * masked-row counts. Metadata-only, no data file opens. */
+  private def handleStats(ex: HttpExchange): Unit = {
+    val table = param(ex, "table").getOrElse(
+      throw new IllegalArgumentException("missing table parameter"))
+    val snap = param(ex, "snapshot").map(_.toLong)
+    val body = cat.tableStats(table, snap).map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
     respond(ex, 200, body + "\n")
   }
 

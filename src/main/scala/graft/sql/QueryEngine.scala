@@ -60,5 +60,6 @@ final class QueryEngine(
   def registerMetadata(catalog: graft.meta.SnapshotCatalog, table: String): Unit = {
     catalog.snapshotsDf(spark, table).createOrReplaceTempView(s"${table}__snapshots")
     catalog.filesDf(spark, table).createOrReplaceTempView(s"${table}__files")
+    catalog.deleteFilesDf(spark, table).createOrReplaceTempView(s"${table}__delete_files")
   }
 }

@@ -53,6 +53,38 @@ class MetadataTablesSpec extends SparkSpec {
     assert(totRows == c.count())
   }
 
+  test("deleteFilesDf: one row per MoR delete file; tableStats counts masked rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-metatbl3-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 50), s"$base/data")
+    assert(cat.deleteFilesDf(spark, "cust").isEmpty)
+    Writers.deleteWhereMoR(spark, cat, "cust", col("c_custkey") <= 5, Nil, s"$base/data")
+    Writers.deleteByKeys(spark, cat, "cust",
+      Seq(9L, 10L).toDF("c_custkey"), Seq("c_custkey"), s"$base/data")
+
+    val df = cat.deleteFilesDf(spark, "cust")
+    val byKind = df.select(col("kind"), col("entry_count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // custkeys start at 0, so <= 5 masks 6 rows
+    assert(byKind == Map("position" -> 6L, "equality" -> 2L))
+    assert(df.filter(col("kind") === "equality")
+      .select(col("equality_columns")).collect()
+      .head.getSeq[String](0) == Seq("c_custkey"))
+
+    val stats = cat.tableStats("cust")
+    assert(stats("delete_file_count") == 2)
+    assert(stats("masked_delete_rows") == 8L)
+
+    // SQL surface: t__delete_files rides registerMetadata
+    val engine = new graft.sql.QueryEngine(spark, sfDir)
+    engine.registerMetadata(cat, "cust")
+    val n = engine.sql(
+      "SELECT SUM(entry_count) AS n FROM cust__delete_files").collect()(0).getAs[Long]("n")
+    assert(n == 8L)
+  }
+
   test("metadata tables are SQL-queryable through the engine") {
     val base = Files.createTempDirectory("graft-metasql-").toString
     val cat = new SnapshotCatalog(s"$base/cat")

@@ -256,6 +256,32 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/stats serves manifest table stats incl. outstanding MoR delete masks") {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.meta.SnapshotCatalog(
+      java.nio.file.Files.createTempDirectory("graft-http-stats-").toString)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-http-stats-d-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    graft.sinks.Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey") <= 50), dataDir)
+    graft.sinks.Writers.deleteWhereMoR(spark, cat, "cust",
+      col("c_custkey") <= 5, Nil, dataDir)
+
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, catalog = Some(cat)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (code, body) = get(s"$base/stats?table=cust")
+      assert(code == 200, body)
+      // custkeys start at 0: <= 50 keeps 51 rows, <= 5 masks 6
+      assert(body.contains("\"total_records\":51"), body)
+      assert(body.contains("\"delete_file_count\":1"), body)
+      assert(body.contains("\"masked_delete_rows\":6"), body)
+      // time travel: the pre-delete snapshot shows no masks
+      val (c2, b2) = get(s"$base/stats?table=cust&snapshot=1")
+      assert(c2 == 200 && b2.contains("\"delete_file_count\":0"), b2)
+    } finally srv.stop()
+  }
+
   private def awaitNoActiveJobs(timeoutMs: Long): Unit = {
     val tracker = spark.sparkContext.statusTracker
     val deadline = System.currentTimeMillis() + timeoutMs
