@@ -122,7 +122,30 @@ object Stress {
       }
       (m.totalRows, t1, t2, cRows, t3)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc}}""")
+    // merge-on-read deletes at scale: the GDPR-row case. A 2.4M-row
+    // ranged table takes (a) a zero-scan equality delete of ONE key —
+    // cost must be driver milliseconds, independent of table bytes;
+    // (b) a masked full scan — the broadcast anti-join's overhead over
+    // the bare scan; (c) a materialization — bounded by the ONE file
+    // the mask's dataPaths scope touches, not the table.
+    val (tEqDel, tBaseRead, tMaskRead, tMat) = {
+      import spark.implicits._
+      val cat = new graft.meta.SnapshotCatalog(
+        java.nio.file.Files.createTempDirectory("graft-stress-mor-").toString)
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-mord-").toString
+      val keyed = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sinks.Writers.writeRangedSnapshot(cat, "ord", keyed, dataDir,
+        "o_orderkey", 8)
+      val (_, tb) = time { cat.read(spark, "ord").count() }
+      val (_, td) = time {
+        graft.sinks.Writers.deleteByKeys(spark, cat, "ord",
+          Seq(4242L).toDF("o_orderkey"), Seq("o_orderkey"), dataDir)
+      }
+      val (_, tr) = time { cat.read(spark, "ord").count() }
+      val (_, tm) = time { graft.sinks.Writers.materializeDeletes(spark, cat, "ord", dataDir).get }
+      (td, tb, tr, tm)
+    }
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat}}""")
     spark.stop()
   }
 }

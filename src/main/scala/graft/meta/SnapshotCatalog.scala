@@ -1368,17 +1368,21 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       paths: Seq[String]): DataFrame = {
     if (paths.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val base = spark.read.schema(schema).parquet(paths: _*)
     val dels = entrySnap.deletesFor(paths)
-    if (dels.isEmpty) base
-    else {
-      applyDeleteMasks(spark,
-        base
-          .withColumn("_file", col("_metadata.file_path"))
-          .withColumn("_pos", col("_metadata.row_index")),
-        dels)
-        .drop("_file", "_pos")
-    }
+    if (dels.isEmpty) return spark.read.schema(schema).parquet(paths: _*)
+    // only the files a mask actually references pay the anti-join; the
+    // rest stay a bare scan (1 masked file in 10k → 1 file's rows probe
+    // the broadcast hash, not the whole table)
+    val referenced = dels.flatMap(_.dataPaths).toSet
+    val (masked, clean) = paths.partition(referenced.contains)
+    val maskedRows = applyDeleteMasks(spark,
+      spark.read.schema(schema).parquet(masked: _*)
+        .withColumn("_file", col("_metadata.file_path"))
+        .withColumn("_pos", col("_metadata.row_index")),
+      dels)
+      .drop("_file", "_pos")
+    if (clean.isEmpty) maskedRows
+    else maskedRows.unionByName(spark.read.schema(schema).parquet(clean: _*))
   }
 
   /** Visible rows WITH their `_file`/`_pos` scan lineage attached — the

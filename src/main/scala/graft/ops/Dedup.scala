@@ -187,6 +187,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental ingest dedup, exact form (SURVEY §2.3 L36): annotate
+    * each NEW document with the corpus document it exactly duplicates
+    * (normalized-fingerprint match, lowest corpus id wins), or null when
+    * novel. This is the realistic ingest shape: the corpus side reduces
+    * to a (fingerprint → keeper id) index — exactly [[exactGroups]]'
+    * output, maintainable incrementally as batches commit — and the
+    * per-batch cost is ONE join of the (small) batch against it. At
+    * 100 TB the index is ~fingerprint-count rows, not corpus bytes. */
+  def exactAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val idx = corpus
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("dup_of"))
+    batch
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .join(idx, Seq("fingerprint"), "left")
+      .select(col(idCol), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** Incremental ingest dedup, near-dup form (L36): each new document's
+    * BEST corpus near-match (jaccard ≥ threshold on word shingles), or
+    * absent when novel. Candidates come from joining the batch's LSH
+    * bands against the corpus's bands — the corpus banding is the
+    * persistable index half; the batch side is small, so the band join
+    * probes rather than self-joins (cost ∝ batch × bucket width, linear
+    * in corpus size). Candidates are exact-verified, then one bounded
+    * per-batch-doc window picks the highest-jaccard (ties: lowest id)
+    * match. */
+  def nearDupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numBands: Int = NumBands): DataFrame = {
+    val cb = bandedSignatures(corpus, idCol, textCol, numBands)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val bb = bandedSignatures(batch, idCol, textCol, numBands)
+      .withColumnRenamed("doc_id", "batch_id")
+    val cand = bb.join(cb, Seq("band", "band_hash"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val shB = withShingles(batch, idCol, textCol)
+      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
+    val shC = withShingles(corpus, idCol, textCol)
+      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
+    val verified = cand
+      .join(shB.as("ba"), col("batch_id") === col("ba.id"))
+      .join(shC.as("ca"), col("corpus_id") === col("ca.id"))
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.HashExprs.sortedIntersectCount(col("ba.sh"), col("ca.sh")).as("__i"),
+        size(col("ba.sh")).as("__na"), size(col("ca.sh")).as("__nb"))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch_id"))
+      .orderBy(col("jaccard").desc, col("corpus_id").asc)
+    verified
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+  }
+
   /** Duplicate-CLUSTER resolution: connected components over a near-dup
     * pair list, labeling every member with its cluster's min id — the
     * step that turns pairwise dedup output into one canonical keeper per

@@ -235,7 +235,24 @@ object Pipeline {
       length(TextAnalysis.normalizeText(raw)).cast("long").as("n_chars"))
   }
 
+  /** Incremental ingest dedup, exact form (SURVEY §2.3 L36): a synthetic
+    * "new batch" — exact clones of every 7th≡3 corpus doc plus uniquely
+    * suffixed (novel) variants of every 7th≡5 — is annotated against the
+    * full corpus fingerprint index. Clones must resolve to their corpus
+    * keeper, novels to null, hash-exact vs the oracle's identical
+    * construction. */
+  def qIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clones = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val novels = docs.filter(col("doc_id") % 7 === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" novel suffix "), col("doc_id")).as("text"))
+    Dedup.exactAgainstCorpus(clones.unionByName(novels), docs, "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_dedup" -> (qIncrDedup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_normalize_text" -> (qNormalizeText _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
@@ -270,6 +287,22 @@ object Pipeline {
   private val deL = stop(TextAnalysis.DeStop)
 
   val oracles: Map[String, String] = Map(
+    "q_incr_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    text || ' novel suffix ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 5),
+        |idx AS (
+        |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |    MIN(doc_id) AS dup_of
+        |  FROM documents GROUP BY 1)
+        |SELECT b.doc_id, i.dup_of, i.dup_of IS NOT NULL AS is_dup
+        |FROM batch b
+        |LEFT JOIN idx i
+        |  ON md5(regexp_replace(lower(b.text), '\s+', ' ', 'g')) = i.fingerprint""".stripMargin,
     "q_pii_redact" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -28,6 +28,43 @@ class DedupSpec extends SparkSpec {
       s"missed: ${mustFind.diff(found)}")
   }
 
+  test("incremental dedup against a corpus: exact clones resolve, novels pass, near-dups match") {
+    import spark.implicits._
+    // batch: 10 exact clones, 10 uniquely-suffixed novels
+    val clones = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val novels = docs.filter(col("doc_id").between(10, 19))
+      .select((col("doc_id") + 2000L).as("doc_id"),
+        concat(col("text"), lit(" qz"), col("doc_id"), lit("qz unique tail marker")).as("text"))
+    val batch = clones.unionByName(novels)
+
+    val exact = Dedup.exactAgainstCorpus(batch, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    (0 until 10).foreach { i =>
+      val dup = exact(i + 1000L)
+      assert(dup.isDefined, s"clone of doc $i not matched")
+      // keeper is the min-id member of doc i's exact-dup group
+      val fp = docs.filter(col("doc_id") === i)
+        .select(TextAnalysis.fingerprint(col("text"))).head().getString(0)
+      val keeper = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+        .filter(col("f") === fp).agg(min(col("doc_id"))).head().getLong(0)
+      assert(dup.contains(keeper))
+    }
+    (10 until 20).foreach(i => assert(exact(i + 2000L).isEmpty, s"novel $i misflagged"))
+
+    // near-dup form: a lightly-edited clone (one word changed) must still
+    // find its source with high jaccard; the unique-tail novels must not
+    val edited = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 3000L).as("doc_id"),
+        concat(lit("zzz "), substring(col("text"), 5, 100000)).as("text"))
+    val near = Dedup.nearDupAgainstCorpus(
+      edited.unionByName(novels), docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(near.get(i + 3000L).nonEmpty, s"edited clone of doc $i not matched")
+    }
+  }
+
   test("minhash LSH reports exact jaccard for reported pairs (precision exact)") {
     val reported = Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

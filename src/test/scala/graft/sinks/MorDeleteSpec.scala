@@ -73,6 +73,26 @@ class MorDeleteSpec extends SparkSpec {
     assert(!fast.contains("Join"), s"no-delete read must stay a bare scan:\n$fast")
   }
 
+  test("only mask-referenced files pay the anti-join; clean files keep the bare scan") {
+    val (cat, d) = freshCat("graft-morsplit-")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeRangedSnapshot(cat, "cust",
+      c.filter(col("c_custkey") <= 100), d, "c_custkey", 4)
+    // mask hits the lowest range file only
+    Writers.deleteWhereMoR(spark, cat, "cust",
+      col("c_custkey") <= 5, Seq(RangeNum("c_custkey", 0, 5)), d)
+    val snap = cat.currentSnapshot("cust").get
+    assert(snap.deleteFiles.head.dataPaths.size < snap.files.size)
+    val df = cat.read(spark, "cust")
+    val plan = df.queryExecution.executedPlan.toString
+    // split plan: one anti-join branch (masked file) unioned with a
+    // bare-scan branch (clean files)
+    assert(plan.contains("Union"), s"expected masked/clean split:\n$plan")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(keys(cat.read(spark, "cust")) ==
+      keys(c.filter(col("c_custkey") > 5 && col("c_custkey") <= 100)))
+  }
+
   test("materialization rewrites masked files only, retires delete files, read unchanged") {
     val (cat, d) = freshCat("graft-mormat-")
     val c = Tables.customer(spark, sfDir)
