@@ -251,8 +251,21 @@ object Pipeline {
     Dedup.exactAgainstCorpus(clones.unionByName(novels), docs, "doc_id", "text")
   }
 
+  /** Near-dup form of the ingest dedup (rows-only: LSH candidates are
+    * not SQL-expressible; recall is spec-gated in DedupSpec): lightly
+    * edited clones of every 11th corpus doc probe the corpus band
+    * index and must come back with their best match. */
+  def qIncrNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edited = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("zzz "), substring(col("text"), 5, 1000000)).as("text"))
+    Dedup.nearDupAgainstCorpus(edited, docs, "doc_id", "text", threshold = 0.7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incr_dedup" -> (qIncrDedup _),
+    "q_incr_neardup" -> (qIncrNeardup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_normalize_text" -> (qNormalizeText _),
     "q_lexical_diversity" -> (qLexicalDiversity _),

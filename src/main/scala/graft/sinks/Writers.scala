@@ -566,8 +566,15 @@ object Writers {
       stagedId: String): DataFrame = {
     val st = catalog.staged(table, stagedId).getOrElse(throw new IllegalArgumentException(
       s"no staged commit $stagedId for table $table"))
-    val cur = catalog.currentSnapshot(table).map(_.files.map(_.path)).getOrElse(Nil)
-    spark.read.parquet((cur ++ st.paths): _*)
+    catalog.currentSnapshot(table) match {
+      case Some(snap) =>
+        // current side through the MoR delete masks (an audit must not
+        // resurrect masked rows); staged files are fresh, read under
+        // their own schema (a staged append may carry evolved columns)
+        catalog.visibleRows(spark, snap, snap.files.map(_.path))
+          .unionByName(spark.read.parquet(st.paths: _*), allowMissingColumns = true)
+      case None => spark.read.parquet(st.paths: _*)
+    }
   }
 
   /** Write `df` as parquet under `dataDir` and commit the produced files

@@ -40,6 +40,20 @@ class WapSpec extends SparkSpec {
     assert(changes.count() == c.filter(col("c_custkey").between(51, 80)).count())
   }
 
+  test("audit of a MoR-masked table shows the prospective VISIBLE state") {
+    val base = Files.createTempDirectory("graft-wapmor-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 50), s"$base/data")
+    Writers.deleteWhereMoR(spark, cat, "cust", col("c_custkey") <= 10, Nil, s"$base/data")
+    val stagedId = Writers.stageAppendSnapshot(cat, "cust",
+      c.filter(col("c_custkey").between(51, 60)), s"$base/data")
+    // masked rows must not resurrect in the prospective state
+    val audit = Writers.readStaged(cat, spark, "cust", stagedId)
+    assert(audit.count() ==
+      c.filter(col("c_custkey") > 10 && col("c_custkey") <= 60).count())
+  }
+
   test("publish applies onto a head that moved after staging (append cherry-pick)") {
     val base = Files.createTempDirectory("graft-wap2-").toString
     val cat = new SnapshotCatalog(s"$base/cat")
