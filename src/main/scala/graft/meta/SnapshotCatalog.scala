@@ -1277,6 +1277,44 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     inserted.unionByName(deleted, allowMissingColumns = true)
   }
 
+  /** Per-commit change feed (the Delta CDF surface: `_change_type` plus
+    * `_commit_snapshot_id` / `_commit_timestamp_ms` attribution): one
+    * [[changesBetween]] diff per adjacent SURVIVING snapshot pair in the
+    * range, unioned in commit order. Use this when the consumer needs to
+    * know WHICH commit changed a row (audit trails, ordered replay);
+    * use the net [[changesBetween]] when only the endpoint delta matters
+    * — the net feed cancels intra-range churn, this one preserves it.
+    *
+    * Cost: each adjacent diff is bounded by that commit's rewritten
+    * bytes (appends are file-level scans, rewrites diff only their
+    * inputs/outputs), so the whole feed costs the sum of the commits'
+    * own work — never pairs × table. Expired interior snapshots collapse
+    * into the next surviving pair, attributed to its later endpoint. */
+  def changesPerCommit(
+      spark: SparkSession,
+      table: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val to = toSnapshotId.map(id => snapshotById(table, id).getOrElse(
+        throw new IllegalArgumentException(s"Snapshot $id not found for $table")))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val ids = snapshots(table).map(_.snapshotId)
+      .filter(id => id >= fromSnapshotId && id <= to.snapshotId).sorted
+    val parts = ids.zip(ids.drop(1)).map { case (a, b) =>
+      val snapB = snapshotById(table, b).get
+      changesBetween(spark, table, a, Some(b))
+        .withColumn("_commit_snapshot_id", lit(b))
+        .withColumn("_commit_timestamp_ms", lit(snapB.timestampMs))
+    }
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      changesBetween(spark, table, to.snapshotId, Some(to.snapshotId))
+        .withColumn("_commit_snapshot_id", lit(to.snapshotId))
+        .withColumn("_commit_timestamp_ms", lit(to.timestampMs))
+        .limit(0)
+    }
+  }
+
   /** Expire old snapshots, keeping the most recent `keepLast` manifests
     * plus any snapshot a tag references (ref-reachability, as Iceberg's
     * expire_snapshots honors refs; metadata-only — data files are

@@ -138,8 +138,14 @@ final class GraftHttpServer(
     val from = param(ex, "from").getOrElse(
       throw new IllegalArgumentException("missing from parameter")).toLong
     val to = param(ex, "to").map(_.toLong)
-    streamResult(ex, cat.changesBetween(spark, table, from, to),
-      s"/changes: $table $from..${to.getOrElse("current")}")
+    // mode=percommit streams the Delta-CDF-style attributed feed (one
+    // diff per commit, _commit_snapshot_id/_commit_timestamp_ms columns);
+    // the default streams the NET endpoint delta
+    val feed = param(ex, "mode") match {
+      case Some("percommit") => cat.changesPerCommit(spark, table, from, to)
+      case _ => cat.changesBetween(spark, table, from, to)
+    }
+    streamResult(ex, feed, s"/changes: $table $from..${to.getOrElse("current")}")
   }
 
   /** Snapshot history, newest first (reference: `get_snapshot_history`,

@@ -70,4 +70,42 @@ class SnapshotMgmtSpec extends SparkSpec {
       df => df.filter(col("c_custkey") =!= 1), Nil, s"$base/d")
     intercept[IllegalArgumentException](cat.cherryPick(spark, "cust", del.snapshotId))
   }
+
+  test("per-commit feed attributes every change to its commit; intra-range churn preserved") {
+    val base = Files.createTempDirectory("graft-cdf-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    val s1 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 20), s"$base/d")
+    val s2 = Writers.writeSnapshot(cat, "cust",
+      c.filter(col("c_custkey").between(21, 30)), s"$base/d")
+    // delete rows appended by BOTH commits: net feed cancels s2's part,
+    // the per-commit feed must preserve it with correct attribution
+    val s3 = Writers.deleteWhereMoR(spark, cat, "cust",
+      col("c_custkey").between(15, 25), Nil, s"$base/d")
+
+    val feed = cat.changesPerCommit(spark, "cust", s1.snapshotId)
+    def part(id: Long, t: String): Set[Long] =
+      feed.filter(col("_commit_snapshot_id") === id && col("_change_type") === t)
+        .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    def ck(lo: Long, hi: Long): Set[Long] =
+      c.filter(col("c_custkey").between(lo, hi))
+        .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+
+    assert(part(s2.snapshotId, "insert") == ck(21, 30))
+    assert(part(s2.snapshotId, "delete").isEmpty)
+    assert(part(s3.snapshotId, "delete") == ck(15, 25))
+    assert(part(s3.snapshotId, "insert").isEmpty)
+    // timestamps ride along; commit order is replayable
+    val stamps = feed.select(col("_commit_snapshot_id"), col("_commit_timestamp_ms"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stamps.keySet == Set(s2.snapshotId, s3.snapshotId))
+    assert(stamps(s2.snapshotId) <= stamps(s3.snapshotId))
+
+    // net feed over the same range cancels the churn the per-commit
+    // feed preserves: 21..25 appear in s2-insert AND s3-delete
+    val net = cat.changesBetween(spark, "cust", s1.snapshotId)
+    val netDel = net.filter(col("_change_type") === "delete")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    assert(netDel == ck(15, 20), s"net feed should only delete rows present at s1, got $netDel")
+  }
 }

@@ -206,6 +206,13 @@ class GraftHttpServerSpec extends SparkSpec {
       assert(hist.contains("\"snapshot_id\":2"))
       assert(!hist.contains("\"snapshot_id\":1")) // limit honored, newest first
 
+      // per-commit mode: same changes, attributed to their commits
+      val (pc, pbody) = get(s"$base/changes?table=cust&from=${s1.snapshotId}&mode=percommit")
+      assert(pc == 200)
+      val prows = pbody.trim.split("\n").tail
+      assert(prows.count(_.contains("\"_commit_snapshot_id\":2")) == 11) // the delete commit
+      assert(prows.count(_.contains("\"_commit_snapshot_id\":3")) == 10) // the append commit
+
       // missing catalog params are clean 400s
       assert(get(s"$base/changes?table=cust")._1 == 400)
       assert(get(s"$base/history")._1 == 400)
