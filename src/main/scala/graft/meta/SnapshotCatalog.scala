@@ -559,6 +559,20 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   /** All snapshots, oldest first (reference: metadata.py:222
     * `list_snapshots`). One directory listing; parses only manifests
     * not already memoized. */
+  /** Tables this catalog manages (reference: the pyiceberg catalog's
+    * `list_tables` surface): every root subdirectory holding at least
+    * one snapshot manifest. Driver-side directory listing — O(tables). */
+  def tables(): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Nil
+    val stream = Files.list(rootPath)
+    val dirs = try stream.iterator().asScala.filter(Files.isDirectory(_)).toList
+      finally stream.close()
+    dirs.map(_.getFileName.toString)
+      .filter(t => scala.util.Try(currentSnapshot(t)).toOption.flatten.nonEmpty)
+      .sorted
+  }
+
   def snapshots(table: String): Seq[SnapshotMeta] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return Nil

@@ -325,6 +325,25 @@ object Writers {
       deleteFilesOverride = Some(current.deleteFiles :+ delMeta))
   }
 
+  /** Row-retention maintenance (the compliance TTL sweep): expire every
+    * row whose `tsCol` is strictly before `cutoffMs`, as a merge-on-read
+    * mask. The manifest min/max prune bounds the marking scan to files
+    * that could hold old rows — on a time-ordered ingest layout that is
+    * the cold prefix, never the live tail — and the commit itself is
+    * pure metadata. Chain with [[materializeDeletes]] (or let compaction
+    * fold the masks) once the masked fraction warrants the rewrite;
+    * `expireSnapshots` + `vacuumDataFiles` then reclaim the bytes. */
+  def expireRowsOlderThan(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      tsCol: String,
+      cutoffMs: Long,
+      dataDir: String): SnapshotMeta =
+    deleteWhereMoR(spark, catalog, table,
+      col(tsCol).cast("timestamp") < timestamp_millis(lit(cutoffMs)),
+      Seq(RangeNum(tsCol, Double.MinValue, cutoffMs.toDouble)), dataDir)
+
   /** Apply every outstanding position delete and retire the delete files
     * (Iceberg's rewrite_position_delete_files taken to its endpoint):
     * each data file with masked rows is rewritten to its visible rows;

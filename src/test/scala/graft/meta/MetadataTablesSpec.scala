@@ -85,6 +85,18 @@ class MetadataTablesSpec extends SparkSpec {
     assert(n == 8L)
   }
 
+  test("tables() lists exactly the committed tables, sorted") {
+    val base = Files.createTempDirectory("graft-lstbl-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    assert(cat.tables().isEmpty)
+    val n = Tables.nation(spark, sfDir)
+    Writers.writeSnapshot(cat, "nation", n, s"$base/data")
+    Writers.writeSnapshot(cat, "beta", n.limit(3), s"$base/data")
+    // a staged-only table (no published snapshot) is NOT listed
+    graft.sinks.Writers.stageAppendSnapshot(cat, "pending", n.limit(2), s"$base/data")
+    assert(cat.tables() == Seq("beta", "nation"))
+  }
+
   test("metadata tables are SQL-queryable through the engine") {
     val base = Files.createTempDirectory("graft-metasql-").toString
     val cat = new SnapshotCatalog(s"$base/cat")

@@ -157,6 +157,26 @@ class MorDeleteSpec extends SparkSpec {
         !col("c_custkey").between(60, 70))))
   }
 
+  test("TTL retention: expireRowsOlderThan masks the cold prefix, prunes the live tail") {
+    val (cat, d) = freshCat("graft-ttl-")
+    val ev = Tables.events(spark, sfDir)
+    // time-ordered ingest layout: 4 files with disjoint ts ranges
+    Writers.writeRangedSnapshot(cat, "ev", ev, d, "ts", 4)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-08 00:00:00").getTime
+    val s2 = Writers.expireRowsOlderThan(spark, cat, "ev", "ts", cutoff, d)
+
+    // pure metadata commit; the mask's scope excludes the live tail
+    assert(s2.deleteFiles.size == 1)
+    assert(s2.deleteFiles.head.dataPaths.size < s2.files.size,
+      "min/max prune should keep the newest range file(s) out of the mask scope")
+    val expect = ev.filter(col("ts") >= timestamp_millis(lit(cutoff))).count()
+    assert(cat.read(spark, "ev").count() == expect)
+    assert(s2.deleteFiles.head.rowCount == ev.count() - expect)
+    // idempotent: the masked rows are no longer visible to a second sweep
+    val s3 = Writers.expireRowsOlderThan(spark, cat, "ev", "ts", cutoff, d)
+    assert(s3.snapshotId == s2.snapshotId)
+  }
+
   test("rollback across a MoR delete restores the rows; vacuum keeps live delete files") {
     val (cat, d) = freshCat("graft-morrb-")
     val c = Tables.customer(spark, sfDir)
