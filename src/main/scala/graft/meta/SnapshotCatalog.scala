@@ -573,6 +573,23 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .sorted
   }
 
+  /** Drop a table: its manifests, current pointer, tags, staged
+    * entries and bloom/sketch sidecars are deleted and the memoized
+    * parses purged. DATA files are untouched (they live in the caller's
+    * data dir) — vacuum BEFORE dropping if the bytes should go too,
+    * because liveness information dies with the metadata. Maintenance
+    * op: don't race it with in-flight commits on the same table. */
+  def dropTable(table: String): Boolean = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return false
+    val stream = Files.walk(dir)
+    val all = try stream.iterator().asScala.toList finally stream.close()
+    all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    val prefix = dir.toAbsolutePath.toString
+    manifestCache.keySet.removeIf(_.startsWith(prefix))
+    true
+  }
+
   def snapshots(table: String): Seq[SnapshotMeta] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return Nil

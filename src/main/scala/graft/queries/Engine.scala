@@ -108,6 +108,31 @@ object Engine {
       .agg(count(lit(1)).as("n_cust"), sumMoney(col("c_acctbal")).as("sum_bal"))
   }
 
+  // Memoized TTL-swept events catalog per sf-dir: the ranged write + the
+  // retention sweep are maintenance; the benched/verified path is the
+  // masked read of the surviving (recent) rows.
+  private val ttlCats = TrieMap.empty[String, SnapshotCatalog]
+  private val TtlCutoffMs = java.sql.Timestamp.valueOf("2024-01-08 00:00:00").getTime
+  private def ttlCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    ttlCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-ttl-").toString
+      val cat = new SnapshotCatalog(tmp)
+      Writers.writeRangedSnapshot(cat, "events", Tables.events(s, dir), tmp, "ts", 4)
+      Writers.expireRowsOlderThan(s, cat, "events", "ts", TtlCutoffMs, tmp)
+      cat
+    })
+
+  /** Read an events table after a TTL retention sweep (SURVEY §2 S40's
+    * `expireRowsOlderThan`): rows before the cutoff are MoR-masked (zero
+    * data-file rewrites, live tail pruned out of the marking scan), and
+    * the visible aggregate must equal the oracle's plain-WHERE form. */
+  def qTtlRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = ttlCatFor(s, dir)
+    cat.read(s, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+  }
+
   // Memoized co-bucketed lineitem/orders tables per (session, dir): the
   // bucketed write is the one-time layout investment (like an ingest
   // repartition); the benched/verified path is the exchange-free join.
@@ -365,6 +390,7 @@ object Engine {
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
     "q_mor_read" -> (qMorRead _),
+    "q_ttl_read" -> (qTtlRead _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_sql_engine" -> (qSqlEngine _))
 
@@ -413,6 +439,12 @@ object Engine {
         |UNION ALL
         |SELECT o_orderkey + 100000000 AS o_orderkey, 1.0 AS price, 'N' AS status
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "q_ttl_read" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+        |GROUP BY event_type""".stripMargin,
     "q_mor_read" ->
       """SELECT c_mktsegment, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS sum_bal

@@ -56,11 +56,14 @@ class CdcLifecycleSpec extends SparkSpec {
     ms(df.select(col("id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq)
 
-  test("changesBetween/readIncremental hold over 100 random op sequences") {
+  test("changesBetween/readIncremental hold over 80 random 6-op sequences") {
     import spark.implicits._
     val rnd = new Random(20260812L)
-    val nSequences = 100
-    val opsPerSeq = 4
+    // 80 × 6-op chains ≈ the 100 × 4-op runtime but with deeper
+    // compositions (a rollback ACROSS a materialize ACROSS an equality
+    // delete only appears at depth ≥ 5)
+    val nSequences = 80
+    val opsPerSeq = 6
 
     for (seq <- 0 until nSequences) {
       val cat = new SnapshotCatalog(Files.createTempDirectory(s"graft-cdcp-$seq-").toString)

@@ -97,6 +97,27 @@ class MetadataTablesSpec extends SparkSpec {
     assert(cat.tables() == Seq("beta", "nation"))
   }
 
+  test("dropTable removes all metadata; the name is immediately reusable") {
+    val base = Files.createTempDirectory("graft-drop-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val n = Tables.nation(spark, sfDir)
+    Writers.writeSnapshot(cat, "nation", n, s"$base/data")
+    Writers.writeSnapshot(cat, "nation", n.limit(5), s"$base/data")
+    cat.tag("nation", "keep", 1L)
+    assert(cat.tables() == Seq("nation"))
+
+    assert(cat.dropTable("nation"))
+    assert(cat.tables().isEmpty)
+    assert(cat.currentSnapshot("nation").isEmpty)
+    assert(!cat.dropTable("nation"), "second drop reports nothing to do")
+
+    // re-create under the same name: history restarts from snapshot 1
+    val fresh = Writers.writeSnapshot(cat, "nation", n.limit(3), s"$base/data")
+    assert(fresh.snapshotId == 1L)
+    assert(cat.read(spark, "nation").count() == 3)
+    assert(cat.tags("nation").isEmpty)
+  }
+
   test("metadata tables are SQL-queryable through the engine") {
     val base = Files.createTempDirectory("graft-metasql-").toString
     val cat = new SnapshotCatalog(s"$base/cat")
