@@ -856,6 +856,125 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         SnapshotCatalog.CherryPickOfProp -> snapshotId.toString))
   }
 
+  // ---- branches (isolated writable refs) -------------------------------
+  // A branch is a SELF-CONTAINED snapshot chain rooted at
+  // `<table>/branches/<name>` — the Iceberg/Nessie writable-ref model
+  // (Iceberg spec "Branching and Tagging"; the reference consumes refs
+  // through pyiceberg's snapshot metadata). Because every catalog API
+  // addresses tables by path-shaped name, the branch REF returned by
+  // [[branchRef]] is a first-class table: reads, time travel, CDC walks,
+  // MoR deletes, MERGE, compaction, tags and streaming sources all work
+  // against it with zero special cases. Forking is one metadata commit
+  // (every data file reused); data files are SHARED with the main table
+  // until a branch commit rewrites them.
+
+  /** The catalog name a branch is addressed by. Validated so a branch
+    * name can never traverse out of the table's directory. */
+  def branchRef(table: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]{1,128}"), s"invalid branch name: $name")
+    require(!table.contains("/branches/"),
+      s"cannot branch a branch ref: $table (fork from the base table instead)")
+    s"$table/branches/$name"
+  }
+
+  /** Fork a branch from a snapshot of `table` (default: current head).
+    * Metadata-only: the branch's snapshot 1 lists exactly the fork
+    * point's files and outstanding delete files, carries its schema and
+    * sticky index columns, and records the fork lineage in props. O(1)
+    * data work at any table size. */
+  def createBranch(
+      table: String,
+      name: String,
+      fromSnapshotId: Option[Long] = None): SnapshotMeta = {
+    val src = fromSnapshotId.map(id => snapshotById(table, id).getOrElse(
+        throw new IllegalArgumentException(s"Snapshot $id not found for $table")))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val ref = branchRef(table, name)
+    val sticky = src.props.filter { case (k, _) =>
+      k == SnapshotCatalog.BloomColumnsProp || k == SnapshotCatalog.SketchColumnsProp }
+    publish(ref) { prev =>
+      if (prev.isDefined)
+        throw new IllegalStateException(s"branch $name already exists on $table")
+      SnapshotMeta(
+        snapshotId = 1L,
+        timestampMs = clock(),
+        parentId = None,
+        schemaJson = src.schemaJson,
+        files = src.files,
+        props = sticky ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
+          SnapshotCatalog.ForkTableProp -> table,
+          SnapshotCatalog.ForkIdProp -> src.snapshotId.toString),
+        deleteFiles = src.deleteFiles)
+    }
+  }
+
+  /** Branch names of a table (those with at least one committed
+    * snapshot). One directory listing — O(branches). */
+  def branches(table: String): Seq[String] = {
+    val dir = tableDir(table).resolve("branches")
+    if (!Files.isDirectory(dir)) return Nil
+    val stream = Files.list(dir)
+    val names = try stream.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toList finally stream.close()
+    names.filter(n => currentSnapshot(s"$table/branches/$n").isDefined).sorted
+  }
+
+  /** Delete a branch: its manifests, pointer, tags and sidecars. Data
+    * files the branch wrote are left to [[vacuumDataFiles]] — they stop
+    * being live the moment the branch metadata is gone. */
+  def dropBranch(table: String, name: String): Boolean =
+    dropTable(branchRef(table, name))
+
+  /** Publish a branch into its table (Iceberg `fast_forward`): replays
+    * every branch commit after the fork point onto the table head, in
+    * order, each with its ORIGINAL file list, delete files, schema and
+    * props — operation labels and merge/compaction lineage survive, so
+    * the table's change feed across the publish is exactly the branch's
+    * own feed. Requires the table head to still BE the fork point (the
+    * fast-forward condition); a diverged table refuses — rebase by
+    * re-forking and replaying, or cherry-pick appends individually.
+    * Metadata-only: zero data bytes move. Returns the new table head. */
+  def fastForward(table: String, name: String): SnapshotMeta = {
+    val ref = branchRef(table, name)
+    val chain = snapshots(ref)
+    require(chain.nonEmpty, s"branch $name of $table does not exist")
+    val fork = chain.head
+    require(fork.props.get(SnapshotCatalog.ForkTableProp).contains(table),
+      s"branch $name was not forked from $table")
+    val forkId = fork.props(SnapshotCatalog.ForkIdProp).toLong
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no snapshots"))
+    require(cur.snapshotId == forkId,
+      s"cannot fast-forward $table to branch $name: table advanced past the fork " +
+        s"(head ${cur.snapshotId}, fork $forkId) — re-fork and replay, or cherry-pick")
+    var head = cur
+    chain.tail.foreach { bs =>
+      val expectedParent = head.snapshotId
+      head = publish(table) { prevOpt =>
+        val prev = prevOpt.getOrElse(throw new IllegalStateException(
+          s"table $table vanished mid-fast-forward"))
+        // a concurrent committer interleaving mid-publish would silently
+        // reorder history — abort instead (the branch is untouched)
+        if (prev.snapshotId != expectedParent)
+          throw new IllegalStateException(
+            s"concurrent commit on $table during fast-forward of $name " +
+              s"(expected head $expectedParent, found ${prev.snapshotId})")
+        SnapshotMeta(
+          snapshotId = prev.snapshotId + 1,
+          timestampMs = clock(),
+          parentId = Some(prev.snapshotId),
+          schemaJson = bs.schemaJson,
+          files = bs.files,
+          props = bs.props - SnapshotCatalog.ForkTableProp - SnapshotCatalog.ForkIdProp +
+            (SnapshotCatalog.FastForwardOfProp -> s"$name@${bs.snapshotId}"),
+          deleteFiles = bs.deleteFiles)
+      }
+    }
+    head
+  }
+
   // ---- write-audit-publish (staged commits) ----------------------------
 
   /** Stage an append WITHOUT touching the table (Iceberg's WAP pattern:
@@ -1392,10 +1511,21 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     // must survive a routine vacuum (discard is the explicit path out)
     val stagedLive = listStaged(table)
       .flatMap(staged(table, _)).flatMap(_.paths).map(normalize)
+    // branch-referenced files are live: a branch shares the table's data
+    // dir until fast-forward or drop, and dropBranch is the explicit
+    // path that releases its files to a later vacuum
+    val branchLive = branches(table).flatMap { b =>
+      val ref = branchRef(table, b)
+      val bs = snapshots(ref)
+      bs.flatMap(_.files).map(f => normalize(f.path)) ++
+        bs.flatMap(_.deleteFiles).map(d => normalize(d.path)) ++
+        listStaged(ref).flatMap(staged(ref, _)).flatMap(_.paths).map(normalize)
+    }
     val snaps = snapshots(table)
     val live: Set[String] =
       (snaps.flatMap(_.files).map(f => normalize(f.path)) ++
-        snaps.flatMap(_.deleteFiles).map(d => normalize(d.path)) ++ stagedLive).toSet
+        snaps.flatMap(_.deleteFiles).map(d => normalize(d.path)) ++
+        stagedLive ++ branchLive).toSet
     val cutoff = clock() - graceMs
     val stream = Files.walk(Paths.get(dataDir))
     val candidates = try stream.iterator().asScala
@@ -1554,6 +1684,15 @@ object SnapshotCatalog {
 
   /** Set on a cherry-pick commit: the append snapshot it replayed. */
   val CherryPickOfProp = "graft.cherrypick.of"
+
+  /** Set on a branch's fork snapshot: the table it forked from. */
+  val ForkTableProp = "graft.branch.fork.table"
+
+  /** Set on a branch's fork snapshot: the table snapshot id it forked at. */
+  val ForkIdProp = "graft.branch.fork.snapshot"
+
+  /** Set on each table commit a fast-forward replayed: `branch@id`. */
+  val FastForwardOfProp = "graft.fastforward.of"
 
   val OperationProp = "operation"
   val OpAppend = "append"

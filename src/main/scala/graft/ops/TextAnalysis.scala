@@ -114,6 +114,25 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** URL host pattern, in the Java-regex ∩ RE2 common subset (the same
+    * discipline as the PII rules, so an external oracle extracts the
+    * identical host). */
+  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Host part of a URL column (empty string when not a URL). */
+  def urlHost(url: Column): Column = regexp_extract(url, UrlHostRe, 1)
+
+  /** Registrable-ish domain: the host with a leading `www.` stripped —
+    * the grouping key web-corpus pipelines aggregate quality/dedup
+    * signals on (SURVEY §2.3 L37). A full public-suffix-list walk is a
+    * table lookup on top of this, not a different plan shape. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(urlHost(url), "^www\\.", "")
+
+  /** Last DNS label of the domain (`com`, `org`, ...). */
+  def urlTld(url: Column): Column =
+    regexp_extract(urlDomain(url), "\\.([A-Za-z]+)$", 1)
+
   /** Per-document lexical diversity (SURVEY §2.3 L29): type-token
     * ratio and hapax-legomenon rate — the vocabulary-richness signals
     * pretraining quality filters gate on alongside [[repetitionProfile]]

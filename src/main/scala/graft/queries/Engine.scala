@@ -370,6 +370,23 @@ object Engine {
         col("sum_o_totalprice").cast("double").as("sum_price"))
   }
 
+  /** Data-quality expectation sweep (SURVEY §2 S45 at the query level):
+    * six rules — null check, range, anchored regex, SQL predicate, and
+    * two key-uniqueness audits — evaluated in ONE aggregate over ONE
+    * scan of orders; the `(rule, violations)` report must match the
+    * oracle's per-rule conditional counts exactly. This is the audit
+    * step of write-audit-publish run as a standalone operator. */
+  def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{Expectations, InRange, MatchesRegex, NotNull, SqlCheck, UniqueKey}
+    Expectations.check(Tables.orders(s, dir), Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 5000.0, 400000.0),
+      MatchesRegex("o_orderpriority", "[1-3]-[A-Z ]+"),
+      SqlCheck("status_known", "o_orderstatus IN ('F','O')"),
+      UniqueKey(Seq("o_custkey")),
+      UniqueKey(Seq("o_orderkey"))))
+  }
+
   /** Arbitrary SQL through QueryEngine's registered corpus (SURVEY §2
     * S18) — the reference's `execute_query` path (src/sql/engine.py:66). */
   def qSqlEngine(s: SparkSession, dir: String): DataFrame =
@@ -392,6 +409,7 @@ object Engine {
     "q_mor_read" -> (qMorRead _),
     "q_ttl_read" -> (qTtlRead _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_expectations" -> (qExpectations _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
@@ -456,6 +474,34 @@ object Engine {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_expectations" ->
+      """SELECT 'not_null:o_custkey' AS rule,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_range:o_totalprice',
+        |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 5000.0 OR o_totalprice > 400000.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'regex:o_orderpriority',
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |    AND NOT regexp_full_match(o_orderpriority, '(?:[1-3]-[A-Z ]+)')
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'check:status_known',
+        |  CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O'), FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_custkey',
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders""".stripMargin,
     "q_sql_engine" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price

@@ -235,6 +235,30 @@ object Pipeline {
       length(TextAnalysis.normalizeText(raw)).cast("long").as("n_chars"))
   }
 
+  /** Per-domain corpus analytics (SURVEY §2.3 L37): the web-pipeline
+    * rollup that decides which sites to keep, throttle or drop. The
+    * corpus carries no URLs, so each doc plants one derived from doc_id
+    * IDENTICALLY in the oracle (the PII-query discipline); host/domain/
+    * TLD extraction is regexp work in the Java∩RE2 subset, map-side
+    * inside the scan stage, followed by ONE domain-cardinality-sized
+    * aggregation — linear at 100 TB. */
+  def qUrlDomains(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), (col("doc_id") % 7).cast("string"), lit(".example"),
+      when(col("doc_id") % 3 === 0, lit(".org")).otherwise(lit(".com")),
+      lit("/p/"), col("doc_id").cast("string"), lit("?l="), col("lang"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.urlDomain(url).as("domain"), TextAnalysis.urlTld(url).as("tld"))
+      .groupBy(col("domain"), col("tld"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Incremental ingest dedup, exact form (SURVEY §2.3 L36): a synthetic
     * "new batch" — exact clones of every 7th≡3 corpus doc plus uniquely
     * suffixed (novel) variants of every 7th≡5 — is annotated against the
@@ -268,6 +292,7 @@ object Pipeline {
     "q_incr_neardup" -> (qIncrNeardup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_normalize_text" -> (qNormalizeText _),
+    "q_url_domains" -> (qUrlDomains _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_boilerplate_prefix" -> (qBoilerplatePrefix _),
     "q_token_count" -> (qTokenCount _),
@@ -341,6 +366,25 @@ object Pipeline {
         |  trim(regexp_replace(lower(r), '\s+', ' ', 'g')) AS norm_text,
         |  length(trim(regexp_replace(lower(r), '\s+', ' ', 'g'))) AS n_chars
         |FROM raw""".stripMargin,
+    "q_url_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END ||
+        |    '/p/' || CAST(doc_id AS VARCHAR) || '?l=' || lang AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    regexp_replace(
+        |      regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1), '^www\.', '') AS domain
+        |  FROM u)
+        |SELECT domain,
+        |  regexp_extract(domain, '\.([A-Za-z]+)$', 1) AS tld,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "q_lexical_diversity" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

@@ -246,7 +246,40 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Ordered string aggregation (LISTAGG / STRING_AGG): the distinct
+    * market segments per nation, sorted and comma-joined. Spark has no
+    * ordered string_agg; `collect_set` → `array_sort` → `array_join`
+    * expresses it deterministically (set semantics make the result
+    * order-independent, so it hash-matches any engine). Scale: the
+    * per-group set is bounded by segment cardinality (5), never group
+    * row count. */
+  def qListagg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count_distinct(col("c_mktsegment")).as("n_segs"))
+
+  /** NTILE bucketing: customers split into balance quartiles with a
+    * unique tiebreak (c_custkey), then profiled per bucket. The window
+    * is deliberately GLOBAL — ntile needs a total order — so this is the
+    * bounded/reporting form; the scale path for quantile splits is the
+    * sketch-based `q_approx_stats`/`q_percentiles` family. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sumMoney(col("c_acctbal")).as("sum_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_listagg" -> (qListagg _),
+    "q_ntile" -> (qNtile _),
     "q_outer_join" -> (qOuterJoin _),
     "q_correlated_avg" -> (qCorrelatedAvg _),
     "q1_agg" -> (q1Agg _),
@@ -268,6 +301,21 @@ object Relational {
     "q_date_funcs" -> (qDateFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_listagg" ->
+      """SELECT c_nationkey,
+        |  string_agg(seg, ',' ORDER BY seg) AS segments,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segs
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer) t
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_ntile" ->
+      """SELECT bucket, COUNT(*) AS n_cust,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS sum_bal
+        |FROM (
+        |  SELECT c_acctbal,
+        |    NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+        |  FROM customer) t
+        |GROUP BY bucket""".stripMargin,
     "q_outer_join" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

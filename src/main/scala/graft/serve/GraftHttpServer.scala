@@ -84,6 +84,7 @@ final class GraftHttpServer(
     server.createContext("/ndv", (ex: HttpExchange) => safely(ex)(handleNdv))
     server.createContext("/stats", (ex: HttpExchange) => safely(ex)(handleStats))
     server.createContext("/staged", (ex: HttpExchange) => safely(ex)(handleStaged))
+    server.createContext("/branches", (ex: HttpExchange) => safely(ex)(handleBranches))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     this
@@ -203,6 +204,23 @@ final class GraftHttpServer(
     val body = cat.listStaged(table).flatMap(id => cat.staged(table, id)).map { st =>
       s"""{"staged_id":"${st.stagedId}","parent_id":${st.parentId.getOrElse(-1L)},""" +
         s""""timestamp_ms":${st.timestampMs},"n_files":${st.paths.size}}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200, body + "\n")
+  }
+
+  /** Branch refs of a table (SURVEY §2 S44): `GET /branches?table=T` →
+    * name, head snapshot id and fork point per branch. Metadata-only. */
+  private def handleBranches(ex: HttpExchange): Unit = {
+    val table = param(ex, "table").getOrElse(
+      throw new IllegalArgumentException("missing table parameter"))
+    val body = cat.branches(table).flatMap { name =>
+      val ref = cat.branchRef(table, name)
+      cat.currentSnapshot(ref).map { head =>
+        val forkId = cat.snapshotById(ref, 1L)
+          .flatMap(_.props.get(graft.meta.SnapshotCatalog.ForkIdProp)).getOrElse("-1")
+        s"""{"branch":"$name","head_snapshot_id":${head.snapshotId},""" +
+          s""""forked_at":$forkId,"n_files":${head.files.size}}"""
+      }
     }.mkString("[", ",", "]")
     respond(ex, 200, body + "\n")
   }

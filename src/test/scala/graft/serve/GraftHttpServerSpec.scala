@@ -263,6 +263,30 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/branches lists branch refs with head and fork point") {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.meta.SnapshotCatalog(
+      java.nio.file.Files.createTempDirectory("graft-http-br-").toString)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-http-br-d-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    graft.sinks.Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 30), dataDir)
+    cat.createBranch("cust", "dev")
+    graft.sinks.Writers.writeSnapshot(cat, cat.branchRef("cust", "dev"),
+      c.filter(col("c_custkey").between(31, 40)), dataDir)
+
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, catalog = Some(cat)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (code, body) = get(s"$base/branches?table=cust")
+      assert(code == 200, body)
+      assert(body.contains(""""branch":"dev"""") &&
+        body.contains(""""head_snapshot_id":2""") &&
+        body.contains(""""forked_at":1"""), body)
+      cat.dropBranch("cust", "dev")
+      assert(get(s"$base/branches?table=cust")._2.trim == "[]")
+    } finally srv.stop()
+  }
+
   test("/stats serves manifest table stats incl. outstanding MoR delete masks") {
     import org.apache.spark.sql.functions.col
     val cat = new graft.meta.SnapshotCatalog(

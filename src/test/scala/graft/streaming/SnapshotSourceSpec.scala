@@ -118,6 +118,74 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(batches.toArray.toSeq == Seq(base, inc))
   }
 
+  test("cdc mode streams the row-level change feed; a mirror folded from it tracks the table") {
+    val root = Files.createTempDirectory("graft-cdc-").toString
+    val dataDir = Files.createTempDirectory("graft-cdc-data-").toString
+    val cat = new SnapshotCatalog(root)
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 40), dataDir)
+
+    val stream = spark.readStream
+      .format("graft.streaming.SnapshotSourceProvider")
+      .option("catalogRoot", root).option("table", "cust").option("mode", "cdc")
+      .load()
+      .writeStream.format("memory").queryName("cdcsrc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // initial state arrives as insert rows attributed to snapshot 1
+      stream.processAllAvailable()
+      val feed0 = spark.table("cdcsrc")
+      assert(feed0.count() == c.filter(col("c_custkey") <= 40).count())
+      assert(feed0.filter(col("_change_type") =!= "insert").count() == 0)
+      assert(feed0.select("_commit_snapshot_id").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+
+      // append → inserts; equality delete → explicit delete rows — the
+      // two events an append-mode stream can't express together
+      Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey").between(41, 50)), dataDir)
+      import spark.implicits._
+      Writers.deleteByKeys(spark, cat, "cust", Seq(7L, 9L).toDF("c_custkey"),
+        Seq("c_custkey"), dataDir)
+      stream.processAllAvailable()
+
+      val feed = spark.table("cdcsrc")
+      val dels = feed.filter(col("_change_type") === "delete")
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      assert(dels == Set(7L, 9L))
+      // delete rows attribute to the delete commit, not the append
+      assert(feed.filter(col("_change_type") === "delete")
+        .select("_commit_snapshot_id").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+
+      // folding the feed (inserts minus deletes, per key) reproduces the
+      // table exactly — the mirror-maintenance contract (folded on the
+      // collected feed: keys are unique, so set difference is the fold)
+      val ins = feed.filter(col("_change_type") === "insert")
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      val mirror = ins -- dels
+      val want = cat.read(spark, "cust")
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      assert(mirror == want)
+    } finally stream.stop()
+  }
+
+  test("cdc mode rejects unknown modes; append mode is the default") {
+    val root = Files.createTempDirectory("graft-cdcm-").toString
+    val dataDir = Files.createTempDirectory("graft-cdcm-data-").toString
+    val cat = new SnapshotCatalog(root)
+    Writers.writeSnapshot(cat, "cust",
+      Tables.customer(spark, sfDir).limit(5), dataDir)
+    intercept[Exception] {
+      spark.readStream.format("graft.streaming.SnapshotSourceProvider")
+        .option("catalogRoot", root).option("table", "cust")
+        .option("mode", "upsert").load()
+    }
+    // default schema carries no change columns
+    val df = spark.readStream.format("graft.streaming.SnapshotSourceProvider")
+      .option("catalogRoot", root).option("table", "cust").load()
+    assert(!df.schema.fieldNames.contains("_change_type"))
+  }
+
   test("missing options and schema-less tables fail fast") {
     intercept[Exception] {
       spark.readStream.format("graft.streaming.SnapshotSourceProvider")
