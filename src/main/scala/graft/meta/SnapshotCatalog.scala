@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util.Base64
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,7 +26,14 @@ final case class ColStats(
     minD: Option[Double] = None,
     maxD: Option[Double] = None,
     minS: Option[String] = None,
-    maxS: Option[String] = None)
+    maxS: Option[String] = None,
+    // null-row count (Iceberg's null_value_counts): min/max say nothing
+    // about null rows, so any GUARANTEE of "this file holds ≥ n rows
+    // above x" needs the non-null count — the stats-ordered top-k read
+    // depends on it. Optional: manifests written before this field
+    // parse as None, and consumers must then treat the file
+    // conservatively.
+    nullCount: Option[Long] = None)
 
 /** One data file in a snapshot, with pruning indices.
   * `partitionValues` are hive-layout `k=v` values parsed from the file's
@@ -42,7 +49,14 @@ final case class FileMeta(
     stats: Map[String, ColStats] = Map.empty,
     blooms: Map[String, String] = Map.empty,
     partitionValues: Map[String, String] = Map.empty,
-    sketches: Map[String, String] = Map.empty) {
+    sketches: Map[String, String] = Map.empty,
+    // physical-parquet-column → current-logical-name mapping, written
+    // by renameColumn (SURVEY §2 S48): the Iceberg field-id mechanism
+    // re-expressed name-wise. Empty for files written under the current
+    // names; stats/blooms/sketches/partitionValues stay keyed by
+    // LOGICAL name (re-keyed at rename), so pruning never consults
+    // this — only the scan does, to alias physical columns back. */
+    renames: Map[String, String] = Map.empty) {
 
   /** Bloom values are ABSOLUTE sidecar file paths (current format) so
     * manifests stay O(stats) bytes; inline base64 (pre-sidecar
@@ -206,11 +220,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   /** Hive-style `k=v` directory segments of a file path, URL-decoded the
     * way Spark's partitioned writer escapes them. */
   private[meta] def parsePartitionValues(path: String): Map[String, String] =
-    path.split('/').dropRight(1).collect {
-      case seg if seg.count(_ == '=') == 1 && !seg.startsWith("=") && !seg.startsWith(".") =>
-        val Array(k, v) = seg.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
-    }.toMap
+    SnapshotCatalog.partitionValuesOf(path)
 
   // ---- commit ----------------------------------------------------------
 
@@ -281,6 +291,13 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val df = spark.read.parquet(newPaths: _*)
     val schema = df.schema
 
+    // non-null count per stat'd column rides the same aggregate (the
+    // Iceberg null_value_counts analogue): nullCount = rows - count(c)
+    val cntAggs = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] || f.dataType.isInstanceOf[TimestampType] ||
+        f.dataType.isInstanceOf[DateType] || f.dataType.isInstanceOf[StringType] =>
+        count(col(f.name)).as(s"cnt__${f.name}")
+    }.toSeq
     val statAggs = schema.fields.flatMap { f =>
       f.dataType match {
         case _: NumericType =>
@@ -317,7 +334,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val perFile = df
       .withColumn("__file", col("_metadata.file_path"))
       .groupBy(col("__file"))
-      .agg(count(lit(1)).as("__rows"), statAggs ++ sketchAggs: _*)
+      .agg(count(lit(1)).as("__rows"), statAggs ++ cntAggs ++ sketchAggs: _*)
       .collect()
 
     // sketch sidecars, like bloom sidecars: manifests stay stats-sized
@@ -353,15 +370,24 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val newFiles = perFile.map { row =>
       val path = normalize(row.getAs[String]("__file"))
       val stats = schema.fields.flatMap { f =>
+        def nulls: Option[Long] =
+          Option(row.getAs[Any](s"cnt__${f.name}"))
+            .map(c => row.getAs[Long]("__rows") - c.asInstanceOf[Long])
         f.dataType match {
           case _: NumericType | _: TimestampType | _: DateType =>
             val mi = Option(row.getAs[Any](s"minD__${f.name}")).map(_.asInstanceOf[Double])
             val ma = Option(row.getAs[Any](s"maxD__${f.name}")).map(_.asInstanceOf[Double])
-            if (mi.isDefined) Some(f.name -> ColStats(minD = mi, maxD = ma)) else None
+            // an all-null column still records its (full) nullCount so
+            // readers can prove the file holds no usable values
+            if (mi.isDefined || nulls.exists(_ > 0))
+              Some(f.name -> ColStats(minD = mi, maxD = ma, nullCount = nulls))
+            else None
           case _: StringType =>
             val mi = Option(row.getAs[String](s"minS__${f.name}"))
             val ma = Option(row.getAs[String](s"maxS__${f.name}"))
-            if (mi.isDefined) Some(f.name -> ColStats(minS = mi, maxS = ma)) else None
+            if (mi.isDefined || nulls.exists(_ > 0))
+              Some(f.name -> ColStats(minS = mi, maxS = ma, nullCount = nulls))
+            else None
           case _ => None
         }
       }.toMap
@@ -792,6 +818,29 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       "stat_columns", "bloom_columns", "sketch_columns")
   }
 
+  /** Iceberg `table$partitions` metadata table: one row per distinct
+    * partition tuple of the snapshot, rolled up from manifest metadata
+    * alone — file/row/byte counts plus the outstanding MoR delete-entry
+    * count charged to the partition's files. The small-file and skew
+    * monitor: `WHERE n_files > 100 AND total_bytes/n_files < 32MB` IS
+    * the compaction work list, computed without opening a data file.
+    * Unpartitioned files roll up under the empty tuple. Driver-side
+    * assembly bounded by manifest size. */
+  def partitionsDf(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snap = snapshotId.flatMap(snapshotById(table, _))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val delRows: Map[String, Long] = snap.deleteFiles
+      .flatMap(d => d.dataPaths.map(_ -> d.rowCount))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    snap.files.groupBy(_.partitionValues).map { case (pv, fs) =>
+      (pv, fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum,
+        fs.map(f => delRows.getOrElse(f.path, 0L)).sum)
+    }.toSeq.toDF("partition_values", "n_files", "total_rows", "total_bytes",
+      "delete_entry_count")
+  }
+
   /** Iceberg `table$delete_files` metadata table: one row per live MoR
     * delete file of the snapshot (position or equality), with the data
     * files its entries reference. Bounded by metadata size. */
@@ -855,6 +904,99 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
         SnapshotCatalog.CherryPickOfProp -> snapshotId.toString))
   }
+
+  // ---- schema evolution v2: rename + drop (metadata-only) --------------
+
+  /** Rename a column — one metadata commit, zero data bytes (Iceberg
+    * `ALTER TABLE ... RENAME COLUMN`, whose field-id indirection is
+    * re-expressed here as a per-file physical→logical name map, S48).
+    * Every file's stats/blooms/sketches/partitionValues re-key to the
+    * new logical name, so manifest pruning on the renamed column keeps
+    * working without touching a footer; scans alias each file's
+    * physical column back (see `readLogical`). Sticky index-column
+    * props follow the rename, so later commits keep indexing. Refuses
+    * while an outstanding equality-delete file keys on the column (its
+    * key parquet is written under the old name — `materializeDeletes`
+    * first); position deletes are name-free and carry across. */
+  def renameColumn(table: String, from: String, to: String): SnapshotMeta = {
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name: $to")
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      val sch = prev.schema
+      require(sch.fieldNames.contains(from), s"no column $from on $table")
+      require(!sch.fieldNames.contains(to), s"column $to already exists on $table")
+      require(!prev.deleteFiles.exists(_.equalityColumns.contains(from)),
+        s"outstanding equality-delete files key on $from; materializeDeletes first")
+      def rekey[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) => (if (k == from) to else k) -> v }
+      val files = prev.files.map { f =>
+        // the column's physical name in THIS file: its existing rename
+        // source if any, else the literal name
+        val phys = f.renames.collectFirst { case (p, l) if l == from => p }.getOrElse(from)
+        f.copy(stats = rekey(f.stats), blooms = rekey(f.blooms),
+          sketches = rekey(f.sketches), partitionValues = rekey(f.partitionValues),
+          renames = f.renames - phys + (phys -> to))
+      }
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = StructType(sch.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).json,
+        files = files,
+        props = stickyRenamed(prev, from, Some(to)) ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve,
+          SnapshotCatalog.RenameProp -> s"$from->$to"),
+        deleteFiles = prev.deleteFiles)
+    }
+  }
+
+  /** Drop a column — one metadata commit, zero data bytes. The physical
+    * bytes stay in old files but become unreachable: each file gets a
+    * tombstone mapping, so a LATER column re-added under the same name
+    * reads as null from pre-drop files instead of resurrecting dead
+    * values (Iceberg's drop-then-re-add semantics). Stats/blooms/
+    * sketches for the column leave the manifests. Refuses while an
+    * equality-delete file keys on the column. */
+  def dropColumn(table: String, name: String): SnapshotMeta =
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      val sch = prev.schema
+      require(sch.fieldNames.contains(name), s"no column $name on $table")
+      require(sch.fields.length > 1, s"cannot drop the only column of $table")
+      require(!prev.deleteFiles.exists(_.equalityColumns.contains(name)),
+        s"outstanding equality-delete files key on $name; materializeDeletes first")
+      val files = prev.files.map { f =>
+        val phys = f.renames.collectFirst { case (p, l) if l == name => p }.getOrElse(name)
+        f.copy(stats = f.stats - name, blooms = f.blooms - name,
+          sketches = f.sketches - name, partitionValues = f.partitionValues - name,
+          renames = f.renames - phys + (phys -> s"__graft_dropped__$name"))
+      }
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = StructType(sch.fields.filterNot(_.name == name)).json,
+        files = files,
+        props = stickyRenamed(prev, name, None) ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve,
+          SnapshotCatalog.DropProp -> name),
+        deleteFiles = prev.deleteFiles)
+    }
+
+  /** Sticky bloom/sketch column props with `from` renamed to `to`
+    * (dropped when `to` is None). */
+  private def stickyRenamed(
+      prev: SnapshotMeta, from: String, to: Option[String]): Map[String, String] =
+    Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp).flatMap { k =>
+      prev.props.get(k).map { v =>
+        val cols = v.split(",").toSeq.filter(_.nonEmpty)
+          .flatMap(c => if (c == from) to else Some(c))
+        k -> cols.mkString(",")
+      }.filter(_._2.nonEmpty)
+    }.toMap
 
   // ---- branches (isolated writable refs) -------------------------------
   // A branch is a SELF-CONTAINED snapshot chain rooted at
@@ -1209,6 +1351,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val extraParts = scala.collection.mutable.ArrayBuffer[(Set[String], DataFrame)]()
     ((from.snapshotId + 1) to to.snapshotId).foreach { id =>
       snapshotById(table, id).foreach { s =>
+        // same rename-mid-range refusal as changesBetween, for the
+        // row-level mixed-compaction carve-outs (their columns carry
+        // the pre-rename names)
+        if (s.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpSchemaEvolve) &&
+            s.props.contains(SnapshotCatalog.RenameProp) && extraParts.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"readIncremental($fromSnapshotId,${to.snapshotId}) on $table spans a mixed " +
+              s"compaction followed by a column rename at snapshot $id; split the range")
         val curPaths = s.files.map(_.path)
         val curSet = curPaths.toSet
         val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
@@ -1253,6 +1403,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
             extraParts += ((newPaths.toSet,
               visibleAs(spark, s.schema, to, newPaths)
                 .exceptAll(visibleAs(spark, s.schema, prevSnap, preExisting.toSeq))))
+          case SnapshotCatalog.OpOverwrite =>
+            // a dynamic partition overwrite's outputs hold only
+            // brand-new rows (replaced files drop wholesale, they are
+            // never read) — the outputs are appends, and the removed
+            // paths fall out of `added` below like any other rewrite
+            added ++= newPaths
           case _ => // delete / generic rewrite / all-pre-existing compact:
             // outputs carry surviving OLD rows — never appends
         }
@@ -1324,6 +1480,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val insertParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     ((from.snapshotId + 1) to to.snapshotId).foreach { id =>
       snapshotById(table, id).foreach { s =>
+        // a RENAME re-labels columns mid-range: row-level diff parts
+        // built BEFORE it carry the old names and would mis-render in
+        // the end schema (null-filled, not mapped) — refuse, like
+        // Iceberg's incremental scan refuses overwrites. Parts built
+        // after the last in-range rename are in the end era and flow
+        // through; a rename with no prior parts is a clean boundary.
+        if (s.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpSchemaEvolve) &&
+            s.props.contains(SnapshotCatalog.RenameProp) &&
+            (insertParts.nonEmpty || deleteParts.nonEmpty))
+          throw new UnsupportedOperationException(
+            s"changesBetween($fromSnapshotId,${to.snapshotId}) on $table spans rewrites " +
+              s"followed by a column rename at snapshot $id (${s.props(SnapshotCatalog.RenameProp)}); " +
+              "split the range at the rename commit")
         val curSet = s.files.map(_.path).toSet
         val op = s.props.getOrElse(SnapshotCatalog.OperationProp, SnapshotCatalog.OpAppend)
         val removedFiles = prevPaths.diff(curSet)
@@ -1560,6 +1729,47 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * the CDC walks read one commit's files under a LATER snapshot's
     * delete mask (e.g. a mixed compaction's outputs masked by `to`'s
     * entries) or an EARLIER one's (the before-image of a rewrite). */
+  /** Scan `paths` rendering the LOGICAL `schema` of `entrySnap`'s era:
+    * files whose manifest entry carries column renames (S48) are read
+    * under their PHYSICAL schema and aliased back — one scan per
+    * distinct mapping (= rename eras touched, tiny), unioned by name.
+    * A physical column claimed by a rename or drop tombstone is never
+    * readable under its literal name again: a later re-added column of
+    * the same name reads as null from old files instead of resurrecting
+    * the dead bytes (the Iceberg field-id guarantee, name-mapped).
+    * `withLineage` appends the `_file`/`_pos` columns the MoR masks key
+    * on. */
+  private def readLogical(
+      spark: SparkSession,
+      schema: StructType,
+      entrySnap: SnapshotMeta,
+      paths: Seq[String],
+      withLineage: Boolean): DataFrame = {
+    if (paths.isEmpty) {
+      val s = if (!withLineage) schema
+        else schema.add("_file", StringType).add("_pos", LongType)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val renOf: Map[String, Map[String, String]] =
+      entrySnap.files.map(f => f.path -> f.renames).toMap
+    paths.groupBy(p => renOf.getOrElse(normalize(p), Map.empty)).map { case (ren, ps) =>
+      val inv = ren.map(_.swap) // logical -> physical
+      def physName(logical: String): String =
+        inv.getOrElse(logical,
+          // the literal name belongs to a renamed-away or dropped
+          // physical column in THIS file: read absent (nulls), never
+          // the dead bytes
+          if (ren.contains(logical)) s"__graft_absent__$logical" else logical)
+      val physSchema = StructType(schema.fields.map(f => f.copy(name = physName(f.name))))
+      val base = spark.read.schema(physSchema).parquet(ps: _*)
+      val cols = schema.fields.toSeq.map(f => col(physName(f.name)).as(f.name)) ++
+        (if (withLineage)
+          Seq(col("_metadata.file_path").as("_file"), col("_metadata.row_index").as("_pos"))
+         else Nil)
+      base.select(cols: _*)
+    }.reduce(_ unionByName _)
+  }
+
   private[meta] def visibleAs(
       spark: SparkSession,
       schema: StructType,
@@ -1568,20 +1778,18 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     if (paths.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val dels = entrySnap.deletesFor(paths)
-    if (dels.isEmpty) return spark.read.schema(schema).parquet(paths: _*)
+    if (dels.isEmpty) return readLogical(spark, schema, entrySnap, paths, withLineage = false)
     // only the files a mask actually references pay the anti-join; the
     // rest stay a bare scan (1 masked file in 10k → 1 file's rows probe
     // the broadcast hash, not the whole table)
     val referenced = dels.flatMap(_.dataPaths).toSet
     val (masked, clean) = paths.partition(referenced.contains)
     val maskedRows = applyDeleteMasks(spark,
-      spark.read.schema(schema).parquet(masked: _*)
-        .withColumn("_file", col("_metadata.file_path"))
-        .withColumn("_pos", col("_metadata.row_index")),
+      readLogical(spark, schema, entrySnap, masked, withLineage = true),
       dels)
       .drop("_file", "_pos")
     if (clean.isEmpty) maskedRows
-    else maskedRows.unionByName(spark.read.schema(schema).parquet(clean: _*))
+    else maskedRows.unionByName(readLogical(spark, schema, entrySnap, clean, withLineage = false))
   }
 
   /** Visible rows WITH their `_file`/`_pos` scan lineage attached — the
@@ -1589,9 +1797,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * same file records RAW positions (stable for the file's life) while
     * only ever seeing still-live rows. */
   def visibleRowsLineage(spark: SparkSession, snap: SnapshotMeta, paths: Seq[String]): DataFrame = {
-    val base = spark.read.schema(snap.schema).parquet(paths: _*)
-      .withColumn("_file", col("_metadata.file_path"))
-      .withColumn("_pos", col("_metadata.row_index"))
+    val base = readLogical(spark, snap.schema, snap, paths, withLineage = true)
     applyDeleteMasks(spark, base, snap.deletesFor(paths))
   }
 
@@ -1616,14 +1822,20 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         .select(col("_file"), col("_pos")).dropDuplicates("_file", "_pos")
       cur = cur.join(broadcast(entries), Seq("_file", "_pos"), "left_anti")
     }
-    // normalized data-file path of each row, matching DeleteFileMeta
-    // dataPaths ("file://host/p" and "file:///p" both → "/p")
+    // scheme-stripped data-file path of each row, matching DeleteFileMeta
+    // dataPaths ("file://host/p" and "file:///p" both → "/p"). The
+    // `_file` column is a URI, so its special characters are
+    // percent-ENCODED — compare against the dataPaths' encoded form
+    // rather than url-decoding the column (url_decode would corrupt a
+    // literal `+` in a name to a space)
     lazy val fileNorm = regexp_replace(col("_file"), "^file:/*", "/")
+    def encoded(p: String): String =
+      scala.util.Try(java.nio.file.Paths.get(p).toUri.getRawPath).getOrElse(p)
     eqDels.foreach { d =>
       val keys = spark.read.parquet(d.path)
       val cond = d.equalityColumns
         .map(c => cur(c) <=> keys(c))
-        .reduce(_ && _) && fileNorm.isin(d.dataPaths: _*)
+        .reduce(_ && _) && fileNorm.isin(d.dataPaths.map(encoded): _*)
       cur = cur.join(broadcast(keys), cond, "left_anti")
     }
     cur
@@ -1647,6 +1859,96 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val files = snap.files.filter(fileMatches(_, filters))
     visibleRows(spark, snap, files.map(_.path))
   }
+
+  /** Files that can contribute to the global top-k on `column`,
+    * proven from manifest stats alone (no data read). The bound: sort
+    * files by their best GUARANTEED value (min for largest-k — every
+    * non-null row is ≥ it), accumulate guaranteed non-null row counts
+    * (rowCount − nullCount, zeroed for files under an outstanding MoR
+    * mask) until ≥ k; any file whose best possible value (max for
+    * largest-k) falls strictly below that bound cannot place a row in
+    * the top-k. On a range/z-order clustered layout this keeps O(k /
+    * rows-per-file) files of a 100k-file table — ORDER BY LIMIT as a
+    * metadata operation (the Iceberg/Delta file-skipping analogue of a
+    * sorted table's top-k; pairs with [[graft.sinks.Writers.writeRangedSnapshot]]).
+    * Files lacking the column's stats or null counts are kept AND
+    * contribute no guarantee — pruning degrades to nothing rather than
+    * to a wrong answer. Ties at the bound are kept (≥). */
+  def topKFiles(
+      table: String,
+      column: String,
+      k: Int,
+      smallest: Boolean = false,
+      snapshotId: Option[Long] = None): Seq[FileMeta] = {
+    require(k > 0, "k must be positive")
+    val snap = snapshotId.flatMap(snapshotById(table, _))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val masked: Set[String] = snap.deleteFiles.flatMap(_.dataPaths).toSet
+    // (guaranteedValue, bestValue, guaranteedRows) per file, numeric or
+    // lexicographic — None when the file can't participate in bounding
+    def numeric(f: FileMeta) = f.stats.get(column).flatMap(st =>
+      (st.minD, st.maxD) match {
+        case (Some(mi), Some(ma)) => Some((mi, ma)); case _ => None })
+    def lex(f: FileMeta) = f.stats.get(column).flatMap(st =>
+      (st.minS, st.maxS) match {
+        case (Some(mi), Some(ma)) => Some((mi, ma)); case _ => None })
+    val useNumeric = snap.files.exists(numeric(_).isDefined)
+    def bounds(f: FileMeta): Option[(Any, Any)] =
+      if (useNumeric) numeric(f).map { case (mi, ma) => if (smallest) (ma, mi) else (mi, ma) }
+      else lex(f).map { case (mi, ma) => if (smallest) (ma, mi) else (mi, ma) }
+    def better(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Double, y: Double) => if (smallest) x < y else x > y
+      case (x: String, y: String) => if (smallest) x < y else x > y
+      case _ => false
+    }
+    def guaranteedRows(f: FileMeta): Long =
+      if (masked.contains(f.path)) 0L
+      else f.stats.get(column).flatMap(_.nullCount).map(n => f.rowCount - n).getOrElse(0L)
+    val withBounds = snap.files.map(f => (f, bounds(f)))
+    // accumulate guarantees best-first until k rows are provably ahead
+    val ranked = withBounds.collect { case (f, Some((g, _))) => (f, g) }
+      .sortWith((a, b) => better(a._2, b._2))
+    var acc = 0L
+    var bound: Option[Any] = None
+    val it = ranked.iterator
+    while (acc < k && it.hasNext) {
+      val (f, g) = it.next()
+      val rows = guaranteedRows(f)
+      if (rows > 0) { acc += rows; bound = Some(g) }
+    }
+    if (acc < k) snap.files // cannot prove k rows ahead of anything: keep all
+    else snap.files.filter { f =>
+      bounds(f) match {
+        case Some((_, best)) => !better(bound.get, best) // keep unless bound strictly beats best
+        case None => true
+      }
+    }
+  }
+
+  /** Top-k rows by `column` served from the stats-pruned file set (see
+    * [[topKFiles]]): reads only files that can prove a contribution,
+    * then one TakeOrdered over them. `extraOrder` breaks ties
+    * deterministically (pruning is unaffected: a pruned file's rows sit
+    * strictly below the bound, so they can never tie into the result).
+    * Nulls sort LAST in both directions (ANSI `NULLS LAST`). */
+  def topKByStats(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      k: Int,
+      smallest: Boolean = false,
+      extraOrder: Seq[Column] = Nil,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshotId.flatMap(snapshotById(table, _))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val kept = topKFiles(table, column, k, smallest, Some(snap.snapshotId))
+    val key = if (smallest) asc_nulls_last(column) else desc_nulls_last(column)
+    visibleRows(spark, snap, kept.map(_.path))
+      .orderBy(key +: extraOrder: _*)
+      .limit(k)
+  }
 }
 
 object SnapshotCatalog {
@@ -1654,7 +1956,19 @@ object SnapshotCatalog {
     * and the executor-side bloom sizing (one definition, so the
     * rowsByFile lookup can never silently diverge from commit's keys). */
   private[graft] def normalizePath(p: String): String =
-    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/') else p
+    if (p.startsWith("file:")) {
+      // `file:`-scheme strings only ever reach here from
+      // `_metadata.file_path`, which renders a proper URI: special
+      // characters in on-disk names arrive percent-encoded (a literal
+      // space as %20, a literal % as %25). Decode via URI so manifest
+      // paths, Files.* calls and scan-captured paths agree
+      // byte-for-byte with the literal on-disk name — URLDecoder would
+      // corrupt a literal `+` to a space, URI.getPath does not. Raw FS
+      // paths (no scheme) pass through untouched, so a literal % in a
+      // listed file name is never double-decoded.
+      scala.util.Try(Option(new java.net.URI(p).getPath)).toOption.flatten
+        .getOrElse("/" + p.stripPrefix("file:").dropWhile(_ == '/'))
+    } else p
 
   /** Additive schema merge: prior field order kept (a field present in
     * both takes the NEW commit's type — widening wins), new fields
@@ -1694,6 +2008,16 @@ object SnapshotCatalog {
   /** Set on each table commit a fast-forward replayed: `branch@id`. */
   val FastForwardOfProp = "graft.fastforward.of"
 
+  /** Hive-style `k=v` directory segments of a file path, URL-decoded
+    * the way Spark's partitioned writer escapes them — the ONE parser
+    * both manifest building and dynamic-overwrite matching share. */
+  def partitionValuesOf(path: String): Map[String, String] =
+    path.split('/').dropRight(1).collect {
+      case seg if seg.count(_ == '=') == 1 && !seg.startsWith("=") && !seg.startsWith(".") =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
   val OperationProp = "operation"
   val OpAppend = "append"
   val OpDelete = "delete"
@@ -1708,6 +2032,21 @@ object SnapshotCatalog {
     * file masks rows. The CDC walks key on the delete-file DELTA, not
     * this label, so legacy tools that relabel commits stay safe. */
   val OpMorDelete = "mor-delete"
+  /** Metadata-only schema change (rename/drop): no file churn, no rows
+    * change. Feeds across a RENAME refuse when row-level diff parts
+    * predate it (their column names would mis-render); see
+    * [[SnapshotCatalog.changesBetween]]. */
+  val OpSchemaEvolve = "schema-evolve"
+  /** Set on a rename commit: `from->to`. */
+  val RenameProp = "graft.schema.rename"
+  /** Set on a drop commit: the dropped column. */
+  val DropProp = "graft.schema.drop"
+  /** Dynamic partition overwrite: removed files are replaced WHOLESALE
+    * (their partitions' old content), added files hold only brand-new
+    * rows — so unlike a generic rewrite, the outputs ARE appends for
+    * the incremental read (Iceberg's overwrite snapshots, which its
+    * incremental append scan refuses, get exact treatment here). */
+  val OpOverwrite = "overwrite"
   /** Set on a delete-materializing rewrite: comma-joined delete-file
     * paths it applied and retired. */
   val MaterializedDeletesProp = "graft.materialized.deletes"

@@ -370,6 +370,97 @@ object Engine {
         col("sum_o_totalprice").cast("double").as("sum_price"))
   }
 
+  // Memoized partition-overwritten orders catalog per sf-dir: the
+  // partitioned write + the dynamic overwrite are table maintenance;
+  // the benched/verified path is the read of the restated state.
+  private val owCats = TrieMap.empty[String, SnapshotCatalog]
+  private def owCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    owCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-ow-").toString
+      val cat = new SnapshotCatalog(tmp)
+      // partition column duplicated into a derived `p_pri` (the hidden-
+      // partitioning idiom: the path segment carries p_pri, the data
+      // files keep every orders column)
+      val orders = Tables.orders(s, dir).withColumn("p_pri", col("o_orderpriority"))
+      Writers.writePartitionedSnapshot(cat, "orders", orders, s"$tmp/base", Seq("p_pri"))
+      // restate ONE partition: urgent orders with even keys survive at
+      // +100.0; odd-key urgent rows are dropped by the overwrite (a
+      // partition is replaced wholesale, not upserted)
+      val restated = orders
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      Writers.overwritePartitions(cat, "orders", restated, s"$tmp/ow1", Seq("p_pri"))
+      cat
+    })
+
+  /** Read after a dynamic partition overwrite (SURVEY §2 S46): the
+    * `1-URGENT` partition was replaced wholesale by a restated subset
+    * (+100.0 on even keys only), every other partition untouched — the
+    * aggregate over the visible state must equal the oracle's
+    * declarative UNION of kept + restated rows. */
+  def qOverwriteRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = owCatFor(s, dir)
+    cat.read(s, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
+  // Memoized range-clustered orders catalog per sf-dir: the clustered
+  // write is table maintenance; the benched/verified path is the
+  // stats-pruned top-k read.
+  private val topkCats = TrieMap.empty[String, SnapshotCatalog]
+  private def topkCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    topkCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-topk-").toString
+      val cat = new SnapshotCatalog(tmp)
+      Writers.writeRangedSnapshot(cat, "orders", Tables.orders(s, dir),
+        tmp, "o_totalprice", 8)
+      cat
+    })
+
+  /** ORDER BY ... LIMIT k as a METADATA operation (SURVEY §2 S47): on
+    * the range-clustered layout, manifest min/max + null counts prove
+    * which files can contribute to the top 100, the scan reads only
+    * those, and the result must be row-identical to the oracle's full
+    * sort (deterministic tiebreak on the key). */
+  def qTopkPruned(s: SparkSession, dir: String): DataFrame = {
+    val cat = topkCatFor(s, dir)
+    cat.topKByStats(s, "orders", "o_totalprice", 100,
+      extraOrder = Seq(col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  // Memoized schema-evolved orders catalog per sf-dir: half the table
+  // written under the ORIGINAL column names, then a metadata-only
+  // rename + drop, then the other half under the NEW names — the read
+  // must stitch both physical eras into one logical schema.
+  private val sevCats = TrieMap.empty[String, SnapshotCatalog]
+  private def sevCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    sevCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-sev-").toString
+      val cat = new SnapshotCatalog(tmp)
+      val orders = Tables.orders(s, dir)
+      Writers.writeSnapshot(cat, "orders", orders.filter(col("o_orderkey") % 2 === 0), tmp)
+      cat.renameColumn("orders", "o_totalprice", "total_price")
+      cat.dropColumn("orders", "o_orderpriority")
+      Writers.writeSnapshot(cat, "orders",
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "total_price").drop("o_orderpriority"), tmp)
+      cat
+    })
+
+  /** Read across a column rename + drop (SURVEY §2 S48): files written
+    * under the old physical names alias back through their manifest
+    * name maps, new-era files scan directly, and the combined aggregate
+    * over the LOGICAL schema must equal the oracle's plain read of the
+    * whole table. */
+  def qRenameRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = sevCatFor(s, dir)
+    cat.read(s, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("total_price")).as("sum_price"))
+  }
+
   /** Data-quality expectation sweep (SURVEY §2 S45 at the query level):
     * six rules — null check, range, anchored regex, SQL predicate, and
     * two key-uniqueness audits — evaluated in ONE aggregate over ONE
@@ -410,6 +501,9 @@ object Engine {
     "q_ttl_read" -> (qTtlRead _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_expectations" -> (qExpectations _),
+    "q_overwrite_read" -> (qOverwriteRead _),
+    "q_topk_pruned" -> (qTopkPruned _),
+    "q_rename_read" -> (qRenameRead _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
@@ -474,6 +568,23 @@ object Engine {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_rename_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_topk_pruned" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey LIMIT 100""".stripMargin,
+    "q_overwrite_read" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(p AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice AS p FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 100.0 AS p FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+        |) t GROUP BY o_orderpriority""".stripMargin,
     "q_expectations" ->
       """SELECT 'not_null:o_custkey' AS rule,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations

@@ -77,8 +77,75 @@ object Writers {
       props: Map[String, String] = Map.empty): SnapshotMeta = {
     writePartitioned(df, path, partitionCols)
     val files = listParquet(Paths.get(path), recursive = true)
-    catalog.commit(df.sparkSession, table, files,
+    // append semantics (the commit is labeled OpAppend): prior files
+    // survive with their manifest metadata intact — each call writes to
+    // its own directory, so repeated appends accumulate partitions'
+    // files the way writeSnapshot accumulates unpartitioned ones
+    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
+      reuseMeta = prevFiles.map(f => f.path -> f).toMap,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+  }
+
+  /** Dynamic partition overwrite (SURVEY §2 S46 — the
+    * `INSERT OVERWRITE` / Spark `partitionOverwriteMode=dynamic` /
+    * Iceberg `overwrite` snapshot): every partition `df` TOUCHES is
+    * replaced wholesale by `df`'s rows for it; untouched partitions
+    * survive with their manifest metadata intact (no scan, no footer
+    * reads). The daily-restatement primitive: re-running one day of a
+    * date-partitioned pipeline swaps that day's files in one atomic
+    * metadata commit.
+    *
+    * The touched-partition set is derived from the NEW files' own
+    * parsed `k=v` segments — the identical parser that filled the old
+    * files' `partitionValues` — so replacement matching can never
+    * suffer a value-rendering mismatch. Files predating the partition
+    * layout (no `k=v` values for `partitionCols`) make the overwrite
+    * ill-defined (they may hold touched-partition rows) → refuse.
+    *
+    * CDC: labeled [[SnapshotCatalog.OpOverwrite]]. `readIncremental`
+    * treats outputs as appends (they hold only brand-new rows);
+    * `changesBetween` nets replaced-partition old rows as deletes and
+    * new rows as inserts through the generic rewrite walk — identical
+    * rows restated verbatim cancel multiset-wise.
+    *
+    * Scale: data work = writing `df` alone; commit metadata is
+    * O(files); replaced files are never opened. MoR delete files whose
+    * every referenced data file was replaced retire automatically
+    * (commit's carry-forward rule). */
+  def overwritePartitions(
+      catalog: SnapshotCatalog,
+      table: String,
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
+    require(partitionCols.nonEmpty, "dynamic overwrite needs partition columns")
+    val current = catalog.currentSnapshot(table)
+    writePartitioned(df, path, partitionCols)
+    val newFiles = listParquet(Paths.get(path), recursive = true)
+    val touched: Set[Map[String, String]] = newFiles
+      .map(p => SnapshotCatalog.partitionValuesOf(p).filter(kv => partitionCols.contains(kv._1)))
+      .toSet
+    if (touched.exists(_.size != partitionCols.size))
+      throw new IllegalStateException(
+        s"overwrite of $table wrote files missing ${partitionCols.mkString(",")} values")
+    val prevFiles = current.map(_.files).getOrElse(Nil)
+    val (replaced, untouched) = prevFiles.partition { f =>
+      val vals = partitionCols.flatMap(c => f.partitionValues.get(c).map(c -> _)).toMap
+      if (vals.size != partitionCols.size)
+        throw new IllegalStateException(
+          s"file ${f.path} carries no ${partitionCols.mkString(",")} partition values — " +
+            "the layout is not consistently partitioned on the overwrite columns " +
+            "(its rows may belong to a touched partition); use deleteWhere + append instead")
+      touched.contains(vals)
+    }
+    catalog.commit(df.sparkSession, table, untouched.map(_.path) ++ newFiles,
+      reuseMeta = untouched.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpOverwrite,
+        SnapshotCatalog.RewrittenFromProp ->
+          replaced.map(_.path).sorted.mkString(",")) ++ props)
   }
 
   /** Hidden-partitioned write (Iceberg partition-spec transforms,

@@ -61,5 +61,6 @@ final class QueryEngine(
     catalog.snapshotsDf(spark, table).createOrReplaceTempView(s"${table}__snapshots")
     catalog.filesDf(spark, table).createOrReplaceTempView(s"${table}__files")
     catalog.deleteFilesDf(spark, table).createOrReplaceTempView(s"${table}__delete_files")
+    catalog.partitionsDf(spark, table).createOrReplaceTempView(s"${table}__partitions")
   }
 }

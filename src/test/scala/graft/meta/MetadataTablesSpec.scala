@@ -118,6 +118,39 @@ class MetadataTablesSpec extends SparkSpec {
     assert(cat.tags("nation").isEmpty)
   }
 
+  test("partitionsDf: per-partition rollup reconciles with data; deletes charged") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-metapart-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val n = Tables.nation(spark, sfDir).withColumn("p_rk", col("n_regionkey"))
+    Writers.writePartitionedSnapshot(cat, "nation", n, s"$base/c1", Seq("p_rk"))
+    // MoR-delete two rows in region 0: charged to that partition's files
+    Writers.deleteWhereMoR(spark, cat, "nation",
+      col("n_nationkey").isin(0L, 5L), Nil, s"$base/cat")
+
+    val parts = cat.partitionsDf(spark, "nation").collect()
+      .map(r => r.getAs[Map[String, String]]("partition_values")("p_rk") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("total_rows"),
+          r.getAs[Long]("delete_entry_count")))).toMap
+    val want = Tables.nation(spark, sfDir).groupBy(col("n_regionkey"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getAs[Number](0).longValue.toString -> r.getAs[Number](1).longValue).toMap
+    assert(parts.keySet == want.keySet)
+    // manifest row counts reconcile with the data per partition
+    for ((rk, cnt) <- want) assert(parts(rk)._2 == cnt, s"partition $rk")
+    // nations 0 and 5 are both region 0: 2 delete entries charged there
+    assert(parts("0")._3 == 2L)
+    assert(parts.filterKeys(_ != "0").values.forall(_._3 == 0L))
+    // SQL surface: the compaction work-list query runs on metadata alone
+    val engine = new graft.sql.QueryEngine(spark, sfDir)
+    engine.registerMetadata(cat, "nation")
+    val hot = engine.sql(
+      """SELECT partition_values['p_rk'] AS rk FROM nation__partitions
+        |WHERE delete_entry_count > 0""".stripMargin)
+      .as[String].collect().toSeq
+    assert(hot == Seq("0"))
+  }
+
   test("metadata tables are SQL-queryable through the engine") {
     val base = Files.createTempDirectory("graft-metasql-").toString
     val cat = new SnapshotCatalog(s"$base/cat")
