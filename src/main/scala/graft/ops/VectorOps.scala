@@ -82,4 +82,101 @@ object VectorOps {
       .filter(col("__rn") === 1)
       .select(col(idCol), col(cidCol), round(col("__sim"), 6).as("sim"))
   }
+
+
+  /** Converged k-means model: final centroids, iterations run, and the
+    * last iteration's max centroid L2 shift. */
+  final case class KmeansModel(
+      centroids: Seq[Seq[Double]], iterations: Int, maxShift: Double)
+
+  /** Map-side cell assignment against literal centroids: minimizing
+    * ||x−c||² is maximizing 2·x·c − ||c||² (||x||² is constant per
+    * row), so each centroid contributes one codegen'd dot — an argmax
+    * over a struct array, zero joins, zero shuffles. Ties break to the
+    * LOWER cell id (struct max on (score, −cell)), keeping assignment
+    * deterministic under bit-equal scores. */
+  private def kmeansCell(cents: Seq[Seq[Double]], vec: Column): Column = {
+    val scores = cents.zipWithIndex.map { case (cv, i) =>
+      val c2 = cv.map(x => x * x).sum
+      struct(
+        (graft.functions.VecFunctions.vecDot(vec, array(cv.map(lit): _*)) * lit(2.0) - lit(c2))
+          .as("score"),
+        lit(-i).as("nc"))
+    }
+    -array_max(array(scores: _*)).getField("nc")
+  }
+
+  /** Cell id per row for a fixed centroid set (the k-means E-step as a
+    * standalone operator — also the final-model apply). */
+  def kmeansAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol), kmeansCell(cents, col(vecCol)).cast("int").as("cell"))
+
+  /** K-means (Lloyd) over an embedding column (SURVEY §2.3 L38) — the
+    * 100 TB shape: per iteration ONE map-side assignment (centroids
+    * broadcast as literals inside a codegen argmax) + ONE aggregation
+    * whose output is k×dims rows of decimal-exact dimension sums; only
+    * those k×dims doubles cross the driver each round. Deterministic
+    * end to end: the seed is the md5-ordered sample (TakeOrdered — the
+    * IVF bootstrap plan, never a global sort), argmax ties break low,
+    * and decimal sums are partitioning-independent — identical input
+    * gives an identical model on any cluster size. Empty cells keep
+    * their previous centroid. Stops at maxIters or when every centroid
+    * moved ≤ tol (L2). */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIters: Int = 10, tol: Double = 1e-9): KmeansModel = {
+    require(k > 0 && maxIters > 0)
+    val base = df.select(col(idCol).cast("string").as("km_id"), col(vecCol).as("km_vec"))
+      .where(col("km_vec").isNotNull)
+    // farthest-point (greedy max–min) seeding from an md5-deterministic
+    // start: each next seed maximizes its distance to the nearest chosen
+    // seed — the classic k-center 2-approximation, immune to the
+    // two-seeds-in-one-cluster collapse a hash sample risks. Each pick
+    // is one map-side distance column + one TakeOrdered (never a global
+    // sort); k is small, so k driver round-trips of one row each.
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Float](0).map(_.toDouble).toSeq
+    val firstRow = base.orderBy(md5(col("km_id")), col("km_id")).limit(1)
+      .select("km_vec").collect()
+    require(firstRow.nonEmpty, "kmeans needs at least one non-null vector")
+    var cents: Seq[Seq[Double]] = Seq(vecOf(firstRow(0)))
+    val xx = graft.functions.VecFunctions.vecDot(col("km_vec"), col("km_vec"))
+    while (cents.size < k) {
+      val dists = cents.map { cv =>
+        val c2 = cv.map(x => x * x).sum
+        xx - graft.functions.VecFunctions.vecDot(col("km_vec"), array(cv.map(lit): _*)) * lit(2.0) + lit(c2)
+      }
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      val nxt = base.withColumn("__d", minDist)
+        .orderBy(desc("__d"), col("km_id")).limit(1)
+        .select("km_vec").collect()
+      cents = cents :+ vecOf(nxt(0))
+    }
+    var it = 0
+    var shift = Double.MaxValue
+    while (it < maxIters && shift > tol) {
+      val sums = base
+        .select(kmeansCell(cents, col("km_vec")).cast("int").as("cell"),
+          posexplode(col("km_vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast("decimal(27,6)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell: Map[Int, Seq[Double]] = sums
+        .groupBy(_.getAs[Int]("cell"))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => r.getAs[java.math.BigDecimal]("s").doubleValue / r.getAs[Long]("n"))
+            .toSeq
+        }
+      val next = cents.zipWithIndex.map { case (old, i) => byCell.getOrElse(i, old) }
+      shift = cents.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      cents = next
+      it += 1
+    }
+    KmeansModel(cents, it, shift)
+  }
 }

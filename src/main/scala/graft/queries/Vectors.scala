@@ -29,9 +29,25 @@ object Vectors {
     VectorOps.assignNearestCentroid(e, "vec_id", "embedding", cents, "cid", "cvec")
   }
 
+  /** Full k-means (Lloyd) over the embeddings table (SURVEY L38):
+    * farthest-point seeding, 4 iterations, k=8 — per-cell membership
+    * profile of the converged model. Rows-only by design (the oracle
+    * cannot express an iterative Lloyd run in one SQL statement); the
+    * ground-truth contract lives in `KmeansSpec` (planted clusters
+    * recovered with purity 1.0, bit-identical model under any
+    * partitioning). */
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = VectorOps.kmeans(e, "vec_id", "embedding", k = 8, maxIters = 4)
+    VectorOps.kmeansAssign(e, "vec_id", "embedding", model.centroids)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norm" -> (qVecNorm _),
     "q_vec_quantize" -> (qVecQuantize _),
+    "q_kmeans" -> (qKmeans _),
     "q_vec_assign" -> (qVecAssign _))
 
   /** Fixed-point unnested view shared by the oracles: one row per

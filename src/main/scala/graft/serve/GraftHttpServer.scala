@@ -85,6 +85,7 @@ final class GraftHttpServer(
     server.createContext("/stats", (ex: HttpExchange) => safely(ex)(handleStats))
     server.createContext("/staged", (ex: HttpExchange) => safely(ex)(handleStaged))
     server.createContext("/branches", (ex: HttpExchange) => safely(ex)(handleBranches))
+    server.createContext("/partitions", (ex: HttpExchange) => safely(ex)(handlePartitions))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     this
@@ -198,6 +199,30 @@ final class GraftHttpServer(
 
   /** Pending write-audit-publish stages (SURVEY §2 S38):
     * `GET /staged?table=T` → the audit queue. */
+  /** Per-partition manifest rollup (SURVEY §2 S36's `$partitions`
+    * as a service): `GET /partitions?table=T` -> one JSON object per
+    * partition tuple with file/row/byte/delete-entry counts — the
+    * remote small-file/skew monitor, zero data files opened. */
+  private def handlePartitions(ex: HttpExchange): Unit = {
+    val table = param(ex, "table").getOrElse(
+      throw new IllegalArgumentException("missing table parameter"))
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots for table $table"))
+    val delRows: Map[String, Long] = snap.deleteFiles
+      .flatMap(d => d.dataPaths.map(_ -> d.rowCount))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val body = snap.files.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pv, fs) =>
+        val pvJson = pv.toSeq.sorted
+          .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+        s"""{"partition":$pvJson,"n_files":${fs.size},""" +
+          s""""total_rows":${fs.map(_.rowCount).sum},"total_bytes":${fs.map(_.sizeBytes).sum},""" +
+          s""""delete_entry_count":${fs.map(f => delRows.getOrElse(f.path, 0L)).sum}}"""
+      }.mkString("[", ",", "]")
+    respond(ex, 200, body + "\n")
+  }
+
   private def handleStaged(ex: HttpExchange): Unit = {
     val table = param(ex, "table").getOrElse(
       throw new IllegalArgumentException("missing table parameter"))

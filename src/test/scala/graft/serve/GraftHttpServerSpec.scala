@@ -287,6 +287,27 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/partitions serves the per-partition manifest rollup") {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.meta.SnapshotCatalog(
+      java.nio.file.Files.createTempDirectory("graft-http-part-").toString)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-http-part-d-").toString
+    val n = graft.Tables.nation(spark, sfDir).withColumn("p_rk", col("n_regionkey"))
+    graft.sinks.Writers.writePartitionedSnapshot(cat, "nation", n, s"$dataDir/c1", Seq("p_rk"))
+
+    val srv = new GraftHttpServer(spark, sfDir, port = 0, catalog = Some(cat)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (code, body) = get(s"$base/partitions?table=nation")
+      assert(code == 200, body)
+      // 5 regions -> 5 partition objects; rows reconcile with the table
+      assert(body.trim.startsWith("[") && body.split("\"partition\"").length == 6, body)
+      val totalRows = "\"total_rows\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).sum
+      assert(totalRows == graft.Tables.nation(spark, sfDir).count(), body)
+      assert(body.contains(""""p_rk":"0""""), body)
+    } finally srv.stop()
+  }
+
   test("/stats serves manifest table stats incl. outstanding MoR delete masks") {
     import org.apache.spark.sql.functions.col
     val cat = new graft.meta.SnapshotCatalog(
