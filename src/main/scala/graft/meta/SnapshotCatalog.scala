@@ -1636,29 +1636,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   /** Expire old snapshots, keeping the most recent `keepLast` manifests
     * plus any snapshot a tag references (ref-reachability, as Iceberg's
-    * expire_snapshots honors refs; metadata-only — data files are
-    * untouched). Returns the number removed. */
+    * expire_snapshots honors refs). Metadata-only: data files are
+    * untouched ([[vacuumDataFiles]]) and so are index sidecars
+    * ([[vacuumSidecars]] — expire must not GC blooms inline, because a
+    * branch forked before the expire can still reference them, and an
+    * in-flight commit's sidecars land before its manifest publishes;
+    * the vacuum's branch-aware liveness + grace window cover both).
+    * Returns the number removed. */
   def expireSnapshots(table: String, keepLast: Int): Int = {
     require(keepLast >= 1, "must keep at least one snapshot")
     val snaps = snapshots(table)
     val tagged = tags(table).values.toSet
     val toDrop = snaps.dropRight(keepLast).filterNot(s => tagged.contains(s.snapshotId))
-    val dropped = toDrop.map(_.snapshotId).toSet
     toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
-    // GC bloom sidecars no surviving snapshot references (reuseMeta can
-    // carry refs forward, so liveness = union over survivors). Like
-    // Iceberg's expire, this is a maintenance op: do not run concurrently
-    // with an in-flight bloom commit, whose sidecars land before its
-    // manifest publishes.
-    val bloomDir = tableDir(table).resolve("blooms")
-    if (Files.isDirectory(bloomDir)) {
-      val live = snaps.filterNot(s => dropped.contains(s.snapshotId)).flatMap(_.files)
-        .flatMap(_.blooms.values).toSet
-      val stream = Files.list(bloomDir)
-      val all = try stream.iterator().asScala.toList finally stream.close()
-      all.filterNot(p => live.contains(p.toAbsolutePath.toString))
-        .foreach(p => Files.deleteIfExists(p))
-    }
     toDrop.size
   }
 
@@ -1706,6 +1696,40 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .filter(p => scala.util.Try(
         Files.getLastModifiedTime(Paths.get(p)).toMillis < cutoff).getOrElse(false))
       .filter(p => Files.deleteIfExists(Paths.get(p)))
+  }
+
+  /** GC orphan bloom/sketch SIDECARS: every rewrite retires its inputs'
+    * index files, and after the inputs' snapshots expire nothing
+    * references those sidecars — on a streaming table (a commit per
+    * micro-batch, sticky indexing) they otherwise accumulate forever.
+    * A sidecar is live iff ANY surviving snapshot of the table or its
+    * branches references it (legacy inline-base64 bloom values are not
+    * paths and are skipped). Same grace window as the data vacuum so a
+    * mid-commit sidecar written before its manifest survives. Returns
+    * deleted paths. */
+  def vacuumSidecars(table: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
+    def refsOf(chain: Seq[SnapshotMeta]): Seq[String] =
+      chain.flatMap(_.files).flatMap(f =>
+        f.blooms.values.filter(_.startsWith("/")) ++ f.sketches.values)
+    val live: Set[String] =
+      (refsOf(snapshots(table)) ++ branches(table).flatMap(b =>
+        refsOf(snapshots(branchRef(table, b))))).map(normalize).toSet
+    val cutoff = clock() - graceMs
+    Seq("blooms", "sketches").flatMap { kind =>
+      val dir = tableDir(table).resolve(kind)
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val stream = Files.list(dir)
+        val candidates = try stream.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(_.toAbsolutePath.toString).toList
+        finally stream.close()
+        candidates
+          .filterNot(p => live.contains(normalize(p)))
+          .filter(p => scala.util.Try(
+            Files.getLastModifiedTime(Paths.get(p)).toMillis < cutoff).getOrElse(false))
+          .filter(p => Files.deleteIfExists(Paths.get(p)))
+      }
+    }
   }
 
   /** The rows of `paths` VISIBLE under `snap` — raw parquet rows minus

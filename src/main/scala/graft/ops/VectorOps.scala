@@ -130,30 +130,32 @@ object VectorOps {
     require(k > 0 && maxIters > 0)
     val base = df.select(col(idCol).cast("string").as("km_id"), col(vecCol).as("km_vec"))
       .where(col("km_vec").isNotNull)
-    // farthest-point (greedy max–min) seeding from an md5-deterministic
-    // start: each next seed maximizes its distance to the nearest chosen
-    // seed — the classic k-center 2-approximation, immune to the
-    // two-seeds-in-one-cluster collapse a hash sample risks. Each pick
-    // is one map-side distance column + one TakeOrdered (never a global
-    // sort); k is small, so k driver round-trips of one row each.
-    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
-      r.getSeq[Float](0).map(_.toDouble).toSeq
-    val firstRow = base.orderBy(md5(col("km_id")), col("km_id")).limit(1)
+    // farthest-point (greedy max–min) seeding on an md5-deterministic
+    // sample: ONE TakeOrdered scan collects a bounded candidate set
+    // (max(64, 32k) rows — k×dims doubles of driver work), then the
+    // classic k-center greedy picks seeds maximizing distance to the
+    // nearest chosen one. Immune to the two-seeds-in-one-cluster
+    // collapse a plain hash sample risks, without the k full scans a
+    // distributed argmax per seed would cost at 100 TB. Deterministic:
+    // the sample order is (md5, id) and ties pick the earliest sample
+    // row.
+    val sampleN = math.max(64, 32 * k)
+    val sample: Seq[Seq[Double]] = base
+      .orderBy(md5(col("km_id")), col("km_id")).limit(sampleN)
       .select("km_vec").collect()
-    require(firstRow.nonEmpty, "kmeans needs at least one non-null vector")
-    var cents: Seq[Seq[Double]] = Seq(vecOf(firstRow(0)))
-    val xx = graft.functions.VecFunctions.vecDot(col("km_vec"), col("km_vec"))
-    while (cents.size < k) {
-      val dists = cents.map { cv =>
-        val c2 = cv.map(x => x * x).sum
-        xx - graft.functions.VecFunctions.vecDot(col("km_vec"), array(cv.map(lit): _*)) * lit(2.0) + lit(c2)
-      }
-      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
-      val nxt = base.withColumn("__d", minDist)
-        .orderBy(desc("__d"), col("km_id")).limit(1)
-        .select("km_vec").collect()
-      cents = cents :+ vecOf(nxt(0))
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    require(sample.nonEmpty, "kmeans needs at least one non-null vector")
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Seq[Seq[Double]] = Seq(sample.head)
+    var minD: Array[Double] = sample.map(d2(_, cents.head)).toArray
+    while (cents.size < math.min(k, sample.size)) {
+      val nxt = minD.indices.maxBy(i => (minD(i), -i))
+      cents = cents :+ sample(nxt)
+      minD = minD.indices.map(i => math.min(minD(i), d2(sample(i), sample(nxt)))).toArray
     }
+    // fewer distinct points than k: duplicate-seed cells simply stay empty
+    while (cents.size < k) cents = cents :+ cents.head
     var it = 0
     var shift = Double.MaxValue
     while (it < maxIters && shift > tol) {

@@ -217,4 +217,41 @@ class SnapshotCatalogSpec extends SparkSpec {
     // the live table is untouched
     assert(cat.read(spark, "cust").count() == preCount)
   }
+
+  test("sidecar vacuum: orphaned bloom/sketch indexes GC after expiry; live ones survive") {
+    import graft.sinks.Writers
+    val root = Files.createTempDirectory("graft-vacsc-").toString
+    val cat = new SnapshotCatalog(root)
+    val dataDir = Files.createTempDirectory("graft-vacsc-data-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 75), dataDir,
+      bloomColumns = Seq("c_mktsegment"), sketchColumns = Seq("c_mktsegment"))
+    // sticky re-index: the COW rewrite's outputs get fresh sidecars,
+    // the rewritten input's sidecars go orphan once its snapshot expires
+    Writers.deleteWhere(spark, cat, "cust",
+      rowPredicate = df => df.filter(col("c_custkey") > 10),
+      pruneFilters = Nil, dataDir = dataDir)
+
+    def sidecarCount = Seq("blooms", "sketches").map { kind =>
+      val d = java.nio.file.Paths.get(root, "cust", kind)
+      if (!Files.isDirectory(d)) 0
+      else { val s = Files.list(d); try s.count().toInt finally s.close() }
+    }.sum
+    val before = sidecarCount
+    assert(before > 0)
+
+    // both snapshots alive: nothing to GC even with zero grace
+    assert(cat.vacuumSidecars("cust", graceMs = 0L).isEmpty)
+    cat.expireSnapshots("cust", keepLast = 1)
+    // grace window protects fresh sidecars
+    assert(cat.vacuumSidecars("cust", graceMs = 3600 * 1000L).isEmpty)
+    val deleted = cat.vacuumSidecars("cust", graceMs = 0L)
+    assert(deleted.nonEmpty)
+    assert(sidecarCount == before - deleted.size)
+    // the live index still prunes and the table still reads
+    assert(cat.planFiles("cust", Seq(EqString("c_mktsegment", "BUILDING"))).nonEmpty)
+    assert(cat.approxCountDistinct(spark, "cust", "c_mktsegment").nonEmpty)
+    // rowPredicate keeps the surviving rows: 75 written, custkey > 10 remain
+    assert(cat.read(spark, "cust").count() == 65)
+  }
 }
