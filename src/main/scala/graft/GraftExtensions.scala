@@ -20,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, s"vec_dot requires exactly 2 arguments, got ${children.size}")
         VecDot(children.head, children(1))
       }))
+    // SQL time travel + catalog-table resolution over the snapshot
+    // catalog (activated by spark.graft.catalog.root — see
+    // graft.sql.GraftSqlResolution). Hint batch: BEFORE builtin
+    // ResolveRelations, so `VERSION AS OF` wins even over a same-named
+    // temp view; plain names resolve in the normal batch, after
+    // builtins had their chance.
+    ext.injectHintResolutionRule(session => new graft.sql.GraftTimeTravelRule(session))
+    ext.injectResolutionRule(session => new graft.sql.GraftCatalogRelationRule(session))
   }
 }

@@ -137,6 +137,50 @@ final case class SnapshotMeta(
   }
 }
 
+/** A concurrent commit made this commit's plan unsafe to re-apply
+  * (Iceberg's `ValidationException` on optimistic-commit retry): the
+  * operation read rows at its basis snapshot, another committer changed
+  * state the operation depends on, and blindly re-applying would lose
+  * or resurrect rows. The right response is the same as Iceberg's:
+  * re-plan against the new current snapshot and retry the WHOLE
+  * operation, not just the publish. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** The INTENT of a commit, declared relative to the snapshot the writer
+  * planned against (`basisSnapshotId`) — the piece Iceberg's
+  * `SnapshotProducer` keeps that a flat final-file-list commit loses.
+  * With it, the optimistic-commit retry can RECONCILE instead of
+  * clobber: a pure append (removedPaths empty) re-applies cleanly on
+  * whatever the new current is (concurrent appends all survive — the
+  * fast-append path a 1000-executor ingest fleet needs), while a
+  * rewrite re-applies only after validating that nothing it depends on
+  * changed, else throws [[CommitConflictException]]:
+  *
+  *  - every `removedPaths` entry must still be present (a concurrent
+  *    rewrite/compaction of the same files is a lost-update otherwise);
+  *  - no row-level delete file landed since basis over a removed path
+  *    (the outputs were computed from basis-visible rows — re-applying
+  *    them would resurrect the concurrently-masked rows);
+  *  - every `addDeleteFiles` entry must reference only live data files
+  *    (positions/scope are per-file — a rewritten file invalidates
+  *    them);
+  *  - no file added since basis may match `conflictOnAdded` (dynamic
+  *    partition overwrite uses this: a concurrent append into a
+  *    replaced partition has no serializable order).
+  *
+  * `retireDeleteFiles` names delete files this commit consumes (a
+  * materialization); concurrent masks over untouched files carry
+  * forward untouched. `strictBasis` refuses ANY head movement
+  * (rollback: "roll back from X" is meaningless once X isn't current).
+  * `basisSnapshotId = None` means "planned against an empty table". */
+final case class CommitIntent(
+    basisSnapshotId: Option[Long],
+    removedPaths: Seq[String] = Nil,
+    addDeleteFiles: Seq[DeleteFileMeta] = Nil,
+    retireDeleteFiles: Seq[String] = Nil,
+    strictBasis: Boolean = false,
+    conflictOnAdded: FileMeta => Boolean = _ => false)
+
 /** File-skipping predicates evaluated against manifest indices. */
 sealed trait PruneFilter { def column: String }
 /** Equality on a string column: min/max range check + bloom membership. */
@@ -247,16 +291,47 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       reuseMeta: Map[String, FileMeta] = Map.empty,
       props: Map[String, String] = Map.empty,
       sketchColumns: Seq[String] = Nil,
-      deleteFilesOverride: Option[Seq[DeleteFileMeta]] = None): SnapshotMeta = {
+      deleteFilesOverride: Option[Seq[DeleteFileMeta]] = None,
+      intent: Option[CommitIntent] = None): SnapshotMeta = {
+    // deleteFilesOverride replaces the whole delete-file list verbatim —
+    // deterministic only when the head can't drift under the commit
+    require(deleteFilesOverride.isEmpty || intent.forall(_.strictBasis),
+      "deleteFilesOverride requires strictBasis (or no intent): a drifting head makes a verbatim delete-file list a lost-update")
     val (reusedPaths, newPaths) = paths.map(normalize).partition(reuseMeta.contains)
-    // MoR delete-file carry-forward: unless the caller overrides (a MoR
-    // delete adds one, a rollback restores the target's), the parent's
-    // delete files survive iff they still reference a live data file —
-    // a rewrite that replaced every referenced file retires the delete
-    // file with it (Iceberg's rewrite_data_files does the same).
+    // MoR delete-file carry-forward: unless the caller overrides (a
+    // rollback restores the target's), the parent's delete files
+    // survive iff they still reference a live data file — a rewrite
+    // that replaced every referenced file retires the delete file with
+    // it (Iceberg's rewrite_data_files does the same). With an intent,
+    // retired files drop and added files append; `prev` here is the
+    // ACTUAL parent of this publish attempt, so concurrent masks over
+    // untouched files always carry.
     def carriedDeletes(prev: Option[SnapshotMeta], live: Set[String]): Seq[DeleteFileMeta] =
-      deleteFilesOverride.getOrElse(
-        prev.map(_.deleteFiles.filter(_.dataPaths.exists(live.contains))).getOrElse(Nil))
+      deleteFilesOverride.getOrElse {
+        val retire = intent.map(_.retireDeleteFiles.map(normalize).toSet).getOrElse(Set.empty)
+        prev.map(_.deleteFiles
+            .filterNot(d => retire.contains(d.path))
+            .filter(_.dataPaths.exists(live.contains))).getOrElse(Nil) ++
+          intent.map(_.addDeleteFiles).getOrElse(Nil)
+      }
+    // The final file list of one publish attempt. Legacy (no intent):
+    // exactly the caller's list. With intent: survivors are recomputed
+    // from the ATTEMPT's actual parent (concurrent appends merge in,
+    // removed files drop out), caller-scanned new files append, and
+    // caller-provided reuse metas not already present apply last (a
+    // cherry-pick's replayed files). Validation runs first — a commit
+    // that can't be reconciled throws instead of clobbering.
+    def resolveFiles(prev: Option[SnapshotMeta], newFiles: Seq[FileMeta]): Seq[FileMeta] =
+      intent match {
+        case None => newFiles ++ reusedPaths.map(reuseMeta)
+        case Some(it) =>
+          validateIntent(table, it, prev)
+          val removed = it.removedPaths.map(normalize).toSet
+          val survivors = prev.map(_.files.filterNot(f => removed.contains(f.path))).getOrElse(Nil)
+          val present = survivors.map(_.path).toSet ++ newFiles.map(_.path)
+          newFiles ++ survivors ++
+            reusedPaths.filterNot(p => present.contains(p) || removed.contains(p)).map(reuseMeta)
+      }
     val stickyBloomCols =
       if (bloomColumns.nonEmpty) bloomColumns
       else currentSnapshot(table)
@@ -278,14 +353,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       return publish(table) { prevOpt =>
         val prev0 = prevOpt.getOrElse(throw new IllegalArgumentException(
           s"A commit with no new files requires an existing snapshot for $table (schema source)"))
+        val files = resolveFiles(prevOpt, Nil)
         SnapshotMeta(
           snapshotId = prev0.snapshotId + 1,
           timestampMs = clock(),
           parentId = Some(prev0.snapshotId),
           schemaJson = prev0.schemaJson,
-          files = reusedPaths.map(reuseMeta),
+          files = files,
           props = withSticky,
-          deleteFiles = carriedDeletes(prevOpt, reusedPaths.toSet))
+          deleteFiles = carriedDeletes(prevOpt, files.map(_.path).toSet))
       }
     }
     val df = spark.read.parquet(newPaths: _*)
@@ -400,9 +476,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         partitionValues = parsePartitionValues(path),
         sketches = sketchRefs.getOrElse(path, Map.empty))
     }.toSeq
-    val files = newFiles ++ reusedPaths.map(reuseMeta)
 
     publish(table) { prev =>
+      val files = resolveFiles(prev, newFiles)
       SnapshotMeta(
         snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
         timestampMs = clock(),
@@ -418,6 +494,59 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         props = withSticky,
         deleteFiles = carriedDeletes(prev, files.map(_.path).toSet))
     }
+  }
+
+  /** Reconciliation guard for an intent-bearing commit attempt: no-op
+    * when the attempt's parent IS the basis (no concurrency); otherwise
+    * enforce the [[CommitIntent]] contract against the actual parent.
+    * If the basis snapshot was itself concurrently expired, its file /
+    * delete-file sets resolve empty and every check degrades
+    * CONSERVATIVELY (more conflicts, never fewer) — an expire racing a
+    * rewrite is the rare case, and a spurious abort is recoverable
+    * where a lost update is not. */
+  private def validateIntent(
+      table: String, it: CommitIntent, prevOpt: Option[SnapshotMeta]): Unit = {
+    val prevId = prevOpt.map(_.snapshotId)
+    if (prevId == it.basisSnapshotId) return
+    def basisStr = it.basisSnapshotId.map(_.toString).getOrElse("<empty table>")
+    if (it.strictBasis)
+      throw new CommitConflictException(
+        s"$table: head moved from basis $basisStr to ${prevId.map(_.toString).getOrElse("<none>")} — " +
+          "this operation requires an unchanged head; re-plan against the current snapshot")
+    val prev = prevOpt.getOrElse(throw new CommitConflictException(
+      s"$table: planned against snapshot $basisStr but the table now has no snapshots"))
+    val prevPaths = prev.files.map(_.path).toSet
+    val removed = it.removedPaths.map(normalize)
+    val gone = removed.filterNot(prevPaths.contains)
+    if (gone.nonEmpty)
+      throw new CommitConflictException(
+        s"$table: files this commit rewrites were concurrently removed: " +
+          gone.take(3).mkString(", ") +
+          (if (gone.size > 3) s" (+${gone.size - 3} more)" else ""))
+    val basisSnap = it.basisSnapshotId.flatMap(snapshotById(table, _))
+    val removedSet = removed.toSet
+    if (removedSet.nonEmpty) {
+      val basisDel = basisSnap.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+      val masked = prev.deleteFiles
+        .filterNot(d => basisDel.contains(d.path))
+        .filter(_.dataPaths.exists(removedSet.contains))
+      if (masked.nonEmpty)
+        throw new CommitConflictException(
+          s"$table: concurrent row-level delete file(s) ${masked.map(_.path).take(2).mkString(", ")} " +
+            "mask rows in files this commit rewrites — re-applying outputs computed from " +
+            "basis-visible rows would resurrect the masked rows")
+    }
+    val staleMask = it.addDeleteFiles.flatMap(_.dataPaths).distinct.filterNot(prevPaths.contains)
+    if (staleMask.nonEmpty)
+      throw new CommitConflictException(
+        s"$table: this commit's delete file references data files concurrently rewritten: " +
+          staleMask.take(3).mkString(", "))
+    val basisFiles = basisSnap.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val badAdds = prev.files.filterNot(f => basisFiles.contains(f.path)).filter(it.conflictOnAdded)
+    if (badAdds.nonEmpty)
+      throw new CommitConflictException(
+        s"$table: concurrently added file(s) conflict with this commit's scope: " +
+          badAdds.map(_.path).take(3).mkString(", "))
   }
 
   /** One bloom per (file, column), built in ONE Spark job for the whole
@@ -870,6 +999,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def rollbackTo(spark: SparkSession, table: String, snapshotId: Long): SnapshotMeta = {
     val target = snapshotById(table, snapshotId).getOrElse(
       throw new IllegalArgumentException(s"Snapshot $snapshotId not found for $table"))
+    val basis = currentSnapshot(table)
+    val targetPaths = target.files.map(_.path).toSet
     commit(spark, table, target.files.map(_.path),
       reuseMeta = target.files.map(f => f.path -> f).toMap,
       props = Map(
@@ -877,7 +1008,13 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         SnapshotCatalog.RollbackOfProp -> snapshotId.toString),
       // restoring a state restores its delete files too: visible rows at
       // the rollback must equal visible rows at the target exactly
-      deleteFilesOverride = Some(target.deleteFiles))
+      deleteFilesOverride = Some(target.deleteFiles),
+      // "roll back from X" is only meaningful while X is current: a
+      // commit landing mid-rollback must conflict, not be silently undone
+      intent = Some(CommitIntent(
+        basisSnapshotId = basis.map(_.snapshotId),
+        removedPaths = basis.map(_.files.map(_.path).filterNot(targetPaths.contains)).getOrElse(Nil),
+        strictBasis = true)))
   }
 
   /** Re-apply an APPEND commit's added files onto the current head
@@ -897,12 +1034,16 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val parentPaths = src.parentId.flatMap(snapshotById(table, _))
       .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val added = src.files.filterNot(f => parentPaths.contains(f.path))
-    val cur = currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val basis = currentSnapshot(table)
+    val cur = basis.map(_.files).getOrElse(Nil)
     commit(spark, table, cur.map(_.path) ++ added.map(_.path),
       reuseMeta = (cur ++ added).map(f => f.path -> f).toMap,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
-        SnapshotCatalog.CherryPickOfProp -> snapshotId.toString))
+        SnapshotCatalog.CherryPickOfProp -> snapshotId.toString),
+      // append intent: the replayed files apply on whatever head the
+      // publish lands on — concurrent commits merge, never clobbered
+      intent = Some(CommitIntent(basis.map(_.snapshotId))))
   }
 
   // ---- schema evolution v2: rename + drop (metadata-only) --------------
@@ -1176,12 +1317,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       stagedId: String): SnapshotMeta = {
     val st = staged(table, stagedId).getOrElse(throw new IllegalArgumentException(
       s"no staged commit $stagedId for table $table"))
-    val prev = currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val basis = currentSnapshot(table)
+    val prev = basis.map(_.files).getOrElse(Nil)
     val snap = commit(spark, table, prev.map(_.path) ++ st.paths,
       reuseMeta = prev.map(f => f.path -> f).toMap,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
-        SnapshotCatalog.WapIdProp -> stagedId) ++ st.props)
+        SnapshotCatalog.WapIdProp -> stagedId) ++ st.props,
+      intent = Some(CommitIntent(basis.map(_.snapshotId))))
     discardStaged(table, stagedId)
     snap
   }

@@ -478,6 +478,51 @@ object Engine {
       UniqueKey(Seq("o_orderkey"))))
   }
 
+  // Memoized time-travel catalog per sf-dir (two snapshots of orders:
+  // even keys, then odd keys appended; snapshot 1 tagged 'v1') plus ONE
+  // extensions-enabled sibling session per base session — the
+  // spark.sql.extensions deployment a SQL-only user runs. The benched
+  // path is the SQL itself; layout cost is one-time, like the other
+  // *_read queries.
+  private val ttRoots = TrieMap.empty[String, String]
+  private def ttRootFor(s: SparkSession, dir: String): String =
+    ttRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-ttsql-").toString
+      val dataDir = Files.createTempDirectory("graft-ttsql-data-").toString
+      val cat = new SnapshotCatalog(root)
+      val o = Tables.orders(s, dir)
+      Writers.writeSnapshot(cat, "orders", o.filter(expr("o_orderkey % 2 = 0")), dataDir)
+      cat.tag("orders", "v1", 1L)
+      Writers.writeSnapshot(cat, "orders", o.filter(expr("o_orderkey % 2 <> 0")), dataDir)
+      root
+    })
+  private val extSessions = TrieMap.empty[Int, SparkSession]
+  private def extSessionFor(s: SparkSession): SparkSession =
+    extSessions.getOrElseUpdate(System.identityHashCode(s),
+      org.apache.spark.sql.GraftColumnShim.sessionWithExtensions(
+        s, e => new graft.GraftExtensions().apply(e)))
+
+  /** SQL time travel through SparkSessionExtensions (SURVEY §2 S50 at
+    * the query level): `VERSION AS OF` a TAG and the current head, in
+    * one statement, on a session whose only access to the catalog is
+    * `spark.sql.extensions` + `spark.graft.catalog.root` — no code API.
+    * The tagged epoch must equal the oracle's even-key slice and the
+    * head the whole table. */
+  def qSqlTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, ttRootFor(s, dir))
+    es.sql(
+      """SELECT 'v1' AS epoch, o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders VERSION AS OF 'v1'
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'head' AS epoch, o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Arbitrary SQL through QueryEngine's registered corpus (SURVEY §2
     * S18) — the reference's `execute_query` path (src/sql/engine.py:66). */
   def qSqlEngine(s: SparkSession, dir: String): DataFrame =
@@ -504,6 +549,7 @@ object Engine {
     "q_overwrite_read" -> (qOverwriteRead _),
     "q_topk_pruned" -> (qTopkPruned _),
     "q_rename_read" -> (qRenameRead _),
+    "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
@@ -512,6 +558,16 @@ object Engine {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_sql_timetravel" ->
+      """SELECT 'v1' AS epoch, o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'head' AS epoch, o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_snapshot_read" ->
       """SELECT l_linestatus, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price

@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Paths}
 import java.util.UUID
 
-import graft.meta.{DeleteFileMeta, FileMeta, PartTransform, PartitionTransforms, PruneFilter, RangeNum, RangeString, SnapshotCatalog, SnapshotMeta}
+import graft.meta.{CommitIntent, DeleteFileMeta, FileMeta, PartTransform, PartitionTransforms, PruneFilter, RangeNum, RangeString, SnapshotCatalog, SnapshotMeta}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,10 +81,12 @@ object Writers {
     // survive with their manifest metadata intact — each call writes to
     // its own directory, so repeated appends accumulate partitions'
     // files the way writeSnapshot accumulates unpartitioned ones
-    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val prev = catalog.currentSnapshot(table)
+    val prevFiles = prev.map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,
-      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props,
+      intent = Some(CommitIntent(prev.map(_.snapshotId))))
   }
 
   /** Dynamic partition overwrite (SURVEY §2 S46 — the
@@ -145,7 +147,20 @@ object Writers {
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpOverwrite,
         SnapshotCatalog.RewrittenFromProp ->
-          replaced.map(_.path).sorted.mkString(",")) ++ props)
+          replaced.map(_.path).sorted.mkString(",")) ++ props,
+      intent = Some(CommitIntent(
+        basisSnapshotId = current.map(_.snapshotId),
+        removedPaths = replaced.map(_.path),
+        // a concurrent append INTO a replaced partition has no
+        // serializable order with the restatement (neither
+        // append-then-overwrite nor overwrite-then-append yields the
+        // union state this commit would produce) — conflict; a file
+        // lacking the partition values at all makes the overwrite
+        // ill-defined, same as at plan time
+        conflictOnAdded = f => {
+          val vals = partitionCols.flatMap(c => f.partitionValues.get(c).map(c -> _)).toMap
+          vals.size != partitionCols.size || touched.contains(vals)
+        })))
   }
 
   /** Hidden-partitioned write (Iceberg partition-spec transforms,
@@ -171,10 +186,12 @@ object Writers {
     // (Iceberg partition evolution: each file prunes by its own layout's
     // partition values; filters mapped for a spec a file doesn't carry
     // fall back to its column stats and never mis-prune)
-    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val prev = catalog.currentSnapshot(table)
+    val prevFiles = prev.map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,
-      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props,
+      intent = Some(CommitIntent(prev.map(_.snapshotId))))
   }
 
   /** Read a transform-partitioned table with predicates stated on RAW
@@ -244,10 +261,12 @@ object Writers {
     // append semantics, like writeSnapshot: prior files survive with their
     // manifest metadata intact (a full OPTIMIZE-style recluster is
     // read-everything + deleteWhere, an explicit user choice)
-    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val prev = catalog.currentSnapshot(table)
+    val prevFiles = prev.map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,
-      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props,
+      intent = Some(CommitIntent(prev.map(_.snapshotId))))
   }
 
   /** Copy-on-write row-level delete (Iceberg COW DELETE semantics):
@@ -287,7 +306,10 @@ object Writers {
       reuseMeta = untouchedMeta.map(f => f.path -> f).toMap,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpDelete,
-        SnapshotCatalog.RewrittenFromProp -> affected.toSeq.sorted.mkString(",")))
+        SnapshotCatalog.RewrittenFromProp -> affected.toSeq.sorted.mkString(",")),
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        removedPaths = affected.toSeq)))
   }
 
   /** Merge-on-read row-level delete (the Iceberg v2 position-delete
@@ -341,7 +363,12 @@ object Writers {
     catalog.commit(spark, table, current.files.map(_.path),
       reuseMeta = current.files.map(f => f.path -> f).toMap,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMorDelete),
-      deleteFilesOverride = Some(current.deleteFiles :+ delMeta))
+      // intent, not a verbatim delete-file list: concurrent masks carry,
+      // and a concurrent rewrite of a file this mask's positions index
+      // conflicts (the row_index values are per-file)
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        addDeleteFiles = Seq(delMeta))))
   }
 
   /** Merge-on-read EQUALITY delete (the Iceberg v2 equality-delete file,
@@ -389,7 +416,12 @@ object Writers {
     catalog.commit(spark, table, current.files.map(_.path),
       reuseMeta = current.files.map(f => f.path -> f).toMap,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMorDelete),
-      deleteFilesOverride = Some(current.deleteFiles :+ delMeta))
+      // the equality mask scopes to `affected` (the files existing at
+      // basis that could hold the keys) — a concurrent rewrite of one of
+      // them conflicts rather than leaving a mask over dead paths
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        addDeleteFiles = Seq(delMeta))))
   }
 
   /** Row-retention maintenance (the compliance TTL sweep): expire every
@@ -444,7 +476,14 @@ object Writers {
         SnapshotCatalog.RewrittenFromProp -> masked.sorted.mkString(","),
         SnapshotCatalog.MaterializedDeletesProp ->
           current.deleteFiles.map(_.path).sorted.mkString(",")),
-      deleteFilesOverride = Some(Nil)))
+      // retire exactly the masks materialized into the outputs; a mask
+      // landing concurrently on an untouched file carries forward, one
+      // landing on a materialized file conflicts (its rows are baked
+      // into outputs computed without it)
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        removedPaths = masked,
+        retireDeleteFiles = current.deleteFiles.map(_.path)))))
   }
 
   /** Range-partitioned snapshot write: one shuffle splits `df` into
@@ -464,10 +503,12 @@ object Writers {
       .sortWithinPartitions(rangeCol)
       .write.parquet(dir.toString)
     val files = listParquet(dir)
-    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val prev = catalog.currentSnapshot(table)
+    val prevFiles = prev.map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files,
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,
-      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props)
+      props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props,
+      intent = Some(CommitIntent(prev.map(_.snapshotId))))
   }
 
   /** Per-key-column min/max of `source`, as manifest prune filters — ONE
@@ -559,7 +600,13 @@ object Writers {
       props = props ++ Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMerge,
         SnapshotCatalog.RewrittenFromProp -> affected.sorted.mkString(","),
-        SnapshotCatalog.InsertFilesProp -> insertFiles.mkString(",")))
+        SnapshotCatalog.InsertFilesProp -> insertFiles.mkString(",")),
+      // a concurrent APPEND is serializable with a merge (equivalent to
+      // merge-then-append) and reconciles in; only a concurrent rewrite
+      // or mask of the files this merge read conflicts
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        removedPaths = affected)))
   }
 
   /** Small-file compaction (Iceberg rewrite_data_files bin-pack): files
@@ -623,7 +670,10 @@ object Writers {
       reuseMeta = kept.map(f => f.path -> f).toMap,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpCompact,
-        SnapshotCatalog.RewrittenFromProp -> rewritten.map(_.path).sorted.mkString(","))))
+        SnapshotCatalog.RewrittenFromProp -> rewritten.map(_.path).sorted.mkString(",")),
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        removedPaths = rewritten.map(_.path)))))
   }
 
   /** Write-audit-publish, stage step: `df`'s files are written and
@@ -679,10 +729,12 @@ object Writers {
     val dir = Paths.get(dataDir, s"commit-${UUID.randomUUID().toString.take(8)}")
     df.write.parquet(dir.toString)
     val files = listParquet(dir)
-    val prevFiles = catalog.currentSnapshot(table).map(_.files).getOrElse(Nil)
+    val prev = catalog.currentSnapshot(table)
+    val prevFiles = prev.map(_.files).getOrElse(Nil)
     catalog.commit(df.sparkSession, table, prevFiles.map(_.path) ++ files, bloomColumns,
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props,
-      sketchColumns = sketchColumns)
+      sketchColumns = sketchColumns,
+      intent = Some(CommitIntent(prev.map(_.snapshotId))))
   }
 }

@@ -19,6 +19,33 @@ object GraftColumnShim {
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
 
+  /** A SIBLING session on the same SparkContext/SharedState with the
+    * given extensions applied — what `spark.sql.extensions` does at
+    * bootstrap, reachable mid-JVM (the config route only applies at the
+    * FIRST session build, so a suite-shared context can't exercise it).
+    * Same mechanism as `SparkSession.cloneSession`, with fresh
+    * SessionState built from the extensions. */
+  def sessionWithExtensions(
+      base: SparkSession,
+      configure: SparkSessionExtensions => Unit): SparkSession = {
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    // with no registered session, getOrCreate builds a NEW one (reusing
+    // the live SparkContext) and applies withExtensions; restore the
+    // registrations after so the suite-shared session stays the default
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try
+      SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(configure)
+        .getOrCreate()
+    finally {
+      default.foreach(SparkSession.setDefaultSession)
+      active.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   /** Re-tag a batch frame as streaming (isStreaming=true) — what a v1
     * `Source.getBatch` must hand back to MicroBatchExecution. The same
     * internalCreateDataFrame path Spark's own FileStreamSource takes;

@@ -1,0 +1,110 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sinks.Writers
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.functions._
+
+/** SQL time travel + catalog resolution through GraftExtensions
+  * (SURVEY §2 S50): `VERSION AS OF <id|tag|branch>`, `TIMESTAMP AS OF`,
+  * and plain-name resolution against the snapshot catalog, end-to-end
+  * through `spark.sql` on a session with the extensions installed. */
+class GraftSqlResolutionSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-sqlres-").toString
+  private lazy val dataDir = Files.createTempDirectory("graft-sqlres-data-").toString
+
+  // controllable commit clock so TIMESTAMP AS OF boundaries are exact
+  private var now = 1000L * 1000
+  private lazy val writeCat = new graft.meta.SnapshotCatalog(root, clock = () => now)
+
+  /** A sibling session with GraftExtensions applied and the catalog
+    * root set — the `spark.sql.extensions` + `spark.graft.catalog.root`
+    * deployment, reachable mid-JVM. */
+  private lazy val ext = {
+    val s = GraftColumnShim.sessionWithExtensions(
+      spark, e => new graft.GraftExtensions().apply(e))
+    s.conf.set(GraftSqlResolution.RootConf, root)
+    s
+  }
+
+  private def setup(): Unit = if (writeCat.tables().isEmpty) {
+    val c = graft.Tables.customer(spark, sfDir)
+    now = 1000L * 1000 // s1 at t=1000s
+    Writers.writeSnapshot(writeCat, "cust", c.filter(col("c_custkey").between(1, 10)), dataDir)
+    writeCat.tag("cust", "validated", 1L)
+    now = 2000L * 1000 // s2 at t=2000s
+    Writers.writeSnapshot(writeCat, "cust", c.filter(col("c_custkey").between(11, 25)), dataDir)
+    writeCat.createBranch("cust", "dev")
+    now = 3000L * 1000
+    Writers.writeSnapshot(writeCat, writeCat.branchRef("cust", "dev"),
+      c.filter(col("c_custkey").between(26, 30)), dataDir)
+  }
+
+  test("plain name resolves to the catalog's current snapshot") {
+    setup()
+    assert(ext.sql("SELECT count(*) AS n FROM cust").head().getLong(0) == 25)
+    // explicit graft.<table> form works too
+    assert(ext.sql("SELECT count(*) AS n FROM graft.cust").head().getLong(0) == 25)
+    // and the plan is a real pruned scan: filters push into it
+    val one = ext.sql("SELECT c_name FROM cust WHERE c_custkey = 7")
+    assert(one.count() == 1)
+  }
+
+  test("VERSION AS OF snapshot id, tag, and branch") {
+    setup()
+    assert(ext.sql("SELECT count(*) AS n FROM cust VERSION AS OF 1").head().getLong(0) == 10)
+    assert(ext.sql("SELECT count(*) AS n FROM cust VERSION AS OF 2").head().getLong(0) == 25)
+    assert(ext.sql("SELECT count(*) AS n FROM cust VERSION AS OF 'validated'").head().getLong(0) == 10)
+    // branch head: fork state (25) + branch-only append (5)
+    assert(ext.sql("SELECT count(*) AS n FROM cust VERSION AS OF 'dev'").head().getLong(0) == 30)
+    val err = intercept[Exception] {
+      ext.sql("SELECT count(*) FROM cust VERSION AS OF 'nope'").collect()
+    }
+    assert(err.getMessage.contains("no snapshot id, tag or branch"))
+  }
+
+  test("TIMESTAMP AS OF picks the snapshot current at that instant") {
+    setup()
+    // t=1500s: only s1 existed
+    assert(ext.sql("SELECT count(*) AS n FROM cust TIMESTAMP AS OF '1970-01-01 00:25:00'")
+      .head().getLong(0) == 10)
+    // t=2500s: s2 is current
+    assert(ext.sql("SELECT count(*) AS n FROM cust TIMESTAMP AS OF '1970-01-01 00:41:40'")
+      .head().getLong(0) == 25)
+  }
+
+  test("a temp view shadows the plain name but never the time travel") {
+    setup()
+    ext.sql("SELECT * FROM cust LIMIT 3").createOrReplaceTempView("cust")
+    try {
+      // plain name: the view wins (builtin resolution runs first)
+      assert(ext.sql("SELECT count(*) AS n FROM cust").head().getLong(0) == 3)
+      // AS OF: the catalog wins (hint-batch rule runs before ResolveRelations;
+      // Spark itself would refuse time travel over a temp view)
+      assert(ext.sql("SELECT count(*) AS n FROM cust VERSION AS OF 'validated'")
+        .head().getLong(0) == 10)
+    } finally ext.catalog.dropTempView("cust")
+  }
+
+  test("two AS OF references of the same table join without attribute clashes") {
+    setup()
+    val n = ext.sql(
+      """SELECT count(*) AS n
+        |FROM cust VERSION AS OF 1 a
+        |JOIN cust VERSION AS OF 2 b ON a.c_custkey = b.c_custkey""".stripMargin)
+      .head().getLong(0)
+    assert(n == 10)
+  }
+
+  test("an unconfigured session leaves resolution untouched") {
+    setup()
+    val bare = GraftColumnShim.sessionWithExtensions(
+      spark, e => new graft.GraftExtensions().apply(e))
+    val err = intercept[Exception] { bare.sql("SELECT count(*) FROM cust").collect() }
+    assert(err.getMessage.toLowerCase.contains("cannot be found") ||
+      err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+}
