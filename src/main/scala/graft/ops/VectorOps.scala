@@ -130,6 +130,10 @@ object VectorOps {
     require(k > 0 && maxIters > 0)
     val base = df.select(col(idCol).cast("string").as("km_id"), col(vecCol).as("km_vec"))
       .where(col("km_vec").isNotNull)
+      // the seed scan + every Lloyd iteration re-reads this projection:
+      // persist for the run (MLlib's KMeans caches the same way),
+      // released before returning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // farthest-point (greedy max–min) seeding on an md5-deterministic
     // sample: ONE TakeOrdered scan collects a bounded candidate set
     // (max(64, 32k) rows — k×dims doubles of driver work), then the
@@ -179,6 +183,7 @@ object VectorOps {
       cents = next
       it += 1
     }
+    base.unpersist()
     KmeansModel(cents, it, shift)
   }
 }

@@ -1,12 +1,13 @@
 package graft.sql
 
-import graft.meta.SnapshotCatalog
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import graft.meta.{EqString, InString, PruneFilter, RangeNum, RangeString, SnapshotCatalog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-level access to the snapshot catalog via pure
   * `SparkSessionExtensions` — the Iceberg-parity time-travel syntax for
@@ -33,7 +34,18 @@ import org.apache.spark.sql.types.TimestampType
   * pruned snapshot read — Catalyst then pushes filters/projections
   * into its parquet scan like any view expansion. Plain-name fallback
   * is a normal resolution rule, so real temp views and session-catalog
-  * tables always win for un-suffixed names. */
+  * tables always win for un-suffixed names.
+  *
+  * MANIFEST PRUNING THROUGH SQL: when a `WHERE` sits directly above the
+  * relation, its literal conjuncts (=, <, <=, >, >=, IN over one
+  * column) translate to [[PruneFilter]]s BEFORE the file list is
+  * planned — so a selective SQL query on a stat/bloom-indexed layout
+  * opens only the files that could match, the same file skipping the
+  * code API gets from `read(filters)`. Translation is conservative
+  * (untranslatable conjuncts keep all files) and the original Filter
+  * always stays in the plan, so results are exact regardless. At
+  * 100 TB this is the difference between a metadata-bounded scan and
+  * opening every footer the moment a user arrives via SQL. */
 object GraftSqlResolution {
   /** Session conf key holding the catalog root directory. */
   val RootConf = "spark.graft.catalog.root"
@@ -68,43 +80,184 @@ object GraftSqlResolution {
         s"TIMESTAMP AS OF did not evaluate to a timestamp: $other")
     }
   }
+
+  /** Translate a WHERE condition's literal conjuncts into manifest
+    * prune filters for `table`'s schema. CONSERVATIVE by construction:
+    * anything not a bare-column-vs-literal comparison contributes
+    * nothing (the file list just stays larger), and the Filter node
+    * remains in the plan for exactness. Numeric/date/timestamp columns
+    * map to [[RangeNum]] in the stats' units (timestamps: epoch millis,
+    * dates: epoch millis at midnight); strings to
+    * [[EqString]]/[[RangeString]]/[[InString]]. */
+  private[sql] def pruneFiltersFrom(cond: Expression, schema: StructType): Seq[PruneFilter] = {
+    def fieldOf(e: Expression): Option[StructField] = e match {
+      case a: UnresolvedAttribute =>
+        schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.last))
+      case _ => None
+    }
+    // literal → the stats domain: strings as-is; numerics as double;
+    // timestamp micros → millis; date days → millis
+    def strVal(l: Literal): Option[String] = l.value match {
+      case s: UTF8String => Some(s.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    def numVal(l: Literal, dt: DataType): Option[Double] = (l.value, l.dataType, dt) match {
+      case (null, _, _) => None
+      case (v: java.lang.Number, _: TimestampType, _) => Some(v.longValue / 1000.0)
+      case (v: java.lang.Number, _: DateType, _) => Some(v.longValue * 86400000.0)
+      case (v: java.lang.Number, _, _) => Some(v.doubleValue)
+      case (d: Decimal, _, _) => Some(d.toDouble)
+      case _ => None
+    }
+    // numeric/date/timestamp inequality bounds translate to RangeNum
+    // (±∞ expressible); string inequalities are deliberately NOT
+    // translated — RangeString needs a finite upper bound, and any
+    // synthetic "max string" can be exceeded by real data, which would
+    // prune a file that matches. String equality/IN stay exact.
+    def cmpNum(a: Expression, b: Expression)(
+        mk: (String, Double) => PruneFilter): Seq[PruneFilter] =
+      (fieldOf(a), b) match {
+        case (Some(f), l: Literal) =>
+          f.dataType match {
+            case _: NumericType | _: TimestampType | _: DateType =>
+              numVal(l, f.dataType).map(mk(f.name, _)).toSeq
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    def cmpEq(a: Expression, b: Expression): Seq[PruneFilter] =
+      (fieldOf(a), b) match {
+        case (Some(f), l: Literal) =>
+          f.dataType match {
+            case _: StringType => strVal(l).map(EqString(f.name, _)).toSeq
+            case _: NumericType | _: TimestampType | _: DateType =>
+              numVal(l, f.dataType).map(v => RangeNum(f.name, v, v)).toSeq
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    cond match {
+      case And(l, r) => pruneFiltersFrom(l, schema) ++ pruneFiltersFrom(r, schema)
+      case EqualTo(a, b) => cmpEq(a, b) ++ cmpEq(b, a)
+      case GreaterThan(a, b) =>
+        cmpNum(a, b)((c, v) => RangeNum(c, v, Double.MaxValue)) ++
+          cmpNum(b, a)((c, v) => RangeNum(c, Double.MinValue, v))
+      case GreaterThanOrEqual(a, b) =>
+        cmpNum(a, b)((c, v) => RangeNum(c, v, Double.MaxValue)) ++
+          cmpNum(b, a)((c, v) => RangeNum(c, Double.MinValue, v))
+      case LessThan(a, b) =>
+        cmpNum(a, b)((c, v) => RangeNum(c, Double.MinValue, v)) ++
+          cmpNum(b, a)((c, v) => RangeNum(c, v, Double.MaxValue))
+      case LessThanOrEqual(a, b) =>
+        cmpNum(a, b)((c, v) => RangeNum(c, Double.MinValue, v)) ++
+          cmpNum(b, a)((c, v) => RangeNum(c, v, Double.MaxValue))
+      case In(a, values) if values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
+        fieldOf(a) match {
+          case Some(f) =>
+            val lits = values.map(_.asInstanceOf[Literal])
+            f.dataType match {
+              case _: StringType =>
+                val vs = lits.flatMap(strVal)
+                if (vs.size == lits.size) Seq(InString(f.name, vs)) else Nil
+              case _: NumericType | _: TimestampType | _: DateType =>
+                // an IN-list over numerics prunes as its covering range
+                val vs = lits.flatMap(numVal(_, f.dataType))
+                if (vs.size == lits.size) Seq(RangeNum(f.name, vs.min, vs.max)) else Nil
+              case _ => Nil
+            }
+          case None => Nil
+        }
+      case _ => Nil
+    }
+  }
+}
+
+/** Shared resolution mechanics for the two injected rules. */
+private[sql] trait GraftResolutionSupport { self: Rule[LogicalPlan] =>
+  import GraftSqlResolution._
+  def session: SparkSession
+
+  /** Resolve `table` (optionally AS OF) to the analyzed plan of a
+    * pruned catalog read, translating `cond` (the WHERE directly above
+    * the relation, when present) into manifest prune filters. */
+  protected def readPlan(
+      cat: SnapshotCatalog,
+      table: String,
+      cond: Option[Expression],
+      snapshotId: Option[Long] = None,
+      asOfMs: Option[Long] = None,
+      branch: Option[String] = None): LogicalPlan = {
+    val ref = branch.map(cat.branchRef(table, _)).getOrElse(table)
+    val schema = snapshotId.flatMap(cat.snapshotById(ref, _)).map(_.schema)
+      .orElse(cat.schema(ref)).getOrElse(StructType(Nil))
+    val filters = cond.map(pruneFiltersFrom(_, schema)).getOrElse(Nil)
+    cat.read(session, ref, filters = filters, snapshotId = snapshotId,
+      asOfTimestampMs = asOfMs).queryExecution.analyzed
+  }
+
+  /** Resolve a time-travel spec against the catalog. */
+  protected def timeTravelPlan(
+      cat: SnapshotCatalog,
+      table: String,
+      ts: Option[Expression],
+      ver: Option[String],
+      cond: Option[Expression]): LogicalPlan = (ts, ver) match {
+    case (Some(expr), None) =>
+      readPlan(cat, table, cond, asOfMs = Some(evalAsOfMillis(session, expr)))
+    case (None, Some(v)) =>
+      v.toLongOption match {
+        case Some(id) => readPlan(cat, table, cond, snapshotId = Some(id))
+        case None =>
+          cat.snapshotByTag(table, v) match {
+            case Some(snap) => readPlan(cat, table, cond, snapshotId = Some(snap.snapshotId))
+            case None if cat.branches(table).contains(v) =>
+              readPlan(cat, table, cond, branch = Some(v))
+            case None => throw new IllegalArgumentException(
+              s"VERSION AS OF '$v': no snapshot id, tag or branch of that name on $table")
+          }
+      }
+    case _ => throw new IllegalArgumentException(
+      "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
+  }
 }
 
 /** Resolves `FROM t VERSION/TIMESTAMP AS OF ...` against the snapshot
   * catalog. Injected as a hint-resolution rule (pre-`ResolveRelations`)
   * so the catalog — the component that actually HAS history — wins the
-  * name even when a temp view shadows it. */
-class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
+  * name even when a temp view shadows it. A `WHERE` directly above the
+  * relation prunes the snapshot's file list (see
+  * [[GraftSqlResolution.pruneFiltersFrom]]). */
+class GraftTimeTravelRule(val session: SparkSession)
+    extends Rule[LogicalPlan] with GraftResolutionSupport {
   import GraftSqlResolution._
 
   override def apply(plan: LogicalPlan): LogicalPlan = rootOf(session) match {
     case None => plan
     case Some(root) =>
       val cat = catalogFor(root)
-      plan.resolveOperatorsUp {
-        case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-            if claimedTable(u.multipartIdentifier, cat).isDefined =>
-          val table = claimedTable(u.multipartIdentifier, cat).get
-          val df = (ts, ver) match {
-            case (Some(expr), None) =>
-              cat.read(session, table, asOfTimestampMs = Some(evalAsOfMillis(session, expr)))
-            case (None, Some(v)) =>
-              v.toLongOption match {
-                case Some(id) => cat.read(session, table, snapshotId = Some(id))
-                case None =>
-                  // a named ref: tag first (immutable pin), then branch head
-                  cat.snapshotByTag(table, v) match {
-                    case Some(snap) => cat.read(session, table, snapshotId = Some(snap.snapshotId))
-                    case None if cat.branches(table).contains(v) =>
-                      cat.read(session, cat.branchRef(table, v))
-                    case None => throw new IllegalArgumentException(
-                      s"VERSION AS OF '$v': no snapshot id, tag or branch of that name on $table")
-                  }
-              }
-            case _ => throw new IllegalArgumentException(
-              "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
+      def claimedTT(p: LogicalPlan): Option[(String, Option[Expression], Option[String])] =
+        p match {
+          case RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+            claimedTable(u.multipartIdentifier, cat).map((_, ts, ver))
+          case _ => None
+        }
+      // top-down so the Filter-above-relation shape is seen before the
+      // bare relation underneath it
+      plan.resolveOperatorsDown {
+        case f @ Filter(cond, child) =>
+          child match {
+            case tt if claimedTT(tt).isDefined =>
+              val (t, ts, ver) = claimedTT(tt).get
+              f.copy(child = timeTravelPlan(cat, t, ts, ver, Some(cond)))
+            case sa @ SubqueryAlias(_, tt) if claimedTT(tt).isDefined =>
+              val (t, ts, ver) = claimedTT(tt).get
+              f.copy(child = sa.copy(child = timeTravelPlan(cat, t, ts, ver, Some(cond))))
+            case _ => f
           }
-          df.queryExecution.analyzed
+        case tt if claimedTT(tt).isDefined =>
+          val (t, ts, ver) = claimedTT(tt).get
+          timeTravelPlan(cat, t, ts, ver, None)
       }
   }
 }
@@ -112,18 +265,32 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
 /** Plain-name fallback: `FROM t` (or `FROM graft.t`) resolves to the
   * catalog's CURRENT snapshot when nothing else claimed the name —
   * injected in the normal resolution batch, so builtin temp-view /
-  * session-catalog resolution has already had its chance. */
-class GraftCatalogRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
+  * session-catalog resolution has already had its chance. A `WHERE`
+  * directly above the relation prunes the file list from manifest
+  * stats/blooms before the scan is planned. */
+class GraftCatalogRelationRule(val session: SparkSession)
+    extends Rule[LogicalPlan] with GraftResolutionSupport {
   import GraftSqlResolution._
 
   override def apply(plan: LogicalPlan): LogicalPlan = rootOf(session) match {
     case None => plan
     case Some(root) =>
       val cat = catalogFor(root)
-      plan.resolveOperatorsUp {
-        case u: UnresolvedRelation if claimedTable(u.multipartIdentifier, cat).isDefined =>
-          cat.read(session, claimedTable(u.multipartIdentifier, cat).get)
-            .queryExecution.analyzed
+      def claimed(p: LogicalPlan): Option[String] = p match {
+        case u: UnresolvedRelation => claimedTable(u.multipartIdentifier, cat)
+        case _ => None
+      }
+      plan.resolveOperatorsDown {
+        case f @ Filter(cond, child) =>
+          child match {
+            case u if claimed(u).isDefined =>
+              f.copy(child = readPlan(cat, claimed(u).get, Some(cond)))
+            case sa @ SubqueryAlias(_, u) if claimed(u).isDefined =>
+              f.copy(child = sa.copy(child = readPlan(cat, claimed(u).get, Some(cond))))
+            case _ => f
+          }
+        case u if claimed(u).isDefined =>
+          readPlan(cat, claimed(u).get, None)
       }
   }
 }

@@ -99,6 +99,38 @@ class GraftSqlResolutionSpec extends SparkSpec {
     assert(n == 10)
   }
 
+  test("a WHERE directly above the relation prunes files from manifest stats and blooms") {
+    setup()
+    // one file per market segment, bloom-indexed: the SQL path must
+    // open only the files that can match, like the code API's read(filters)
+    val c = graft.Tables.customer(spark, sfDir)
+    val segs = c.select(col("c_mktsegment")).distinct().collect().map(_.getString(0)).sorted
+    if (writeCat.tables().contains("custseg")) () else {
+      segs.foreach { seg =>
+        Writers.writeSnapshot(writeCat, "custseg", c.filter(col("c_mktsegment") === seg)
+          .coalesce(1), dataDir, bloomColumns = Seq("c_mktsegment"))
+      }
+      Writers.writeRangedSnapshot(writeCat, "custrange", c, dataDir, "c_custkey", nFiles = 4)
+    }
+    val one = ext.sql(s"SELECT c_name FROM custseg WHERE c_mktsegment = '${segs.head}'")
+    assert(one.inputFiles.length == 1, s"bloom/stats prune must leave 1 file, got ${one.inputFiles.length}")
+    assert(one.count() == c.filter(col("c_mktsegment") === segs.head).count())
+    // IN-list over two segments → two files
+    val two = ext.sql(
+      s"SELECT count(*) AS n FROM custseg WHERE c_mktsegment IN ('${segs.head}', '${segs.last}')")
+    assert(two.inputFiles.length == 2)
+    // numeric range on a range-clustered layout → 1 of 4 files
+    val low = ext.sql("SELECT count(*) AS n FROM custrange WHERE c_custkey <= 5")
+    assert(low.inputFiles.length == 1, s"range prune must leave 1 of 4 files, got ${low.inputFiles.length}")
+    assert(low.head().getLong(0) == c.filter(col("c_custkey") <= 5).count())
+    // an aliased relation prunes too, and an untranslatable predicate is exact
+    val aliased = ext.sql("SELECT count(*) AS n FROM custrange r WHERE r.c_custkey <= 5")
+    assert(aliased.inputFiles.length == 1)
+    assert(aliased.head().getLong(0) == low.head().getLong(0))
+    val odd = ext.sql("SELECT count(*) AS n FROM custrange WHERE c_custkey % 97 = 3")
+    assert(odd.head().getLong(0) == c.filter(expr("c_custkey % 97 = 3")).count())
+  }
+
   test("an unconfigured session leaves resolution untouched") {
     setup()
     val bare = GraftColumnShim.sessionWithExtensions(
