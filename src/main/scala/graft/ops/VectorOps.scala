@@ -95,7 +95,7 @@ object VectorOps {
     * over a struct array, zero joins, zero shuffles. Ties break to the
     * LOWER cell id (struct max on (score, −cell)), keeping assignment
     * deterministic under bit-equal scores. */
-  private def kmeansCell(cents: Seq[Seq[Double]], vec: Column): Column = {
+  private[ops] def kmeansCell(cents: Seq[Seq[Double]], vec: Column): Column = {
     val scores = cents.zipWithIndex.map { case (cv, i) =>
       val c2 = cv.map(x => x * x).sum
       struct(

@@ -44,10 +44,74 @@ object Vectors {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** PQ encode, exact fixed-point form (the ORACLE gate of L39's
+    * encode math): codebooks = the subspace slices of embeddings
+    * vec_id < 8 (m=2 subspaces of 32 dims), assignment = argmin of
+    * EXACT integer squared distance on the round(v·1e7) fixed-point
+    * view — integer sums make the argmin engine-exact, so the codes
+    * hash-match DuckDB. The production encoder (codegen'd double
+    * argmax, [[graft.ops.Pq.encode]]) is gated by `PqSpec`; this query
+    * pins the assignment RULE itself. */
+  def qPqEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        round(col("v").cast("double") * 1e7).cast("long").as("vi"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("pos").as("pos"), col("vi").as("ci"))
+    val d = e.join(c, "pos")
+      .groupBy(col("vec_id"), floor(col("pos") / 32.0).cast("int").as("sub"), col("cid"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub")).orderBy(col("d2"), col("cid"))
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").cast("long").as("code"))
+  }
+
+  // Memoized PQ index per (session, dir): train (m=8 × Lloyd) + encode
+  // are the one-time build; the benched path is ADC SEARCH over the
+  // 8-byte code table — the same bench-the-read treatment as q_ann_ivf.
+  private val pqIndexes = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, graft.ops.Pq.PqModel, DataFrame)]
+  private def pqIndexFor(s: SparkSession, dir: String): (graft.ops.Pq.PqModel, DataFrame) = {
+    def build() = {
+      val e = Tables.embeddings(s, dir)
+      val model = graft.ops.Pq.train(e, "vec_id", "embedding", m = 8, k = 16, maxIters = 4)
+      val codes = graft.ops.Pq.encode(e, "vec_id", "embedding", model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      (s, model, codes)
+    }
+    val key = (System.identityHashCode(s), dir)
+    val (owner, m0, c0) = pqIndexes.getOrElseUpdate(key, build())
+    if (owner eq s) (m0, c0)
+    else {
+      try c0.unpersist() catch { case _: Exception => () }
+      val fresh = build()
+      pqIndexes.put(key, fresh)
+      (fresh._2, fresh._3)
+    }
+  }
+
+  /** ADC search over the PQ code table (SURVEY L39's serving path —
+    * rows-only; recall + distance-ordering contracts live in PqSpec):
+    * 10 queries × corpus at 8 bytes/vector, distances are table
+    * lookups, never a float vector read. */
+  def qPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (model, codes) = pqIndexFor(s, dir)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("string"), col("embedding")).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    graft.ops.Pq.search(codes, "vec_id", model, queries, k = 5, excludeSelf = true)
+      .select(col("query_id"), col("nn_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norm" -> (qVecNorm _),
     "q_vec_quantize" -> (qVecQuantize _),
     "q_kmeans" -> (qKmeans _),
+    "q_pq_encode" -> (qPqEncode _),
+    "q_pq_search" -> (qPqSearch _),
     "q_vec_assign" -> (qVecAssign _))
 
   /** Fixed-point unnested view shared by the oracles: one row per
@@ -75,6 +139,18 @@ object Vectors {
         |  CAST(ROUND(unnest(emb) / scale * 127.0) AS INT) AS q,
         |  ROUND(scale, 6) AS scale6
         |FROM v""".stripMargin,
+    "q_pq_encode" ->
+      s"""WITH e AS ($fixedE),
+         |c AS (SELECT vec_id AS cid, pos, vi AS ci FROM e WHERE vec_id < 8),
+         |d AS (
+         |  SELECT e.vec_id, CAST(FLOOR(e.pos / 32.0) AS INT) AS sub, c.cid,
+         |    SUM((e.vi - c.ci) * (e.vi - c.ci)) AS d2
+         |  FROM e JOIN c USING (pos) GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT vec_id, sub, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |  FROM d)
+         |SELECT vec_id, sub, CAST(cid AS BIGINT) AS code FROM r WHERE rn = 1""".stripMargin,
     "q_vec_assign" ->
       s"""WITH e AS ($fixedE),
          |c AS (SELECT vec_id AS cid, pos, vi AS ci FROM e WHERE vec_id < 8),

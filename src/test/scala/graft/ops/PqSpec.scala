@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization (SURVEY §2.3 L39): planted-cluster ground
+  * truth for train/encode/decode/ADC-search, the determinism contract,
+  * and the compression arithmetic that makes PQ the 100 TB serving
+  * format.
+  */
+class PqSpec extends SparkSpec {
+
+  // 4 clusters in 8-D; with m=4 two-dim subspaces each cluster owns a
+  // distinct per-subspace pattern, so per-subspace k-means must
+  // recover codewords near the subspace cluster means
+  private def planted() = {
+    import spark.implicits._
+    val rows = for {
+      g <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val eps = (i % 9 - 4) * 0.03f
+      val vec = (0 until 8).map(d => (if (d % 4 == g) 10.0f else 0.0f) + eps).toArray
+      (s"v${g}_$i", vec, g)
+    }
+    rows.toDF("id", "vec", "g")
+  }
+
+  private lazy val df = planted()
+  private lazy val model = Pq.train(df, "id", "vec", m = 4, k = 4, maxIters = 10)
+
+  test("codes are m small ints in [0, k); encoding is map-side deterministic") {
+    val codes = Pq.encode(df, "id", "vec", model)
+    assert(model.codeBytes == 4) // 8 floats (32 B) -> 4 B
+    val stats = codes.select(
+      min(array_min(col("pq_codes"))).as("lo"),
+      max(array_max(col("pq_codes"))).as("hi"),
+      min(size(col("pq_codes"))).as("m")).head()
+    assert(stats.getAs[Int]("lo") >= 0 && stats.getAs[Int]("hi") < 4 && stats.getAs[Int]("m") == 4)
+    // identical codes under any partitioning (literal codebooks, no shuffle)
+    val a = codes.orderBy("id").collect().map(r => (r.getString(0), r.getSeq[Int](1)))
+    val b = Pq.encode(df.repartition(7), "id", "vec", model)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getSeq[Int](1)))
+    assert(a.sameElements(b))
+  }
+
+  test("decode reconstructs within the planted offset scale") {
+    val approx = Pq.decode(Pq.encode(df, "id", "vec", model), "id", model)
+      .join(df.select(col("id"), col("vec")), "id")
+    val mse = approx.select(
+      avg(aggregate(zip_with(col("pq_approx"), col("vec"),
+        (a, v) => (a - v) * (a - v)), lit(0.0), (s, x) => s + x) / lit(8.0)).as("mse"))
+      .head().getDouble(0)
+    // planted offsets are ±0.12 max; codewords sit at subspace means,
+    // so per-dim squared error stays well under the cluster separation
+    assert(mse < 0.05, s"per-dim quantization MSE $mse")
+  }
+
+  test("ADC top-1 lands in the query's planted cluster") {
+    val codes = Pq.encode(df, "id", "vec", model)
+    val queries = df.filter(col("id").endsWith("_0") || col("id").endsWith("_25"))
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val top = Pq.search(codes, "id", model, queries, k = 1, excludeSelf = true)
+    val hits = top.filter(col("rk") === 1)
+      .select(col("query_id"), col("nn_id")).collect()
+    assert(hits.length == queries.size)
+    val good = hits.count(r => r.getString(0).takeWhile(_ != '_') == r.getString(1).takeWhile(_ != '_'))
+    assert(good == queries.size, s"$good/${queries.size} ADC top-1 in-cluster")
+  }
+
+  test("ADC distance orders same-cluster below cross-cluster") {
+    val codes = Pq.encode(df, "id", "vec", model)
+    val q = df.filter(col("id") === "v0_10").select("vec").head().getSeq[Float](0)
+      .map(_.toDouble).toSeq
+    val d = Pq.search(codes, "id", model, Seq(("probe", q)), k = 200)
+      .select(col("nn_id"), col("adc_dist")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val sameMax = d.filter(_._1.startsWith("v0_")).values.max
+    val crossMin = d.filterNot(_._1.startsWith("v0_")).values.min
+    assert(sameMax < crossMin,
+      s"same-cluster ADC max $sameMax must undercut cross-cluster min $crossMin")
+  }
+}
