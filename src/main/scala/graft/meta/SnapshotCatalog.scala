@@ -329,8 +329,20 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           val removed = it.removedPaths.map(normalize).toSet
           val survivors = prev.map(_.files.filterNot(f => removed.contains(f.path))).getOrElse(Nil)
           val present = survivors.map(_.path).toSet ++ newFiles.map(_.path)
-          newFiles ++ survivors ++
-            reusedPaths.filterNot(p => present.contains(p) || removed.contains(p)).map(reuseMeta)
+          // caller-provided reuse metas split two ways: a path that was
+          // part of the BASIS snapshot is just a stale survivor list
+          // entry — if it's gone from the actual parent, a concurrent
+          // rewrite removed it, and re-adding it would RESURRECT its
+          // rows (and duplicate the rewrite's outputs). Only paths from
+          // OUTSIDE the basis (a cherry-pick's replayed files, a
+          // rollback target's) are genuine extras to apply.
+          val basisFiles: Option[Set[String]] = it.basisSnapshotId
+            .flatMap(snapshotById(table, _)).map(_.files.map(_.path).toSet)
+          val extras = reusedPaths.filter { p =>
+            !present.contains(p) && !removed.contains(p) &&
+              basisFiles.forall(bf => !bf.contains(p))
+          }
+          newFiles ++ survivors ++ extras.map(reuseMeta)
       }
     val stickyBloomCols =
       if (bloomColumns.nonEmpty) bloomColumns
