@@ -1807,6 +1807,23 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     toDrop.size
   }
 
+  /** Age-based expiration (Iceberg's `expire_snapshots(older_than,
+    * retain_last)`): drop snapshots committed strictly before
+    * `olderThanMs`, always retaining the newest `retainLast` and every
+    * tag-reachable snapshot regardless of age — the retention-policy
+    * sweep a streaming table schedules (time-bounded history instead
+    * of count-bounded). Metadata-only, like [[expireSnapshots]]. */
+  def expireSnapshotsOlderThan(table: String, olderThanMs: Long, retainLast: Int = 1): Int = {
+    require(retainLast >= 1, "must retain at least one snapshot")
+    val snaps = snapshots(table)
+    val tagged = tags(table).values.toSet
+    val toDrop = snaps.dropRight(retainLast)
+      .filter(_.timestampMs < olderThanMs)
+      .filterNot(s => tagged.contains(s.snapshotId))
+    toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
+    toDrop.size
+  }
+
   /** Orphan data-file GC (the Iceberg remove_orphan_files analogue):
     * delete `.parquet` files under `dataDir` that NO surviving snapshot
     * of `table` references — the data-side complement of

@@ -218,6 +218,30 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(cat.read(spark, "cust").count() == preCount)
   }
 
+  test("age-based expiration drops old snapshots but retains tagged and newest") {
+    import graft.sinks.Writers
+    var now = 1000L
+    val cat = new SnapshotCatalog(
+      Files.createTempDirectory("graft-expage-").toString, clock = () => now)
+    val dataDir = Files.createTempDirectory("graft-expage-data-").toString
+    val c = graft.Tables.customer(spark, sfDir)
+    val s1 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey").between(1, 10)), dataDir)
+    now = 2000L
+    val s2 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey").between(11, 20)), dataDir)
+    now = 3000L
+    val s3 = Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey").between(21, 30)), dataDir)
+    cat.tag("cust", "pinned", s1.snapshotId)
+    // cutoff 2500: s1 (t=1000) is tag-protected, s2 (t=2000) goes,
+    // s3 (t=3000) is too new anyway
+    assert(cat.expireSnapshotsOlderThan("cust", olderThanMs = 2500L) == 1)
+    assert(cat.snapshotById("cust", s1.snapshotId).isDefined)
+    assert(cat.snapshotById("cust", s2.snapshotId).isEmpty)
+    assert(cat.snapshotById("cust", s3.snapshotId).isDefined)
+    // retainLast floors the sweep even when everything is old
+    assert(cat.expireSnapshotsOlderThan("cust", olderThanMs = 9999L, retainLast = 1) == 0)
+    assert(cat.read(spark, "cust").count() == 30)
+  }
+
   test("sidecar vacuum: orphaned bloom/sketch indexes GC after expiry; live ones survive") {
     import graft.sinks.Writers
     val root = Files.createTempDirectory("graft-vacsc-").toString
