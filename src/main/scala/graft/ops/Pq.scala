@@ -89,6 +89,54 @@ object Pq {
         (c, book) => element_at(book, c + lit(1)))).as("pq_approx"))
   }
 
+  /** IVF-PQ (the composition serving systems actually deploy — coarse
+    * cells bound WHICH codes are scored, PQ bounds the BYTES per
+    * score): each query probes its `nProbe` best coarse cells
+    * (driver-side — centroids are a bounded model), and only probed
+    * members pay the m-lookup ADC sum. Candidates ≈ (nProbe/nCells)·N
+    * per query over m-byte codes: at 100 TB neither the float vectors
+    * nor the full code table is touched per query. The (cell ∪ codes)
+    * join is the one-time index materialization — persist its result
+    * alongside the corpus like the IVF assignment itself. */
+  def searchIvf(
+      ivf: Ann.IvfIndex, codes: DataFrame, idCol: String, model: PqModel,
+      queries: Seq[(String, Seq[Double])], k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "IVF-PQ search needs at least one query")
+    val nCells = ivf.centroids.size
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe in [1,$nCells], got $nProbe")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val sub = model.subDim
+    val tabRows = queries.map { case (qid, qv) =>
+      require(qv.size == model.dims, s"query $qid has ${qv.size} dims, model has ${model.dims}")
+      // probe cells: same argmax-dot rule the index assigned rows with
+      val cells = ivf.centroids.zipWithIndex
+        .map { case (c, i) => (qv.zip(c).map { case (a, b) => a * b }.sum, i) }
+        .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+      val tab = (0 until model.m).map { j =>
+        val qj = qv.slice(j * sub, (j + 1) * sub)
+        model.codebooks(j).map(cw => qj.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      (qid, tab, cells)
+    }
+    val probes = tabRows.toDF("query_id", "qtab", "cells")
+      .select(col("query_id"), col("qtab"), explode(col("cells")).as("cell"))
+    val indexed = ivf.assigned.select(col("nn_id"), col("cell"))
+      .join(codes.select(col(idCol).as("nn_id"), col("pq_codes")), "nn_id")
+    val joined = indexed.join(broadcast(probes), Seq("cell"))
+    val dist = aggregate(
+      zip_with(col("pq_codes"), col("qtab"), (c, t) => element_at(t, c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = joined.select(col("query_id"), col("nn_id"), dist.as("adc_dist"))
+    val kept = if (excludeSelf) scored.filter(col("query_id") =!= col("nn_id")) else scored
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("nn_id"))
+    kept.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("rank").cast("long").as("rk"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** ADC top-k: for each (bounded) query row, distance to every encoded
     * corpus vector is m table lookups summed — squared-L2 between the
     * query's subvector and the codeword the corpus vector stored.

@@ -106,12 +106,48 @@ object Vectors {
       .select(col("query_id"), col("nn_id"), col("rk"))
   }
 
+  // Memoized IVF coarse index for the IVF-PQ composition (the PQ codes
+  // come from pqIndexFor; the cell∪codes join materializes per build)
+  private val ivfpqIndexes = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, graft.ops.Ann.IvfIndex)]
+  private def ivfpqIndexFor(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex = {
+    def build() = {
+      val idx = graft.ops.Ann.ivfIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+      idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      (s, idx)
+    }
+    val key = (System.identityHashCode(s), dir)
+    val (owner, idx) = ivfpqIndexes.getOrElseUpdate(key, build())
+    if (owner eq s) idx
+    else {
+      try idx.assigned.unpersist() catch { case _: Exception => () }
+      val fresh = build(); ivfpqIndexes.put(key, fresh); fresh._2
+    }
+  }
+
+  /** IVF-PQ composed search (SURVEY §2.3 L39's deployed form —
+    * rows-only; recall contract in PqSpec): nProbe cells bound WHICH
+    * codes are scored, PQ bounds the bytes per score — the query plan
+    * that still works when neither the vectors nor the full code table
+    * fits a scan budget. */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (model, codes) = pqIndexFor(s, dir)
+    val ivf = ivfpqIndexFor(s, dir)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("string"), col("embedding")).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    graft.ops.Pq.searchIvf(ivf, codes, "vec_id", model, queries, k = 5, nProbe = 4,
+      excludeSelf = true)
+      .select(col("query_id"), col("nn_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norm" -> (qVecNorm _),
     "q_vec_quantize" -> (qVecQuantize _),
     "q_kmeans" -> (qKmeans _),
     "q_pq_encode" -> (qPqEncode _),
     "q_pq_search" -> (qPqSearch _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_vec_assign" -> (qVecAssign _))
 
   /** Fixed-point unnested view shared by the oracles: one row per

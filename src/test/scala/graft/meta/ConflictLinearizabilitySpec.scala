@@ -92,6 +92,7 @@ class ConflictLinearizabilitySpec extends SparkSpec {
     }
 
     for (round <- 1 to 30) {
+      val preId = cat.currentSnapshot("t").get.snapshotId
       val a = mkOp(); val b = mkOp()
       val results = Await.result(Future.sequence(Seq(a, b).map { op =>
         Future(
@@ -110,6 +111,21 @@ class ConflictLinearizabilitySpec extends SparkSpec {
           s"(planned: ${a._1}, ${b._1}) matches no serial order; " +
           s"diff vs first candidate: +${(actual -- candidates.head).toSeq.sorted.take(5)} " +
           s"-${(candidates.head -- actual).toSeq.sorted.take(5)}")
+      // CDC exactness ACROSS racing commits: the net feed over the
+      // round's snapshot range must transform pre-state into actual —
+      // reconciled commits record accurate lineage props or this fails
+      val postId = cat.currentSnapshot("t").get.snapshotId
+      if (postId != preId) {
+        val feed = cat.changesBetween(spark, "t", preId, Some(postId))
+          .select(col("c_custkey").cast("long"), col("_change_type")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val ins = feed.collect { case (k, "insert") => k }.toSet
+        val del = feed.collect { case (k, "delete") => k }.toSet
+        assert((state -- del) ++ ins == actual,
+          s"round $round: net feed ($preId->$postId) applied to pre-state != actual " +
+            s"(+$ins -$del)")
+        assert(feed.length == ins.size + del.size, s"round $round: duplicate feed rows")
+      }
       state = actual
     }
     // the generator must have exercised both branches across the run

@@ -69,6 +69,25 @@ class PqSpec extends SparkSpec {
     assert(good == queries.size, s"$good/${queries.size} ADC top-1 in-cluster")
   }
 
+  test("IVF-PQ probes a cell subset yet keeps planted top-1 recall") {
+    val codes = Pq.encode(df, "id", "vec", model)
+    val ivf = Ann.ivfIndex(df, "id", "vec", nCells = 8)
+    val queries = df.filter(col("id").endsWith("_0") || col("id").endsWith("_25"))
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val top = Pq.searchIvf(ivf, codes, "id", model, queries, k = 1, nProbe = 2,
+      excludeSelf = true)
+    val hits = top.filter(col("rk") === 1).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(hits.length == queries.size, "every query must find a neighbor in its probed cells")
+    val good = hits.count { case (q, n) => q.takeWhile(_ != '_') == n.takeWhile(_ != '_') }
+    assert(good == queries.size, s"$good/${queries.size} IVF-PQ top-1 in-cluster")
+    // and the scan really was bounded: probed members < corpus per query
+    val perCell = ivf.assigned.groupBy("cell").count().collect()
+      .map(r => r.getLong(1)).sorted
+    assert(perCell.take(2).sum < df.count(), "cells must partition the corpus")
+  }
+
   test("ADC distance orders same-cluster below cross-cluster") {
     val codes = Pq.encode(df, "id", "vec", model)
     val q = df.filter(col("id") === "v0_10").select("vec").head().getSeq[Float](0)
