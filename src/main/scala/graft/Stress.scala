@@ -145,7 +145,34 @@ object Stress {
       val (_, tm) = time { graft.sinks.Writers.materializeDeletes(spark, cat, "ord", dataDir).get }
       (td, tb, tr, tm)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat}}""")
+    // commit contention: 32 appenders racing one table (the
+    // 1000-executor ingest-fleet pattern at spec scale). Every append
+    // must survive reconciliation (S49); wall-clock is the serialized
+    // publish loop on ONE snapshot log — per-commit metadata cost ×
+    // 32, not data cost (each appender's write job ran in parallel).
+    val (nCommits, nRowsAfter, tRace) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val cat = new graft.meta.SnapshotCatalog(
+        java.nio.file.Files.createTempDirectory("graft-stress-race-").toString)
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-raced-").toString
+      val keyed = o.select(col("o_orderkey"), col("o_totalprice"))
+      // no seed commit: the 32 racers include the table-creating one
+      // (basis = empty table), the hardest reconciliation case
+      val width = 2000
+      val (_, t) = time {
+        val fs = (0 until 32).map { i =>
+          Future(graft.sinks.Writers.writeSnapshot(cat, "ord",
+            keyed.filter(col("o_orderkey") >= i * width && col("o_orderkey") < (i + 1) * width)
+              .coalesce(1), dataDir))
+        }
+        Await.result(Future.sequence(fs), 600.seconds)
+      }
+      val head = cat.currentSnapshot("ord").get
+      (cat.snapshots("ord").size, head.totalRows, t)
+    }
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace}}""")
     spark.stop()
   }
 }
