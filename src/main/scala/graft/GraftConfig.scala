@@ -39,12 +39,31 @@ final class GraftNode(
     * src/core/cache_node.py:77) — explicit, caller-scheduled. */
   def maintain(): Int = cache.expire(config.cacheTtlMillis)
 
+  /** The node's SQL-serving session: with a catalog configured, a
+    * sibling session (same SparkContext) with [[GraftExtensions]]
+    * installed and the catalog root bound — so SQL arriving over
+    * `/query` resolves catalog tables by name and supports
+    * `VERSION AS OF <id|tag|branch>` / `TIMESTAMP AS OF` with
+    * WHERE-driven manifest pruning (S50), exactly like a
+    * `spark.sql.extensions`-configured deployment. Without a catalog
+    * the caller's session serves as-is. */
+  lazy val sqlSession: SparkSession = config.catalogRoot match {
+    case Some(root) =>
+      val s = org.apache.spark.sql.GraftColumnShim.sessionWithExtensions(
+        spark, e => new GraftExtensions().apply(e))
+      s.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      s
+    case None => spark
+  }
+
   /** Stand up the node's serving endpoint (reference: the Flight server
     * a cache node exposes, src/flight_server/server.py:9), wired to this
     * node's snapshot catalog so `/changes` and `/history` serve when one
-    * is configured. Caller owns the returned server's lifecycle. */
+    * is configured — and, via [[sqlSession]], so `/query` SQL time
+    * travels over catalog tables. Caller owns the returned server's
+    * lifecycle. */
   def serve(port: Int = 0, queryTimeoutMs: Long = 0L): graft.serve.GraftHttpServer =
-    new graft.serve.GraftHttpServer(spark, dataDir, port,
+    new graft.serve.GraftHttpServer(sqlSession, dataDir, port,
       queryTimeoutMs = queryTimeoutMs, catalog = catalog).start()
 
   def cacheStats: graft.cache.CacheStats = cache.stats

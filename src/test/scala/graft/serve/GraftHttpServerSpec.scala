@@ -334,6 +334,37 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/query SQL time-travels catalog tables on a catalog-configured node") {
+    import graft.sinks.Writers
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-httptt-").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-httptt-data-").toString
+    val cat = new graft.meta.SnapshotCatalog(root)
+    val c = graft.Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust_tt", c.filter(col("c_custkey").between(1, 10)), dataDir)
+    cat.tag("cust_tt", "v1", 1L)
+    Writers.writeSnapshot(cat, "cust_tt", c.filter(col("c_custkey").between(11, 30)), dataDir)
+
+    val node = graft.GraftConfig.node(spark, sfDir,
+      graft.GraftConfig(catalogRoot = Some(root)))
+    val srv = node.serve()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def rows(sql: String): Seq[String] = {
+        val (code, body) = get(s"$base/query?sql=${enc(sql)}")
+        assert(code == 200, body)
+        body.split("\n").toSeq.drop(1).filter(_.nonEmpty) // first line = schema
+      }
+      // the catalog table resolves by bare name (current snapshot)...
+      assert(rows("SELECT count(*) AS n FROM cust_tt").head.contains("30"))
+      // ...time travel hits the tagged epoch over plain HTTP SQL...
+      assert(rows("SELECT count(*) AS n FROM cust_tt VERSION AS OF 'v1'").head.contains("10"))
+      assert(rows("SELECT count(*) AS n FROM cust_tt VERSION AS OF 2").head.contains("30"))
+      // ...and the corpus temp views still serve alongside
+      assert(rows("SELECT count(*) AS n FROM region").nonEmpty)
+    } finally srv.stop()
+  }
+
   private def awaitNoActiveJobs(timeoutMs: Long): Unit = {
     val tracker = spark.sparkContext.statusTracker
     val deadline = System.currentTimeMillis() + timeoutMs
