@@ -89,9 +89,17 @@ object GraftSqlResolution {
     * map to [[RangeNum]] in the stats' units (timestamps: epoch millis,
     * dates: epoch millis at midnight); strings to
     * [[EqString]]/[[RangeString]]/[[InString]]. */
-  private[sql] def pruneFiltersFrom(cond: Expression, schema: StructType): Seq[PruneFilter] = {
+  private[sql] def pruneFiltersFrom(
+      cond: Expression, schema: StructType,
+      qualifiers: Set[String] = Set.empty): Seq[PruneFilter] = {
     def fieldOf(e: Expression): Option[StructField] = e match {
-      case a: UnresolvedAttribute =>
+      // unqualified, or qualified by THIS relation's name/alias — a
+      // correlated outer reference (`WHERE outer.x = 5` inside an
+      // EXISTS) must NOT translate: it constrains the OUTER row, and
+      // pruning the inner table on it would drop matching files
+      case a: UnresolvedAttribute
+          if a.nameParts.size == 1 ||
+            (a.nameParts.size == 2 && qualifiers.contains(a.nameParts.head.toLowerCase)) =>
         schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.last))
       case _ => None
     }
@@ -105,6 +113,10 @@ object GraftSqlResolution {
     def numVal(l: Literal, dt: DataType): Option[Double] = (l.value, l.dataType, dt) match {
       case (null, _, _) => None
       case (v: java.lang.Number, _: TimestampType, _) => Some(v.longValue / 1000.0)
+      // NTZ literals are also epoch micros; stats are millis — without
+      // this case the generic branch would compare micros to millis and
+      // wrongly prune files that match
+      case (v: java.lang.Number, _: TimestampNTZType, _) => Some(v.longValue / 1000.0)
       case (v: java.lang.Number, _: DateType, _) => Some(v.longValue * 86400000.0)
       case (v: java.lang.Number, _, _) => Some(v.doubleValue)
       case (d: Decimal, _, _) => Some(d.toDouble)
@@ -138,7 +150,8 @@ object GraftSqlResolution {
         case _ => Nil
       }
     cond match {
-      case And(l, r) => pruneFiltersFrom(l, schema) ++ pruneFiltersFrom(r, schema)
+      case And(l, r) =>
+        pruneFiltersFrom(l, schema, qualifiers) ++ pruneFiltersFrom(r, schema, qualifiers)
       case EqualTo(a, b) => cmpEq(a, b) ++ cmpEq(b, a)
       case GreaterThan(a, b) =>
         cmpNum(a, b)((c, v) => RangeNum(c, v, Double.MaxValue)) ++
@@ -187,11 +200,13 @@ private[sql] trait GraftResolutionSupport { self: Rule[LogicalPlan] =>
       cond: Option[Expression],
       snapshotId: Option[Long] = None,
       asOfMs: Option[Long] = None,
-      branch: Option[String] = None): LogicalPlan = {
+      branch: Option[String] = None,
+      qualifiers: Set[String] = Set.empty): LogicalPlan = {
     val ref = branch.map(cat.branchRef(table, _)).getOrElse(table)
     val schema = snapshotId.flatMap(cat.snapshotById(ref, _)).map(_.schema)
       .orElse(cat.schema(ref)).getOrElse(StructType(Nil))
-    val filters = cond.map(pruneFiltersFrom(_, schema)).getOrElse(Nil)
+    val filters = cond
+      .map(pruneFiltersFrom(_, schema, qualifiers + table.toLowerCase)).getOrElse(Nil)
     cat.read(session, ref, filters = filters, snapshotId = snapshotId,
       asOfTimestampMs = asOfMs).queryExecution.analyzed
   }
@@ -202,17 +217,21 @@ private[sql] trait GraftResolutionSupport { self: Rule[LogicalPlan] =>
       table: String,
       ts: Option[Expression],
       ver: Option[String],
-      cond: Option[Expression]): LogicalPlan = (ts, ver) match {
+      cond: Option[Expression],
+      qualifiers: Set[String] = Set.empty): LogicalPlan = (ts, ver) match {
     case (Some(expr), None) =>
-      readPlan(cat, table, cond, asOfMs = Some(evalAsOfMillis(session, expr)))
+      readPlan(cat, table, cond, asOfMs = Some(evalAsOfMillis(session, expr)),
+        qualifiers = qualifiers)
     case (None, Some(v)) =>
       v.toLongOption match {
-        case Some(id) => readPlan(cat, table, cond, snapshotId = Some(id))
+        case Some(id) =>
+          readPlan(cat, table, cond, snapshotId = Some(id), qualifiers = qualifiers)
         case None =>
           cat.snapshotByTag(table, v) match {
-            case Some(snap) => readPlan(cat, table, cond, snapshotId = Some(snap.snapshotId))
+            case Some(snap) => readPlan(cat, table, cond,
+              snapshotId = Some(snap.snapshotId), qualifiers = qualifiers)
             case None if cat.branches(table).contains(v) =>
-              readPlan(cat, table, cond, branch = Some(v))
+              readPlan(cat, table, cond, branch = Some(v), qualifiers = qualifiers)
             case None => throw new IllegalArgumentException(
               s"VERSION AS OF '$v': no snapshot id, tag or branch of that name on $table")
           }
@@ -252,7 +271,8 @@ class GraftTimeTravelRule(val session: SparkSession)
               f.copy(child = timeTravelPlan(cat, t, ts, ver, Some(cond)))
             case sa @ SubqueryAlias(_, tt) if claimedTT(tt).isDefined =>
               val (t, ts, ver) = claimedTT(tt).get
-              f.copy(child = sa.copy(child = timeTravelPlan(cat, t, ts, ver, Some(cond))))
+              f.copy(child = sa.copy(child = timeTravelPlan(cat, t, ts, ver, Some(cond),
+                qualifiers = Set(sa.alias.toLowerCase))))
             case _ => f
           }
         case tt if claimedTT(tt).isDefined =>
@@ -286,7 +306,8 @@ class GraftCatalogRelationRule(val session: SparkSession)
             case u if claimed(u).isDefined =>
               f.copy(child = readPlan(cat, claimed(u).get, Some(cond)))
             case sa @ SubqueryAlias(_, u) if claimed(u).isDefined =>
-              f.copy(child = sa.copy(child = readPlan(cat, claimed(u).get, Some(cond))))
+              f.copy(child = sa.copy(child = readPlan(cat, claimed(u).get, Some(cond),
+                qualifiers = Set(sa.alias.toLowerCase))))
             case _ => f
           }
         case u if claimed(u).isDefined =>

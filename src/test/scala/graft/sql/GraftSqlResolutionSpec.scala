@@ -131,6 +131,29 @@ class GraftSqlResolutionSpec extends SparkSpec {
     assert(odd.head().getLong(0) == c.filter(expr("c_custkey % 97 = 3")).count())
   }
 
+  test("a correlated OUTER reference above the inner relation never over-prunes") {
+    setup()
+    // low10: one catalog file holding custkeys 1..10 only
+    if (!writeCat.tables().contains("low10"))
+      Writers.writeSnapshot(writeCat, "low10",
+        graft.Tables.customer(spark, sfDir).filter(col("c_custkey").between(1, 10))
+          .coalesce(1), dataDir)
+    // the EXISTS condition references ONLY the outer row (r.c_custkey =
+    // 50); translating it into a prune filter on low10 (whose stats
+    // exclude 50) would wrongly empty the subquery and return 0
+    val n = ext.sql(
+      """SELECT count(*) AS n FROM cust r
+        |WHERE EXISTS (SELECT 1 FROM low10 x WHERE r.c_custkey = 14)""".stripMargin)
+      .head().getLong(0)
+    assert(n == 1, s"outer-qualified predicate must not prune the inner table (got $n)")
+    // sanity: a genuinely inner predicate still prunes/filters exactly
+    val m = ext.sql(
+      """SELECT count(*) AS n FROM cust r
+        |WHERE EXISTS (SELECT 1 FROM low10 x WHERE x.c_custkey = 7)""".stripMargin)
+      .head().getLong(0)
+    assert(m == 25, s"inner predicate keeps EXISTS true for all outer rows (got $m)")
+  }
+
   test("an unconfigured session leaves resolution untouched") {
     setup()
     val bare = GraftColumnShim.sessionWithExtensions(
