@@ -48,22 +48,33 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json =
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
-    Files.write(Paths.get("bench_out.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
+        s""""n_failed":${failed.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    Files.write(Paths.get("bench_out.json"), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+    // The final stdout line must be COMPACT: the driver's tail capture keeps
+    // only ~2 KB, and a 108-entry per-query map (~4 KB) head-truncates the
+    // line, leaving BENCH_r{N}.parsed = null (r1–r7). So the literal last
+    // line carries the totals plus a fixed headline subset; the full
+    // per-query map lives in bench_out.json, which the driver also ships.
+    val headline = Seq("q1_agg", "q3_join_agg", "q5_multijoin", "q_scan_project",
+      "q_window_rank", "q_dedup_exact", "q_ann_bruteforce", "q_profile")
+      .flatMap(n => results.get(n).map(n -> _))
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},""" +
+        s""""n_failed":${failed.size},"queries":${jmap(headline)},"sf":"$sfDir"}"""
     // stop Spark FIRST so its shutdown logging can't land after the JSON.
-    // Print the greppable sentinel first and the BARE json line LAST: with
+    // Print the greppable sentinel first and the BARE compact line LAST: with
     // build.sbt's StdoutOutput + showSuccess:=false the bare line is the
     // literal final line of sbt stdout, so a last-line JSON parse succeeds.
     spark.stop()
-    println(s"BENCH_JSON: $json")
-    println(json)
-    System.err.println(s"BENCH_JSON: $json")
-    System.err.println(json)
+    println(s"BENCH_JSON: $compact")
+    println(compact)
+    System.err.println(s"BENCH_JSON: $compact")
+    System.err.println(compact)
     System.out.flush(); System.err.flush()
   }
 }

@@ -338,10 +338,16 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           // rollback target's) are genuine extras to apply.
           val basisFiles: Option[Set[String]] = it.basisSnapshotId
             .flatMap(snapshotById(table, _)).map(_.files.map(_.path).toSet)
-          val extras = reusedPaths.filter { p =>
-            !present.contains(p) && !removed.contains(p) &&
-              basisFiles.forall(bf => !bf.contains(p))
-          }
+          val candidates = reusedPaths.filter(p => !present.contains(p) && !removed.contains(p))
+          // An expired basis must degrade CONSERVATIVELY: with no basis file
+          // list we cannot tell stale survivors from genuine extras, and
+          // admitting all candidates would resurrect concurrently-rewritten
+          // rows. Conflict instead — the writer re-reads and retries.
+          if (it.basisSnapshotId.isDefined && basisFiles.isEmpty && candidates.nonEmpty)
+            throw new CommitConflictException(
+              s"Basis snapshot ${it.basisSnapshotId.get} of $table was expired during the " +
+                "commit; cannot distinguish stale survivors from extras — retry from current state")
+          val extras = candidates.filter(p => basisFiles.forall(bf => !bf.contains(p)))
           newFiles ++ survivors ++ extras.map(reuseMeta)
       }
     val stickyBloomCols =

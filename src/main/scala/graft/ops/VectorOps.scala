@@ -147,7 +147,9 @@ object VectorOps {
     val sample: Seq[Seq[Double]] = base
       .orderBy(md5(col("km_id")), col("km_id")).limit(sampleN)
       .select("km_vec").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      // element type is whatever the source column carries — array<float>
+      // and array<double> embedding columns both work
+      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
     require(sample.nonEmpty, "kmeans needs at least one non-null vector")
     def d2(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum

@@ -190,10 +190,10 @@ final class GraftHttpServer(
     val snap = param(ex, "snapshot").map(_.toLong)
     cat.approxCountDistinct(spark, table, column, snap) match {
       case Some(n) =>
-        respond(ex, 200, s"""{"table":"$table","column":"$column","ndv":$n}""" + "\n")
+        respond(ex, 200, s"""{"table":${quote(table)},"column":${quote(column)},"ndv":$n}""" + "\n")
       case None =>
         respond(ex, 404,
-          s"""{"error":"column $column of $table is not sketch-indexed"}""" + "\n")
+          s"""{"error":${quote(s"column $column of $table is not sketch-indexed")}}""" + "\n")
     }
   }
 
@@ -215,7 +215,7 @@ final class GraftHttpServer(
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .map { case (pv, fs) =>
         val pvJson = pv.toSeq.sorted
-          .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+          .map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
         s"""{"partition":$pvJson,"n_files":${fs.size},""" +
           s""""total_rows":${fs.map(_.rowCount).sum},"total_bytes":${fs.map(_.sizeBytes).sum},""" +
           s""""delete_entry_count":${fs.map(f => delRows.getOrElse(f.path, 0L)).sum}}"""
@@ -227,7 +227,7 @@ final class GraftHttpServer(
     val table = param(ex, "table").getOrElse(
       throw new IllegalArgumentException("missing table parameter"))
     val body = cat.listStaged(table).flatMap(id => cat.staged(table, id)).map { st =>
-      s"""{"staged_id":"${st.stagedId}","parent_id":${st.parentId.getOrElse(-1L)},""" +
+      s"""{"staged_id":${quote(st.stagedId)},"parent_id":${st.parentId.getOrElse(-1L)},""" +
         s""""timestamp_ms":${st.timestampMs},"n_files":${st.paths.size}}"""
     }.mkString("[", ",", "]")
     respond(ex, 200, body + "\n")
@@ -243,7 +243,7 @@ final class GraftHttpServer(
       cat.currentSnapshot(ref).map { head =>
         val forkId = cat.snapshotById(ref, 1L)
           .flatMap(_.props.get(graft.meta.SnapshotCatalog.ForkIdProp)).getOrElse("-1")
-        s"""{"branch":"$name","head_snapshot_id":${head.snapshotId},""" +
+        s"""{"branch":${quote(name)},"head_snapshot_id":${head.snapshotId},""" +
           s""""forked_at":$forkId,"n_files":${head.files.size}}"""
       }
     }.mkString("[", ",", "]")

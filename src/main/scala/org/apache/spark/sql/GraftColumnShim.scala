@@ -28,23 +28,38 @@ object GraftColumnShim {
   def sessionWithExtensions(
       base: SparkSession,
       configure: SparkSessionExtensions => Unit): SparkSession = {
-    val active = SparkSession.getActiveSession
-    val default = SparkSession.getDefaultSession
-    // with no registered session, getOrCreate builds a NEW one (reusing
-    // the live SparkContext) and applies withExtensions; restore the
-    // registrations after so the suite-shared session stays the default
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try
-      SparkSession.builder()
-        .master(base.sparkContext.master)
-        .withExtensions(configure)
-        .getOrCreate()
-    finally {
-      default.foreach(SparkSession.setDefaultSession)
-      active.foreach(SparkSession.setActiveSession)
+    // the clear/build/restore window mutates JVM-global session slots;
+    // serialize it so a concurrent builder can't latch onto the
+    // temporary sibling (or find the slots empty)
+    val built = sessionBuildLock.synchronized {
+      val active = SparkSession.getActiveSession
+      val default = SparkSession.getDefaultSession
+      // with no registered session, getOrCreate builds a NEW one (reusing
+      // the live SparkContext) and applies withExtensions; restore the
+      // registrations after so the suite-shared session stays the default
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try
+        SparkSession.builder()
+          .master(base.sparkContext.master)
+          .withExtensions(configure)
+          .getOrCreate()
+      finally {
+        default.foreach(SparkSession.setDefaultSession)
+        active.foreach(SparkSession.setActiveSession)
+      }
     }
+    // the sibling starts from fresh SessionState: carry over the base
+    // session's modified runtime SQL confs (timezone, ANSI mode, shuffle
+    // partitions, …) so serving queries see the node's configuration
+    base.conf.getAll.foreach { case (k, v) =>
+      if (built.conf.getOption(k) != Some(v) && built.conf.isModifiable(k))
+        try built.conf.set(k, v) catch { case _: Exception => () }
+    }
+    built
   }
+
+  private[this] val sessionBuildLock = new Object
 
   /** Re-tag a batch frame as streaming (isStreaming=true) — what a v1
     * `Source.getBatch` must hand back to MicroBatchExecution. The same
