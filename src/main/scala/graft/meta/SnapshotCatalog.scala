@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util.Base64
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -425,24 +425,43 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     // _metadata.file_path, not input_file_name(): the hidden column adds
     // to the scan schema, so Spark's CacheManager never substitutes a
     // cached InMemoryRelation (where input_file_name() yields "").
-    val perFile = df
+    val perFileAgg = df
       .withColumn("__file", col("_metadata.file_path"))
       .groupBy(col("__file"))
       .agg(count(lit(1)).as("__rows"), statAggs ++ cntAggs ++ sketchAggs: _*)
-      .collect()
 
-    // sketch sidecars, like bloom sidecars: manifests stay stats-sized
+    // sketch sidecars, like bloom sidecars: manifests stay stats-sized.
+    // Written EXECUTOR-side (each sk__ bytes column becomes its sidecar
+    // path before the collect) so the driver receives stats + path
+    // strings, never the serialized sketches — same scale rule as the
+    // bloom build. Orphans from task retries fall to vacuumSidecars.
     val sketchDir = tableDir(table).resolve("sketches")
     if (sketchCols.nonEmpty) Files.createDirectories(sketchDir)
+    val perFile: Array[Row] =
+      if (sketchCols.isEmpty) perFileAgg.collect()
+      else {
+        val sketchDirStr = sketchDir.toAbsolutePath.toString
+        val outSchema = StructType(perFileAgg.schema.map(f =>
+          if (f.name.startsWith("sk__")) f.copy(dataType = StringType) else f))
+        val skIdx: Seq[(Int, String)] =
+          sketchCols.map(c => perFileAgg.schema.fieldIndex(s"sk__$c") -> c)
+        perFileAgg.map { row =>
+          val vals = row.toSeq.toArray
+          skIdx.foreach { case (i, c) =>
+            vals(i) = Option(row.getAs[Array[Byte]](i)).map { bytes =>
+              val sidecar = Paths.get(sketchDirStr,
+                s"hll-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
+              Files.write(sidecar, bytes)
+              sidecar.toAbsolutePath.toString
+            }.orNull
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }(org.apache.spark.sql.Encoders.row(outSchema)).collect()
+      }
     val sketchRefs: Map[String, Map[String, String]] = perFile.map { row =>
       val path = normalize(row.getAs[String]("__file"))
       path -> sketchCols.flatMap { c =>
-        Option(row.getAs[Array[Byte]](s"sk__$c")).map { bytes =>
-          val sidecar = sketchDir.resolve(
-            s"hll-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
-          Files.write(sidecar, bytes)
-          c -> sidecar.toAbsolutePath.toString
-        }
+        Option(row.getAs[String](s"sk__$c")).map(c -> _)
       }.toMap
     }.toMap
 
@@ -600,15 +619,24 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val agg = new BloomColumnAgg(rowsByFile, fpp)
     val bloomDir = tableDir(table).resolve("blooms")
     Files.createDirectories(bloomDir)
-    flat.groupByKey(t => (t._1, t._2)).agg(agg.toColumn.name("bloom")).collect()
-      .groupBy { case ((file, _), _) => normalize(file) }
+    // sidecars are written EXECUTOR-side, on the reduce task that built
+    // each bloom; only the path strings (KBs for a 100k-file commit)
+    // ever reach the driver. Collecting the serialized blooms instead
+    // would push O(n_files × bloom_size) — ~100 GB for a 100k-file
+    // bulk load with row-count-sized blooms — through driver memory.
+    // A retried/speculative task leaves at most an unreferenced UUID
+    // sidecar, which vacuumSidecars reclaims.
+    val bloomDirStr = bloomDir.toAbsolutePath.toString
+    flat.groupByKey(t => (t._1, t._2)).agg(agg.toColumn.name("bloom"))
+      .map { case ((file, c), bytes) =>
+        val sidecar = Paths.get(bloomDirStr,
+          s"bloom-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
+        Files.write(sidecar, bytes)
+        (file, c, sidecar.toAbsolutePath.toString)
+      }.collect()
+      .groupBy { case (file, _, _) => normalize(file) }
       .map { case (file, rows) =>
-        file -> rows.map { case ((_, c), bytes) =>
-          val sidecar = bloomDir.resolve(
-            s"bloom-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
-          Files.write(sidecar, bytes)
-          c -> sidecar.toAbsolutePath.toString
-        }.toMap
+        file -> rows.map { case (_, c, sidecar) => c -> sidecar }.toMap
       }
   }
 

@@ -120,4 +120,45 @@ class BloomPruningSpec extends SparkSpec {
     val planned = cat2.planFiles("cseg", Seq(EqString("c_mktsegment", "MACHINERY")))
     assert(planned.map(_.path) == Seq(one("b")))
   }
+
+  test("bloom/sketch sidecars are written executor-side: driver task results stay path-sized") {
+    // a 400k-row file gets a ~450 KB row-count-sized bloom; if the commit
+    // collected serialized blooms to the driver (the pre-r8 shape), task
+    // result traffic would exceed the bloom size. The executor-side write
+    // returns only sidecar paths, so total result bytes stay far below it.
+    val data = Files.createTempDirectory("graft-bloomexec-").toString
+    spark.range(400000L)
+      .select(col("id"), concat(lit("val_"), col("id")).as("v"))
+      .coalesce(1).write.parquet(s"$data/big")
+    val path = new java.io.File(s"$data/big").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    @volatile var resultBytes = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) resultBytes += t.taskMetrics.resultSize
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val snap =
+      try {
+        val cat = new SnapshotCatalog(Files.createTempDirectory("graft-cat-").toString)
+        val s = cat.commit(spark, "big", Seq(path),
+          bloomColumns = Seq("v"), sketchColumns = Seq("v"))
+        Thread.sleep(1000) // listener events are async; let the bus drain
+        // exactness first: the index must still prune and still hit
+        assert(cat.planFiles("big", Seq(EqString("v", "val_399999"))).map(_.path) == Seq(path))
+        assert(cat.planFiles("big", Seq(EqString("v", "nope_123"))).isEmpty)
+        s
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    val bloomSidecar = java.nio.file.Paths.get(snap.files.head.blooms("v"))
+    val sketchSidecar = java.nio.file.Paths.get(snap.files.head.sketches("v"))
+    assert(Files.size(bloomSidecar) > 300000L,
+      s"expected a row-count-sized bloom, got ${Files.size(bloomSidecar)} bytes")
+    assert(Files.exists(sketchSidecar))
+    // the commit's ENTIRE driver-bound result traffic (stats rows + path
+    // strings + scheduler bookkeeping) must stay far below one bloom
+    assert(resultBytes < 150000L,
+      s"driver received $resultBytes result bytes — blooms/sketches are crossing the driver")
+  }
 }
