@@ -277,7 +277,118 @@ object Relational {
         sumMoney(col("c_acctbal")).as("sum_bal"))
   }
 
+  /** TPC-H Q2 shape: correlated min over a 4-way join — for each size-15
+    * part, the EUROPE-supplied lineitems at that part's minimum price
+    * (partsupp doesn't exist in this schema; lineitem is the
+    * part↔supplier bridge). The correlated `= (SELECT min ...)` becomes
+    * a window min partitioned by partkey over the region-restricted
+    * join: ONE shuffle on partkey replaces the rejoin-the-subquery plan.
+    * supplier⋈nation⋈region and the size-filtered part side are
+    * broadcast — at 100 TB only lineitem is big here. */
+  def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val supEur = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.part(s, dir).filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val elig = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    elig
+      .withColumn("min_price",
+        min(col("l_extendedprice")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q15 shape: max over an aggregated view — top supplier(s) by
+    * quarterly revenue. The view aggregates once (supplier-cardinality
+    * output), its max is a 1-row broadcast joined back; the view is NOT
+    * recomputed per comparison. */
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("total_revenue"))
+    val best = revenue.agg(max(col("total_revenue")).as("best_revenue"))
+    Tables.supplier(s, dir)
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(best), col("total_revenue") === col("best_revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20 shape: nested IN/semi chains — EUROPE suppliers who
+    * shipped >50 units of some small part in 1996. Three IN levels:
+    * part(p_size<=10) broadcast-semi into lineitem, the HAVING on a
+    * (suppkey, partkey) partial-agg'd groupBy, and nation←region as a
+    * broadcast semi chain into the supplier dim. Every step is linear
+    * in lineitem. */
+  def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(s, dir).filter(col("p_size") <= 10).select(col("p_partkey"))
+    val bigShippers = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(money(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 50)
+      .select(col("l_suppkey")).distinct()
+    val eurNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey"))
+    Tables.supplier(s, dir)
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape: double-EXISTS anti pattern — NATION_7 suppliers
+    * whose returned ('R') lines sit in finished multi-supplier orders
+    * where NO other supplier had a return. Both the EXISTS (semi) and
+    * NOT EXISTS (anti) are joins on l_orderkey with a suppkey
+    * inequality residual — equi-keyed shuffles, never a cartesian. */
+  def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val ordersF = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val l1 = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+    val others = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val othersR = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+    l1
+      .join(others, col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
+        "left_semi")
+      .join(othersR, col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> (qTpchQ2 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
+    "q_tpch_q20" -> (qTpchQ20 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
     "q_listagg" -> (qListagg _),
     "q_ntile" -> (qNtile _),
     "q_outer_join" -> (qOuterJoin _),
@@ -301,6 +412,59 @@ object Relational {
     "q_date_funcs" -> (qDateFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM part, lineitem, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size = 15
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_nationkey IN (
+        |    SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        |      SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(15,4))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_7'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q_listagg" ->
       """SELECT c_nationkey,
         |  string_agg(seg, ',' ORDER BY seg) AS segments,
