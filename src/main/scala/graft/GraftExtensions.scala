@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // builtins had their chance.
     ext.injectHintResolutionRule(session => new graft.sql.GraftTimeTravelRule(session))
     ext.injectResolutionRule(session => new graft.sql.GraftCatalogRelationRule(session))
+    // SQL DML (INSERT/DELETE/MERGE) on catalog tables — claimed in the
+    // hint batch so the builtin v2 analyzer never rejects the target;
+    // routed to the same Writers paths the Scala API uses.
+    ext.injectHintResolutionRule(session => new graft.sql.GraftDmlRule(session))
   }
 }

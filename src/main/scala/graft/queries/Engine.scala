@@ -523,6 +523,52 @@ object Engine {
         |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  // Memoized SQL-DML catalog per sf-dir: seeded with the even-key half
+  // of orders, then mutated ENTIRELY through SQL on the extensions
+  // session — INSERT INTO (odd half, from a parquet.`path` source),
+  // DELETE FROM (cheap totalprice cut, MoR position delete), MERGE INTO
+  // (restating every %10=3 key at +100000). The benched query reads the
+  // final state; the oracle replays the same algebra over raw parquet.
+  private val dmlRoots = TrieMap.empty[String, String]
+  private def dmlRootFor(s: SparkSession, dir: String): String =
+    dmlRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-dmlsql-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "dmlorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0")),
+        Files.createTempDirectory("graft-dmlsql-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(s"INSERT INTO dmlorders SELECT * FROM $src WHERE o_orderkey % 2 = 1")
+      es.sql("DELETE FROM dmlorders WHERE o_totalprice < 50000")
+      es.sql(
+        s"""MERGE INTO dmlorders t USING (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus,
+           |    o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority
+           |  FROM $src WHERE o_orderkey % 10 = 3) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      root
+    })
+
+  /** SQL DML end-to-end (SURVEY §2 S50, write half): a table seeded by
+    * the API then INSERTed, DELETEd and MERGEd purely through
+    * `spark.sql` on an extensions-only session — the final state must
+    * equal the oracle's replay of the same algebra over raw parquet.
+    * Covers append commits, MoR position deletes and key-merge rewrites
+    * all reached from SQL. */
+  def qSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, dmlRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM dmlorders
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Arbitrary SQL through QueryEngine's registered corpus (SURVEY §2
     * S18) — the reference's `execute_query` path (src/sql/engine.py:66). */
   def qSqlEngine(s: SparkSession, dir: String): DataFrame =
@@ -550,6 +596,7 @@ object Engine {
     "q_topk_pruned" -> (qTopkPruned _),
     "q_rename_read" -> (qRenameRead _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
+    "q_sql_dml" -> (qSqlDml _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
@@ -558,6 +605,19 @@ object Engine {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_sql_dml" ->
+      """WITH after_del AS (
+        |  SELECT * FROM orders WHERE o_totalprice >= 50000),
+        |merge_src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |final AS (
+        |  SELECT * FROM after_del WHERE o_orderkey % 10 <> 3
+        |  UNION ALL SELECT * FROM merge_src)
+        |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM final GROUP BY o_orderstatus""".stripMargin,
     "q_sql_timetravel" ->
       """SELECT 'v1' AS epoch, o_orderstatus AS status, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price

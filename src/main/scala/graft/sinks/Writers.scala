@@ -737,4 +737,33 @@ object Writers {
       sketchColumns = sketchColumns,
       intent = Some(CommitIntent(prev.map(_.snapshotId))))
   }
+
+  /** Full-table replace (SQL `INSERT OVERWRITE` semantics): write `df`,
+    * commit its files as the table's ONLY files. Replaced files are
+    * never opened — data work is writing `df` alone; the old files are
+    * netted as deletes by `changesBetween`'s rewrite walk. A concurrent
+    * append has no serializable order with a whole-table restatement,
+    * so it conflicts (CommitIntent removedPaths covers every basis
+    * file; the commit's resolve drops concurrent survivors). */
+  def replaceSnapshot(
+      catalog: SnapshotCatalog,
+      table: String,
+      df: DataFrame,
+      dataDir: String,
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
+    val dir = Paths.get(dataDir, s"replace-${UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(dir.toString)
+    val files = listParquet(dir)
+    val prev = catalog.currentSnapshot(table)
+    val prevPaths = prev.map(_.files.map(_.path)).getOrElse(Nil)
+    catalog.commit(df.sparkSession, table, files,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpOverwrite,
+        SnapshotCatalog.RewrittenFromProp -> prevPaths.sorted.mkString(",")) ++ props,
+      intent = Some(CommitIntent(
+        basisSnapshotId = prev.map(_.snapshotId),
+        removedPaths = prevPaths,
+        // any concurrently added file is outside the restated state
+        conflictOnAdded = _ => true)))
+  }
 }

@@ -61,6 +61,14 @@ object GraftColumnShim {
 
   private[this] val sessionBuildLock = new Object
 
+  /** Analyze + wrap a logical plan as a DataFrame on `session` — the
+    * private[sql] `Dataset.ofRows` bridge. Used by the SQL DML commands
+    * to analyze their captured source/query subplans at RUN time (so
+    * catalog tables inside them resolve through the injected rules). */
+  def ofRows(session: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
   /** Re-tag a batch frame as streaming (isStreaming=true) — what a v1
     * `Source.getBatch` must hand back to MicroBatchExecution. The same
     * internalCreateDataFrame path Spark's own FileStreamSource takes;

@@ -1,0 +1,157 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.meta.SnapshotCatalog
+import graft.sinks.Writers
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.functions._
+
+/** SQL DML (INSERT / DELETE / MERGE) on catalog tables through
+  * GraftExtensions — the write half of the SQL-only deployment. Every
+  * statement must route to the SAME writer semantics the Scala API
+  * has: append commits, MoR position deletes, key-merge rewrites. */
+class GraftDmlSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-dml-").toString
+  private lazy val dataDir = Files.createTempDirectory("graft-dml-data-").toString
+  private lazy val cat = new SnapshotCatalog(root)
+
+  private lazy val ext = {
+    val s = GraftColumnShim.sessionWithExtensions(
+      spark, e => new graft.GraftExtensions().apply(e))
+    s.conf.set(GraftSqlResolution.RootConf, root)
+    s
+  }
+
+  private def freshTable(name: String, keys: Range): String = {
+    Writers.writeSnapshot(cat, name,
+      graft.Tables.customer(spark, sfDir)
+        .filter(col("c_custkey").isin(keys.map(Integer.valueOf): _*))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      dataDir)
+    name
+  }
+
+  test("INSERT INTO appends a snapshot; VALUES and SELECT sources both work") {
+    val t = freshTable("ins1", 1 to 5)
+    ext.sql(s"INSERT INTO $t VALUES (100, 'Customer#100', 12.5), (101, 'Customer#101', -3.25)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 7)
+    val row = ext.sql(s"SELECT c_name, c_acctbal FROM $t WHERE c_custkey = 100").head()
+    assert(row.getString(0) == "Customer#100" && row.getDouble(1) == 12.5)
+    // SELECT source, including a catalog table read inside the INSERT
+    ext.sql(s"INSERT INTO $t SELECT c_custkey + 200, c_name, c_acctbal FROM $t WHERE c_custkey <= 2")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 9)
+    // the commit is a real append snapshot (op recorded, history grows)
+    val snap = cat.currentSnapshot(t).get
+    assert(snap.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpAppend))
+    assert(snap.snapshotId == 3L)
+  }
+
+  test("INSERT INTO with a column list fills unnamed columns with NULL") {
+    val t = freshTable("ins2", 1 to 3)
+    ext.sql(s"INSERT INTO $t (c_custkey, c_name) VALUES (300, 'NoBalance')")
+    val row = ext.sql(s"SELECT c_acctbal FROM $t WHERE c_custkey = 300").head()
+    assert(row.isNullAt(0))
+    val err = intercept[Exception] {
+      ext.sql(s"INSERT INTO $t (c_custkey, nope) VALUES (1, 'x')")
+    }
+    assert(err.getMessage.contains("unknown columns"))
+  }
+
+  test("INSERT OVERWRITE replaces the whole table in one snapshot") {
+    val t = freshTable("ovw", 1 to 10)
+    ext.sql(s"INSERT OVERWRITE $t VALUES (1, 'OnlyRow', 0.0)")
+    val rows = ext.sql(s"SELECT c_custkey, c_name FROM $t").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "OnlyRow")
+    val snap = cat.currentSnapshot(t).get
+    assert(snap.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpOverwrite))
+    // time travel still reaches the pre-overwrite state
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1").head().getLong(0) == 10)
+  }
+
+  test("DELETE FROM is a MoR position delete: rows vanish, no data file rewritten") {
+    val t = freshTable("del1", 1 to 20)
+    val before = cat.currentSnapshot(t).get
+    ext.sql(s"DELETE FROM $t WHERE c_custkey <= 5")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 15)
+    assert(ext.sql(s"SELECT min(c_custkey) AS k FROM $t").head().getLong(0) == 6L)
+    val after = cat.currentSnapshot(t).get
+    assert(after.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpMorDelete))
+    // data files untouched; one delete file added
+    assert(after.files.map(_.path).sorted == before.files.map(_.path).sorted)
+    assert(after.deleteFiles.size == before.deleteFiles.size + 1)
+    // qualified form resolves too, and a no-match delete is a no-op snapshot
+    ext.sql(s"DELETE FROM $t d WHERE d.c_custkey > 99999")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 15)
+  }
+
+  test("DELETE's WHERE bounds the marking scan via manifest pruning") {
+    // 4 range-clustered files; a key-bounded delete must mask rows in
+    // exactly one of them (the delete file's dataPaths prove the scope)
+    Writers.writeRangedSnapshot(cat, "delrange",
+      graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      dataDir, "c_custkey", nFiles = 4)
+    val files = cat.currentSnapshot("delrange").get.files
+    assert(files.size == 4)
+    ext.sql("DELETE FROM delrange WHERE c_custkey <= 3")
+    val del = cat.currentSnapshot("delrange").get.deleteFiles
+    assert(del.size == 1, "one delete file expected")
+    assert(del.head.dataPaths.size == 1,
+      s"prune should bound the mask to 1 of 4 files, got ${del.head.dataPaths.size}")
+  }
+
+  test("MERGE INTO upserts by key through the key-merge writer") {
+    val t = freshTable("mrg", 1 to 10)
+    ext.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT 1 AS c_custkey, 'Updated#1' AS c_name, 999.0 AS c_acctbal
+         |  UNION ALL
+         |  SELECT 42 AS c_custkey, 'Fresh#42' AS c_name, 1.0 AS c_acctbal) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 11)
+    assert(ext.sql(s"SELECT c_name FROM $t WHERE c_custkey = 1").head().getString(0) == "Updated#1")
+    assert(ext.sql(s"SELECT c_name FROM $t WHERE c_custkey = 42").head().getString(0) == "Fresh#42")
+    val snap = cat.currentSnapshot(t).get
+    assert(snap.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpMerge))
+  }
+
+  test("unsupported MERGE shapes fail loudly instead of mis-executing") {
+    val t = freshTable("mrgbad", 1 to 3)
+    val err = intercept[Exception] {
+      ext.sql(
+        s"""MERGE INTO $t t USING (SELECT 1 AS c_custkey, 'x' AS c_name, 0.0 AS c_acctbal) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(err.getMessage.contains("UPDATE SET *"))
+    val err2 = intercept[Exception] {
+      ext.sql(
+        s"""MERGE INTO $t t USING (SELECT 1 AS k, 'x' AS c_name, 0.0 AS c_acctbal) s
+           |ON t.c_custkey = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(err2.getMessage.contains("same-named"))
+  }
+
+  test("DML on an unclaimed name falls through to builtin analysis") {
+    val err = intercept[Exception] {
+      ext.sql("DELETE FROM no_such_table WHERE x = 1")
+    }
+    assert(err.getMessage.toLowerCase.contains("cannot be found") ||
+      err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
+  test("SQL-written state round-trips through the code API read") {
+    val t = freshTable("rt", 1 to 4)
+    ext.sql(s"INSERT INTO $t VALUES (50, 'Api#50', 5.0)")
+    ext.sql(s"DELETE FROM $t WHERE c_custkey = 2")
+    val api = cat.read(spark, t).select("c_custkey").collect().map(_.getLong(0)).sorted
+    assert(api.toSeq == Seq(1L, 3L, 4L, 50L))
+  }
+}
