@@ -81,6 +81,33 @@ object Stress {
         .agg(count(col("last_click_us")).as("n"), max(col("last_click_us")))
         .head().getLong(0)
     }
+    // composed IVF×PQ at 500k vectors (the serving-scale index): train
+    // on a bounded sample (the fitted-model pattern — training never
+    // scans the corpus), encode map-side to m-byte codes, coarse-assign
+    // to cells, then a probe-bounded ADC search. Build is the one-time
+    // linear pass; search must touch ~nProbe/nCells of the CODES only.
+    val (nIvfPq, tPqBuild, tPqSearch) = {
+      val corpus = replicate(Tables.embeddings(spark, sfDir), Seq("vec_id"), 250)
+        .select(col("vec_id"), col("embedding")) // 2000 × 250 = 500k vectors
+      val model = graft.ops.Pq.train(
+        corpus.limit(20000), "vec_id", "embedding", m = 8, k = 16, maxIters = 4)
+      val ((codes, ivf), tb) = time {
+        val c = graft.ops.Pq.encode(corpus, "vec_id", "embedding", model)
+          .localCheckpoint(true)
+        val ix = graft.ops.Ann.ivfIndex(corpus, "vec_id", "embedding", nCells = 64)
+        // persist the assignment WITHOUT vectors: the materialized index
+        // a 100 TB corpus stores next to its data is (id, cell) + codes
+        val assigned = ix.assigned.drop("nn_vec").localCheckpoint(true)
+        (c, graft.ops.Ann.IvfIndex(assigned, ix.centroids))
+      }
+      val queries = corpus.filter(pmod(col("vec_id"), lit(50000)) === 0).collect()
+        .map(r => (r.getLong(0).toString, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val (n, ts) = time {
+        graft.ops.Pq.searchIvf(ivf, codes, "vec_id", model, queries,
+          k = 10, nProbe = 8).count()
+      }
+      (n, tb, ts)
+    }
     // metadata layer at streaming scale: a 200-file table (200 commits),
     // then a MERGE whose key range touches a small slice, then a full
     // compaction. Merge cost must track the AFFECTED slice, not the
@@ -172,7 +199,7 @@ object Stress {
       val head = cat.currentSnapshot("ord").get
       (cat.snapshots("ord").size, head.totalRows, t)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace}}""")
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace,"ivfpq_hits":$nIvfPq,"ivfpq_build_sec":$tPqBuild,"ivfpq_search_sec":$tPqSearch}}""")
     spark.stop()
   }
 }

@@ -1,8 +1,9 @@
 package graft.meta
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, IOException}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{FileVisitResult, Files, Path, Paths, SimpleFileVisitor}
+import java.nio.file.attribute.BasicFileAttributes
 import java.util.Base64
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
@@ -1325,8 +1326,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       timestampMs = clock(),
       paths = paths.map(SnapshotCatalog.normalizePath),
       props = props)
-    Files.write(stagedPath(table, stagedId),
-      Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+    // temp + atomic rename, like every other metadata file: a racing
+    // reader (vacuum building its staged-live set, an audit listing)
+    // must see the whole manifest or none of it — a torn read here
+    // would drop the stage's files from the live set mid-sweep
+    val tmp = tableDir(table).resolve(s".staged-$stagedId.tmp")
+    Files.write(tmp, Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, stagedPath(table, stagedId),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     stagedId
   }
 
@@ -1334,8 +1341,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def staged(table: String, stagedId: String): Option[StagedMeta] = {
     val p = stagedPath(table, stagedId)
     if (!Files.exists(p)) None
-    else Some(JsonMethods.parse(
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).extract[StagedMeta])
+    else
+      // a concurrent publish/discard may delete the file between the
+      // exists check and the read — same answer as "already published"
+      try Some(JsonMethods.parse(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).extract[StagedMeta])
+      catch { case _: java.nio.file.NoSuchFileException => None }
   }
 
   /** Staged-but-unpublished ids for a table (audit queue). */
@@ -1892,11 +1903,27 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         snaps.flatMap(_.deleteFiles).map(d => normalize(d.path)) ++
         stagedLive ++ branchLive).toSet
     val cutoff = clock() - graceMs
-    val stream = Files.walk(Paths.get(dataDir))
-    val candidates = try stream.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath.toString).toList
-    finally stream.close()
+    // Walk must tolerate a racing writer: Spark deletes `_temporary/`
+    // commit-protocol dirs at job end, and Files.walk throws
+    // NoSuchFileException when an entry vanishes mid-walk — a vacuum
+    // that dies whenever a writer is active is useless, so use a
+    // visitor that skips in-flight commit dirs and ignores vanished
+    // entries (they were never vacuum candidates anyway).
+    val found = List.newBuilder[String]
+    Files.walkFileTree(Paths.get(dataDir), new SimpleFileVisitor[Path] {
+      override def preVisitDirectory(d: Path, a: BasicFileAttributes): FileVisitResult =
+        if (d.getFileName != null && d.getFileName.toString == "_temporary")
+          FileVisitResult.SKIP_SUBTREE
+        else FileVisitResult.CONTINUE
+      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+        if (f.getFileName.toString.endsWith(".parquet"))
+          found += f.toAbsolutePath.toString
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: Path, e: IOException): FileVisitResult =
+        FileVisitResult.CONTINUE
+    })
+    val candidates = found.result()
     candidates
       .filterNot(p => live.contains(normalize(p)))
       .filter(p => scala.util.Try(

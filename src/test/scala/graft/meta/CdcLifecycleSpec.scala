@@ -90,8 +90,40 @@ class CdcLifecycleSpec extends SparkSpec {
       state = plus(state, ms(first))
       states :+= (Writers.writeSnapshot(cat, t, df(first), dataDir).snapshotId, state)
 
+      // Racing-writer helper (S49 under the feed-exactness gate): run
+      // two writer ops CONCURRENTLY from a start latch; each returns
+      // (snapshotId, model effect) or None (conflict / no-op). Apply
+      // the successful effects in COMMIT order — every effect is
+      // expressed relative to the PRE-RACE state (a rewrite's scope is
+      // its basis snapshot's files, so a racing append's rows are never
+      // touched by the partner's delete/merge regardless of which
+      // commit lands first), which makes the interleaved states exact.
+      def race(ops: Seq[() => Option[(Long, MS => MS)]]): Unit = {
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val outs = ops.map { op =>
+          val out = new java.util.concurrent.atomic.AtomicReference(
+            Option.empty[(Long, MS => MS)])
+          val th = new Thread(() => {
+            latch.await()
+            out.set(
+              try op()
+              catch { case _: CommitConflictException => None })
+          })
+          th.start()
+          (th, out)
+        }
+        latch.countDown()
+        outs.foreach(_._1.join())
+        for ((id, eff) <- outs.flatMap(_._2.get()).sortBy(_._1)) {
+          state = eff(state)
+          states :+= (id, state)
+        }
+      }
+      def inRange(s: MS, lo: Long, hi: Long): MS =
+        s.filter { case ((id, _), _) => id >= lo && id <= hi }
+
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(12) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -160,6 +192,61 @@ class CdcLifecycleSpec extends SparkSpec {
               state = state.filter { case ((id, _), _) => !ids.contains(id) }
               states :+= (snap.snapshotId, state)
             }
+          case 10 => // RACE: append vs {append | MoR delete | merge |
+            // compact} — always reconcilable per S49 (appends merge in;
+            // a mask/rewrite scopes to its basis files). Both commits
+            // must land and the interleaved feed stay exact.
+            val preRace = state
+            val b1 = batch(5 + rnd.nextInt(10))
+            val appendOp: () => Option[(Long, MS => MS)] = () =>
+              Some((Writers.writeSnapshot(cat, t, df(b1), dataDir).snapshotId,
+                (s: MS) => plus(s, ms(b1))))
+            val partner: () => Option[(Long, MS => MS)] = rnd.nextInt(4) match {
+              case 0 =>
+                val b2 = batch(5 + rnd.nextInt(10))
+                () => Some((Writers.writeSnapshot(cat, t, df(b2), dataDir).snapshotId,
+                  (s: MS) => plus(s, ms(b2))))
+              case 1 if preRace.nonEmpty =>
+                // guaranteed-match range so the MoR delete always commits
+                val lo = preRace.keySet.toSeq(rnd.nextInt(preRace.size))._1
+                val hi = lo + rnd.nextInt(10).toLong
+                val masked = inRange(preRace, lo, hi)
+                () => Some((Writers.deleteWhereMoR(spark, cat, t,
+                  col("id").between(lo, hi),
+                  Seq(RangeNum("id", lo.toDouble, hi.toDouble)), dataDir).snapshotId,
+                  (s: MS) => minus(s, masked)))
+              case 2 =>
+                val keys = rnd.shuffle((0 until 100).toList).take(1 + rnd.nextInt(6))
+                val src = keys.map(k => (k.toLong, rnd.nextInt(1000).toLong))
+                val matched = preRace.filter { case ((id, _), _) => keys.contains(id.toInt) }
+                () => Some((Writers.mergeInto(spark, cat, t, df(src), Seq("id"), dataDir)
+                  .snapshotId,
+                  (s: MS) => plus(minus(s, matched), ms(src))))
+              case _ =>
+                () => Writers.compact(spark, cat, t, dataDir)
+                  .map(sn => (sn.snapshotId, (s: MS) => s))
+            }
+            race(Seq(appendOp, partner))
+          case 11 => // RACE: two rewrites (COW delete vs merge) whose
+            // file sets may overlap — the loser must CONFLICT (surface,
+            // not clobber); when both land their row effects were
+            // provably disjoint and the feed stays exact either way.
+            val preRace = state
+            val lo = rnd.nextInt(90).toLong
+            val hi = lo + rnd.nextInt(20).toLong
+            val removed = inRange(preRace, lo, hi)
+            val delOp: () => Option[(Long, MS => MS)] = () =>
+              Some((Writers.deleteWhere(spark, cat, t,
+                d => d.filter(!col("id").between(lo, hi)),
+                Seq(RangeNum("id", lo.toDouble, hi.toDouble)), dataDir).snapshotId,
+                (s: MS) => minus(s, removed)))
+            val keys = rnd.shuffle((0 until 100).toList).take(1 + rnd.nextInt(6))
+            val src = keys.map(k => (k.toLong, rnd.nextInt(1000).toLong))
+            val matched = preRace.filter { case ((id, _), _) => keys.contains(id.toInt) }
+            val mergeOp: () => Option[(Long, MS => MS)] = () =>
+              Some((Writers.mergeInto(spark, cat, t, df(src), Seq("id"), dataDir).snapshotId,
+                (s: MS) => plus(minus(s, matched), ms(src))))
+            race(Seq(delOp, mergeOp))
         }
       }
 

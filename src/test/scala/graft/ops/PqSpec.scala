@@ -88,6 +88,56 @@ class PqSpec extends SparkSpec {
     assert(perCell.take(2).sum < df.count(), "cells must partition the corpus")
   }
 
+  test("IVF-PQ recall holds across a scale-parameter grid (nCells × nProbe)") {
+    import spark.implicits._
+    // 20 planted clusters × 200 rows in 16-D. Centers come from a
+    // deterministic hash lattice (values 0..9 per dim) whose pairwise
+    // separation dwarfs the ±0.05 noise, so a query's exact-L2 top-10
+    // is provably inside its own cluster — recall@10 measures against
+    // cluster membership, the exact truth by construction. m=4/k=16
+    // keeps codewords SCARCER than clusters (16 < 20 per subspace):
+    // the compression regime real corpora run in, where only the
+    // cross-subspace code tuple separates clusters.
+    val rows = for {
+      g <- 0 until 20
+      i <- 0 until 200
+    } yield {
+      val eps = ((i * 31 + g * 7) % 11 - 5) * 0.01f
+      val vec = (0 until 16).map(d => (((g * 131 + d * 17) % 97) % 10).toFloat + eps).toArray
+      (s"c${g}_$i", vec)
+    }
+    val corpus = rows.toDF("id", "vec").repartition(8)
+    val model = Pq.train(corpus, "id", "vec", m = 4, k = 16, maxIters = 6)
+    val codes = Pq.encode(corpus, "id", "vec", model).persist()
+    val queries = corpus.filter(col("id").endsWith("_0"))
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    assert(queries.size == 20)
+    def recallAt10(nCells: Int, nProbe: Int, ivf: Ann.IvfIndex): Double = {
+      val hits = Pq.searchIvf(ivf, codes, "id", model, queries, k = 10,
+        nProbe = nProbe, excludeSelf = true)
+        .select(col("query_id"), col("nn_id")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      hits.count { case (q, n) =>
+        q.takeWhile(_ != '_') == n.takeWhile(_ != '_')
+      }.toDouble / (queries.size * 10)
+    }
+    for (nCells <- Seq(16, 64)) {
+      val ivf = Ann.ivfIndex(corpus, "id", "vec", nCells = nCells)
+      val probes = if (nCells == 16) Seq(1, 4, 8) else Seq(2, 8, 16)
+      val recalls = probes.map(p => recallAt10(nCells, p, ivf))
+      // more probed cells = a candidate superset: recall must not drop
+      recalls.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-9, s"nCells=$nCells recall fell $recalls across probes $probes")
+      }
+      // at the working point (half the cells would be lavish; an eighth
+      // is the realistic dial) planted recall stays high
+      assert(recalls.last >= 0.9,
+        s"nCells=$nCells nProbe=${probes.last} recall@10=${recalls.last}")
+    }
+    codes.unpersist()
+  }
+
   test("ADC distance orders same-cluster below cross-cluster") {
     val codes = Pq.encode(df, "id", "vec", model)
     val q = df.filter(col("id") === "v0_10").select("vec").head().getSeq[Float](0)
