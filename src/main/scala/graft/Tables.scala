@@ -23,9 +23,12 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(path(dir, name))
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright; read it as epoch-nanos long (legacy conf) and surface a
-    * canonical microsecond timestamp under the same column name. */
+  /** events.ts arrives in generator-dependent physical shapes —
+    * TIMESTAMP(NANOS) (rejected by Spark's reader unless read as
+    * epoch-nanos long via the legacy conf), plain INT64 epoch-nanos, or
+    * TIMESTAMP(MICROS) (surfacing as NTZ under Spark's parquet NTZ
+    * inference). [[events]] canonicalizes all three to one session-UTC
+    * microsecond TimestampType column under the same name. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(dir, "events"))
@@ -46,7 +49,13 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1240,6 +1240,49 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }
   }
 
+  /** Zero-copy table clone (SURVEY §2 S51; the Delta SHALLOW CLONE /
+    * Iceberg register-snapshot analogue — reference serves one table
+    * namespace per node, src/cache_node.py:208, so cheap logical copies
+    * are the multi-tenant substitute): `dst` starts life at `src`'s
+    * current (or pinned) snapshot by referencing the SAME data and
+    * delete files — O(manifest) metadata, zero data bytes move.
+    * Lifecycles are independent from then on: commits to either side
+    * never touch the other (unlike a branch, the clone is a first-class
+    * table — own refs, branches, staging, expiry). Sticky bloom/sketch
+    * props carry, so index maintenance continues on the clone's future
+    * commits; existing sidecar references carry file-for-file.
+    *
+    * CAVEAT (shared with Delta shallow clones): the clone references
+    * files under the SOURCE's data directories, and vacuum reasons only
+    * about its own table root's liveness — expiring the cloned-from
+    * snapshot on the source and vacuuming its data dirs can delete
+    * files the clone still lists. Keep clones inside the source's
+    * retention window, or `compact` the clone (rewrites its live rows
+    * into its own directories) to sever the tie. */
+  def cloneTable(src: String, dst: String, fromSnapshotId: Option[Long] = None): SnapshotMeta = {
+    val s = fromSnapshotId.map(id => snapshotById(src, id).getOrElse(
+        throw new IllegalArgumentException(s"Snapshot $id not found for $src")))
+      .orElse(currentSnapshot(src))
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $src"))
+    val sticky = s.props.filter { case (k, _) =>
+      k == SnapshotCatalog.BloomColumnsProp || k == SnapshotCatalog.SketchColumnsProp }
+    publish(dst) { prev =>
+      if (prev.isDefined)
+        throw new IllegalStateException(s"table $dst already exists; clone targets must be new")
+      SnapshotMeta(
+        snapshotId = 1L,
+        timestampMs = clock(),
+        parentId = None,
+        schemaJson = s.schemaJson,
+        files = s.files,
+        props = sticky ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
+          SnapshotCatalog.ForkTableProp -> src,
+          SnapshotCatalog.ForkIdProp -> s.snapshotId.toString),
+        deleteFiles = s.deleteFiles)
+    }
+  }
+
   /** Branch names of a table (those with at least one committed
     * snapshot). One directory listing — O(branches). */
   def branches(table: String): Seq[String] = {

@@ -523,6 +523,43 @@ object Engine {
         |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  // Memoized clone catalog per sf-dir: orders committed, shallow-cloned,
+  // then BOTH sides mutated — the source takes an append the clone must
+  // not see, the clone takes a MoR delete the source must not feel. The
+  // benched/verified path is the clone read; independence of the source
+  // side is spec-asserted (CloneSpec).
+  private val cloneCats = TrieMap.empty[String, SnapshotCatalog]
+  private def cloneCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    cloneCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-clone-").toString
+      val cat = new SnapshotCatalog(tmp)
+      val orders = Tables.orders(s, dir)
+      Writers.writeRangedSnapshot(cat, "orders", orders, tmp, "o_orderkey", 4)
+      cat.cloneTable("orders", "orders_clone")
+      // source diverges: append rows the clone must never see
+      Writers.writeSnapshot(cat, "orders",
+        orders.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L)), tmp)
+      // clone diverges: MoR-mask the cheap tail (zero data-file rewrites)
+      Writers.deleteWhereMoR(s, cat, "orders_clone",
+        col("o_totalprice") < 30000.0,
+        Seq(RangeNum("o_totalprice", Double.NegativeInfinity, 30000.0)), tmp)
+      cat
+    })
+
+  /** Read through a zero-copy clone (SURVEY §2 S51): the clone pinned
+    * the source's snapshot by REFERENCE (no data copied), then both
+    * sides diverged — a source append the clone must not see, a
+    * clone-side MoR delete the source must not feel. The visible clone
+    * state must equal the oracle's plain-WHERE form over the ORIGINAL
+    * rows only. */
+  def qCloneRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = cloneCatFor(s, dir)
+    cat.read(s, "orders_clone")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
   // Memoized SQL-DML catalog per sf-dir: seeded with the even-key half
   // of orders, then mutated ENTIRELY through SQL on the extensions
   // session — INSERT INTO (odd half, from a parquet.`path` source),
@@ -597,6 +634,7 @@ object Engine {
     "q_rename_read" -> (qRenameRead _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_sql_dml" -> (qSqlDml _),
+    "q_clone_read" -> (qCloneRead _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
@@ -605,6 +643,11 @@ object Engine {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_clone_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice >= 30000
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_sql_dml" ->
       """WITH after_del AS (
         |  SELECT * FROM orders WHERE o_totalprice >= 50000),

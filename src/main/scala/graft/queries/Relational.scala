@@ -277,6 +277,28 @@ object Relational {
         sumMoney(col("c_acctbal")).as("sum_bal"))
   }
 
+  /** Window-function breadth (R48) — the SQL:2003 navigation/distribution
+    * battery beyond rank/running/ntile: lag/lead neighbors, percent_rank
+    * and cume_dist relative positions, and the partition's first value,
+    * all over one per-customer order-history window. The window key is
+    * made unique by (o_orderdate, o_orderkey), so every function is
+    * deterministic; the two distribution ratios are divisions of small
+    * ints in IEEE doubles, which hash-match any engine. Scale: one
+    * shuffle on o_custkey serves all five functions — Spark computes
+    * them in a single Window exec over the same sort. */
+  def qWindowMisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("first_date", first(col("o_orderdate")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("prev_price"),
+        col("next_price"), col("pct_rank"), col("cdist"), col("first_date"))
+  }
+
   /** TPC-H Q2 shape: correlated min over a 4-way join — for each size-15
     * part, the EUROPE-supplied lineitems at that part's minimum price
     * (partsupp doesn't exist in this schema; lineitem is the
@@ -404,6 +426,7 @@ object Relational {
     "q_distinct" -> (qDistinct _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_misc" -> (qWindowMisc _),
     "q_rollup" -> (qRollup _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_in_subquery" -> (qInSubquery _),
@@ -577,6 +600,15 @@ object Relational {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders""".stripMargin,
+    "q_window_misc" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(o_orderdate) OVER w AS first_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price

@@ -263,7 +263,32 @@ object TrainPrep {
       .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens").cast("long").as("n_subwords"))
   }
 
+  /** Deterministic shuffle-shard export assignment (L41): the final step
+    * of a training-data pipeline — give every document a pseudo-random
+    * but fully REPRODUCIBLE position in a sharded export. A Lehmer-style
+    * multiplicative hash over the id ((id mod M) * 48271 mod M,
+    * M = 2^31-1) is the permutation: pure bigint arithmetic, so any
+    * engine (and any rerun) replays it bit-for-bit, unlike `rand()` or
+    * engine-specific hash builtins. Shard = hash mod nShards; position =
+    * row_number within the shard by (hash, id). Scale: the only data
+    * movement is the nShards-way hash shuffle and a per-shard sort —
+    * there is never a global sort; the export writer form is
+    * `.repartition(n, shard).sortWithinPartitions(hash, id)`. */
+  def shuffleShard(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val m = lit(2147483647L)
+    val h = ((col(idCol) % m) * lit(48271L)) % m
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs.select(col(idCol), h.as("__h"))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  def qShuffleShard(s: SparkSession, dir: String): DataFrame =
+    shuffleShard(Tables.documents(s, dir), "doc_id", 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_shard" -> (qShuffleShard _),
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_bigram_lift" -> (qBigramLift _),
     "q_chunk_docs" -> (qChunkDocs _),
@@ -282,6 +307,13 @@ object TrainPrep {
     s"CAST(('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "q_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, ((doc_id % 2147483647) * 48271) % 2147483647 AS hh
+        |  FROM documents)
+        |SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INT) AS pos
+        |FROM h""".stripMargin,
     "q_bigram_lift" ->
       """WITH d AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |u AS (SELECT unnest(ws) AS w FROM d),

@@ -1,0 +1,79 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import graft.sinks.Writers
+import org.apache.spark.sql.functions._
+
+/** Zero-copy table clone (S51): the clone pins the source's snapshot by
+  * reference (no data bytes move), then the two tables live independent
+  * lives — commits, deletes, refs and drops on one side never touch the
+  * other. */
+class CloneSpec extends SparkSpec {
+
+  private def keys(cat: SnapshotCatalog, table: String): Set[Long] =
+    cat.read(spark, table).select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+
+  test("clone reads the pinned state; both sides then diverge independently") {
+    val base = Files.createTempDirectory("graft-clone-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 50), s"$base/d")
+    val srcHead = cat.currentSnapshot("cust").get
+
+    val cloned = cat.cloneTable("cust", "cust2")
+    assert(cloned.snapshotId == 1L)
+    assert(cloned.props.get(SnapshotCatalog.ForkTableProp).contains("cust"))
+    assert(cloned.props.get(SnapshotCatalog.ForkIdProp).contains(srcHead.snapshotId.toString))
+    // zero-copy: the clone lists the SAME file paths, no new data files
+    assert(cloned.files.map(_.path) == srcHead.files.map(_.path))
+    assert(keys(cat, "cust2") == keys(cat, "cust"))
+    assert(cat.tables().contains("cust2"))
+
+    // source append: clone must not see it
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey").between(51, 60)), s"$base/d")
+    assert(keys(cat, "cust2") == c.filter(col("c_custkey") <= 50)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+
+    // clone-side MoR delete: source must not feel it
+    Writers.deleteWhereMoR(spark, cat, "cust2", col("c_custkey") <= 10,
+      Seq(RangeNum("c_custkey", Double.NegativeInfinity, 10.0)), s"$base/d")
+    assert(keys(cat, "cust2") == c.filter(col("c_custkey").between(11, 50))
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+    assert(keys(cat, "cust") == c.filter(col("c_custkey") <= 60)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+
+    // clone is a first-class table: own time travel back to the pin
+    assert(cat.read(spark, "cust2", snapshotId = Some(1L)).count() ==
+      c.filter(col("c_custkey") <= 50).count())
+
+    // dropping the clone leaves the source intact (shared files survive:
+    // drop removes metadata; data files remain live via the source)
+    assert(cat.dropTable("cust2"))
+    assert(!cat.tables().contains("cust2"))
+    assert(keys(cat, "cust") == c.filter(col("c_custkey") <= 60)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("clone pins a historical snapshot; sticky index props carry; name collisions refuse") {
+    val base = Files.createTempDirectory("graft-clone2-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey") <= 20), s"$base/d",
+      bloomColumns = Seq("c_custkey"))
+    val v1 = cat.currentSnapshot("cust").get
+    Writers.writeSnapshot(cat, "cust", c.filter(col("c_custkey").between(21, 40)), s"$base/d")
+
+    val pinned = cat.cloneTable("cust", "cust_v1", fromSnapshotId = Some(v1.snapshotId))
+    assert(keys(cat, "cust_v1") == c.filter(col("c_custkey") <= 20)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+    // sticky bloom columns carry so the clone keeps indexing new commits
+    assert(pinned.props.get(SnapshotCatalog.BloomColumnsProp).contains("c_custkey"))
+    // and the clone's files still reference the source's sidecars
+    assert(pinned.files.forall(_.blooms.nonEmpty))
+
+    intercept[IllegalStateException] { cat.cloneTable("cust", "cust_v1") }
+    intercept[IllegalArgumentException] { cat.cloneTable("nope", "x") }
+  }
+}
