@@ -38,7 +38,44 @@ object ScaleUp {
     val keys = keyCols.getOrElse(table, Nil)
     if (keys.isEmpty || copies <= 1) df
     else (0 until copies).map { i =>
-      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) * copies + i))
+      val keyed = keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) * copies + i))
+      // Population must grow in CONTENT, not just in keys: verbatim text
+      // copies give every doc `copies` exact clones, so LSH bucket width
+      // and candidate pairs grow quadratically in the copy count — a
+      // property of the cloning, not of a larger corpus (real pipelines
+      // exact-dedup clones away before near-dup). A per-copy suffix
+      // token keeps copies textually distinct while preserving each
+      // copy's INTERNAL near-dup structure; embeddings get a tiny
+      // deterministic per-copy nudge on one component for the same
+      // reason (identical vectors would make every ANN bucket a
+      // copies-wide tie).
+      table match {
+        case "documents" =>
+          // every 7th word (copy-rotated phase) gets a copy suffix: ~43%
+          // of 3-gram shingles differ between copies (each changed word
+          // kills the 3 windows covering it), dropping cross-copy
+          // jaccard to ~0.4 — below near-dup thresholds — while leaving
+          // within-copy similarity structure intact
+          keyed.withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              (w, p) => when((p + lit(i)) % 7 === 0, concat(w, lit(s"x$i")))
+                .otherwise(w)), " "))
+        case "embeddings" =>
+          // copy i's whole cloud shifts by +1.0 on component (i mod dim),
+          // then renormalizes: within-copy distances are preserved under
+          // the common shift (near-dup structure intact), while vectors
+          // from different copies land ~0.5 cosine apart — identical (or
+          // tiny-offset) copies would make every LSH/IVF bucket a
+          // copies-wide tie and near-dup candidate sets quadratic in the
+          // copy count
+          val shifted = transform(col("embedding"),
+            (v, p) => when(p === lit(i % 64), v + lit(1.0f)).otherwise(v))
+          val nrm = sqrt(aggregate(shifted, lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double")))
+          keyed.withColumn("embedding",
+            transform(shifted, v => (v.cast("double") / nrm).cast("float")))
+        case _ => keyed
+      }
     }.reduce(_ unionAll _)
   }
 

@@ -20,12 +20,21 @@ object Ann {
   val NumPlanes = 8
   val NumTables = 4
 
-  /** Fixed random hyperplanes (PRNG seed 7): per table, NumPlanes × Dim. */
-  private val planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
-    val rnd = new scala.util.Random(7)
-    IndexedSeq.fill(NumTables)(
-      IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(rnd.nextGaussian())))
-  }
+  /** Fixed random hyperplanes (PRNG seed 7), memoized per (tables, bits)
+    * geometry. The (NumTables, NumPlanes) instance is drawn in the exact
+    * fill order the original fixed array used, so every default-path
+    * bucket is bit-identical to before the geometry became adaptive. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, Int), IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]
+  private def planesFor(tables: Int, bits: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    planeCache.getOrElseUpdate((tables, bits), {
+      val rnd = new scala.util.Random(7)
+      IndexedSeq.fill(tables)(
+        IndexedSeq.fill(bits)(IndexedSeq.fill(Dim)(rnd.nextGaussian())))
+    })
+  private def planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    planesFor(NumTables, NumPlanes)
 
   /** Native codegen dot product (graft.functions.VecDot): identical
     * semantics to the zip_with+aggregate formulation (sequential double
@@ -38,8 +47,10 @@ object Ann {
   def cosine(a: Column, b: Column): Column = graft.functions.VecFunctions.vecCosine(a, b)
 
   /** Sign-bit bucket of `vec` in hash table `t`. */
-  def lshBucket(vec: Column, t: Int): Column = {
-    val bits = planes(t).zipWithIndex.map { case (p, i) =>
+  def lshBucket(vec: Column, t: Int): Column = lshBucket(vec, t, NumTables, NumPlanes)
+
+  private def lshBucket(vec: Column, t: Int, tables: Int, nBits: Int): Column = {
+    val bits = planesFor(tables, nBits)(t).zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       when(dot(vec, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
     }
@@ -49,10 +60,14 @@ object Ann {
   /** Corpus side: one (table, bucket) row per hash table. The bucket
     * array materializes as a column FIRST so each dot-product family is
     * computed once, not once per exploded struct. */
-  private def withTableBuckets(df: DataFrame, vec: String): DataFrame = {
+  private def withTableBuckets(
+      df: DataFrame,
+      vec: String,
+      tables: Int = NumTables,
+      nBits: Int = NumPlanes): DataFrame = {
     val withB = df.withColumn("__buckets",
-      array((0 until NumTables).map(t => lshBucket(col(vec), t)): _*))
-    val entries = (0 until NumTables).map(t =>
+      array((0 until tables).map(t => lshBucket(col(vec), t, tables, nBits)): _*))
+    val entries = (0 until tables).map(t =>
       struct(lit(t).as("tbl"), col("__buckets").getItem(t).as("bucket")))
     withB.withColumn("tb", explode(array(entries: _*)))
       .withColumn("tbl", col("tb.tbl"))
@@ -251,17 +266,33 @@ object Ann {
   }
 
   /** Embedding near-dup pairs (L5): multi-table same-bucket candidates
-    * verified at exact cosine ≥ `threshold`. */
+    * verified at exact cosine ≥ `threshold`.
+    *
+    * SCALE: the same-bucket SELF-join is quadratic per bucket, so fixed
+    * bucket bits are a time bomb — 2^8 buckets over N vectors cost
+    * N²/256 comparisons no matter how big N gets (the sf10 sweep
+    * measured exactly that blowup). Bits are therefore sized to the
+    * corpus for a target expected bucket width W: buckets ≈ N/W keeps
+    * candidates ≈ tables·N·W/2 — LINEAR in N. Finer buckets lower
+    * per-table recall for a fixed pair, so every 2 extra bits add a
+    * table (the standard LSH recall repair; table cost is linear).
+    * The one count() action prices the geometry, like any ANN index
+    * build. */
   def cosineNearDup(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      targetBucketWidth: Int = 32): DataFrame = {
     // same-bucket only (no bit-flip probes): for true near-dups
-    // (cos→1) four independent tables already give ~90% recall, and the
+    // (cos→1) independent tables already give ~90% recall, and the
     // probe fan-out would multiply candidates 9x for marginal gain
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed = withTableBuckets(base, "vec").drop("vec")
+    val n = base.count()
+    val nBits = math.min(24, math.max(NumPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketWidth)) / math.log(2.0)).toInt))
+    val tables = NumTables + math.max(0, (nBits - NumPlanes) / 2)
+    val bucketed = withTableBuckets(base, "vec", tables, nBits).drop("vec")
     val pairs = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&

@@ -159,20 +159,27 @@ object TrainPrep {
 
   /** Per-document key terms: top-3 words by a tf/df importance score
     * (integer-scaled, so cross-engine exact — the tf-idf family's
-    * ordering without float logarithms). ONE scan: per-(doc, term) tf,
-    * then document frequency as a count window over the same rows (no
-    * second aggregation of the token stream — plan-audited, the naive
-    * tf⋈df self-join scans and aggregates the corpus twice), then the
-    * per-doc top-k window; every stage is linear in (doc, term) rows. */
+    * ordering without float logarithms). ONE token-stream scan: per-
+    * (doc, term) tf, then document frequency as a groupBy over those
+    * SAME rows (the tf exchange is reused, not a second corpus scan)
+    * joined back on term, then the per-doc top-k window.
+    *
+    * df was previously a `count over (partition by term)` window —
+    * WindowExec materializes whole partitions, and term partitions are
+    * maximally skewed (every stopword lands in one partition, ~N_docs
+    * rows), which went 162× at the 100× sweep. The agg+join form
+    * collapses hot terms map-side (partial aggregation) and leaves the
+    * residual term join to AQE's skew splitting — the per-doc window
+    * that remains is bounded by document length, never corpus shape. */
   def qTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val wDf = Window.partitionBy(col("term"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(df, "term")
       .withColumn("score", expr("(tf * 1000000L) div df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
