@@ -412,11 +412,19 @@ object Dedup {
       queryPred: Column,
       threshold: Double,
       numBands: Int = NumBands): DataFrame = {
+    // the shingle pipeline (split → hash → sort) feeds THREE consumers:
+    // the band derivation and both sides of the verify join. As a pure
+    // map-side plan Spark recomputes it per consumer (3 corpus scans);
+    // pinning an id-hash exchange under it lets ReuseExchange compute it
+    // ONCE and replay the shuffle files for the other two — one extra
+    // shuffle of (id, shingle-array) rows buys back two full
+    // tokenize+hash passes, the dominant cost at corpus scale
     val sh = docs
       .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("__w"))
       .filter(size(col("__w")) >= 3)
       .select(col("id"), shinglesFromWords(col("__w")).as("sh"))
       .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
+      .repartition(col("id"))
     val banded = sh
       .select(col("id"), minhashSignatureFromHashes(col("sh")).as("sig"))
       .select(col("id"), explode(array(bandStructs(col("sig"), numBands): _*)).as("b"))

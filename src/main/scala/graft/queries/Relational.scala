@@ -233,13 +233,20 @@ object Relational {
   }
 
   /** TPC-H Q17 shape: correlated per-group average — lineitems below
-    * 40% of their part's average quantity (decimal-exact per-part avg,
-    * broadcast back into the fact scan). */
+    * 40% of their part's average quantity (decimal-exact per-part avg).
+    * The correlation key IS the grouping key, so the per-part average
+    * is a WINDOW over the partkey shuffle rather than an aggregate
+    * joined back: ONE lineitem shuffle total, no join, and window
+    * partition width is bounded by lineitems-per-part (never corpus
+    * shape). The previous broadcast-hinted agg-join was faster only
+    * while one-row-per-part fit the broadcast budget — ~2M parts at the
+    * 100× sweep already pressed the threshold, and at 100 TB the hint
+    * forces an OOM where this form just scales with the shuffle. */
   def qCorrelatedAvg(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
-    val perPart = l.groupBy(col("l_partkey").as("pk"))
-      .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-    l.join(broadcast(perPart), col("l_partkey") === col("pk"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
+      .withColumn("avg_qty",
+        sum(money(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w))
       .filter(col("l_quantity") < col("avg_qty") * 0.4)
       .agg(
         sumMoney(col("l_extendedprice")).as("total_price"),
