@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // temp view; plain names resolve in the normal batch, after
     // builtins had their chance.
     ext.injectHintResolutionRule(session => new graft.sql.GraftTimeTravelRule(session))
+    // metadata-only COUNT folding must precede the relation rule: once
+    // the scan subtree is substituted the count shape is gone — and it
+    // sits in the normal batch so temp views still win plain names
+    ext.injectResolutionRule(session => new graft.sql.GraftMetaCountRule(session))
     ext.injectResolutionRule(session => new graft.sql.GraftCatalogRelationRule(session))
     // SQL DML (INSERT/DELETE/MERGE) on catalog tables — claimed in the
     // hint batch so the builtin v2 analyzer never rejects the target;

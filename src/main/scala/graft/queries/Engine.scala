@@ -523,6 +523,28 @@ object Engine {
         |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  // Memoized metadata-count catalog per sf-dir: full orders committed
+  // once; the benched/verified path is the manifest-answered COUNT.
+  private val metaCountRoots = TrieMap.empty[String, String]
+  private def metaCountRootFor(s: SparkSession, dir: String): String =
+    metaCountRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-metacount-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "countorders", Tables.orders(s, dir),
+        Files.createTempDirectory("graft-metacount-data-").toString)
+      root
+    })
+
+  /** Metadata-only COUNT (SURVEY §2 S52): a global COUNT(*) / COUNT(col)
+    * over a catalog table folds to the snapshot's manifest row counts —
+    * zero data files opened (plan-asserted in `GraftSqlResolutionSpec`);
+    * the values must equal the oracle's real scan. */
+  def qMetaCount(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, metaCountRootFor(s, dir))
+    es.sql("SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_keys FROM countorders")
+  }
+
   // Memoized clone catalog per sf-dir: orders committed, shallow-cloned,
   // then BOTH sides mutated — the source takes an append the clone must
   // not see, the clone takes a MoR delete the source must not feel. The
@@ -635,6 +657,7 @@ object Engine {
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_sql_dml" -> (qSqlDml _),
     "q_clone_read" -> (qCloneRead _),
+    "q_meta_count" -> (qMetaCount _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
@@ -643,6 +666,8 @@ object Engine {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_meta_count" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_keys FROM orders",
     "q_clone_read" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price

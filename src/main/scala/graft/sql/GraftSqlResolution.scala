@@ -282,6 +282,115 @@ class GraftTimeTravelRule(val session: SparkSession)
   }
 }
 
+/** Metadata-only aggregates (SURVEY §2 S52; the Iceberg/Delta
+  * count-from-manifests optimization): a global `SELECT COUNT(*)` /
+  * `COUNT(col)` over a catalog table answers from the snapshot's
+  * manifest row counts — ZERO data files opened, the plan collapses to
+  * a one-row LocalRelation. At 100 TB this turns the most common
+  * sanity query a pipeline runs ("how many rows landed?") from a
+  * full-corpus scan into a metadata lookup.
+  *
+  * SOUND BY CONSTRUCTION — the rule fires only when manifest counts
+  * are exact table counts:
+  *  - no outstanding delete files (MoR masks make manifest totals
+  *    over-counts; the scan path stays correct, so just don't fire);
+  *  - `COUNT(col)` additionally needs every file to carry a non-null
+  *    count for the column (nullCount stats): count = rows − nulls;
+  *  - no WHERE (a Filter child breaks the match), no GROUP BY (the
+  *    parser emits Aggregate, not Project, for grouped queries), no
+  *    DISTINCT / FILTER clause, no expression arguments.
+  * Injected in the normal resolution batch AFTER builtins — a temp
+  * view shadowing the name resolves first and the rule never sees an
+  * UnresolvedRelation — and BEFORE [[GraftCatalogRelationRule]], which
+  * would otherwise substitute the scan subtree in the same pass. */
+class GraftMetaCountRule(val session: SparkSession) extends Rule[LogicalPlan] {
+  import GraftSqlResolution._
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+
+  /** `Some(None)` = count(*) / count(lit); `Some(Some(col))` = count(col).
+    * Matched in BOTH shapes the rule can encounter: the parser's
+    * UnresolvedFunction, and the post-`ResolveFunctions` /
+    * `GlobalAggregates` AggregateExpression(Count) — the builtins run
+    * earlier in the same resolution-batch iteration, so by the time an
+    * extended rule sees a global count it is usually already an
+    * `Aggregate` node over the still-unresolved relation. */
+  private def countTarget(e: Expression): Option[Option[String]] = e match {
+    case uf: UnresolvedFunction
+        if uf.nameParts.map(_.toLowerCase) == Seq("count") &&
+          !uf.isDistinct && uf.filter.isEmpty =>
+      uf.arguments match {
+        case Seq(_: UnresolvedStar) => Some(None)
+        case Seq(Literal(_, dt)) if dt == IntegerType || dt == LongType => Some(None)
+        case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
+          Some(Some(a.nameParts.head))
+        case _ => None
+      }
+    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(_, dt))) if dt == IntegerType || dt == LongType => Some(None)
+        case Count(Seq(a: UnresolvedAttribute)) if a.nameParts.size == 1 =>
+          Some(Some(a.nameParts.head))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Output name + target per projection entry; unaliased `count(col)`
+    * is skipped (its analyzer-assigned pretty name is not worth
+    * reproducing), unaliased `count(*)` keeps the canonical `count(1)`. */
+  private def entryOf(e: NamedExpression): Option[(String, Option[String])] = e match {
+    case al: Alias => countTarget(al.child).map(t => al.name -> t)
+    case ua: UnresolvedAlias =>
+      countTarget(ua.child).collect { case None => "count(1)" -> None }
+    case _ => None
+  }
+
+  private def metaCounts(
+      cat: SnapshotCatalog, table: String,
+      projList: Seq[NamedExpression]): Option[LogicalPlan] = {
+    val snap = cat.currentSnapshot(table).getOrElse(return None)
+    if (snap.deleteFiles.nonEmpty || projList.isEmpty) return None
+    val entries = projList.map(entryOf)
+    if (entries.exists(_.isEmpty)) return None
+    val total = snap.totalRows
+    val values = entries.flatten.map {
+      case (name, None) => Some(name -> total)
+      case (name, Some(colName)) =>
+        val field = snap.schema.fields.find(_.name.equalsIgnoreCase(colName))
+        field.flatMap { f =>
+          val nulls = snap.files.map(_.stats.get(f.name).flatMap(_.nullCount))
+          if (nulls.exists(_.isEmpty)) None
+          else Some(name -> (total - nulls.flatten.sum))
+        }
+    }
+    if (values.exists(_.isEmpty)) return None
+    val out = values.flatten
+    val attrs = out.map { case (n, _) => AttributeReference(n, LongType, nullable = false)() }
+    Some(LocalRelation(attrs, Seq(InternalRow.fromSeq(out.map(_._2)))))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rootOf(session) match {
+    case None => plan
+    case Some(root) =>
+      val cat = catalogFor(root)
+      def claimed(p: LogicalPlan): Option[String] = p match {
+        case u: UnresolvedRelation => claimedTable(u.multipartIdentifier, cat)
+        case SubqueryAlias(_, u: UnresolvedRelation) => claimedTable(u.multipartIdentifier, cat)
+        case _ => None
+      }
+      plan.resolveOperatorsDown {
+        case p: Project if claimed(p.child).isDefined =>
+          metaCounts(cat, claimed(p.child).get, p.projectList).getOrElse(p)
+        case a: Aggregate if a.groupingExpressions.isEmpty && claimed(a.child).isDefined =>
+          metaCounts(cat, claimed(a.child).get, a.aggregateExpressions).getOrElse(a)
+      }
+  }
+}
+
 /** Plain-name fallback: `FROM t` (or `FROM graft.t`) resolves to the
   * catalog's CURRENT snapshot when nothing else claimed the name —
   * injected in the normal resolution batch, so builtin temp-view /

@@ -162,4 +162,52 @@ class GraftSqlResolutionSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("cannot be found") ||
       err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
+
+  private def hasFileScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty
+
+  test("metadata-only COUNT answers from manifests without opening a data file (S52)") {
+    setup()
+    val df = ext.sql("SELECT COUNT(*) AS n, COUNT(c_name) AS n_names FROM cust")
+    assert(!hasFileScan(df), "expected the plan to fold to a LocalRelation")
+    val r = df.head()
+    assert(r.getLong(0) == 25 && r.getLong(1) == 25)
+    // unaliased star keeps the canonical name and value
+    assert(ext.sql("SELECT COUNT(*) FROM cust").head().getLong(0) == 25)
+    // WHERE breaks the shape: scan path, still correct
+    val filtered = ext.sql("SELECT COUNT(*) AS n FROM cust WHERE c_custkey <= 10")
+    assert(hasFileScan(filtered))
+    assert(filtered.head().getLong(0) == 10)
+    // GROUP BY parses as Aggregate, not Project: scan path
+    val grouped = ext.sql("SELECT c_nationkey, COUNT(*) AS n FROM cust GROUP BY c_nationkey")
+    assert(hasFileScan(grouped))
+    assert(grouped.agg(sum(col("n"))).head().getLong(0) == 25)
+    // DISTINCT is never a manifest fact: scan path
+    assert(hasFileScan(ext.sql("SELECT COUNT(DISTINCT c_nationkey) AS d FROM cust")))
+  }
+
+  test("metadata COUNT subtracts null stats exactly and yields to the scan under MoR deletes") {
+    setup()
+    val c = graft.Tables.customer(spark, sfDir).filter(col("c_custkey") <= 40)
+      .withColumn("maybe", when(col("c_custkey") % 3 === 0, col("c_name")))
+    val expectTotal = c.count()
+    val expectNonNull = c.filter(col("maybe").isNotNull).count()
+    Writers.writeSnapshot(writeCat, "mc", c, dataDir)
+
+    val df = ext.sql("SELECT COUNT(*) AS n, COUNT(maybe) AS nm FROM mc")
+    assert(!hasFileScan(df))
+    val r = df.head()
+    assert(r.getLong(0) == expectTotal && r.getLong(1) == expectNonNull)
+
+    // outstanding MoR masks make manifest totals over-counts: the rule
+    // must yield to the (correct) scan path
+    Writers.deleteWhereMoR(spark, writeCat, "mc", col("c_custkey") <= 5,
+      Seq(graft.meta.RangeNum("c_custkey", Double.NegativeInfinity, 5.0)), dataDir)
+    val masked = ext.sql("SELECT COUNT(*) AS n FROM mc")
+    assert(hasFileScan(masked), "masked table must count through the scan")
+    assert(masked.head().getLong(0) ==
+      c.filter(col("c_custkey") > 5).count())
+  }
 }
