@@ -61,15 +61,21 @@ object ScaleUp {
               (w, p) => when((p + lit(i)) % 7 === 0, concat(w, lit(s"x$i")))
                 .otherwise(w)), " "))
         case "embeddings" =>
-          // copy i's whole cloud shifts by +1.0 on component (i mod dim),
-          // then renormalizes: within-copy distances are preserved under
-          // the common shift (near-dup structure intact), while vectors
-          // from different copies land ~0.5 cosine apart — identical (or
-          // tiny-offset) copies would make every LSH/IVF bucket a
-          // copies-wide tie and near-dup candidate sets quadratic in the
-          // copy count
+          // copy i's whole cloud shifts on component (i mod dim), then
+          // renormalizes: within-copy distances are preserved under the
+          // common shift (near-dup structure intact), while vectors
+          // from different copies land far apart in cosine — identical
+          // (or tiny-offset) copies would make every LSH/IVF bucket a
+          // copies-wide tie and near-dup candidate sets quadratic in
+          // the copy count. The shift MAGNITUDE grows with floor(i/dim)
+          // so the transform is injective in i past dim copies (copies
+          // i and i+dim would otherwise be exact clones), and dim comes
+          // from the array itself, not a hardcoded 64.
+          val dimC = size(col("embedding"))
           val shifted = transform(col("embedding"),
-            (v, p) => when(p === lit(i % 64), v + lit(1.0f)).otherwise(v))
+            (v, p) => when(p === pmod(lit(i), dimC),
+              v + (lit(1.0d) + floor(lit(i).cast("double") / dimC)).cast("float"))
+              .otherwise(v))
           val nrm = sqrt(aggregate(shifted, lit(0.0d),
             (acc, x) => acc + x.cast("double") * x.cast("double")))
           keyed.withColumn("embedding",

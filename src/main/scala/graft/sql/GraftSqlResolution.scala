@@ -250,6 +250,27 @@ private[sql] trait GraftResolutionSupport { self: Rule[LogicalPlan] =>
 class GraftTimeTravelRule(val session: SparkSession)
     extends Rule[LogicalPlan] with GraftResolutionSupport {
   import GraftSqlResolution._
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+
+  /** The snapshot a VERSION/TIMESTAMP AS OF spec denotes — used for
+    * metadata-only COUNT folding; read resolution has its own path. */
+  private def snapshotFor(
+      cat: SnapshotCatalog, table: String,
+      ts: Option[Expression], ver: Option[String]): Option[graft.meta.SnapshotMeta] =
+    (ts, ver) match {
+      case (Some(expr), None) =>
+        scala.util.Try(evalAsOfMillis(session, expr)).toOption
+          .flatMap(cat.snapshotAsOf(table, _))
+      case (None, Some(v)) => v.toLongOption match {
+        case Some(id) => cat.snapshotById(table, id)
+        case None => cat.snapshotByTag(table, v).orElse {
+          if (cat.branches(table).contains(v))
+            cat.currentSnapshot(cat.branchRef(table, v))
+          else None
+        }
+      }
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = rootOf(session) match {
     case None => plan
@@ -261,9 +282,32 @@ class GraftTimeTravelRule(val session: SparkSession)
             claimedTable(u.multipartIdentifier, cat).map((_, ts, ver))
           case _ => None
         }
+      // a global COUNT over an AS OF relation is exactly as manifest-
+      // answerable as the current-snapshot form (S52): the historical
+      // snapshot's row totals are immutable facts. Same soundness
+      // gates (no deletes at that snapshot, null stats, no
+      // WHERE/GROUP BY/HAVING); on any miss the normal substitution
+      // below still produces the correct scan.
+      val canFoldCounts = !GraftMetaCount.hasPendingHaving(plan)
+      def foldTT(child: LogicalPlan,
+          projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Option[LogicalPlan] = {
+        if (!canFoldCounts) return None
+        val unaliased = child match {
+          case SubqueryAlias(_, inner) => inner
+          case other => other
+        }
+        claimedTT(unaliased).flatMap { case (t, ts, ver) =>
+          snapshotFor(cat, t, ts, ver).flatMap(GraftMetaCount.fold(session, _, projList))
+        }
+      }
       // top-down so the Filter-above-relation shape is seen before the
       // bare relation underneath it
       plan.resolveOperatorsDown {
+        case p: Project if foldTT(p.child, p.projectList).isDefined =>
+          foldTT(p.child, p.projectList).get
+        case a: Aggregate if a.groupingExpressions.isEmpty &&
+            foldTT(a.child, a.aggregateExpressions).isDefined =>
+          foldTT(a.child, a.aggregateExpressions).get
         case f @ Filter(cond, child) =>
           child match {
             case tt if claimedTT(tt).isDefined =>
@@ -282,37 +326,20 @@ class GraftTimeTravelRule(val session: SparkSession)
   }
 }
 
-/** Metadata-only aggregates (SURVEY §2 S52; the Iceberg/Delta
-  * count-from-manifests optimization): a global `SELECT COUNT(*)` /
-  * `COUNT(col)` over a catalog table answers from the snapshot's
-  * manifest row counts — ZERO data files opened, the plan collapses to
-  * a one-row LocalRelation. At 100 TB this turns the most common
-  * sanity query a pipeline runs ("how many rows landed?") from a
-  * full-corpus scan into a metadata lookup.
-  *
-  * SOUND BY CONSTRUCTION — the rule fires only when manifest counts
-  * are exact table counts:
-  *  - no outstanding delete files (MoR masks make manifest totals
-  *    over-counts; the scan path stays correct, so just don't fire);
-  *  - `COUNT(col)` additionally needs every file to carry a non-null
-  *    count for the column (nullCount stats): count = rows − nulls;
-  *  - no WHERE (a Filter child breaks the match), no GROUP BY (the
-  *    parser emits Aggregate, not Project, for grouped queries), no
-  *    DISTINCT / FILTER clause, no expression arguments.
-  * Injected in the normal resolution batch AFTER builtins — a temp
-  * view shadowing the name resolves first and the rule never sees an
-  * UnresolvedRelation — and BEFORE [[GraftCatalogRelationRule]], which
-  * would otherwise substitute the scan subtree in the same pass. */
-class GraftMetaCountRule(val session: SparkSession) extends Rule[LogicalPlan] {
-  import GraftSqlResolution._
+/** Metadata-only aggregate folding shared by [[GraftMetaCountRule]]
+  * (current snapshot) and [[GraftTimeTravelRule]] (a historical
+  * snapshot — `SELECT COUNT(*) FROM t VERSION AS OF v` is exactly as
+  * manifest-answerable as the current-snapshot form, and at 100 TB
+  * "how many rows did snapshot v have?" should never open a footer). */
+private[sql] object GraftMetaCount {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
   import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 
   /** `Some(None)` = count(*) / count(lit); `Some(Some(col))` = count(col).
-    * Matched in BOTH shapes the rule can encounter: the parser's
+    * Matched in BOTH shapes the rules can encounter: the parser's
     * UnresolvedFunction, and the post-`ResolveFunctions` /
     * `GlobalAggregates` AggregateExpression(Count) — the builtins run
     * earlier in the same resolution-batch iteration, so by the time an
@@ -349,18 +376,29 @@ class GraftMetaCountRule(val session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def metaCounts(
-      cat: SnapshotCatalog, table: String,
+  /** Fold an all-count projection over `snap` to a one-row
+    * LocalRelation, or None when the shape/stats don't qualify. */
+  def fold(
+      session: SparkSession,
+      snap: graft.meta.SnapshotMeta,
       projList: Seq[NamedExpression]): Option[LogicalPlan] = {
-    val snap = cat.currentSnapshot(table).getOrElse(return None)
     if (snap.deleteFiles.nonEmpty || projList.isEmpty) return None
     val entries = projList.map(entryOf)
     if (entries.exists(_.isEmpty)) return None
     val total = snap.totalRows
+    // field binding honors the session's case sensitivity: with
+    // spark.sql.caseSensitive=true a wrong-cased COUNT(col) must fall
+    // through to the scan (where analysis raises column-not-found), and
+    // an ambiguous case-differing match must never bind to the wrong
+    // field's null stats
+    val resolver = session.sessionState.conf.resolver
     val values = entries.flatten.map {
       case (name, None) => Some(name -> total)
       case (name, Some(colName)) =>
-        val field = snap.schema.fields.find(_.name.equalsIgnoreCase(colName))
+        val field = snap.schema.fields.filter(f => resolver(f.name, colName)) match {
+          case Array(one) => Some(one)
+          case _ => None
+        }
         field.flatMap { f =>
           val nulls = snap.files.map(_.stats.get(f.name).flatMap(_.nullCount))
           if (nulls.exists(_.isEmpty)) None
@@ -373,8 +411,46 @@ class GraftMetaCountRule(val session: SparkSession) extends Rule[LogicalPlan] {
     Some(LocalRelation(attrs, Seq(InternalRow.fromSeq(out.map(_._2)))))
   }
 
+  /** A HAVING without GROUP BY parses as UnresolvedHaving over a
+    * Project/Aggregate; folding the child first would resolve the
+    * HAVING's own COUNT(*) against the one-row LocalRelation (count=1)
+    * — wrong rows. Any pending HAVING in the tree means the shape is
+    * not the plain global-count these rules fold, so leave the whole
+    * plan to the scan path (conservative: semantics stay exact there). */
+  def hasPendingHaving(plan: LogicalPlan): Boolean = plan.collectFirst {
+    case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h
+  }.isDefined
+}
+
+/** Metadata-only aggregates (SURVEY §2 S52; the Iceberg/Delta
+  * count-from-manifests optimization): a global `SELECT COUNT(*)` /
+  * `COUNT(col)` over a catalog table answers from the snapshot's
+  * manifest row counts — ZERO data files opened, the plan collapses to
+  * a one-row LocalRelation. At 100 TB this turns the most common
+  * sanity query a pipeline runs ("how many rows landed?") from a
+  * full-corpus scan into a metadata lookup.
+  *
+  * SOUND BY CONSTRUCTION — the rule fires only when manifest counts
+  * are exact table counts:
+  *  - no outstanding delete files (MoR masks make manifest totals
+  *    over-counts; the scan path stays correct, so just don't fire);
+  *  - `COUNT(col)` additionally needs every file to carry a non-null
+  *    count for the column (nullCount stats): count = rows − nulls;
+  *  - no WHERE (a Filter child breaks the match), no GROUP BY (the
+  *    parser emits Aggregate, not Project, for grouped queries), no
+  *    DISTINCT / FILTER clause, no expression arguments, no pending
+  *    HAVING anywhere in the plan.
+  * Injected in the normal resolution batch AFTER builtins — a temp
+  * view shadowing the name resolves first and the rule never sees an
+  * UnresolvedRelation — and BEFORE [[GraftCatalogRelationRule]], which
+  * would otherwise substitute the scan subtree in the same pass. */
+class GraftMetaCountRule(val session: SparkSession) extends Rule[LogicalPlan] {
+  import GraftSqlResolution._
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+
   override def apply(plan: LogicalPlan): LogicalPlan = rootOf(session) match {
     case None => plan
+    case Some(root) if GraftMetaCount.hasPendingHaving(plan) => plan
     case Some(root) =>
       val cat = catalogFor(root)
       def claimed(p: LogicalPlan): Option[String] = p match {
@@ -382,11 +458,13 @@ class GraftMetaCountRule(val session: SparkSession) extends Rule[LogicalPlan] {
         case SubqueryAlias(_, u: UnresolvedRelation) => claimedTable(u.multipartIdentifier, cat)
         case _ => None
       }
+      def fold(table: String, projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) =
+        cat.currentSnapshot(table).flatMap(GraftMetaCount.fold(session, _, projList))
       plan.resolveOperatorsDown {
         case p: Project if claimed(p.child).isDefined =>
-          metaCounts(cat, claimed(p.child).get, p.projectList).getOrElse(p)
+          fold(claimed(p.child).get, p.projectList).getOrElse(p)
         case a: Aggregate if a.groupingExpressions.isEmpty && claimed(a.child).isDefined =>
-          metaCounts(cat, claimed(a.child).get, a.aggregateExpressions).getOrElse(a)
+          fold(claimed(a.child).get, a.aggregateExpressions).getOrElse(a)
       }
   }
 }

@@ -210,4 +210,62 @@ class GraftSqlResolutionSpec extends SparkSpec {
     assert(masked.head().getLong(0) ==
       c.filter(col("c_custkey") > 5).count())
   }
+
+  test("metadata COUNT never folds under a pending HAVING") {
+    setup()
+    // HAVING without GROUP BY: folding the child Project first would
+    // resolve the HAVING's COUNT(*) against the one-row LocalRelation
+    // (count=1) and return wrong rows — the rule must yield to the scan
+    val kept = ext.sql("SELECT COUNT(*) AS n FROM cust HAVING COUNT(*) > 10")
+    assert(hasFileScan(kept), "HAVING query must go through the scan path")
+    assert(kept.count() == 1 && kept.head().getLong(0) == 25)
+    val dropped = ext.sql("SELECT COUNT(*) AS n FROM cust HAVING COUNT(*) > 100")
+    assert(dropped.count() == 0, "HAVING must actually filter the global count row")
+  }
+
+  test("metadata COUNT(col) honors spark.sql.caseSensitive") {
+    setup()
+    // default (insensitive): wrong-cased column still folds
+    val insensitive = ext.sql("SELECT COUNT(C_NAME) AS n FROM cust")
+    assert(!hasFileScan(insensitive) && insensitive.head().getLong(0) == 25)
+    ext.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      // case-sensitive: the fold must not claim the wrong-cased name;
+      // normal analysis then raises column-not-found
+      val err = intercept[Exception] {
+        ext.sql("SELECT COUNT(C_NAME) AS n FROM cust").collect()
+      }
+      assert(err.getMessage.contains("C_NAME") ||
+        err.getMessage.contains("UNRESOLVED_COLUMN"))
+      // exact-cased still folds under case sensitivity
+      val exact = ext.sql("SELECT COUNT(c_name) AS n FROM cust")
+      assert(!hasFileScan(exact) && exact.head().getLong(0) == 25)
+    } finally ext.conf.set("spark.sql.caseSensitive", "false")
+  }
+
+  test("metadata COUNT folds under time travel (VERSION/TIMESTAMP AS OF)") {
+    setup()
+    // snapshot id
+    val v1 = ext.sql("SELECT COUNT(*) AS n FROM cust VERSION AS OF 1")
+    assert(!hasFileScan(v1), "AS OF count should fold from that snapshot's manifests")
+    assert(v1.head().getLong(0) == 10)
+    // tag + branch + COUNT(col) via null stats
+    val tagged = ext.sql("SELECT COUNT(*) AS n, COUNT(c_name) AS nn FROM cust VERSION AS OF 'validated'")
+    assert(!hasFileScan(tagged))
+    val tr = tagged.head()
+    assert(tr.getLong(0) == 10 && tr.getLong(1) == 10)
+    val branched = ext.sql("SELECT COUNT(*) AS n FROM cust VERSION AS OF 'dev'")
+    assert(!hasFileScan(branched) && branched.head().getLong(0) == 30)
+    // timestamp form
+    val asOfTs = ext.sql("SELECT COUNT(*) AS n FROM cust TIMESTAMP AS OF '1970-01-01 00:25:00'")
+    assert(!hasFileScan(asOfTs) && asOfTs.head().getLong(0) == 10)
+    // aliased relation folds too
+    val aliased = ext.sql("SELECT COUNT(*) AS n FROM cust VERSION AS OF 1 a")
+    assert(!hasFileScan(aliased) && aliased.head().getLong(0) == 10)
+    // WHERE breaks the fold but stays correct through the pruned scan
+    val filtered = ext.sql("SELECT COUNT(*) AS n FROM cust VERSION AS OF 2 WHERE c_custkey <= 12")
+    assert(hasFileScan(filtered) && filtered.head().getLong(0) == 12)
+    // non-count projection resolves normally
+    assert(ext.sql("SELECT c_name FROM cust VERSION AS OF 1").count() == 10)
+  }
 }
