@@ -270,12 +270,41 @@ object Relational {
   /** NTILE bucketing: customers split into balance quartiles with a
     * unique tiebreak (c_custkey), then profiled per bucket. The window
     * is deliberately GLOBAL — ntile needs a total order — so this is the
-    * bounded/reporting form; the scale path for quantile splits is the
-    * sketch-based `q_approx_stats`/`q_percentiles` family. */
+    * bounded/reporting ORACLE form; [[qNtileApprox]] is the scale twin
+    * (broadcast approx-quantile boundaries, map-side assignment, no
+    * WindowExec) to run at 100 TB. */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.customer(s, dir)
       .withColumn("bucket", ntile(4).over(w))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sumMoney(col("c_acctbal")).as("sum_bal"))
+  }
+
+  /** Scale-safe twin of [[qNtile]] (R47's 100 TB form): the exact NTILE
+    * needs a TOTAL order — one task sorts every row — so at scale the
+    * quartile split is done by VALUE boundaries instead: a one-row
+    * `percentile_approx` sketch (mergeable, one reduce) broadcasts the
+    * three quartile cut points, bucket assignment is a map-side
+    * comparison, and the profile is an ordinary hash aggregation. No
+    * WindowExec, no single-partition stage, one scan + one 4-group
+    * shuffle. Buckets are approximately-equal-sized rather than exactly
+    * ±1 (value-boundary semantics; ties share a bucket), which is the
+    * standard trade — the exact form stays beside it as the bounded/
+    * reporting oracle gate, mirroring q_profile / q_profile_approx. */
+  def qNtileApprox(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val bounds = c.agg(percentile_approx(
+      col("c_acctbal"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("bs"))
+    c.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        lit(1) + (col("c_acctbal") > col("bs")(0)).cast("int")
+          + (col("c_acctbal") > col("bs")(1)).cast("int")
+          + (col("c_acctbal") > col("bs")(2)).cast("int"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_cust"),
@@ -384,9 +413,20 @@ object Relational {
 
   /** TPC-H Q21 shape: double-EXISTS anti pattern — NATION_7 suppliers
     * whose returned ('R') lines sit in finished multi-supplier orders
-    * where NO other supplier had a return. Both the EXISTS (semi) and
-    * NOT EXISTS (anti) are joins on l_orderkey with a suppkey
-    * inequality residual — equi-keyed shuffles, never a cartesian. */
+    * where NO other supplier had a return.
+    *
+    * SINGLE-SCAN form: both the EXISTS ("another supplier has a line in
+    * this order") and the NOT EXISTS ("no other supplier has an R line")
+    * are facts about the ORDER's per-supplier profile, so one pass
+    * computes them: group lineitem by (l_orderkey, l_suppkey) counting
+    * each supplier's R lines, then per-order windows give the distinct
+    * supplier count and the count of R-flagged suppliers. A supplier's
+    * R lines survive iff the order has ≥2 suppliers and exactly one —
+    * itself — with a return. One lineitem scan and ONE shuffle: the
+    * explicit repartition on l_orderkey satisfies both the
+    * (l_orderkey, l_suppkey) aggregation (subset clustering) and the
+    * per-order window, so no second exchange; the naïve semi+anti plan
+    * scans lineitem three times and shuffles each copy. */
   def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
     val supN = Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
@@ -394,21 +434,21 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"))
     val ordersF = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"))
-    val l1 = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey"))
+    val perSupp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("is_r")).as("n_r"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_r_supp", sum((col("n_r") > 0).cast("int")).over(w))
+      .filter(col("n_r") > 0 && col("n_supp") >= 2 && col("n_r_supp") === 1)
       .join(ordersF, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-    val others = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
-    val othersR = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
-    l1
-      .join(others, col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
-        "left_semi")
-      .join(othersR, col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
-        "left_anti")
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_r")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
@@ -420,6 +460,7 @@ object Relational {
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_listagg" -> (qListagg _),
     "q_ntile" -> (qNtile _),
+    "q_ntile_approx" -> (qNtileApprox _),
     "q_outer_join" -> (qOuterJoin _),
     "q_correlated_avg" -> (qCorrelatedAvg _),
     "q1_agg" -> (q1Agg _),
