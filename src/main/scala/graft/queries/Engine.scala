@@ -628,6 +628,84 @@ object Engine {
         |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  // Memoized CTAS catalog per sf-dir: the table is CREATED through SQL
+  // (graft.<name> CTAS) from raw parquet — zero code-API writes.
+  private val ctasRoots = TrieMap.empty[String, String]
+  private def ctasRootFor(s: SparkSession, dir: String): String =
+    ctasRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-ctassql-").toString
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.conf.set(graft.sql.GraftDml.DataDirConf,
+        Files.createTempDirectory("graft-ctassql-data-").toString)
+      try es.sql(
+        s"""CREATE TABLE graft.ctasorders AS
+           |SELECT * FROM parquet.`$dir/orders.parquet` WHERE o_totalprice >= 80000""".stripMargin)
+      finally es.conf.unset(graft.sql.GraftDml.DataDirConf)
+      root
+    })
+
+  /** SQL-only table CREATION (the CTAS half of the S50 lifecycle): a
+    * table that exists only because `CREATE TABLE graft.t AS SELECT`
+    * ran, then aggregated through the same SQL surface. The oracle
+    * replays the CTAS predicate over raw parquet. */
+  def qCtasRead(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, ctasRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM ctasorders
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  // Memoized clause-merge catalog per sf-dir: even-key seed, then ONE
+  // conditional MERGE applies a CDC batch (delete / update / gated
+  // insert) through SQL.
+  private val mergeClauseRoots = TrieMap.empty[String, String]
+  private def mergeClauseRootFor(s: SparkSession, dir: String): String =
+    mergeClauseRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mrgcl-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "cdcorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0")),
+        Files.createTempDirectory("graft-mrgcl-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      val src = s"parquet.`$dir/orders.parquet`"
+      // op and the restated price both derive from the ORIGINAL price in
+      // an inner select — no same-SELECT alias reuse (lateral-alias
+      // binding differs across engines)
+      es.sql(
+        s"""MERGE INTO cdcorders t USING (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus,
+           |    newprice AS o_totalprice, o_orderdate, o_orderpriority, op
+           |  FROM (
+           |    SELECT *, o_totalprice + 50000 AS newprice,
+           |      CASE WHEN o_totalprice < 100000 THEN 'D' ELSE 'U' END AS op
+           |    FROM $src WHERE o_orderkey % 3 = 0)) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+      root
+    })
+
+  /** Conditional multi-clause MERGE end-to-end through SQL (the
+    * CDC-apply idiom: matched-delete, matched-update, gated insert —
+    * first clause wins). The oracle replays the clause algebra over raw
+    * parquet; any mis-routing of a row between delete/update/insert
+    * shifts the aggregate and fails the hash. */
+  def qMergeClauses(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mergeClauseRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM cdcorders
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Arbitrary SQL through QueryEngine's registered corpus (SURVEY §2
     * S18) — the reference's `execute_query` path (src/sql/engine.py:66). */
   def qSqlEngine(s: SparkSession, dir: String): DataFrame =
@@ -656,6 +734,8 @@ object Engine {
     "q_rename_read" -> (qRenameRead _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_sql_dml" -> (qSqlDml _),
+    "q_ctas_read" -> (qCtasRead _),
+    "q_merge_clauses" -> (qMergeClauses _),
     "q_clone_read" -> (qCloneRead _),
     "q_meta_count" -> (qMetaCount _),
     "q_sql_engine" -> (qSqlEngine _))
@@ -668,6 +748,32 @@ object Engine {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_meta_count" ->
       "SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_keys FROM orders",
+    "q_ctas_read" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice >= 80000
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_merge_clauses" ->
+      """WITH seed AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 50000 AS newprice, o_orderdate, o_orderpriority,
+        |    CASE WHEN o_totalprice < 100000 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |finalstate AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM seed
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT o_orderkey, newprice AS o_totalprice, o_orderstatus FROM src
+        |  WHERE op = 'U' AND o_orderkey IN (SELECT o_orderkey FROM seed)
+        |  UNION ALL
+        |  SELECT o_orderkey, newprice AS o_totalprice, o_orderstatus FROM src
+        |  WHERE op <> 'D' AND o_orderkey NOT IN (SELECT o_orderkey FROM seed))
+        |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM finalstate
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_clone_read" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price

@@ -609,6 +609,143 @@ object Writers {
         removedPaths = affected)))
   }
 
+  /** A MERGE WHEN clause (the Delta/Iceberg multi-clause surface).
+    * Clause conditions are SOURCE-side predicates — the CDC-apply idiom
+    * (`WHEN MATCHED AND s.op = 'D' THEN DELETE`): each source row
+    * decides its own action, evaluated once, map-side. First matching
+    * clause wins (SQL MERGE clause order). */
+  sealed trait MatchedClause { def condition: Option[Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET * */
+  final case class MergeUpdateAll(condition: Option[Column] = None) extends MatchedClause
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  final case class MergeDelete(condition: Option[Column] = None) extends MatchedClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT * */
+  final case class MergeInsertAll(condition: Option[Column] = None)
+
+  /** Multi-clause MERGE (conditional update/delete/insert — the common
+    * CDC-apply shape Delta and Iceberg both ship): per matched target
+    * row the first holding matched-clause applies (update-all → source
+    * version replaces it; delete → it is dropped); per unmatched source
+    * row the first holding insert clause inserts. Target rows whose
+    * matched source row selects NO clause survive untouched.
+    *
+    * Same scale story as [[mergeInto]] (which stays the fast path for
+    * the canonical star shape, and to which this delegates when the
+    * clause list is exactly update-all + insert-all, unconditional):
+    * the rewrite set is manifest-bounded by the source key range; only
+    * affected files are read; untouched files keep their metadata.
+    * Clause conditions must be evaluable on the source row alone
+    * (columns of `source`, which may carry extra columns — e.g. a CDC
+    * `op` — beyond the target schema; they are dropped before write).
+    * Like mergeInto, the source must have at most one row per key.
+    *
+    * A delete-only merge needs only the key columns in `source`; any
+    * update/insert clause requires the full target schema. */
+  def mergeApply(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[MatchedClause],
+      notMatched: Seq[MergeInsertAll],
+      dataDir: String,
+      props: Map[String, String] = Map.empty): SnapshotMeta = {
+    require(keyCols.nonEmpty, "mergeApply needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs at least one WHEN clause")
+    (matched, notMatched) match {
+      case (Seq(MergeUpdateAll(None)), Seq(MergeInsertAll(None))) =>
+        return mergeInto(spark, catalog, table, source, keyCols, dataDir, props)
+      case _ =>
+    }
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val targetCols = current.schema.fieldNames.toSeq
+    val writesRows = matched.exists(_.isInstanceOf[MergeUpdateAll]) || notMatched.nonEmpty
+    if (writesRows)
+      require(targetCols.toSet.subsetOf(source.columns.toSet),
+        s"source is missing target columns: ${targetCols.toSet.diff(source.columns.toSet).mkString(", ")}")
+    else
+      require(keyCols.toSet.subsetOf(source.columns.toSet),
+        s"delete-only merge source is missing key columns: ${keyCols.toSet.diff(source.columns.toSet).mkString(", ")}")
+
+    // per-source-row clause selection, first-match-wins, ONE map-side
+    // expression ('u' update / 'd' delete / 'i' insert / 'n' none)
+    val mAct = matched.foldRight(lit("n")) { (cl, rest) =>
+      val act = cl match {
+        case _: MergeUpdateAll => "u"
+        case _: MergeDelete => "d"
+      }
+      when(cl.condition.getOrElse(lit(true)), lit(act)).otherwise(rest)
+    }
+    val nmAct = notMatched.foldRight(lit("n")) { (cl, rest) =>
+      when(cl.condition.getOrElse(lit(true)), lit("i")).otherwise(rest)
+    }
+    val src = source.withColumn("__m_act", mAct).withColumn("__nm_act", nmAct)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+
+    val affected = catalog.planFiles(table, keyBoundFilters(source, keyCols)).map(_.path)
+    val affectedSet = affected.toSet
+    val untouchedMeta: Seq[FileMeta] =
+      current.files.filterNot(f => affectedSet.contains(f.path))
+
+    // keys that actually exist in the target (≤ |source| rows — the
+    // semi-join output is source-bounded, never table-bounded)
+    val matchedKeys =
+      if (affected.isEmpty) None
+      else Some(catalog.visibleRows(spark, current, affected)
+        .select(keyCols.map(col): _*)
+        .join(srcKeys, keyCols, "left_semi").distinct())
+
+    // survivors: affected-file rows minus those claimed by a holding
+    // update/delete clause (a matched row whose source selects no
+    // clause stays)
+    val survivorFiles: Seq[String] =
+      if (affected.isEmpty) Nil
+      else {
+        val claimedKeys = src.filter(col("__m_act") =!= "n")
+          .select(keyCols.map(col): _*).distinct()
+        val survivors = catalog.visibleRows(spark, current, affected)
+          .join(claimedKeys, keyCols, "left_anti")
+        val dir = Paths.get(dataDir, s"merge-rw-${UUID.randomUUID().toString.take(8)}")
+        survivors.write.parquet(dir.toString)
+        listParquet(dir)
+      }
+
+    // new rows: updated versions of matched rows + conditional inserts
+    // of unmatched source rows
+    val insertFiles: Seq[String] =
+      if (!writesRows) Nil
+      else {
+        val updates = matchedKeys match {
+          case None => src.limit(0)
+          case Some(mk) =>
+            src.filter(col("__m_act") === "u").join(mk, keyCols, "left_semi")
+        }
+        val inserts = {
+          val unmatchedSrc = matchedKeys match {
+            case None => src
+            case Some(mk) => src.join(mk, keyCols, "left_anti")
+          }
+          unmatchedSrc.filter(col("__nm_act") === "i")
+        }
+        val newRows = updates.unionByName(inserts).select(targetCols.map(col): _*)
+        val dir = Paths.get(dataDir, s"merge-ins-${UUID.randomUUID().toString.take(8)}")
+        newRows.write.parquet(dir.toString)
+        listParquet(dir)
+      }
+
+    catalog.commit(spark, table, untouchedMeta.map(_.path) ++ survivorFiles ++ insertFiles,
+      reuseMeta = untouchedMeta.map(f => f.path -> f).toMap,
+      props = props ++ Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMerge,
+        SnapshotCatalog.RewrittenFromProp -> affected.sorted.mkString(","),
+        SnapshotCatalog.InsertFilesProp -> insertFiles.mkString(",")),
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        removedPaths = affected)))
+  }
+
   /** Small-file compaction (Iceberg rewrite_data_files bin-pack): files
     * under `smallBytes` are rewritten into ~`targetBytes` outputs; files
     * already big enough keep their manifest metadata untouched. The

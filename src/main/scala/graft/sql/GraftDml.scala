@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions.{col, lit}
   *   MERGE INTO t USING s ON t.k = s.k
   *     WHEN MATCHED THEN UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT *             -- key upsert
+  *   MERGE INTO t USING s ON t.k = s.k            -- CDC apply: clause
+  *     WHEN MATCHED AND s.op = 'D' THEN DELETE    -- conditions are
+  *     WHEN MATCHED THEN UPDATE SET *             -- SOURCE-side facts,
+  *     WHEN NOT MATCHED AND s.op <> 'D'           -- first match wins
+  *       THEN INSERT *
+  *   CREATE TABLE graft.t AS SELECT ...           -- CTAS (the `graft.`
+  *     namespace is the claim signal: the table doesn't exist yet, so
+  *     name resolution can't arbitrate — bare-name CTAS stays with the
+  *     session catalog)
   *
   * Spark-first mechanics: the parser already produces
   * [[InsertIntoStatement]] / [[DeleteFromTable]] / [[MergeIntoTable]];
@@ -126,26 +135,76 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           GraftDeleteCommand(root, table, GraftDml.Cond(cond), quals)
         case MergeIntoTable(t, source, cond, matched, notMatched, bySource, withSchemaEvo)
             if target(t, cat).isDefined =>
-          val (table, _) = target(t, cat).get
+          val (table, targetQuals) = target(t, cat).get
           if (withSchemaEvo) throw new UnsupportedOperationException(
             "MERGE WITH SCHEMA EVOLUTION is not supported on graft catalog tables")
-          val okMatched = matched match {
-            case Seq(UpdateStarAction(None)) => true
-            case _ => false
+          if (bySource.nonEmpty) throw new UnsupportedOperationException(
+            "MERGE WHEN NOT MATCHED BY SOURCE is not supported on graft catalog tables " +
+              "(it requires a table-wide anti-join; use the Scala API's COW paths)")
+          // clause shapes checked at ANALYSIS time: update-all / delete
+          // when matched, insert-all when not, each optionally AND-ed
+          // with a SOURCE-side condition; first match wins at run time
+          val mClauses: Seq[(String, Option[GraftDml.Cond])] = matched.map {
+            case UpdateStarAction(c) => ("u", c.map(GraftDml.Cond))
+            case DeleteAction(c) => ("d", c.map(GraftDml.Cond))
+            case other => throw new UnsupportedOperationException(
+              "MERGE INTO through SQL supports WHEN MATCHED [AND cond] THEN UPDATE SET * " +
+                s"or DELETE; got: $other")
           }
-          val okNotMatched = notMatched match {
-            case Seq(InsertStarAction(None)) => true
-            case _ => false
+          val nmClauses: Seq[Option[GraftDml.Cond]] = notMatched.map {
+            case InsertStarAction(c) => c.map(GraftDml.Cond)
+            case other => throw new UnsupportedOperationException(
+              "MERGE INTO through SQL supports WHEN NOT MATCHED [AND cond] THEN INSERT *; " +
+                s"got: $other")
           }
-          if (!okMatched || !okNotMatched || bySource.nonEmpty)
-            throw new UnsupportedOperationException(
-              "MERGE INTO through SQL supports exactly WHEN MATCHED THEN UPDATE SET * " +
-                "and WHEN NOT MATCHED THEN INSERT * (no conditions, no " +
-                "NOT MATCHED BY SOURCE); use the Scala API for other shapes")
-          // key extraction at ANALYSIS time: an unsupported ON shape
-          // fails the statement before anything runs
-          GraftMergeCommand(root, table, source, GraftDml.mergeKeyCols(cond))
+          // clause conditions are evaluated over the SOURCE row (the
+          // CDC-apply idiom); a target-qualified reference can't be —
+          // refuse it loudly here instead of failing resolution later
+          val sourceQuals: Set[String] = source match {
+            case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
+            case u: UnresolvedRelation => Set(u.multipartIdentifier.last.toLowerCase)
+            case _ => Set.empty
+          }
+          (mClauses.flatMap(_._2) ++ nmClauses.flatten).foreach { c =>
+            c.e.foreach {
+              case a: UnresolvedAttribute
+                  if a.nameParts.size == 2 && targetQuals.contains(a.nameParts.head.toLowerCase) &&
+                    !sourceQuals.contains(a.nameParts.head.toLowerCase) =>
+                throw new UnsupportedOperationException(
+                  s"MERGE clause conditions may reference only source columns; " +
+                    s"'${a.nameParts.mkString(".")}' is target-qualified")
+              case _ =>
+            }
+          }
+          GraftMergeCommand(root, table, source, GraftDml.mergeKeyCols(cond),
+            mClauses, nmClauses, sourceQuals)
+        case ct: CreateTableAsSelect if ctasTarget(ct.name).isDefined =>
+          val t = ctasTarget(ct.name).get
+          if (ct.partitioning.nonEmpty) throw new UnsupportedOperationException(
+            "CREATE TABLE ... PARTITIONED BY is not supported through SQL on graft " +
+              "catalog tables; use Writers.writePartitionedSnapshot")
+          ct.tableSpec match {
+            case u: UnresolvedTableSpec =>
+              if (u.provider.exists(!_.equalsIgnoreCase("parquet")))
+                throw new UnsupportedOperationException(
+                  s"graft catalog tables are parquet; USING ${u.provider.get} is not supported")
+              if (u.location.nonEmpty) throw new UnsupportedOperationException(
+                "LOCATION is not supported: graft chooses the data dir " +
+                  s"(override base with ${GraftDml.DataDirConf})")
+            case _ =>
+          }
+          GraftCtasCommand(root, t, ct.query, ct.ignoreIfExists)
       }
+  }
+
+  /** A CTAS target this rule claims: the explicit `graft.<t>` namespace
+    * — the table does not exist yet, so (unlike INSERT/DELETE/MERGE)
+    * presence in the catalog can't arbitrate a bare name, and claiming
+    * one would hijack session-catalog CTAS. */
+  private def ctasTarget(p: LogicalPlan): Option[String] = p match {
+    case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(Seq(ns, t), _)
+        if ns.equalsIgnoreCase("graft") => Some(t)
+    case _ => None
   }
 }
 
@@ -218,20 +277,28 @@ case class GraftDeleteCommand(
   }
 }
 
-/** Canonical SQL upsert (`UPDATE SET *` / `INSERT *`) → the key-merge
-  * writer: matched keys' files are rewritten without them, the source
-  * is appended, rewrite set bounded by the source's key range. */
+/** SQL MERGE → the clause-merge writer: matched keys' files are
+  * rewritten per-clause (update-all / delete, first holding clause
+  * wins), unmatched source rows insert per the insert clauses; the
+  * rewrite set is bounded by the source's key range. The canonical
+  * unconditional `UPDATE SET *` + `INSERT *` pair takes
+  * [[Writers.mergeInto]]'s single-pass path. */
 case class GraftMergeCommand(
     root: String,
     table: String,
     source: LogicalPlan,
-    keyCols: Seq[String]) extends LeafRunnableCommand {
+    keyCols: Seq[String],
+    matchedClauses: Seq[(String, Option[GraftDml.Cond])],
+    notMatchedClauses: Seq[Option[GraftDml.Cond]],
+    sourceQuals: Set[String]) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
     val src = GraftColumnShim.ofRows(session, source)
     // cast to the target schema so a literal-typed SQL source (INT keys
-    // against a BIGINT table) can't drift the table's column types
+    // against a BIGINT table) can't drift the table's column types;
+    // extra source columns (CDC op flags etc.) pass through for the
+    // clause conditions and are dropped by the writer
     val schema = cat.schema(table).getOrElse(
       throw new IllegalArgumentException(s"no snapshots for table $table"))
     val aligned = src.select(src.columns.map { c =>
@@ -240,7 +307,41 @@ case class GraftMergeCommand(
         case None => col(c)
       }
     }.toIndexedSeq: _*)
-    Writers.mergeInto(session, cat, table, aligned, keyCols,
+    def colOf(c: GraftDml.Cond) =
+      GraftColumnShim.column(GraftDml.unqualify(c.e, sourceQuals))
+    val matched: Seq[Writers.MatchedClause] = matchedClauses.map {
+      case ("u", c) => Writers.MergeUpdateAll(c.map(colOf))
+      case ("d", c) => Writers.MergeDelete(c.map(colOf))
+      case (other, _) => throw new IllegalStateException(s"unknown merge action $other")
+    }
+    val notMatched = notMatchedClauses.map(c => Writers.MergeInsertAll(c.map(colOf)))
+    Writers.mergeApply(session, cat, table, aligned, keyCols, matched, notMatched,
+      GraftDml.dataDirFor(session, root, table))
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE graft.t AS SELECT ...` → analyze the query on the live
+  * session (catalog tables inside it resolve through the injected read
+  * rules) and commit its result as the new table's first snapshot —
+  * completing the SQL-only lifecycle: create, read, time-travel,
+  * INSERT/DELETE/MERGE, all with zero code access. */
+case class GraftCtasCommand(
+    root: String,
+    table: String,
+    query: LogicalPlan,
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    if (cat.tables().contains(table)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"table $table already exists in the graft catalog " +
+          "(use CREATE TABLE IF NOT EXISTS, or INSERT INTO to append)")
+    }
+    val df = GraftColumnShim.ofRows(session, query)
+    Writers.writeSnapshot(cat, table, df,
       GraftDml.dataDirFor(session, root, table))
     Seq.empty
   }

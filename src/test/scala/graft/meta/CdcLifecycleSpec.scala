@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   */
 class CdcLifecycleSpec extends SparkSpec {
 
+  // SQL-routed ops (INSERT / DELETE / MERGE through GraftExtensions)
+  // join the pool so the DML rules run under the SAME model-
+  // reconciliation + feed-exactness gate as the code API; the SQL path
+  // resolves the root through its own catalog instance, proving the
+  // disk format is the coordination point, not shared driver state.
+  private lazy val es = {
+    val s = org.apache.spark.sql.GraftColumnShim.sessionWithExtensions(
+      spark, e => new graft.GraftExtensions().apply(e))
+    s
+  }
+
   private type MS = Map[(Long, Long), Int] // multiset of (id, v)
 
   private def ms(rows: Seq[(Long, Long)]): MS =
@@ -66,9 +77,11 @@ class CdcLifecycleSpec extends SparkSpec {
     val opsPerSeq = 6
 
     for (seq <- 0 until nSequences) {
-      val cat = new SnapshotCatalog(Files.createTempDirectory(s"graft-cdcp-$seq-").toString)
+      val rootDir = Files.createTempDirectory(s"graft-cdcp-$seq-").toString
+      val cat = new SnapshotCatalog(rootDir)
       val dataDir = Files.createTempDirectory(s"graft-cdcp-data-$seq-").toString
       val t = "t"
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, rootDir)
 
       def batch(n: Int): Seq[(Long, Long)] =
         Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
@@ -122,8 +135,11 @@ class CdcLifecycleSpec extends SparkSpec {
       def inRange(s: MS, lo: Long, hi: Long): MS =
         s.filter { case ((id, _), _) => id >= lo && id <= hi }
 
+      def sqlTuple(id: Long, v: Long): String =
+        if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
+
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(12) match {
+        rnd.nextInt(15) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -247,6 +263,49 @@ class CdcLifecycleSpec extends SparkSpec {
               Some((Writers.mergeInto(spark, cat, t, df(src), Seq("id"), dataDir).snapshotId,
                 (s: MS) => plus(minus(s, matched), ms(src))))
             race(Seq(delOp, mergeOp))
+          case 12 => // SQL INSERT INTO: the DML rule's append path must
+            // compose with every API op under the same feed gate
+            val b = batch(3 + rnd.nextInt(8))
+            es.sql(s"INSERT INTO t VALUES ${b.map((sqlTuple _).tupled).mkString(", ")}")
+            state = plus(state, ms(b))
+            states :+= (cat.currentSnapshot(t).get.snapshotId, state)
+          case 13 => // SQL DELETE FROM ... WHERE: MoR mask through the
+            // extensions (prune translation + position delete commit)
+            val lo = rnd.nextInt(90).toLong
+            val hi = lo + rnd.nextInt(20).toLong
+            val before = cat.currentSnapshot(t).map(_.snapshotId)
+            es.sql(s"DELETE FROM t WHERE id BETWEEN $lo AND $hi")
+            val after = cat.currentSnapshot(t).get.snapshotId
+            if (!before.contains(after)) {
+              state = state.filter { case ((id, _), _) => id < lo || id > hi }
+              states :+= (after, state)
+            }
+          case 14 => // SQL clause-MERGE (CDC apply): matched-delete,
+            // matched-update, gated insert — first clause wins; the
+            // model applies the same algebra
+            val keys = rnd.shuffle((0 until 100).toList).take(1 + rnd.nextInt(6))
+            val src = keys.map(k =>
+              (k.toLong, rnd.nextInt(1000).toLong, if (rnd.nextBoolean()) "D" else "U"))
+            val cols = if (evolved) "(id, v, w, op)" else "(id, v, op)"
+            val vals = src.map { case (id, v, op) =>
+              if (evolved) s"($id, $v, ${id * 2}, '$op')" else s"($id, $v, '$op')"
+            }.mkString(", ")
+            es.sql(
+              s"""MERGE INTO t USING (SELECT * FROM VALUES $vals AS v$cols) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+            val matchedKeys = state.keySet.map(_._1).toSet
+            var next = state
+            src.foreach { case (id, v, op) =>
+              if (matchedKeys.contains(id)) {
+                next = next.filter { case ((i, _), _) => i != id }
+                if (op == "U") next = plus(next, ms(Seq((id, v))))
+              } else if (op != "D") next = plus(next, ms(Seq((id, v))))
+            }
+            state = next
+            states :+= (cat.currentSnapshot(t).get.snapshotId, state)
         }
       }
 

@@ -120,13 +120,52 @@ class GraftDmlSpec extends SparkSpec {
     assert(snap.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpMerge))
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE masks matched keys (delete-only source needs only keys)") {
+    val t = freshTable("mrgdel", 1 to 10)
+    ext.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT 2 AS c_custkey UNION ALL SELECT 4 UNION ALL SELECT 999) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val keys = ext.sql(s"SELECT c_custkey FROM $t").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L))
+    val snap = cat.currentSnapshot(t).get
+    assert(snap.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpMerge))
+  }
+
+  test("conditional MERGE clauses: the CDC-apply idiom, first match wins") {
+    val t = freshTable("mrgcdc", 1 to 6)
+    // op D on 1,2 → delete; op U on 3,4 → update; unmatched 50 with U →
+    // insert; unmatched 60 with D → insert clause's condition rejects it
+    ext.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT * FROM VALUES
+         |    (1, 'x', 0.0, 'D'), (2, 'x', 0.0, 'D'),
+         |    (3, 'Upd#3', 30.0, 'U'), (4, 'Upd#4', 40.0, 'U'),
+         |    (50, 'New#50', 50.0, 'U'), (60, 'Dead#60', 60.0, 'D')
+         |  AS v(c_custkey, c_name, c_acctbal, op)) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+    val rows = ext.sql(s"SELECT c_custkey, c_name FROM $t ORDER BY c_custkey").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L, 6L, 50L))
+    assert(rows.find(_.getLong(0) == 3L).get.getString(1) == "Upd#3")
+    assert(rows.find(_.getLong(0) == 4L).get.getString(1) == "Upd#4")
+    assert(rows.find(_.getLong(0) == 50L).get.getString(1) == "New#50")
+    // 5,6 untouched (matched nothing); the extra source column op never
+    // lands in the table
+    assert(!ext.table(t).columns.contains("op"))
+  }
+
   test("unsupported MERGE shapes fail loudly instead of mis-executing") {
     val t = freshTable("mrgbad", 1 to 3)
+    // column-level UPDATE SET assignments are not the star form
     val err = intercept[Exception] {
       ext.sql(
         s"""MERGE INTO $t t USING (SELECT 1 AS c_custkey, 'x' AS c_name, 0.0 AS c_acctbal) s
            |ON t.c_custkey = s.c_custkey
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET c_name = s.c_name""".stripMargin)
     }
     assert(err.getMessage.contains("UPDATE SET *"))
     val err2 = intercept[Exception] {
@@ -137,7 +176,50 @@ class GraftDmlSpec extends SparkSpec {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(err2.getMessage.contains("same-named"))
+    // a clause condition over the TARGET row can't evaluate source-side
+    val err3 = intercept[Exception] {
+      ext.sql(
+        s"""MERGE INTO $t t USING (SELECT 1 AS c_custkey, 'x' AS c_name, 0.0 AS c_acctbal) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE""".stripMargin)
+    }
+    assert(err3.getMessage.contains("only source columns"))
+    // NOT MATCHED BY SOURCE is a table-wide anti-join: refused
+    val err4 = intercept[Exception] {
+      ext.sql(
+        s"""MERGE INTO $t t USING (SELECT 1 AS c_custkey, 'x' AS c_name, 0.0 AS c_acctbal) s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(err4.getMessage.contains("BY SOURCE"))
   }
+
+  test("CREATE TABLE graft.t AS SELECT completes the SQL-only lifecycle") {
+    seedCtas()
+    ext.sql(
+      """CREATE TABLE graft.ctas1 AS
+        |SELECT c_custkey, c_name, c_acctbal FROM cust_ctas_seed WHERE c_custkey <= 8""".stripMargin)
+    assert(ext.sql("SELECT count(*) AS n FROM ctas1").head().getLong(0) == 8)
+    // it is a real catalog table: history, time travel, DML all work
+    ext.sql("INSERT INTO ctas1 VALUES (100, 'More', 1.0)")
+    assert(ext.sql("SELECT count(*) AS n FROM ctas1").head().getLong(0) == 9)
+    assert(ext.sql("SELECT count(*) AS n FROM ctas1 VERSION AS OF 1").head().getLong(0) == 8)
+    // name collision refused; IF NOT EXISTS is a no-op
+    val err = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.ctas1 AS SELECT 1 AS a")
+    }
+    assert(err.getMessage.contains("already exists"))
+    ext.sql("CREATE TABLE IF NOT EXISTS graft.ctas1 AS SELECT 1 AS a")
+    assert(ext.sql("SELECT count(*) AS n FROM ctas1").head().getLong(0) == 9)
+    // bare-name CTAS stays with the session catalog (not claimed)
+    ext.sql("CREATE TABLE bare_ctas AS SELECT 1 AS a")
+    try assert(!cat.tables().contains("bare_ctas"))
+    finally ext.sql("DROP TABLE bare_ctas")
+  }
+
+  private def seedCtas(): Unit =
+    if (!cat.tables().contains("cust_ctas_seed")) freshTable("cust_ctas_seed", 1 to 20)
 
   test("DML on an unclaimed name falls through to builtin analysis") {
     val err = intercept[Exception] {
