@@ -287,7 +287,32 @@ object Pipeline {
     Dedup.nearDupAgainstCorpus(edited, docs, "doc_id", "text", threshold = 0.7)
   }
 
+  /** Repeated-substring span stats (L42, Lee et al. exact-substring
+    * pass): per-doc window/duplicated-window counts at k=8 tokens —
+    * string-gram ORACLE form (DuckDB replays the window algebra). */
+  def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SubstringDedup.markDuplicated(
+      Tables.documents(s, dir), "doc_id", "text", k = 8)
+
+  /** L42's shuffle-byte scale path: identical counts over xxhash64'd
+    * grams (8-byte shuffle keys instead of k-token strings); equality
+    * with the string form is spec-pinned, driver records rows. */
+  def qSubstringDedupHashed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SubstringDedup.markDuplicated(
+      Tables.documents(s, dir), "doc_id", "text", k = 8, hashed = true)
+
+  /** SemDeDup (L43) oracle form: axis-projection clusters + fixed-point
+    * integer cosine threshold (τ=0.3) — engine-exact kept/dropped. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.ops.SemDedup.markDuplicatesExact(e, "vec_id", "embedding",
+      graft.ops.SemDedup.axisCluster(col("embedding")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_dedup" -> (qSubstringDedup _),
+    "q_substring_dedup_hashed" -> (qSubstringDedupHashed _),
+    "q_semdedup" -> (qSemDedup _),
     "q_incr_dedup" -> (qIncrDedup _),
     "q_incr_neardup" -> (qIncrNeardup _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -325,6 +350,53 @@ object Pipeline {
   private val deL = stop(TextAnalysis.DeStop)
 
   val oracles: Map[String, String] = Map(
+    // L42: DuckDB replays the k=8 sliding-window gram algebra on the
+    // literal gram strings — engine-exact integer counts
+    "q_substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(1, greatest(array_length(words) - 6, 1))) AS INT) AS pos,
+        |    words
+        |  FROM w),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(words[pos:pos+7], ' ') AS gram FROM g),
+        |o AS (
+        |  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g2 GROUP BY 1)
+        |SELECT g2.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |FROM g2 JOIN o USING (gram)
+        |GROUP BY 1""".stripMargin,
+    // L43: axis-projection clusters + fixed-point integer cosine test
+    // (100·dot² ≥ 9·|a|²·|b|² ⇔ cos ≥ 0.3) — exact integer arithmetic
+    // in both engines, so kept/dropped hash-matches
+    "q_semdedup" ->
+      """WITH cl AS (
+        |  SELECT vec_id,
+        |    CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS INT) AS cluster
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS vi
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, SUM(vi * vi) AS n2 FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT ca.vec_id AS ida, cb.vec_id AS idb, SUM(ea.vi * eb.vi) AS dot
+        |  FROM cl ca JOIN cl cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+        |  JOIN e ea ON ea.vec_id = ca.vec_id
+        |  JOIN e eb ON eb.vec_id = cb.vec_id AND eb.pos = ea.pos
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT d.idb
+        |  FROM d JOIN n na ON na.vec_id = d.ida JOIN n nb ON nb.vec_id = d.idb
+        |  WHERE d.dot >= 0
+        |    AND 100 * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
+        |        >= 9 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT))
+        |SELECT cl.vec_id, cl.cluster, (dup.idb IS NULL) AS kept
+        |FROM cl LEFT JOIN dup ON dup.idb = cl.vec_id""".stripMargin,
     "q_incr_dedup" ->
       """WITH batch AS (
         |  SELECT doc_id + 1000000 AS doc_id, text
