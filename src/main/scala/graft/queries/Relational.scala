@@ -453,7 +453,113 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral flow between two
+    * nations by year. Both nation filters go INTO the dims before any
+    * big join (2/25 of suppliers and customers survive), nations are
+    * broadcast onto their dims, and the two big joins are co-keyed
+    * shuffles: lineitem⋈orders on orderkey, then ⋈customer on custkey.
+    * The supplier side rides lineitem as a broadcast at battery scale;
+    * at 100 TB AQE flips it to a shuffle join on l_suppkey on its own —
+    * the plan is threshold-driven, not hand-pinned. */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year). Schema
+    * adaptation: this corpus has no partsupp, so supply cost is modeled
+    * as 10% of p_retailprice per unit — the JOIN/AGG shape (the point
+    * of Q9) is unchanged. Decimal-exact amounts: every product stays
+    * inside decimal(38) so the sum is order-independent and the final
+    * double cast hash-matches any engine. One lineitem scan; part and
+    * supplier⋈nation broadcast; orders co-keyed on orderkey for the
+    * year column. */
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("bolt"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))) -
+        money(col("p_retailprice")) * money(col("l_quantity")) * rate(lit(0.10)))
+        .cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): TWO conditional aggregates
+    * from ONE lineitem scan — the case-inside-sum idiom that avoids a
+    * second pass or a self-join; part is broadcast. The ratio divides
+    * two decimal-exact doubles, so it is bit-identical on any engine. */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    val amount = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", amount).otherwise(lit(0).cast("decimal(15,4)")))
+          .cast("double") /
+        sum(amount).cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q19 shape (disjunctive join predicates): an OR of three
+    * conjunctive (part-attribute AND lineitem-range) blocks. The
+    * classic optimization is DERIVED COMMON PREDICATES: the union of
+    * the part-side disjuncts (brand IN (...), size ≤ 15) pre-filters
+    * the broadcast side, and the union of the lineitem ranges
+    * (quantity ≤ 30) reaches the scan as a pushed filter — so the join
+    * touches only plausibly-matching rows and the exact OR runs
+    * post-join on that reduced set. Without the derivation the OR can't
+    * push anywhere and the join sees every row. */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#17", "Brand#25") &&
+        col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q9" -> (qTpchQ9 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
     "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q20" -> (qTpchQ20 _),
@@ -536,6 +642,55 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(amt) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amt
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ns ON ns.n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ns.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        |    AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        |    AND ns.n_name <> nc.n_name) t
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, CAST(SUM(amt) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |      - CAST(p_retailprice AS DECIMAL(15,4)) * CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(0.10 AS DECIMAL(4,2)) AS amt
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE p_name LIKE '%bolt%') t
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN amt
+        |    ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+        |  / CAST(SUM(amt) AS DOUBLE) AS promo_revenue
+        |FROM (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amt
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-02-01') t""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_listagg" ->
       """SELECT c_nationkey,
         |  string_agg(seg, ',' ORDER BY seg) AS segments,
