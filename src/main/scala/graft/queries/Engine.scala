@@ -535,14 +535,19 @@ object Engine {
       root
     })
 
-  /** Metadata-only COUNT (SURVEY §2 S52): a global COUNT(*) / COUNT(col)
-    * over a catalog table folds to the snapshot's manifest row counts —
-    * zero data files opened (plan-asserted in `GraftSqlResolutionSpec`);
-    * the values must equal the oracle's real scan. */
+  /** Metadata-only aggregates (SURVEY §2 S52): a global COUNT(*) /
+    * COUNT(col) / MIN(col) / MAX(col) over a catalog table folds to the
+    * snapshot's manifest row counts and per-file bounds — zero data
+    * files opened (plan-asserted in `GraftSqlResolutionSpec`); the
+    * values must equal the oracle's real scan. */
   def qMetaCount(s: SparkSession, dir: String): DataFrame = {
     val es = extSessionFor(s)
     es.conf.set(graft.sql.GraftSqlResolution.RootConf, metaCountRootFor(s, dir))
-    es.sql("SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_keys FROM countorders")
+    es.sql(
+      """SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_keys,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  MIN(o_totalprice) AS min_price, MAX(o_orderstatus) AS max_status
+        |FROM countorders""".stripMargin)
   }
 
   // Memoized clone catalog per sf-dir: orders committed, shallow-cloned,
@@ -626,6 +631,46 @@ object Engine {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM dmlorders
         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  // Memoized SQL-UPDATE catalog per sf-dir: seeded with all orders, then
+  // two UPDATE mutations purely through SQL — a pruned
+  // multi-column update whose SET reads the OLD row (decimal-exact price
+  // bump), and an alias-qualified single-column update on a different
+  // predicate. The oracle replays both as nested CASE over raw parquet.
+  private val updRoots = TrieMap.empty[String, String]
+  private def updRootFor(s: SparkSession, dir: String): String =
+    updRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-updsql-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "updorders", Tables.orders(s, dir),
+        Files.createTempDirectory("graft-updsql-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql(
+        """UPDATE updorders SET o_orderstatus = 'U',
+          |  o_totalprice = CAST(CAST(o_totalprice AS DECIMAL(15,4))
+          |    * CAST(1.25 AS DECIMAL(4,2)) AS DOUBLE)
+          |WHERE o_orderstatus = 'F' AND o_totalprice > 100000""".stripMargin)
+      es.sql(
+        """UPDATE updorders u SET u.o_orderpriority = '0-UPDATED'
+          |WHERE u.o_custkey % 7 = 0""".stripMargin)
+      root
+    })
+
+  /** SQL UPDATE end-to-end (S53's fourth DML verb): COW self-merge
+    * updates reached purely from SQL — SET expressions read the old
+    * row, the WHERE prunes the rewrite set, and the final state must
+    * equal the oracle's CASE-replay over raw parquet. */
+  def qSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, updRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM updorders
+        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
   }
 
   // Memoized CTAS catalog per sf-dir: the table is CREATED through SQL
@@ -734,6 +779,7 @@ object Engine {
     "q_rename_read" -> (qRenameRead _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_sql_dml" -> (qSqlDml _),
+    "q_sql_update" -> (qSqlUpdate _),
     "q_ctas_read" -> (qCtasRead _),
     "q_merge_clauses" -> (qMergeClauses _),
     "q_clone_read" -> (qCloneRead _),
@@ -747,7 +793,10 @@ object Engine {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_meta_count" ->
-      "SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_keys FROM orders",
+      """SELECT COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_keys,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  MIN(o_totalprice) AS min_price, MAX(o_orderstatus) AS max_status
+        |FROM orders""".stripMargin,
     "q_ctas_read" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
@@ -792,6 +841,27 @@ object Engine {
         |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM final GROUP BY o_orderstatus""".stripMargin,
+    "q_sql_update" ->
+      """WITH after1 AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderstatus = 'F' AND o_totalprice > 100000
+        |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' AND o_totalprice > 100000
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(15,4))
+        |        * CAST(1.25 AS DECIMAL(4,2)) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders),
+        |after2 AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CASE WHEN o_custkey % 7 = 0 THEN '0-UPDATED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |  FROM after1)
+        |SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM after2
+        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_sql_timetravel" ->
       """SELECT 'v1' AS epoch, o_orderstatus AS status, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price

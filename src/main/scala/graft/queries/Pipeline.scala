@@ -309,7 +309,31 @@ object Pipeline {
       graft.ops.SemDedup.axisCluster(col("embedding")))
   }
 
+  /** LM perplexity filter (L44, CCNet/stupid-backoff) — ORACLE form:
+    * the bigram model trains on the doc_id%10==0 subset and scores
+    * EVERY doc, so known/backoff/OOV paths are all exercised; the
+    * integer statistics (bigram count, in-model count) are
+    * engine-exact. The float ppl rides in `q_lm_ppl` (rows-only;
+    * `LmScoreSpec` pins the log math against a naive scorer). */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = graft.ops.LmScore.train(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    graft.ops.LmScore.score(docs, "doc_id", "text", m)
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"))
+  }
+
+  /** L44 full output on the self-trained model: per-doc perplexity,
+    * the CCNet filtering statistic (rows-only — transcendental). */
+  def qLmPpl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = graft.ops.LmScore.train(docs, "doc_id", "text")
+    graft.ops.LmScore.score(docs, "doc_id", "text", m)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score" -> (qLmScore _),
+    "q_lm_ppl" -> (qLmPpl _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_substring_dedup_hashed" -> (qSubstringDedupHashed _),
     "q_semdedup" -> (qSemDedup _),
@@ -350,6 +374,25 @@ object Pipeline {
   private val deL = stop(TextAnalysis.DeStop)
 
   val oracles: Map[String, String] = Map(
+    // L44: DuckDB replays the bigram window + subset-model membership
+    // join — integer counts are engine-exact (the float ppl is
+    // rows-only in q_lm_ppl)
+    "q_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(1, array_length(words))) AS INT) AS pos, words
+        |  FROM w),
+        |bi AS (
+        |  SELECT doc_id, words[pos] AS t1, words[pos + 1] AS t2 FROM g),
+        |model AS (
+        |  SELECT DISTINCT t1, t2 FROM bi WHERE doc_id % 10 = 0)
+        |SELECT bi.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN m.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+        |FROM bi LEFT JOIN model m ON m.t1 = bi.t1 AND m.t2 = bi.t2
+        |GROUP BY 1""".stripMargin,
     // L42: DuckDB replays the k=8 sliding-window gram algebra on the
     // literal gram strings — engine-exact integer counts
     "q_substring_dedup" ->

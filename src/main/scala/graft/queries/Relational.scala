@@ -555,7 +555,190 @@ object Relational {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q4 shape (order priority checking): orders in a quarter
+    * having at least one problem lineitem (returnflag R stands in for
+    * commit<receipt — the corpus carries no commit/receipt dates, as
+    * in Q21), counted per priority. Shape: the EXISTS is a LEFT SEMI
+    * join co-keyed on orderkey; the lineitem side is filtered and
+    * key-only (distinct folds into the semi join itself), so the
+    * shuffle ships 8-byte keys, never lineitem payload. */
+  def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val problem = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(problem, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): orders per
+    * customer including zero-order customers, then the histogram of
+    * that count. The priority filter stands in for the comment NOT
+    * LIKE. Shape: aggregate orders by custkey FIRST (map-side partial
+    * → custkey-sized), then one co-keyed LEFT join from customer;
+    * the histogram agg is |distinct counts|-sized. Joining raw orders
+    * to customer and double-counting rows would ship order payload
+    * through the join for no reason. */
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * exceeds a threshold, with customer context, top-100 by value.
+    * Shape: ONE lineitem aggregation on orderkey produces the filter
+    * AND the output quantity (the classical form re-joins lineitem a
+    * second time for the SELECT-list sum); survivors are a tiny set,
+    * so the orders/customer joins run over ~1% of keys and the
+    * TakeOrdered(100) never materializes a global sort. Quantity sums
+    * go through decimal so the threshold compare and output are
+    * order-independent. */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > lit(300).cast("decimal(15,4)"))
+    bigOrders
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers from a set
+    * of countries (nationkey stands in for the phone country code)
+    * with above-average balance and NO orders. The scalar-subquery
+    * threshold is a one-row broadcast; the compare cross-multiplies
+    * (bal·n > total in decimal) so the boundary is exact in any
+    * engine — never a float division. The NOT EXISTS is a LEFT ANTI
+    * join on custkey over key-only filtered order rows (every customer
+    * in this corpus has SOME order, so "no large order" stands in for
+    * the classic "no order" — the anti-join shape is identical and the
+    * order-side filter pushes to the scan). */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(3, 8, 13, 17, 19, 22, 24).map(lit(_))
+    val pool = Tables.customer(s, dir)
+      .filter(col("c_nationkey").isin(codes: _*))
+    val thr = pool.filter(col("c_acctbal") > 0)
+      .agg(sum(money(col("c_acctbal"))).as("bal_total"),
+        count(lit(1)).as("bal_n"))
+    pool
+      .crossJoin(broadcast(thr))
+      .filter(money(col("c_acctbal")) * col("bal_n") > col("bal_total"))
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("int").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(money(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
+  /** TPC-H Q8 shape (national market share): the target nation's share
+    * of a part type's trade volume per year. The share is a
+    * conditional-sum ratio computed in ONE aggregation (no self-join);
+    * part (type-filtered, ~1/25 survives) and supplier⋈nation broadcast
+    * onto the single lineitem scan; orders/customer co-keyed. Both
+    * decimal sums cast to double before the divide, so the ratio is
+    * bit-identical cross-engine. */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val amount = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", amount)
+          .otherwise(lit(0).cast("decimal(15,4)"))).cast("double") /
+        sum(amount).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q10 shape (returned-item revenue): top 20 customers by
+    * revenue lost to returns in a quarter. One lineitem scan
+    * (returnflag + date filters pushed), orders co-keyed, customer
+    * joined AFTER the per-customer rollup so the join input is
+    * customer-sized, nation broadcast; TakeOrdered(20) — no global
+    * sort. Tie at the cut broken by custkey, so the top-20 SET is
+    * deterministic in any engine. */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+    revenue
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    * lineitems under 20% of their part's average quantity. The
+    * correlated AVG is ONE per-part aggregation from the same scan,
+    * joined back co-keyed on partkey; the 0.2·avg boundary is
+    * cross-multiplied (5·qty·n < total in decimal) so the comparison
+    * never touches a float — engine-exact membership. Final /7.0 runs
+    * in double on both sides (identical IEEE op). */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#23", "Brand#12") && col("p_size") <= 25)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(money(col("l_quantity"))).as("qty_total"),
+        count(lit(1)).as("qty_n"))
+    li.join(avgQ, col("l_partkey") === col("pk"))
+      .filter(money(col("l_quantity")) * lit(5) * col("qty_n") < col("qty_total"))
+      .agg((sum(money(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q9" -> (qTpchQ9 _),
     "q_tpch_q14" -> (qTpchQ14 _),
@@ -642,6 +825,98 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(qty AS DOUBLE) AS sum_qty
+        |FROM (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(15,4))) AS qty
+        |  FROM lineitem GROUP BY 1) t
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE qty > 300
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH pool AS (
+        |  SELECT * FROM customer
+        |  WHERE c_nationkey IN (3, 8, 13, 17, 19, 22, 24)),
+        |thr AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS bal_total,
+        |    COUNT(*) AS bal_n
+        |  FROM pool WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS INT) AS cntrycode,
+        |  COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS totacctbal
+        |FROM pool, thr
+        |WHERE CAST(c_acctbal AS DECIMAL(15,4)) * bal_n > bal_total
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN amt
+        |    ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+        |  / CAST(SUM(amt) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT n.n_name AS supp_nation,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amt
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |  WHERE p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')) t
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name, c_mktsegment
+        |FROM (
+        |  SELECT o_custkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1) r
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN ('Brand#23', 'Brand#12') AND p_size <= 25),
+        |a AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(l_quantity AS DECIMAL(15,4))) AS qty_total,
+        |    COUNT(*) AS qty_n
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM li JOIN a ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(15,4)) * 5 * qty_n < qty_total""".stripMargin,
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year, CAST(SUM(amt) AS DOUBLE) AS revenue
         |FROM (

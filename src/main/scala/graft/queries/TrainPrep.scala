@@ -177,13 +177,19 @@ object TrainPrep {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
+    // top-3 per doc WITHOUT a window: row_number over (score desc,
+    // term) would sort whole partitions; the agg form collects each
+    // doc's (≤ doc-length) candidates, sorts that bounded array, and
+    // keeps 3 — same output, hash agg instead of a partition sort
+    // (r9: the sort was ~25% of this query's scaled-battery wall)
     tf.join(df, "term")
       .withColumn("score", expr("(tf * 1000000L) div df"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("score")).as("ns"),
+        col("term"), col("score")))), 1, 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("doc_id"), col("t.term").as("term"),
+        col("t.score").as("score"), (col("i") + 1).as("rk"))
   }
 
   /** Document chunking (SURVEY L26): split each doc into overlapping

@@ -312,6 +312,83 @@ object Writers {
         removedPaths = affected.toSeq)))
   }
 
+  /** Copy-on-write row-level UPDATE (Iceberg COW UPDATE semantics; the
+    * SQL `UPDATE t SET c = e WHERE cond` writer). An update is a
+    * self-merge — matched rows' new versions replace their old ones —
+    * so the commit takes the MERGE shape: affected files (bounded by
+    * `pruneFilters` from the WHERE's literal conjuncts) are rewritten
+    * into survivors (non-matching rows, NOT changes) plus separate
+    * updated-row files listed as `insert_files`, under the merge
+    * operation label. Incremental readers then see exactly what they
+    * see after a `MERGE ... UPDATE SET *`: new versions are appends,
+    * survivors are excluded, and the row-level CDC feed nets each
+    * updated row to delete(old) + insert(new) by the generic
+    * before/after visible-row diff — no new reader code path.
+    *
+    * `assignments` are (column → expression) pairs evaluated over the
+    * OLD row (SQL UPDATE semantics — all SET expressions see the
+    * pre-update values, which one projection gives for free); values
+    * cast to the column's declared type so an UPDATE can't drift the
+    * schema. Rows where `cond` is NULL do not match (SQL WHERE
+    * semantics). Returns the current snapshot unchanged when nothing
+    * matches. Scale: only affected files are read (twice: matched pass
+    * + survivor pass) and rewritten; a predicate matching most of the
+    * table rewrites most of the table — the same COW trade as
+    * [[deleteWhere]], stated loudly. */
+  def updateWhere(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      assignments: Seq[(String, Column)],
+      cond: Column,
+      pruneFilters: Seq[graft.meta.PruneFilter],
+      dataDir: String): SnapshotMeta = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val schema = current.schema
+    val byName = assignments.map { case (n, c) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE $table SET references unknown column '$n'"))
+      f.name -> c
+    }
+    require(byName.map(_._1).distinct.size == byName.size,
+      s"UPDATE $table assigns the same column more than once")
+    val assignMap = byName.toMap
+    val affected = catalog.planFiles(table, pruneFilters).map(_.path)
+    if (affected.isEmpty) return current
+    val flagged = catalog.visibleRows(spark, current, affected)
+      .withColumn("__upd", coalesce(cond, lit(false)))
+    val updated = flagged.filter(col("__upd"))
+      .select(schema.fields.map { f =>
+        assignMap.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      }.toIndexedSeq: _*)
+    val insDir = Paths.get(dataDir, s"upd-ins-${UUID.randomUUID().toString.take(8)}")
+    updated.write.parquet(insDir.toString)
+    val insertFiles = listParquet(insDir)
+    // nothing matched → leave the table alone (footer-count check only;
+    // the matched pass already ran, this opens no data pages)
+    if (insertFiles.isEmpty || spark.read.parquet(insertFiles: _*).count() == 0) {
+      insertFiles.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      return current
+    }
+    val survDir = Paths.get(dataDir, s"upd-rw-${UUID.randomUUID().toString.take(8)}")
+    flagged.filter(!col("__upd")).drop("__upd").write.parquet(survDir.toString)
+    val survivorFiles = listParquet(survDir)
+    val affectedSet = affected.toSet
+    val untouchedMeta = current.files.filterNot(f => affectedSet.contains(f.path))
+    catalog.commit(spark, table, untouchedMeta.map(_.path) ++ survivorFiles ++ insertFiles,
+      reuseMeta = untouchedMeta.map(f => f.path -> f).toMap,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpMerge,
+        SnapshotCatalog.RewrittenFromProp -> affected.sorted.mkString(","),
+        SnapshotCatalog.InsertFilesProp -> insertFiles.mkString(",")),
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        removedPaths = affected)))
+  }
+
   /** Merge-on-read row-level delete (the Iceberg v2 position-delete
     * write path, format spec "Position Delete Files"): rows matching
     * `deleteCond` are MARKED deleted in a small sidecar parquet of

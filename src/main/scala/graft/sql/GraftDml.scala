@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions.{col, lit}
   *   INSERT INTO t (c1, c2) VALUES ...            -- missing cols → NULL
   *   INSERT OVERWRITE t SELECT ...                -- full-table replace
   *   DELETE FROM t WHERE <cond>                   -- MoR position delete
+  *   UPDATE t SET c = <expr> [WHERE <cond>]       -- COW self-merge
   *   MERGE INTO t USING s ON t.k = s.k
   *     WHEN MATCHED THEN UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT *             -- key upsert
@@ -133,6 +134,18 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
         case DeleteFromTable(t, cond) if target(t, cat).isDefined =>
           val (table, quals) = target(t, cat).get
           GraftDeleteCommand(root, table, GraftDml.Cond(cond), quals)
+        case UpdateTable(t, assigns, cond) if target(t, cat).isDefined =>
+          val (table, quals) = target(t, cat).get
+          val pairs: Seq[(String, GraftDml.Cond)] = assigns.map { a =>
+            GraftDml.unqualify(a.key, quals) match {
+              case k: UnresolvedAttribute if k.nameParts.size == 1 =>
+                k.nameParts.head -> GraftDml.Cond(GraftDml.unqualify(a.value, quals))
+              case other => throw new UnsupportedOperationException(
+                "UPDATE through SQL supports SET on top-level columns of the target " +
+                  s"table; got: ${other.sql}")
+            }
+          }
+          GraftUpdateCommand(root, table, pairs, cond.map(GraftDml.Cond), quals)
         case MergeIntoTable(t, source, cond, matched, notMatched, bySource, withSchemaEvo)
             if target(t, cat).isDefined =>
           val (table, targetQuals) = target(t, cat).get
@@ -272,6 +285,34 @@ case class GraftDeleteCommand(
     val prune = GraftSqlResolution.pruneFiltersFrom(cond.e, schema, qualifiers)
     val deleteCol = GraftColumnShim.column(GraftDml.unqualify(cond.e, qualifiers))
     Writers.deleteWhereMoR(session, cat, table, deleteCol, prune,
+      GraftDml.dataDirFor(session, root, table))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET c = e, ... [WHERE cond]` → COW update: the WHERE's
+  * literal conjuncts prune the rewrite set, SET expressions evaluate
+  * over the old row and cast to the declared column types, and the
+  * commit takes the self-merge shape (new versions are `insert_files`)
+  * so incremental and CDC readers net it as delete(old)+insert(new)
+  * with no new reader path. */
+case class GraftUpdateCommand(
+    root: String,
+    table: String,
+    assignments: Seq[(String, GraftDml.Cond)],
+    cond: Option[GraftDml.Cond],
+    qualifiers: Set[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    val schema = cat.schema(table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots for table $table"))
+    val prune = cond.map(c => GraftSqlResolution.pruneFiltersFrom(c.e, schema, qualifiers))
+      .getOrElse(Nil)
+    val condCol = cond.map(c => GraftColumnShim.column(GraftDml.unqualify(c.e, qualifiers)))
+      .getOrElse(lit(true))
+    val sets = assignments.map { case (n, c) => n -> GraftColumnShim.column(c.e) }
+    Writers.updateWhere(session, cat, table, sets, condCol, prune,
       GraftDml.dataDirFor(session, root, table))
     Seq.empty
   }

@@ -335,49 +335,103 @@ private[sql] object GraftMetaCount {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
   import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+  import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType => IntT, LongType => LongT, StringType => StrT, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
 
-  /** `Some(None)` = count(*) / count(lit); `Some(Some(col))` = count(col).
-    * Matched in BOTH shapes the rules can encounter: the parser's
+  /** A manifest-answerable aggregate over the table. */
+  private sealed trait Target
+  private case object CountStar extends Target
+  private final case class CountCol(col: String) extends Target
+  private final case class MinCol(col: String) extends Target
+  private final case class MaxCol(col: String) extends Target
+
+  /** Matched in BOTH shapes the rules can encounter: the parser's
     * UnresolvedFunction, and the post-`ResolveFunctions` /
-    * `GlobalAggregates` AggregateExpression(Count) — the builtins run
-    * earlier in the same resolution-batch iteration, so by the time an
-    * extended rule sees a global count it is usually already an
-    * `Aggregate` node over the still-unresolved relation. */
-  private def countTarget(e: Expression): Option[Option[String]] = e match {
-    case uf: UnresolvedFunction
-        if uf.nameParts.map(_.toLowerCase) == Seq("count") &&
-          !uf.isDistinct && uf.filter.isEmpty =>
-      uf.arguments match {
-        case Seq(_: UnresolvedStar) => Some(None)
-        case Seq(Literal(_, dt)) if dt == IntegerType || dt == LongType => Some(None)
-        case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
-          Some(Some(a.nameParts.head))
+    * `GlobalAggregates` AggregateExpression(Count/Min/Max) — the
+    * builtins run earlier in the same resolution-batch iteration, so by
+    * the time an extended rule sees a global aggregate it is usually
+    * already an `Aggregate` node over the still-unresolved relation. */
+  private def target(e: Expression): Option[Target] = e match {
+    case uf: UnresolvedFunction if !uf.isDistinct && uf.filter.isEmpty =>
+      (uf.nameParts.map(_.toLowerCase), uf.arguments) match {
+        case (Seq("count"), Seq(_: UnresolvedStar)) => Some(CountStar)
+        case (Seq("count"), Seq(Literal(_, dt))) if dt == IntegerType || dt == LongType =>
+          Some(CountStar)
+        case (Seq("count"), Seq(a: UnresolvedAttribute)) if a.nameParts.size == 1 =>
+          Some(CountCol(a.nameParts.head))
+        case (Seq("min"), Seq(a: UnresolvedAttribute)) if a.nameParts.size == 1 =>
+          Some(MinCol(a.nameParts.head))
+        case (Seq("max"), Seq(a: UnresolvedAttribute)) if a.nameParts.size == 1 =>
+          Some(MaxCol(a.nameParts.head))
         case _ => None
       }
     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
-        case Count(Seq(Literal(_, dt))) if dt == IntegerType || dt == LongType => Some(None)
+        case Count(Seq(Literal(_, dt))) if dt == IntegerType || dt == LongType =>
+          Some(CountStar)
         case Count(Seq(a: UnresolvedAttribute)) if a.nameParts.size == 1 =>
-          Some(Some(a.nameParts.head))
+          Some(CountCol(a.nameParts.head))
+        case Min(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
+          Some(MinCol(a.nameParts.head))
+        case Max(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
+          Some(MaxCol(a.nameParts.head))
         case _ => None
       }
     case _ => None
   }
 
   /** Output name + target per projection entry; unaliased `count(col)`
-    * is skipped (its analyzer-assigned pretty name is not worth
-    * reproducing), unaliased `count(*)` keeps the canonical `count(1)`. */
-  private def entryOf(e: NamedExpression): Option[(String, Option[String])] = e match {
-    case al: Alias => countTarget(al.child).map(t => al.name -> t)
+    * / `min(col)` / `max(col)` are skipped (their analyzer-assigned
+    * pretty names are not worth reproducing), unaliased `count(*)`
+    * keeps the canonical `count(1)`. */
+  private def entryOf(e: NamedExpression): Option[(String, Target)] = e match {
+    case al: Alias => target(al.child).map(t => al.name -> t)
     case ua: UnresolvedAlias =>
-      countTarget(ua.child).collect { case None => "count(1)" -> None }
+      target(ua.child).collect { case CountStar => "count(1)" -> CountStar }
     case _ => None
   }
 
-  /** Fold an all-count projection over `snap` to a one-row
-    * LocalRelation, or None when the shape/stats don't qualify. */
+  /** Exactly-representable-in-Double window for integer columns: the
+    * manifest stores numeric min/max as Double, so a long past 2^53
+    * may have been rounded at stats time — never fold it. */
+  private val ExactLong = 1L << 53
+
+  /** The folded (type, catalyst value) of MIN/MAX over `files` for
+    * field `f`, or None when any file lacks the stat or the type's
+    * manifest representation isn't provably exact. Numeric stats live
+    * as Double: int/long fold only for integral values inside ±2^53;
+    * double folds directly; string stats are stored UNtruncated so
+    * they fold verbatim. Timestamp/date/decimal fall through to the
+    * scan (their double encoding is not worth re-deriving here). */
+  private def foldMinMax(files: Seq[graft.meta.FileMeta], f: StructField,
+                         isMin: Boolean): Option[(DataType, Any)] = {
+    if (files.isEmpty) return None
+    f.dataType match {
+      case IntT | LongT | DoubleType =>
+        val per = files.map(_.stats.get(f.name).flatMap(s => if (isMin) s.minD else s.maxD))
+        if (per.exists(_.isEmpty)) return None
+        val v = if (isMin) per.flatten.min else per.flatten.max
+        f.dataType match {
+          case DoubleType => Some((DoubleType, v))
+          case _ if v != math.rint(v) || math.abs(v) >= ExactLong => None
+          case IntT => Some((IntT, v.toInt))
+          case LongT => Some((LongT, v.toLong))
+          case _ => None
+        }
+      case StrT =>
+        val per = files.map(_.stats.get(f.name).flatMap(s => if (isMin) s.minS else s.maxS))
+        if (per.exists(_.isEmpty)) return None
+        val v = if (isMin) per.flatten.min else per.flatten.max
+        Some((StrT, UTF8String.fromString(v)))
+      case _ => None
+    }
+  }
+
+  /** Fold an all-manifest-answerable projection over `snap` to a
+    * one-row LocalRelation, or None when the shape/stats don't
+    * qualify. */
   def fold(
       session: SparkSession,
       snap: graft.meta.SnapshotMeta,
@@ -392,23 +446,30 @@ private[sql] object GraftMetaCount {
     // an ambiguous case-differing match must never bind to the wrong
     // field's null stats
     val resolver = session.sessionState.conf.resolver
-    val values = entries.flatten.map {
-      case (name, None) => Some(name -> total)
-      case (name, Some(colName)) =>
-        val field = snap.schema.fields.filter(f => resolver(f.name, colName)) match {
-          case Array(one) => Some(one)
-          case _ => None
-        }
-        field.flatMap { f =>
+    def fieldOf(colName: String): Option[StructField] =
+      snap.schema.fields.filter(f => resolver(f.name, colName)) match {
+        case Array(one) => Some(one)
+        case _ => None
+      }
+    val values: Seq[Option[(String, DataType, Any)]] = entries.flatten.map {
+      case (name, CountStar) => Some((name, LongT: DataType, total))
+      case (name, CountCol(colName)) =>
+        fieldOf(colName).flatMap { f =>
           val nulls = snap.files.map(_.stats.get(f.name).flatMap(_.nullCount))
           if (nulls.exists(_.isEmpty)) None
-          else Some(name -> (total - nulls.flatten.sum))
+          else Some((name, LongT: DataType, total - nulls.flatten.sum))
         }
+      case (name, MinCol(colName)) =>
+        fieldOf(colName).flatMap(f => foldMinMax(snap.files, f, isMin = true))
+          .map { case (dt, v) => (name, dt, v) }
+      case (name, MaxCol(colName)) =>
+        fieldOf(colName).flatMap(f => foldMinMax(snap.files, f, isMin = false))
+          .map { case (dt, v) => (name, dt, v) }
     }
     if (values.exists(_.isEmpty)) return None
     val out = values.flatten
-    val attrs = out.map { case (n, _) => AttributeReference(n, LongType, nullable = false)() }
-    Some(LocalRelation(attrs, Seq(InternalRow.fromSeq(out.map(_._2)))))
+    val attrs = out.map { case (n, dt, _) => AttributeReference(n, dt, nullable = false)() }
+    Some(LocalRelation(attrs, Seq(InternalRow.fromSeq(out.map(_._3)))))
   }
 
   /** A HAVING without GROUP BY parses as UnresolvedHaving over a
@@ -423,19 +484,27 @@ private[sql] object GraftMetaCount {
 }
 
 /** Metadata-only aggregates (SURVEY §2 S52; the Iceberg/Delta
-  * count-from-manifests optimization): a global `SELECT COUNT(*)` /
-  * `COUNT(col)` over a catalog table answers from the snapshot's
-  * manifest row counts — ZERO data files opened, the plan collapses to
-  * a one-row LocalRelation. At 100 TB this turns the most common
-  * sanity query a pipeline runs ("how many rows landed?") from a
-  * full-corpus scan into a metadata lookup.
+  * aggregates-from-manifests optimization): a global `SELECT COUNT(*)`
+  * / `COUNT(col)` / `MIN(col)` / `MAX(col)` over a catalog table
+  * answers from the snapshot's manifest row counts and per-file
+  * min/max stats — ZERO data files opened, the plan collapses to a
+  * one-row LocalRelation. At 100 TB this turns the most common sanity
+  * queries a pipeline runs ("how many rows landed?", "what's the
+  * latest timestamp key?") from full-corpus scans into metadata
+  * lookups.
   *
-  * SOUND BY CONSTRUCTION — the rule fires only when manifest counts
-  * are exact table counts:
+  * SOUND BY CONSTRUCTION — the rule fires only when manifest stats
+  * are exact answers:
   *  - no outstanding delete files (MoR masks make manifest totals
-  *    over-counts; the scan path stays correct, so just don't fire);
+  *    over-counts and could have masked the extreme row; the scan path
+  *    stays correct, so just don't fire);
   *  - `COUNT(col)` additionally needs every file to carry a non-null
   *    count for the column (nullCount stats): count = rows − nulls;
+  *  - `MIN/MAX(col)` needs every file to carry the bound, and the
+  *    column's manifest encoding must be provably exact: int/long fold
+  *    only for integral bounds inside ±2^53 (stats are stored as
+  *    Double), double folds directly, strings are stored untruncated
+  *    and fold verbatim; timestamp/date/decimal always scan;
   *  - no WHERE (a Filter child breaks the match), no GROUP BY (the
   *    parser emits Aggregate, not Project, for grouped queries), no
   *    DISTINCT / FILTER clause, no expression arguments, no pending

@@ -103,6 +103,70 @@ class GraftDmlSpec extends SparkSpec {
       s"prune should bound the mask to 1 of 4 files, got ${del.head.dataPaths.size}")
   }
 
+  test("UPDATE SET sees the old row, prunes by WHERE, commits the self-merge shape") {
+    val t = freshTable("upd1", 1 to 20)
+    val before = cat.currentSnapshot(t).get
+    // both SETs read the PRE-update values: name gets the old balance
+    ext.sql(
+      s"""UPDATE $t SET c_name = concat('was:', CAST(c_acctbal AS STRING)),
+         |  c_acctbal = c_acctbal + 100.0
+         |WHERE c_custkey <= 3""".stripMargin)
+    val got = ext.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $t WHERE c_custkey <= 3")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val orig = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey").between(1, 3))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    orig.foreach { case (k, bal) =>
+      assert(got(k) == (s"was:$bal", bal + 100.0), s"key $k")
+    }
+    // untouched rows identical; total row count unchanged
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 20)
+    // commit shape: self-merge (insert_files = new versions), rewrite lineage
+    val after = cat.currentSnapshot(t).get
+    assert(after.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpMerge))
+    assert(after.props.get(SnapshotCatalog.InsertFilesProp).exists(_.nonEmpty))
+    // CDC: the feed nets exactly delete(old) + insert(new) for the 3 rows
+    val feed = cat.changesBetween(spark, t, before.snapshotId, Some(after.snapshotId))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 3L, "insert" -> 3L))
+  }
+
+  test("UPDATE without WHERE updates every row; no-match UPDATE commits nothing") {
+    val t = freshTable("upd2", 1 to 6)
+    val s0 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"UPDATE $t SET c_acctbal = 0.0")
+    assert(ext.sql(s"SELECT sum(c_acctbal) AS s FROM $t").head().getDouble(0) == 0.0)
+    assert(cat.currentSnapshot(t).get.snapshotId == s0 + 1)
+    ext.sql(s"UPDATE $t SET c_acctbal = 99.0 WHERE c_custkey > 1000000")
+    assert(cat.currentSnapshot(t).get.snapshotId == s0 + 1, "no-match UPDATE must not commit")
+  }
+
+  test("UPDATE over a MoR-masked table never resurrects masked rows") {
+    val t = freshTable("upd4", 1 to 10)
+    ext.sql(s"DELETE FROM $t WHERE c_custkey <= 2")
+    // rewrites the masked file's survivors: rows 1-2 must stay gone
+    ext.sql(s"UPDATE $t SET c_acctbal = -1.0 WHERE c_custkey <= 6")
+    val keys = ext.sql(s"SELECT c_custkey FROM $t").collect().map(_.getLong(0)).toSet
+    assert(keys == (3 to 10).map(_.toLong).toSet)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE c_acctbal = -1.0")
+      .head().getLong(0) == 4)
+  }
+
+  test("unsupported UPDATE shapes fail loudly") {
+    val t = freshTable("upd3", 1 to 3)
+    val e1 = intercept[Exception] {
+      ext.sql(s"UPDATE $t SET nope = 1")
+    }
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[Exception] {
+      ext.sql(s"UPDATE $t SET c_acctbal = 1.0, c_acctbal = 2.0")
+    }
+    assert(e2.getMessage.toLowerCase.contains("more than once") ||
+      e2.getMessage.toLowerCase.contains("duplicate"))
+  }
+
   test("MERGE INTO upserts by key through the key-merge writer") {
     val t = freshTable("mrg", 1 to 10)
     ext.sql(

@@ -211,6 +211,43 @@ class GraftSqlResolutionSpec extends SparkSpec {
       c.filter(col("c_custkey") > 5).count())
   }
 
+  test("metadata MIN/MAX fold from manifest bounds; inexact encodings scan (S52)") {
+    setup()
+    val c = graft.Tables.customer(spark, sfDir).filter(col("c_custkey") <= 40)
+      .withColumn("bigval", col("c_custkey") * 1000000L)
+      .withColumn("hugeval", lit(1L << 60) + col("c_custkey"))
+    Writers.writeSnapshot(writeCat, "mm", c, dataDir)
+
+    // long/string/double bounds fold, mixed freely with counts
+    val df = ext.sql(
+      "SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi, MAX(c_name) AS topname, " +
+        "MIN(c_acctbal) AS minbal, COUNT(*) AS n FROM mm")
+    assert(!hasFileScan(df), "expected min/max to fold to a LocalRelation")
+    val exp = c.agg(min(col("c_custkey")), max(col("c_custkey")), max(col("c_name")),
+      min(col("c_acctbal")), count(lit(1))).head()
+    val r = df.head()
+    assert(r.getLong(0) == exp.getLong(0) && r.getLong(1) == exp.getLong(1))
+    assert(r.getString(2) == exp.getString(2))
+    assert(r.getDouble(3) == exp.getDouble(3))
+    assert(r.getLong(4) == exp.getLong(4))
+
+    // a long past 2^53 may have been rounded in the Double-encoded
+    // manifest stat: must scan, and the scan is exact
+    val huge = ext.sql("SELECT MAX(hugeval) AS h FROM mm")
+    assert(hasFileScan(huge), "past-2^53 long bounds must not fold")
+    assert(huge.head().getLong(0) == (1L << 60) + 40L)
+
+    // DISTINCT / expression arguments are not manifest facts
+    assert(hasFileScan(ext.sql("SELECT MIN(c_custkey + 1) AS m FROM mm")))
+
+    // MoR mask could have deleted the extreme row: yield to the scan
+    Writers.deleteWhereMoR(spark, writeCat, "mm", col("c_custkey") >= 40,
+      Seq(graft.meta.RangeNum("c_custkey", 40.0, Double.PositiveInfinity)), dataDir)
+    val masked = ext.sql("SELECT MAX(c_custkey) AS hi FROM mm")
+    assert(hasFileScan(masked), "masked table must answer min/max through the scan")
+    assert(masked.head().getLong(0) == 39L)
+  }
+
   test("metadata COUNT never folds under a pending HAVING") {
     setup()
     // HAVING without GROUP BY: folding the child Project first would
