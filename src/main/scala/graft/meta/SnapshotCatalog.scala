@@ -1174,6 +1174,38 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         deleteFiles = prev.deleteFiles)
     }
 
+  /** Add a column — one metadata commit, zero data bytes (Iceberg
+    * `ALTER TABLE ... ADD COLUMN`): the field appends to the schema as
+    * NULLABLE (pre-existing rows have no value for it, so a NOT NULL
+    * add is unsatisfiable without a rewrite — refused at the SQL
+    * surface); every existing file reads NULL for the new column via
+    * the same missing-column fill that additive append evolution uses.
+    * If a same-named column was dropped earlier, the per-file tombstone
+    * mapping keeps the old physical bytes unreachable — the re-added
+    * column reads null from pre-drop files, never resurrected values
+    * (Iceberg's drop-then-re-add semantics, S26). */
+  def addColumn(table: String, name: String, dataType: org.apache.spark.sql.types.DataType): SnapshotMeta = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name: $name")
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      require(!prev.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists on $table")
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+        .flatMap(k => prev.props.get(k).map(k -> _)).toMap
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = StructType(prev.schema.fields :+
+          org.apache.spark.sql.types.StructField(name, dataType, nullable = true)).json,
+        files = prev.files,
+        props = sticky ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve),
+        deleteFiles = prev.deleteFiles)
+    }
+  }
+
   /** Sticky bloom/sketch column props with `from` renamed to `to`
     * (dropped when `to` is None). */
   private def stickyRenamed(

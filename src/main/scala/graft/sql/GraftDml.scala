@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions.{col, lit}
   *     WHEN MATCHED THEN UPDATE SET *             -- SOURCE-side facts,
   *     WHEN NOT MATCHED AND s.op <> 'D'           -- first match wins
   *       THEN INSERT *
+  *   ALTER TABLE t ADD COLUMNS (c TYPE, ...)      -- metadata-only DDL
+  *   ALTER TABLE t DROP COLUMN [IF EXISTS] c      --   (zero data bytes,
+  *   ALTER TABLE t RENAME COLUMN a TO b           --    one snapshot each)
   *   CREATE TABLE graft.t AS SELECT ...           -- CTAS (the `graft.`
   *     namespace is the claim signal: the table doesn't exist yet, so
   *     name resolution can't arbitrate — bare-name CTAS stays with the
@@ -191,6 +194,38 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           }
           GraftMergeCommand(root, table, source, GraftDml.mergeKeyCols(cond),
             mClauses, nmClauses, sourceQuals)
+        case AddColumns(t, cols) if alterTarget(t, cat).isDefined =>
+          val table = alterTarget(t, cat).get
+          val simple = cols.map { c =>
+            if (c.path.nonEmpty) throw new UnsupportedOperationException(
+              "ALTER TABLE ADD COLUMNS on graft catalog tables supports top-level " +
+                s"columns only; got nested field ${c.name.mkString(".")}")
+            if (!c.nullable) throw new UnsupportedOperationException(
+              "ALTER TABLE ADD COLUMNS NOT NULL is unsatisfiable on existing rows " +
+                "without a table rewrite; add the column nullable")
+            if (c.position.nonEmpty) throw new UnsupportedOperationException(
+              "ALTER TABLE ADD COLUMNS FIRST/AFTER is not supported; columns append")
+            if (c.default.nonEmpty) throw new UnsupportedOperationException(
+              "ALTER TABLE ADD COLUMNS DEFAULT is not supported on graft catalog tables")
+            c.colName -> c.dataType
+          }
+          GraftAlterCommand(root, table, GraftAlterCommand.Add(simple))
+        case DropColumns(t, fields, ifExists) if alterTarget(t, cat).isDefined =>
+          val table = alterTarget(t, cat).get
+          val names = fields.map { f =>
+            if (f.name.size != 1) throw new UnsupportedOperationException(
+              "ALTER TABLE DROP COLUMN on graft catalog tables supports top-level " +
+                s"columns only; got ${f.name.mkString(".")}")
+            f.name.head
+          }
+          GraftAlterCommand(root, table, GraftAlterCommand.Drop(names, ifExists))
+        case RenameColumn(t, column, newName) if alterTarget(t, cat).isDefined =>
+          val table = alterTarget(t, cat).get
+          if (column.name.size != 1) throw new UnsupportedOperationException(
+            "ALTER TABLE RENAME COLUMN on graft catalog tables supports top-level " +
+              s"columns only; got ${column.name.mkString(".")}")
+          GraftAlterCommand(root, table,
+            GraftAlterCommand.Rename(column.name.head, newName))
         case ct: CreateTableAsSelect if ctasTarget(ct.name).isDefined =>
           val t = ctasTarget(ct.name).get
           if (ct.partitioning.nonEmpty) throw new UnsupportedOperationException(
@@ -209,6 +244,15 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           GraftCtasCommand(root, t, ct.query, ct.ignoreIfExists)
       }
   }
+
+  /** The claimed table of an ALTER TABLE target (an [[UnresolvedTable]],
+    * unlike DML's UnresolvedRelation). */
+  private def alterTarget(p: LogicalPlan, cat: SnapshotCatalog): Option[String] =
+    p match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        claimedTable(u.multipartIdentifier, cat)
+      case _ => None
+    }
 
   /** A CTAS target this rule claims: the explicit `graft.<t>` namespace
     * — the table does not exist yet, so (unlike INSERT/DELETE/MERGE)
@@ -360,6 +404,44 @@ case class GraftMergeCommand(
       GraftDml.dataDirFor(session, root, table))
     Seq.empty
   }
+}
+
+/** `ALTER TABLE t ADD/DROP/RENAME COLUMN` → the catalog's metadata-only
+  * schema-evolution commits (S26/S48): add appends a nullable field
+  * (existing files read NULL through the missing-column fill), drop
+  * tombstones the physical bytes per file (drop-then-re-add reads
+  * null, never resurrected values), rename re-keys stats/blooms/
+  * sketches so manifest pruning keeps working — all zero data bytes,
+  * one snapshot each, time-travel reaching the pre-DDL schema. */
+case class GraftAlterCommand(
+    root: String,
+    table: String,
+    change: GraftAlterCommand.Change) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    change match {
+      case GraftAlterCommand.Add(cols) =>
+        cols.foreach { case (n, dt) => cat.addColumn(table, n, dt) }
+      case GraftAlterCommand.Drop(names, ifExists) =>
+        names.foreach { n =>
+          val exists = cat.schema(table).exists(_.fieldNames.contains(n))
+          if (exists) cat.dropColumn(table, n)
+          else if (!ifExists) throw new IllegalArgumentException(
+            s"no column $n on $table")
+        }
+      case GraftAlterCommand.Rename(from, to) =>
+        cat.renameColumn(table, from, to)
+    }
+    Seq.empty
+  }
+}
+
+object GraftAlterCommand {
+  sealed trait Change
+  final case class Add(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends Change
+  final case class Drop(names: Seq[String], ifExists: Boolean) extends Change
+  final case class Rename(from: String, to: String) extends Change
 }
 
 /** `CREATE TABLE graft.t AS SELECT ...` → analyze the query on the live

@@ -285,6 +285,51 @@ class GraftDmlSpec extends SparkSpec {
   private def seedCtas(): Unit =
     if (!cat.tables().contains("cust_ctas_seed")) freshTable("cust_ctas_seed", 1 to 20)
 
+  test("ALTER TABLE ADD/DROP/RENAME COLUMN are metadata-only schema evolution") {
+    val t = freshTable("ddl1", 1 to 8)
+    val filesBefore = cat.currentSnapshot(t).get.files.map(_.path).toSet
+
+    // ADD: appends nullable; existing rows read NULL; INSERT can fill it
+    ext.sql(s"ALTER TABLE $t ADD COLUMNS (segment STRING, score BIGINT)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE segment IS NULL")
+      .head().getLong(0) == 8)
+    ext.sql(s"INSERT INTO $t VALUES (900, 'NewCust', 1.5, 'SEG_A', 7)")
+    assert(ext.sql(s"SELECT segment, score FROM $t WHERE c_custkey = 900")
+      .head().toSeq == Seq("SEG_A", 7L))
+
+    // RENAME: reads through the new name, old name gone, pruning keys re-keyed
+    ext.sql(s"ALTER TABLE $t RENAME COLUMN c_acctbal TO balance")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE balance IS NOT NULL")
+      .head().getLong(0) == 9)
+    assert(intercept[Exception](ext.sql(s"SELECT c_acctbal FROM $t").collect())
+      .getMessage.toLowerCase.contains("c_acctbal"))
+
+    // DROP: data invisible; drop-then-re-add reads null, not old values
+    ext.sql(s"ALTER TABLE $t DROP COLUMN segment")
+    assert(!ext.sql(s"SELECT * FROM $t").columns.contains("segment"))
+    ext.sql(s"ALTER TABLE $t ADD COLUMNS (segment STRING)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE segment IS NULL")
+      .head().getLong(0) == 9, "re-added column must not resurrect dropped values")
+
+    // all of the above were metadata commits: the original files still
+    // carry the data (only the INSERT added one)
+    val filesAfter = cat.currentSnapshot(t).get.files.map(_.path).toSet
+    assert(filesBefore.subsetOf(filesAfter) && filesAfter.size == filesBefore.size + 1)
+
+    // IF EXISTS swallows a missing drop; plain drop refuses
+    ext.sql(s"ALTER TABLE $t DROP COLUMN IF EXISTS nope")
+    assert(intercept[Exception](ext.sql(s"ALTER TABLE $t DROP COLUMN nope"))
+      .getMessage.contains("no column"))
+
+    // unsupported shapes refuse loudly
+    assert(intercept[UnsupportedOperationException](
+      ext.sql(s"ALTER TABLE $t ADD COLUMNS (x INT NOT NULL)"))
+      .getMessage.contains("unsatisfiable"))
+    assert(intercept[UnsupportedOperationException](
+      ext.sql(s"ALTER TABLE $t ADD COLUMNS (x INT FIRST)"))
+      .getMessage.contains("FIRST/AFTER"))
+  }
+
   test("DML on an unclaimed name falls through to builtin analysis") {
     val err = intercept[Exception] {
       ext.sql("DELETE FROM no_such_table WHERE x = 1")
