@@ -710,22 +710,24 @@ object Relational {
 
   /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
     * lineitems under 20% of their part's average quantity. The
-    * correlated AVG is ONE per-part aggregation from the same scan,
-    * joined back co-keyed on partkey; the 0.2·avg boundary is
-    * cross-multiplied (5·qty·n < total in decimal) so the comparison
-    * never touches a float — engine-exact membership. Final /7.0 runs
-    * in double on both sides (identical IEEE op). */
+    * correlated AVG is a per-part WINDOW over the one filtered scan —
+    * single lineitem pass, one exchange (the agg+join-back form scans
+    * lineitem twice; a partkey partition is bounded by lines-per-part,
+    * so this window has none of the stopword-skew hazard that killed
+    * the tfidf window). The 0.2·avg boundary is cross-multiplied
+    * (5·qty·n < total in decimal) so membership is engine-exact, never
+    * a float compare; the final /7.0 runs in double on both sides
+    * (identical IEEE op). */
   def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
       .filter(col("p_brand").isin("Brand#23", "Brand#12") && col("p_size") <= 25)
       .select(col("p_partkey"))
-    val li = Tables.lineitem(s, dir)
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val avgQ = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(money(col("l_quantity"))).as("qty_total"),
-        count(lit(1)).as("qty_n"))
-    li.join(avgQ, col("l_partkey") === col("pk"))
+      .withColumn("qty_total", sum(money(col("l_quantity"))).over(w))
+      .withColumn("qty_n", count(lit(1)).over(w))
       .filter(money(col("l_quantity")) * lit(5) * col("qty_n") < col("qty_total"))
       .agg((sum(money(col("l_extendedprice"))).cast("double") / lit(7.0))
         .as("avg_yearly"))

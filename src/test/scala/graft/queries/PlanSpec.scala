@@ -56,6 +56,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("r9 TPC-H shapes read each table once (no correlated-subquery re-scans)") {
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    // Q14/Q19/Q17: lineitem + part only — the conditional-agg ratio,
+    // the derived-predicate OR, and the windowed correlated AVG each
+    // fold what is classically a second lineitem pass into one scan
+    assert(scans(Relational.qTpchQ14(spark, sfDir)) == 2)
+    assert(scans(Relational.qTpchQ19(spark, sfDir)) == 2)
+    assert(scans(Relational.qTpchQ17(spark, sfDir)) == 2)
+    // Q4: orders + key-only lineitem semi side
+    assert(scans(Relational.qTpchQ4(spark, sfDir)) == 2)
+    // Q13: orders aggregated before the customer join
+    assert(scans(Relational.qTpchQ13(spark, sfDir)) == 2)
+    // Q18: ONE lineitem aggregation serves filter + output (classic
+    // form joins lineitem a second time for the SELECT-list sum)
+    assert(scans(Relational.qTpchQ18(spark, sfDir)) == 3)
+  }
+
   test("no query in the battery plans a CartesianProduct") {
     // brute-force ANN legitimately uses BroadcastNestedLoopJoin over a
     // bounded query set; an unbounded CartesianProduct is always a bug
