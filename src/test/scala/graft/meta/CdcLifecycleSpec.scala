@@ -139,7 +139,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(15) match {
+        rnd.nextInt(16) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -306,6 +306,21 @@ class CdcLifecycleSpec extends SparkSpec {
             }
             state = next
             states :+= (cat.currentSnapshot(t).get.snapshotId, state)
+          case 15 => // SQL UPDATE: the COW self-merge through the
+            // extensions — SET reads the OLD row; the model shifts v
+            // on the matched range (no-match updates commit nothing)
+            val lo = rnd.nextInt(90).toLong
+            val hi = lo + rnd.nextInt(20).toLong
+            val before = cat.currentSnapshot(t).map(_.snapshotId)
+            es.sql(s"UPDATE t SET v = v + 1000 WHERE id BETWEEN $lo AND $hi")
+            val after = cat.currentSnapshot(t).get.snapshotId
+            if (!before.contains(after)) {
+              val matched = inRange(state, lo, hi)
+              val shifted = ms(matched.toSeq.flatMap { case ((id, v), n) =>
+                Seq.fill(n)((id, v + 1000L)) })
+              state = plus(minus(state, matched), shifted)
+              states :+= (after, state)
+            }
         }
       }
 
