@@ -17,6 +17,45 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("stream-static enrichment: LM scoring over a document stream equals batch (T9)") {
+    // model trains BATCH-side (count tables are static relations); the
+    // SAME LmScore.score then runs over a readStream source — its count
+    // joins become stream-static joins, the corpus-total broadcast a
+    // stream-static cross join, the per-doc rollup a streaming
+    // aggregation in update mode. This is the deploy shape: score
+    // incoming documents against a fixed reference model.
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c"), (3L, "b c a"))
+      .toDF("doc_id", "text")
+    val model = graft.ops.LmScore.train(corpus, "doc_id", "text")
+    val expected = graft.ops.LmScore.score(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.LmScore
+      .score(mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("lmstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((1L, "a b a b c"), (2L, "a b c"))
+      q.processAllAvailable()
+      mem.addData((3L, "b c a"))
+      q.processAllAvailable()
+      val got = spark.table("lmstream")
+        .groupBy("doc_id").agg(
+          last("n_bigrams").as("nb"), last("n_known").as("nk"), last("ppl").as("p"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (id, (nb, nk, ppl)) =>
+        val (gb, gk, gp) = got(id)
+        assert(gb == nb && gk == nk, s"counts for doc $id")
+        assert(math.abs(gp - ppl) < 1e-9, s"ppl for doc $id")
+      }
+    } finally q.stop()
+  }
+
   test("hourly windowed agg: streaming (complete mode) equals batch on same data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
