@@ -690,6 +690,48 @@ object Engine {
       root
     })
 
+  // Memoized SQL-maintenance catalog per sf-dir: seed + two SQL
+  // INSERTs build a 3-snapshot, many-small-files table, then the
+  // MAINTENANCE surface runs purely through SQL — CALL graft.compact
+  // (row-preserving rewrite) and CALL graft.expire_snapshots
+  // (metadata-only history trim). Neither may change a single visible
+  // row: the oracle replays only the DATA algebra over raw parquet.
+  private val maintRoots = TrieMap.empty[String, String]
+  private def maintRootFor(s: SparkSession, dir: String): String =
+    maintRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-maintsql-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "maintorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 4 = 1")),
+        Files.createTempDirectory("graft-maintsql-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(s"INSERT INTO maintorders SELECT * FROM $src WHERE o_orderkey % 4 = 2")
+      es.sql(s"INSERT INTO maintorders SELECT * FROM $src WHERE o_orderkey % 4 = 3")
+      val compacted = es.sql("CALL graft.compact('maintorders', min_files => 2)").head()
+      require(compacted.getBoolean(0), "maintenance battery expects a compaction commit")
+      val expired = es.sql(
+        "CALL graft.expire_snapshots('maintorders', retain_last => 1)").head().getLong(0)
+      require(expired == 3, s"expected 3 expired snapshots, got $expired")
+      root
+    })
+
+  /** SQL maintenance end-to-end (S56): after compaction + expiration
+    * ran purely through `CALL graft.*`, the visible data must be
+    * EXACTLY the union of the seed and the two inserts — maintenance
+    * that leaks into query results is corruption, so the oracle knows
+    * nothing about it. */
+  def qSqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, maintRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM maintorders
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** SQL-only table CREATION (the CTAS half of the S50 lifecycle): a
     * table that exists only because `CREATE TABLE graft.t AS SELECT`
     * ran, then aggregated through the same SQL surface. The oracle
@@ -784,9 +826,16 @@ object Engine {
     "q_merge_clauses" -> (qMergeClauses _),
     "q_clone_read" -> (qCloneRead _),
     "q_meta_count" -> (qMetaCount _),
+    "q_sql_maintenance" -> (qSqlMaintenance _),
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_maintenance" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (1, 2, 3)
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_cached_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,

@@ -733,6 +733,100 @@ object Relational {
         .as("avg_yearly"))
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-bound
+    * query — one pass, three pushed filters, no join, no grouping. The
+    * whole point at 100 TB is that all three predicates reach the
+    * parquet reader (min/max + dictionary pruning skip most files) and
+    * the aggregate is a map-side partial; the discount literals parse
+    * to the same IEEE doubles on both engines so the range compare is
+    * engine-exact. */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q11 shape (important stock identification): per-key value
+    * rollup filtered against a GLOBAL scalar — the
+    * HAVING-over-fraction-of-total idiom. Schema adaptation (as Q9):
+    * no partsupp, so a part's "stock value" is its shipped-quantity
+    * value at 10% of retail price from lineitem, restricted to one
+    * nation's suppliers. Plan shape: the per-part aggregate subtree
+    * appears on BOTH sides (rows + grand total); Catalyst's
+    * ReuseExchange collapses them to one scan + one shuffle, and the
+    * 1-row total rides a broadcast cross join. The threshold compare
+    * runs in double on both engines (same decimal→double cast, same
+    * IEEE multiply — bit-identical), never in engine-specific decimal
+    * division. */
+  def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_retailprice"))
+    val value = Tables.lineitem(s, dir)
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_quantity")) * money(col("p_retailprice")) * rate(lit(0.10)))
+        .as("value"))
+    val total = value.agg(sum(col("value")).cast("double").as("total"))
+    value
+      .join(broadcast(total))
+      .filter(col("value").cast("double") * 1000.0 > col("total"))
+      .select(col("l_partkey").as("ps_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping priority audit): co-keyed fact⋈fact join
+    * feeding DUAL conditional aggregates (case-inside-sum — one pass,
+    * no self-join). Schema adaptation: no l_shipmode/commitdate, so the
+    * audit groups by l_linestatus and `l_returnflag = 'R'` stands in
+    * for the late-delivery predicate (the same stand-in Q4/Q21 use).
+    * The lineitem side filters to ~5% BEFORE the shuffle, and orders
+    * ships only (orderkey, priority) — key-plus-one-column traffic. */
+  def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    * per wide grouping key with a NOT-IN supplier exclusion. Schema
+    * adaptation: no partsupp — the part↔supplier association is the
+    * distinct (l_partkey, l_suppkey) pairs of lineitem (exactly what
+    * partsupp materializes), and `s_acctbal < 0` stands in for the
+    * complaints filter. Plan: part prunes to the brand/type/size
+    * subset and broadcasts; the exclusion list is a broadcast anti
+    * join; the distinct count partial-aggregates (Expand + two-stage
+    * agg), so no stage ever holds more than the surviving pair set. */
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val complainers = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complainers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -749,6 +843,10 @@ object Relational {
     "q_tpch_q15" -> (qTpchQ15 _),
     "q_tpch_q20" -> (qTpchQ20 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q11" -> (qTpchQ11 _),
+    "q_tpch_q12" -> (qTpchQ12 _),
+    "q_tpch_q16" -> (qTpchQ16 _),
     "q_listagg" -> (qListagg _),
     "q_ntile" -> (qNtile _),
     "q_ntile_approx" -> (qNtileApprox _),
@@ -774,6 +872,43 @@ object Relational {
     "q_date_funcs" -> (qDateFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(15,4)) * CAST(p_retailprice AS DECIMAL(15,4))
+        |      * CAST(0.10 AS DECIMAL(4,2))) AS val_d
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY 1)
+        |SELECT l_partkey AS ps_partkey, CAST(val_d AS DOUBLE) AS value
+        |FROM v, (SELECT CAST(SUM(val_d) AS DOUBLE) AS total FROM v) t
+        |WHERE CAST(val_d AS DOUBLE) * 1000.0 > total
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_tpch_q2" ->
       """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
         |FROM part, lineitem, supplier, nation, region

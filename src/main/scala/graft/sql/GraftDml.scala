@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions.{col, lit}
   *     namespace is the claim signal: the table doesn't exist yet, so
   *     name resolution can't arbitrate — bare-name CTAS stays with the
   *     session catalog)
+  *   CALL graft.compact('t')                      -- SQL maintenance
+  *   CALL graft.expire_snapshots('t', retain_last => 3)
+  *   CALL graft.remove_orphans('t', grace_s => 0)
+  *   CALL graft.rollback('t', 4)                  --   (the Iceberg
+  *   CALL graft.cherrypick('t', 7)                --    procedure
+  *   CALL graft.clone('t', 't2')                  --    surface)
   *
   * Spark-first mechanics: the parser already produces
   * [[InsertIntoStatement]] / [[DeleteFromTable]] / [[MergeIntoTable]];
@@ -72,6 +78,38 @@ object GraftDml {
     * time against the live table scan. */
   final case class Cond(e: Expression) {
     override def toString: String = e.sql
+  }
+
+  /** Evaluate CALL arguments to plain Scala values: leading positional
+    * literals, then `name => literal` named arguments (the Spark
+    * parser's `NamedArgumentExpression`). Non-foldable arguments refuse
+    * loudly — a procedure argument computed from a table is not a
+    * maintenance parameter. */
+  private[sql] def evalCallArgs(
+      args: Seq[Expression]): (Seq[Any], Map[String, Any]) = {
+    def value(e: Expression): Any = {
+      if (!e.foldable) throw new UnsupportedOperationException(
+        s"CALL arguments must be literals; got ${e.sql}")
+      e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+        case v => v
+      }
+    }
+    val (named, positional) = args.partition(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
+    args.zipWithIndex.foreach { case (a, i) =>
+      if (!a.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression]
+          && i > 0 && args(i - 1)
+            .isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
+        throw new UnsupportedOperationException(
+          "CALL positional arguments must precede named arguments")
+    }
+    (positional.map(value),
+      named.map {
+        case org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression(n, v) =>
+          n.toLowerCase -> value(v)
+      }.toMap)
   }
 
   private[sql] def dataDirFor(session: SparkSession, root: String, table: String): String =
@@ -242,6 +280,12 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             case _ =>
           }
           GraftCtasCommand(root, t, ct.query, ct.ignoreIfExists)
+        case Call(org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(parts), args, _)
+            if parts.head.equalsIgnoreCase("graft") &&
+              (parts.size == 2 ||
+                (parts.size == 3 && parts(1).equalsIgnoreCase("system"))) =>
+          val (pos, named) = GraftDml.evalCallArgs(args)
+          GraftCallCommand(root, parts.last.toLowerCase, pos, named)
       }
   }
 
@@ -467,5 +511,110 @@ case class GraftCtasCommand(
     Writers.writeSnapshot(cat, table, df,
       GraftDml.dataDirFor(session, root, table))
     Seq.empty
+  }
+}
+
+/** `CALL graft.<proc>(...)` → catalog maintenance from SQL — the
+  * Iceberg stored-procedure surface (`CALL catalog.system.proc(...)`,
+  * e.g. rewrite_data_files / expire_snapshots / remove_orphan_files /
+  * rollback_to_snapshot), routed to the SAME maintenance code the Scala
+  * API uses so SQL-scheduled jobs get identical semantics: compaction
+  * commits are row-preserving (CDC-silent), expiration respects tags,
+  * vacuum respects staged WAP files and branches, rollback/cherry-pick
+  * are new commits (never history rewrites). Spark 4 parses CALL
+  * natively ([[Call]] + UnresolvedProcedure); the rule claims only the
+  * `graft` (or `graft.system`) namespace, so procedure catalogs keep
+  * working. Each procedure returns a one-row summary the caller can
+  * assert on — maintenance that can't report what it did can't be
+  * audited.
+  *
+  * Scale: every procedure is metadata-bounded except compact (one read
+  * + coalesce per bin, no shuffle) and remove_orphans (one listing of
+  * the table's data dir) — the same contracts as the underlying API. */
+case class GraftCallCommand(
+    root: String,
+    proc: String,
+    positional: Seq[Any],
+    named: Map[String, Any]) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, LongType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    proc match {
+      case "compact" =>
+        Seq(AttributeReference("committed", BooleanType, nullable = false)(),
+          AttributeReference("snapshot_id", LongType, nullable = true)())
+      case "expire_snapshots" =>
+        Seq(AttributeReference("expired", LongType, nullable = false)())
+      case "remove_orphans" =>
+        Seq(AttributeReference("removed_data", LongType, nullable = false)(),
+          AttributeReference("removed_sidecars", LongType, nullable = false)())
+      case _ =>
+        Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
+    }
+
+  private def arg(i: Int, name: String): Option[Any] =
+    named.get(name).orElse(positional.lift(i))
+
+  private def str(i: Int, name: String): String =
+    arg(i, name).map(_.toString).getOrElse(throw new IllegalArgumentException(
+      s"CALL graft.$proc: missing required argument '$name' (position $i)"))
+
+  private def asLong(name: String, v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case d: BigDecimal => d.toLong
+    case other => throw new IllegalArgumentException(
+      s"CALL graft.$proc: argument '$name' must be numeric; got $other")
+  }
+
+  private def long(i: Int, name: String, default: Long): Long =
+    arg(i, name).map(asLong(name, _)).getOrElse(default)
+
+  private def reqLong(i: Int, name: String): Long =
+    arg(i, name).map(asLong(name, _)).getOrElse(throw new IllegalArgumentException(
+      s"CALL graft.$proc: missing required argument '$name' (position $i)"))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    proc match {
+      case "compact" =>
+        val table = str(0, "table")
+        val res = Writers.compact(session, cat, table,
+          GraftDml.dataDirFor(session, root, table),
+          targetBytes = long(1, "target_mb", 128) << 20,
+          smallBytes = long(2, "small_mb", 32) << 20,
+          minFiles = long(3, "min_files", 2).toInt)
+        Seq(Row(res.isDefined, res.map(_.snapshotId).orNull))
+      case "expire_snapshots" =>
+        val table = str(0, "table")
+        val retain = long(1, "retain_last", 1).toInt
+        val n = named.get("older_than_ms") match {
+          case Some(v) =>
+            cat.expireSnapshotsOlderThan(table, asLong("older_than_ms", v), retain)
+          case None => cat.expireSnapshots(table, retain)
+        }
+        Seq(Row(n.toLong))
+      case "remove_orphans" =>
+        val table = str(0, "table")
+        val graceMs = long(1, "grace_s", 3600L) * 1000L
+        val data = cat.vacuumDataFiles(table,
+          GraftDml.dataDirFor(session, root, table), graceMs)
+        val side = cat.vacuumSidecars(table, graceMs)
+        Seq(Row(data.size.toLong, side.size.toLong))
+      case "rollback" =>
+        Seq(Row(cat.rollbackTo(session, str(0, "table"),
+          reqLong(1, "version")).snapshotId))
+      case "cherrypick" =>
+        Seq(Row(cat.cherryPick(session, str(0, "table"),
+          reqLong(1, "version")).snapshotId))
+      case "clone" =>
+        Seq(Row(cat.cloneTable(str(0, "table"), str(1, "target"),
+          named.get("version").map(asLong("version", _))).snapshotId))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unknown graft procedure '$other'; supported: compact, " +
+            "expire_snapshots, remove_orphans, rollback, cherrypick, clone")
+    }
   }
 }

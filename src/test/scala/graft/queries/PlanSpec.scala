@@ -74,6 +74,33 @@ class PlanSpec extends SparkSpec {
     assert(scans(Relational.qTpchQ18(spark, sfDir)) == 3)
   }
 
+  test("r9 TPC-H completions: Q6 one pushed-down scan; Q12/Q16 one scan per table; Q11 reuses the per-part exchange") {
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    // Q6: the pure scan query — one lineitem pass with ALL predicates
+    // at the parquet reader
+    val q6 = Relational.qTpchQ6(spark, sfDir)
+    assert(scans(q6) == 1)
+    // toString truncates PushedFilters; assert via the full DataFilters
+    // expressions instead (same predicates, scan-level)
+    val q6plan = q6.queryExecution.executedPlan.toString
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(q6plan).isDefined &&
+      "l_discount#\\d+ >= 0\\.05".r.findFirstIn(q6plan).isDefined,
+      s"Q6 predicates must reach the scan:\n${q6plan.take(1200)}")
+    assert(scans(Relational.qTpchQ12(spark, sfDir)) == 2)
+    assert(scans(Relational.qTpchQ16(spark, sfDir)) == 3)
+    // Q11: the grand-total branch must REUSE the per-part aggregate
+    // exchange at runtime (AQE stage reuse) — one lineitem scan feeds
+    // both the rows and the threshold. sf0.01: at sf0.001 NATION_7 has
+    // zero suppliers and AQE (correctly) short-circuits the whole plan
+    // to EmptyRelation, which proves propagation, not reuse
+    val q11 = Relational.qTpchQ11(spark, "/root/testdata/sf0.01")
+    q11.collect()
+    val q11plan = q11.queryExecution.executedPlan.toString
+    assert(q11plan.contains("ReusedExchange"),
+      s"Q11 total must reuse the per-part exchange:\n${q11plan.take(2000)}")
+  }
+
   test("no query in the battery plans a CartesianProduct") {
     // brute-force ANN legitimately uses BroadcastNestedLoopJoin over a
     // bounded query set; an unbounded CartesianProduct is always a bug

@@ -1,0 +1,126 @@
+package graft.sql
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.meta.SnapshotCatalog
+import graft.sinks.Writers
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.functions._
+
+/** `CALL graft.<proc>(...)` — the SQL maintenance surface (S56). Every
+  * procedure must route to the SAME maintenance code the Scala API
+  * uses: compaction is row-preserving and CDC-silent, expiration
+  * respects retention, vacuum deletes only unreferenced files, rollback
+  * and cherry-pick are new commits. Procedures return a one-row summary
+  * the caller can assert on. */
+class GraftCallSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-call-").toString
+  private lazy val dataDir = Files.createTempDirectory("graft-call-data-").toString
+  private lazy val cat = new SnapshotCatalog(root)
+
+  private lazy val ext = {
+    val s = GraftColumnShim.sessionWithExtensions(
+      spark, e => new graft.GraftExtensions().apply(e))
+    s.conf.set(GraftSqlResolution.RootConf, root)
+    s
+  }
+
+  private def freshTable(name: String, keys: Range): String = {
+    Writers.writeSnapshot(cat, name,
+      graft.Tables.customer(spark, sfDir)
+        .filter(col("c_custkey").isin(keys.map(Integer.valueOf): _*))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      dataDir)
+    name
+  }
+
+  test("CALL graft.compact merges small files, preserves rows, stays CDC-silent") {
+    val t = freshTable("cmp", 1 to 10)
+    // three one-row SQL appends → four files, three of them tiny
+    (1 to 3).foreach { i =>
+      ext.sql(s"INSERT INTO $t VALUES (${100 + i}, 'Late#$i', $i.5)")
+    }
+    val before = cat.currentSnapshot(t).get
+    val rowsBefore = ext.sql(s"SELECT * FROM $t").collect().toSet
+    val res = ext.sql(s"CALL graft.compact('$t')").head()
+    assert(res.getBoolean(0), "compact should commit on 4 small files")
+    val after = cat.currentSnapshot(t).get
+    assert(res.getLong(1) == after.snapshotId)
+    assert(after.props.get(SnapshotCatalog.OperationProp)
+      .contains(SnapshotCatalog.OpCompact))
+    assert(after.files.size < before.files.size)
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == rowsBefore)
+    // row-preserving commit: the change feed across the compaction is empty
+    assert(cat.changesBetween(spark, t, before.snapshotId).isEmpty)
+  }
+
+  test("CALL graft.expire_snapshots trims history to retain_last") {
+    val t = freshTable("exp", 1 to 3)
+    ext.sql(s"INSERT INTO $t VALUES (201, 'A', 1.0)")
+    ext.sql(s"INSERT INTO $t VALUES (202, 'B', 2.0)")
+    assert(cat.snapshots(t).size == 3)
+    val n = ext.sql(s"CALL graft.expire_snapshots('$t', retain_last => 1)")
+      .head().getLong(0)
+    assert(n == 2 && cat.snapshots(t).size == 1)
+    // current state unaffected
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5)
+  }
+
+  test("CALL graft.remove_orphans deletes unreferenced files only") {
+    val t = freshTable("orp", 1 to 4)
+    // the table's own dataDir (root/<t>/data) with a planted orphan
+    val ownDir = Paths.get(root, t, "data")
+    Files.createDirectories(ownDir)
+    val orphan = ownDir.resolve("orphan-not-in-any-snapshot.parquet")
+    Files.write(orphan, Array[Byte](80, 65, 82, 49))
+    // a referenced file written through SQL INSERT lands in the same dir
+    ext.sql(s"INSERT INTO $t VALUES (300, 'Kept', 9.0)")
+    val res = ext.sql(s"CALL graft.remove_orphans('$t', grace_s => 0)").head()
+    assert(res.getLong(0) >= 1)
+    assert(!Files.exists(orphan), "orphan must be deleted")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5,
+      "referenced files must survive the vacuum")
+  }
+
+  test("CALL graft.rollback and graft.cherrypick move the table as new commits") {
+    val t = freshTable("rb", 1 to 2)
+    val v1 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"INSERT INTO $t VALUES (401, 'Extra', 4.0)")
+    val v2 = cat.currentSnapshot(t).get.snapshotId
+    val rolled = ext.sql(s"CALL graft.rollback('$t', $v1)").head().getLong(0)
+    assert(rolled > v2, "rollback is a NEW commit, not a history rewrite")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 2)
+    // cherry-pick re-applies the rolled-off append on top
+    ext.sql(s"CALL graft.cherrypick('$t', $v2)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 3)
+  }
+
+  test("CALL graft.clone creates a zero-copy table; graft.system namespace works") {
+    val t = freshTable("cl", 1 to 6)
+    ext.sql(s"CALL graft.system.clone('$t', 'cl2')")
+    assert(ext.sql("SELECT * FROM cl2").collect().toSet ==
+      ext.sql(s"SELECT * FROM $t").collect().toSet)
+    // writes to the clone don't touch the source
+    ext.sql("INSERT INTO cl2 VALUES (500, 'CloneOnly', 0.5)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 6)
+    assert(ext.sql("SELECT count(*) AS n FROM cl2").head().getLong(0) == 7)
+  }
+
+  test("unknown procedures, non-literal args and misordered args refuse loudly") {
+    val t = freshTable("bad", 1 to 2)
+    val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }
+    assert(e1.getMessage.contains("unknown graft procedure"))
+    val e2 = intercept[Exception] {
+      ext.sql(s"CALL graft.compact((SELECT 't'))")
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+    val e3 = intercept[Exception] {
+      ext.sql(s"CALL graft.expire_snapshots(retain_last => 1, '$t')")
+    }
+    assert(e3.getMessage.contains("positional arguments must precede"))
+    val e4 = intercept[Exception] { ext.sql(s"CALL graft.rollback('$t')") }
+    assert(e4.getMessage.contains("missing required argument 'version'"))
+  }
+}
