@@ -777,16 +777,26 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   /** Drop a table: its manifests, current pointer, tags, staged
     * entries and bloom/sketch sidecars are deleted and the memoized
-    * parses purged. DATA files are untouched (they live in the caller's
-    * data dir) — vacuum BEFORE dropping if the bytes should go too,
-    * because liveness information dies with the metadata. Maintenance
-    * op: don't race it with in-flight commits on the same table. */
-  def dropTable(table: String): Boolean = {
+    * parses purged. Data files in the CALLER'S data dir are untouched —
+    * vacuum BEFORE dropping if the bytes should go too, because
+    * liveness information dies with the metadata. `spareDataDir` keeps
+    * the table's own `<tableDir>/data` subtree as well (where SQL DML
+    * writes by default): a zero-copy clone may reference those files,
+    * so plain SQL DROP spares them and `DROP ... PURGE` is the explicit
+    * path that deletes bytes. Maintenance op: don't race it with
+    * in-flight commits on the same table. */
+  def dropTable(table: String, spareDataDir: Boolean = false): Boolean = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return false
+    val spared = dir.resolve("data").toAbsolutePath
     val stream = Files.walk(dir)
     val all = try stream.iterator().asScala.toList finally stream.close()
-    all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    all.sortBy(-_.getNameCount)
+      .filterNot { p =>
+        val ap = p.toAbsolutePath
+        spareDataDir && (ap.startsWith(spared) || ap == dir.toAbsolutePath)
+      }
+      .foreach(p => Files.deleteIfExists(p))
     val prefix = dir.toAbsolutePath.toString
     manifestCache.keySet.removeIf(_.startsWith(prefix))
     true

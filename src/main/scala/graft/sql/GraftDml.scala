@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *   CALL graft.rollback('t', 4)                  --   (the Iceberg
   *   CALL graft.cherrypick('t', 7)                --    procedure
   *   CALL graft.clone('t', 't2')                  --    surface)
+  *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
+  *   TRUNCATE TABLE t                             -- replace with empty
+  *   DROP TABLE [IF EXISTS] graft.t [PURGE]       -- metadata (+ PURGE:
+  *                                                --    main-history files)
   *
   * Spark-first mechanics: the parser already produces
   * [[InsertIntoStatement]] / [[DeleteFromTable]] / [[MergeIntoTable]];
@@ -280,6 +284,40 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             case _ =>
           }
           GraftCtasCommand(root, t, ct.query, ct.ignoreIfExists)
+        case ct @ CreateTable(ident, columns, _, _, ignoreIfExists)
+            if ctasTarget(ident).isDefined =>
+          val t = ctasTarget(ident).get
+          if (ct.partitioning.nonEmpty) throw new UnsupportedOperationException(
+            "CREATE TABLE ... PARTITIONED BY is not supported through SQL on graft " +
+              "catalog tables; use Writers.writePartitionedSnapshot")
+          ct.tableSpec match {
+            case u: UnresolvedTableSpec =>
+              if (u.provider.exists(!_.equalsIgnoreCase("parquet")))
+                throw new UnsupportedOperationException(
+                  s"graft catalog tables are parquet; USING ${u.provider.get} is not supported")
+              if (u.location.nonEmpty) throw new UnsupportedOperationException(
+                "LOCATION is not supported: graft chooses the data dir " +
+                  s"(override base with ${GraftDml.DataDirConf})")
+            case _ =>
+          }
+          val fields = columns.map { c =>
+            if (c.defaultValue.nonEmpty || c.generationExpression.nonEmpty ||
+                c.identityColumnSpec.nonEmpty)
+              throw new UnsupportedOperationException(
+                "CREATE TABLE DEFAULT/GENERATED/IDENTITY columns are not supported " +
+                  "on graft catalog tables")
+            if (!c.nullable) throw new UnsupportedOperationException(
+              "NOT NULL columns are not enforced by graft write paths; declare the " +
+                "column nullable and gate writes with expectations (S45)")
+            org.apache.spark.sql.types.StructField(c.name, c.dataType, nullable = true)
+          }
+          GraftCreateCommand(root, t,
+            org.apache.spark.sql.types.StructType(fields), ignoreIfExists)
+        case DropTable(child, ifExists, purge) if dropTarget(child, cat).isDefined =>
+          GraftDropCommand(root, dropTarget(child, cat).get, ifExists, purge)
+        case TruncateTable(child)
+            if ddlName(child).exists(p => claimedTable(p, cat).isDefined) =>
+          GraftTruncateCommand(root, ddlName(child).flatMap(claimedTable(_, cat)).get)
         case Call(org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(parts), args, _)
             if parts.head.equalsIgnoreCase("graft") &&
               (parts.size == 2 ||
@@ -307,6 +345,28 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
         if ns.equalsIgnoreCase("graft") => Some(t)
     case _ => None
   }
+
+  /** Name parts of a DDL target, whichever unresolved node the parser
+    * chose for the statement shape. */
+  private def ddlName(p: LogicalPlan): Option[Seq[String]] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(u.multipartIdentifier)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(u.multipartIdentifier)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      Some(u.nameParts)
+    case _ => None
+  }
+
+  /** DROP claims an explicit `graft.<t>` UNCONDITIONALLY (so `IF
+    * EXISTS` on a missing graft table is OUR no-op, not a session-
+    * catalog error) and a bare name only when the table exists — the
+    * same presence arbitration DML uses. */
+  private def dropTarget(p: LogicalPlan, cat: SnapshotCatalog): Option[String] =
+    ddlName(p).flatMap {
+      case Seq(ns, t) if ns.equalsIgnoreCase("graft") => Some(t)
+      case parts => claimedTable(parts, cat)
+    }
 }
 
 /** `INSERT INTO` → snapshot append; `INSERT OVERWRITE` → full replace.
@@ -616,5 +676,85 @@ case class GraftCallCommand(
           s"unknown graft procedure '$other'; supported: compact, " +
             "expire_snapshots, remove_orphans, rollback, cherrypick, clone")
     }
+  }
+}
+
+/** `CREATE TABLE graft.t (cols)` → the table's first snapshot is an
+  * EMPTY commit carrying the declared schema — with S53/S54/S55 this
+  * closes the last SQL-lifecycle seam (a table can now be born with a
+  * schema and populated later, the ingest-pipeline bootstrap shape).
+  * One schema-bearing empty parquet file anchors the manifest schema. */
+case class GraftCreateCommand(
+    root: String,
+    table: String,
+    tableSchema: org.apache.spark.sql.types.StructType,
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    if (cat.tables().contains(table)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"table $table already exists in the graft catalog")
+    }
+    val empty = session.createDataFrame(
+      new java.util.ArrayList[Row](), tableSchema).repartition(1)
+    Writers.writeSnapshot(cat, table, empty,
+      GraftDml.dataDirFor(session, root, table))
+    Seq.empty
+  }
+}
+
+/** `TRUNCATE TABLE t` → a full-table replace with an empty frame of the
+  * CURRENT schema: one snapshot, previous files netted as deletes by the
+  * change feed, time travel still reaches every pre-truncate state. */
+case class GraftTruncateCommand(
+    root: String,
+    table: String) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    val tableSchema = cat.schema(table).getOrElse(throw new IllegalArgumentException(
+      s"no table $table in the graft catalog"))
+    val empty = session.createDataFrame(
+      new java.util.ArrayList[Row](), tableSchema).repartition(1)
+    Writers.replaceSnapshot(cat, table, empty,
+      GraftDml.dataDirFor(session, root, table))
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] t [PURGE]` → removes the table's metadata
+  * tree (snapshots, tags, branches, staged commits). PURGE additionally
+  * deletes every data/delete file the MAIN history references — the
+  * Iceberg `DROP TABLE ... PURGE` contract; without PURGE the files
+  * stay for other referents (clones share data zero-copy, so a plain
+  * DROP of a cloned table must not pull files out from under the
+  * clone). */
+case class GraftDropCommand(
+    root: String,
+    table: String,
+    ifExists: Boolean,
+    purge: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    if (!cat.tables().contains(table)) {
+      if (ifExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"no table $table in the graft catalog (DROP TABLE IF EXISTS to ignore)")
+    }
+    val purgePaths: Seq[String] =
+      if (!purge) Nil
+      else cat.snapshots(table).flatMap(s =>
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path)).distinct
+    // plain DROP spares the table's own data subtree: a zero-copy
+    // clone may reference those files; PURGE is the byte-deleting path
+    cat.dropTable(table, spareDataDir = !purge)
+    purgePaths.foreach { p =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      catch { case _: java.io.IOException => () } // best-effort, like vacuum
+    }
+    Seq.empty
   }
 }

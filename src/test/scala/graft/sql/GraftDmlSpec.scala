@@ -345,4 +345,56 @@ class GraftDmlSpec extends SparkSpec {
     val api = cat.read(spark, t).select("c_custkey").collect().map(_.getLong(0)).sorted
     assert(api.toSeq == Seq(1L, 3L, 4L, 50L))
   }
+
+  test("CREATE TABLE graft.t (cols) is born empty with the declared schema") {
+    ext.sql("CREATE TABLE graft.ct1 (k BIGINT, name STRING, bal DOUBLE)")
+    assert(cat.tables().contains("ct1"))
+    assert(ext.sql("SELECT count(*) AS n FROM ct1").head().getLong(0) == 0)
+    // the declared schema governs later inserts (positional cast)
+    ext.sql("INSERT INTO ct1 VALUES (1, 'A', 2.5)")
+    val row = ext.sql("SELECT k, name, bal FROM ct1").head()
+    assert(row.getLong(0) == 1L && row.getString(1) == "A" && row.getDouble(2) == 2.5)
+    // collision refuses; IF NOT EXISTS no-ops
+    val err = intercept[Exception] { ext.sql("CREATE TABLE graft.ct1 (x INT)") }
+    assert(err.getMessage.contains("already exists"))
+    ext.sql("CREATE TABLE IF NOT EXISTS graft.ct1 (x INT)")
+    assert(ext.sql("SELECT count(*) AS n FROM ct1").head().getLong(0) == 1)
+    // NOT NULL is unenforced by the write paths -> refuse at create
+    val nn = intercept[Exception] { ext.sql("CREATE TABLE graft.ct2 (k BIGINT NOT NULL)") }
+    assert(nn.getMessage.contains("NOT NULL"))
+  }
+
+  test("TRUNCATE TABLE empties in one snapshot; time travel reaches the old rows") {
+    val t = freshTable("trc", 1 to 8)
+    val v1 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"TRUNCATE TABLE $t")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 0)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF $v1").head().getLong(0) == 8)
+    // schema survives: the table still accepts inserts
+    ext.sql(s"INSERT INTO $t VALUES (900, 'PostTruncate', 1.0)")
+    assert(ext.sql(s"SELECT c_name FROM $t").head().getString(0) == "PostTruncate")
+  }
+
+  test("DROP TABLE removes metadata; PURGE also deletes main-history files; plain DROP spares clone-shared data") {
+    val t = freshTable("drp", 1 to 5)
+    ext.sql(s"INSERT INTO $t VALUES (700, 'X', 0.0)")
+    // zero-copy clone shares the data files
+    cat.cloneTable(t, "drp_keep")
+    val sharedPaths = cat.currentSnapshot(t).get.files.map(_.path)
+    ext.sql(s"DROP TABLE $t")
+    assert(!cat.tables().contains(t))
+    // clone still reads every row: plain DROP must not delete shared data
+    assert(ext.sql("SELECT count(*) AS n FROM drp_keep").head().getLong(0) == 6)
+    assert(sharedPaths.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // PURGE: files referenced by the dropped table's history go away
+    val t2 = freshTable("drp2", 1 to 3)
+    val purgePaths = cat.currentSnapshot(t2).get.files.map(_.path)
+    ext.sql(s"DROP TABLE graft.$t2 PURGE")
+    assert(!cat.tables().contains(t2))
+    assert(purgePaths.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // IF EXISTS on a missing graft table is OUR no-op; without it, loud
+    ext.sql("DROP TABLE IF EXISTS graft.never_was")
+    val err = intercept[Exception] { ext.sql("DROP TABLE graft.never_was") }
+    assert(err.getMessage.contains("no table"))
+  }
 }
