@@ -84,7 +84,13 @@ object SubstringDedup {
       .localCheckpoint(true)
     val nDocs = perDocGram.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
-    perDocGram.join(nDocs, Seq("gram"))
+    // gram cardinality ≈ corpus tokens, but the post-aggregation size
+    // ESTIMATE can land under the broadcast threshold — at 100× the
+    // planner then broadcasts a ~90M-row table and OOMs the driver
+    // (caught by the r9 sf10 re-probe). Pin the gram-keyed join to
+    // sort-merge: never broadcastable by estimate, and AQE still
+    // skew-splits hot grams
+    perDocGram.join(nDocs.hint("merge"), Seq("gram"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_windows"),
         sum(when(col("n_docs") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"))
@@ -108,12 +114,15 @@ object SubstringDedup {
     // both the owner aggregation and the cut join
     val grams = windowGrams(docs, idCol, textCol, k, hashed).localCheckpoint(true)
     val owners = gramOwners(grams, idCol)
-    val cut = grams.join(owners, Seq("gram"))
+    // same estimate hazard as markDuplicated: owners is gram-cardinality
+    val cut = grams.join(owners.hint("merge"), Seq("gram"))
       .where(col("n_docs") >= 2 && col(idCol) =!= col("owner"))
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("tokpos"))
       .distinct()
     val toks = docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("tokpos", "tok")))
-    toks.join(cut.withColumn("is_cut", lit(true)), Seq(idCol, "tokpos"), "left")
+    // cut is duplicated-TOKEN-sized (corpus-order in boilerplate-heavy
+    // corpora) — same no-broadcast discipline
+    toks.join(cut.hint("merge").withColumn("is_cut", lit(true)), Seq(idCol, "tokpos"), "left")
       .where(col("is_cut").isNull)
       .groupBy(col(idCol))
       .agg(array_join(transform(array_sort(collect_list(struct(col("tokpos"), col("tok")))),
