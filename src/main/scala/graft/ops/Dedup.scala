@@ -38,6 +38,31 @@ object Dedup {
     docs.select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("__w"))
       .select(col("id"), shinglesFromWords(col("__w")).as("sh"))
 
+  /** (id, sh) with sh the SORTED xxhash64 shingle hashes — the
+    * verification-ready form: [[verifyJaccardPairs]] consumes it, and a
+    * persistent near-dup index stores it so verification joins the
+    * index instead of re-reading corpus text (the T10 near-dup sink). */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withShingles(docs, idCol, textCol)
+      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
+
+  /** Exact-jaccard verification of LSH candidate pairs: joins each
+    * side's sorted shingle hashes (co-keyed on the pair ids — cost ∝
+    * candidates, never corpus²) and keeps pairs at/above `threshold`
+    * with their exact jaccard. */
+  def verifyJaccardPairs(cand: DataFrame, leftIdCol: String, rightIdCol: String,
+                         left: DataFrame, right: DataFrame,
+                         threshold: Double): DataFrame =
+    cand
+      .join(left.as("ba"), col(leftIdCol) === col("ba.id"))
+      .join(right.as("ca"), col(rightIdCol) === col("ca.id"))
+      .select(col(leftIdCol), col(rightIdCol),
+        graft.functions.HashExprs.sortedIntersectCount(col("ba.sh"), col("ca.sh")).as("__i"),
+        size(col("ba.sh")).as("__na"), size(col("ca.sh")).as("__nb"))
+      .select(col(leftIdCol), col(rightIdCol),
+        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** Exact Jaccard given a precomputed intersection size. */
   private def jaccardFromInter(inter: Column, a: Column, b: Column): Column =
     inter / (size(a) + size(b) - inter)
@@ -231,19 +256,9 @@ object Dedup {
       .withColumnRenamed("doc_id", "batch_id")
     val cand = bb.join(cb, Seq("band", "band_hash"))
       .select(col("batch_id"), col("corpus_id")).distinct()
-    val shB = withShingles(batch, idCol, textCol)
-      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
-    val shC = withShingles(corpus, idCol, textCol)
-      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
-    val verified = cand
-      .join(shB.as("ba"), col("batch_id") === col("ba.id"))
-      .join(shC.as("ca"), col("corpus_id") === col("ca.id"))
-      .select(col("batch_id"), col("corpus_id"),
-        graft.functions.HashExprs.sortedIntersectCount(col("ba.sh"), col("ca.sh")).as("__i"),
-        size(col("ba.sh")).as("__na"), size(col("ca.sh")).as("__nb"))
-      .select(col("batch_id"), col("corpus_id"),
-        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val verified = verifyJaccardPairs(cand, "batch_id", "corpus_id",
+      shingleHashes(batch, idCol, textCol),
+      shingleHashes(corpus, idCol, textCol), threshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("batch_id"))
       .orderBy(col("jaccard").desc, col("corpus_id").asc)

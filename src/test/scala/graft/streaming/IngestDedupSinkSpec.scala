@@ -77,6 +77,70 @@ class IngestDedupSinkSpec extends SparkSpec {
       Seq(1L, 2L, 4L, 11L))
   }
 
+  test("near-dup ingest: verified neighbors drop in-batch and cross-batch; commit order heals the worst crash window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val cat = newCat
+    val dataDir = Files.createTempDirectory("graft-ndd-data-").toString
+    val ckpt = Files.createTempDirectory("graft-ndd-ckpt-").toString
+    // long shared base so near-dups clear the LSH bands + jaccard 0.8
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearA = base.replace("tok7", "edited7")   // ~0.9 jaccard vs base
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+
+    // batch 0: base + its in-batch near-dup (later id drops) + far
+    mem.addData((10L, base), (20L, nearA), (30L, far))
+    IngestDedupSink.startNearDup(stream, cat, "nd", "doc_id", "text",
+      dataDir, ckpt, threshold = 0.8).processAllAvailable()
+    assert(cat.read(spark, "nd").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(10L, 30L))
+
+    // batch 1: cross-batch near-dup of base drops; novel lands
+    val nearB = base.replace("tok31", "edited31")
+    val novel2 = (1 to 40).map(i => s"third$i").mkString(" ")
+    mem.addData((40L, nearB), (50L, novel2))
+    IngestDedupSink.startNearDup(stream, cat, "nd", "doc_id", "text",
+      dataDir, ckpt, threshold = 0.8).processAllAvailable()
+    assert(cat.read(spark, "nd").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(10L, 30L, 50L))
+    // both index tables carry exactly the three kept docs
+    assert(cat.read(spark, IngestDedupSink.shingleIndexTable("nd")).count() == 3)
+    assert(cat.read(spark, IngestDedupSink.bandIndexTable("nd"))
+      .select("doc_id").distinct().count() == 3)
+
+    // worst crash window: corpus + shingle index landed for batch 2,
+    // band index did NOT — the re-delivered batch must not match
+    // itself (bands absent), must skip the landed commits and complete
+    // the band index
+    val fourth = (1 to 40).map(i => s"fourth$i").mkString(" ")
+    val b2 = Seq((60L, fourth)).toDF("doc_id", "text")
+    val props = Map(IngestDedupSink.BatchIdProp -> "2",
+      IngestDedupSink.CheckpointProp -> ckpt)
+    graft.sinks.Writers.writeSnapshot(cat, "nd", b2, dataDir, props = props)
+    graft.sinks.Writers.writeSnapshot(cat, IngestDedupSink.shingleIndexTable("nd"),
+      graft.ops.Dedup.shingleHashes(b2, "doc_id", "text"), dataDir, props = props)
+    val corpusSnap = cat.currentSnapshot("nd").get.snapshotId
+    IngestDedupSink.nearDupIngestBatch(cat, "nd", "doc_id", "text",
+      dataDir, ckpt, 0.8, graft.ops.Dedup.NumBands)(b2, 2L)
+    assert(cat.currentSnapshot("nd").get.snapshotId == corpusSnap,
+      "re-delivered corpus commit must skip")
+    assert(cat.read(spark, "nd").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(10L, 30L, 50L, 60L))
+    assert(cat.read(spark, IngestDedupSink.bandIndexTable("nd"))
+      .select("doc_id").distinct().count() == 4, "band index must catch up")
+    // and doc 60's bands now probe: its near-dup drops in a later batch
+    // "fourth3 " with the trailing space: bare "fourth3" also matches
+    // inside fourth30..fourth39 and would edit 11 tokens, a real non-dup
+    val nearFourth = fourth.replace("fourth3 ", "edited3 ")
+    IngestDedupSink.nearDupIngestBatch(cat, "nd", "doc_id", "text",
+      dataDir, ckpt, 0.8, graft.ops.Dedup.NumBands)(
+      Seq((70L, nearFourth)).toDF("doc_id", "text"), 3L)
+    assert(cat.read(spark, "nd").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(10L, 30L, 50L, 60L))
+  }
+
   test("streaming result equals the batch exactGroups keeper set") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
