@@ -139,7 +139,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(16) match {
+        rnd.nextInt(19) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -321,6 +321,22 @@ class CdcLifecycleSpec extends SparkSpec {
               state = plus(minus(state, matched), shifted)
               states :+= (after, state)
             }
+          case 16 => // SQL CALL compact: row-preserving through the
+            // procedure surface; the returned summary says whether a
+            // commit happened (same model as case 3)
+            val res = es.sql("CALL graft.compact('t')").head()
+            if (res.getBoolean(0)) states :+= (res.getLong(1), state)
+          case 17 => // SQL CALL expire_snapshots: history trim through
+            // the procedure surface (same model as case 4)
+            es.sql(s"CALL graft.expire_snapshots('t', retain_last => ${1 + rnd.nextInt(3)})")
+            val surviving = cat.snapshots(t).map(_.snapshotId).toSet
+            states = states.filter { case (id, _) => surviving.contains(id) }
+          case 18 => // SQL CALL rollback: state becomes the target
+            // snapshot's model state (same model as case 8)
+            val (targetId, targetState) = states(rnd.nextInt(states.size))
+            val newId = es.sql(s"CALL graft.rollback('t', $targetId)").head().getLong(0)
+            state = targetState
+            states :+= (newId, state)
         }
       }
 
