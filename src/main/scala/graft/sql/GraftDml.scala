@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *   CALL graft.rollback('t', 4)                  --   (the Iceberg
   *   CALL graft.cherrypick('t', 7)                --    procedure
   *   CALL graft.clone('t', 't2')                  --    surface)
+  *   CALL graft.tag('t', 'prod' [, version =>v])  -- named refs: tag,
+  *   CALL graft.branch('t', 'dev')                --    branch, and a
+  *   INSERT INTO `t/branches/dev` VALUES ...      --    backquoted ref
+  *   CALL graft.fast_forward('t', 'dev')          --    is a full table
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
   *   TRUNCATE TABLE t                             -- replace with empty
   *   DROP TABLE [IF EXISTS] graft.t [PURGE]       -- metadata (+ PURGE:
@@ -671,10 +675,34 @@ case class GraftCallCommand(
       case "clone" =>
         Seq(Row(cat.cloneTable(str(0, "table"), str(1, "target"),
           named.get("version").map(asLong("version", _))).snapshotId))
+      case "tag" =>
+        val table = str(0, "table")
+        val v = named.get("version").map(asLong("version", _))
+          .orElse(positional.lift(2).map(asLong("version", _)))
+          .getOrElse(cat.currentSnapshot(table).getOrElse(
+            throw new IllegalArgumentException(s"no snapshots for $table")).snapshotId)
+        cat.tag(table, str(1, "name"), v)
+        Seq(Row(v))
+      case "drop_tag" =>
+        val existed = cat.dropTag(str(0, "table"), str(1, "name"))
+        if (!existed) throw new IllegalArgumentException(
+          s"no tag '${str(1, "name")}' on ${str(0, "table")}")
+        Seq(Row(0L))
+      case "branch" =>
+        Seq(Row(cat.createBranch(str(0, "table"), str(1, "name"),
+          named.get("version").map(asLong("version", _))).snapshotId))
+      case "drop_branch" =>
+        val existed = cat.dropBranch(str(0, "table"), str(1, "name"))
+        if (!existed) throw new IllegalArgumentException(
+          s"no branch '${str(1, "name")}' on ${str(0, "table")}")
+        Seq(Row(0L))
+      case "fast_forward" =>
+        Seq(Row(cat.fastForward(str(0, "table"), str(1, "name")).snapshotId))
       case other =>
         throw new UnsupportedOperationException(
           s"unknown graft procedure '$other'; supported: compact, " +
-            "expire_snapshots, remove_orphans, rollback, cherrypick, clone")
+            "expire_snapshots, remove_orphans, rollback, cherrypick, clone, " +
+            "tag, drop_tag, branch, drop_branch, fast_forward")
     }
   }
 }

@@ -59,14 +59,21 @@ object GraftSqlResolution {
   private[sql] def rootOf(session: SparkSession): Option[String] =
     session.conf.getOption(RootConf).filter(_.nonEmpty)
 
-  /** The name parts this rule claims: a bare `t`, or an explicit
-    * `graft.t` that bypasses any same-named temp view. */
-  private[sql] def claimedTable(parts: Seq[String], cat: SnapshotCatalog): Option[String] =
+  /** The name parts this rule claims: a bare `t`, an explicit `graft.t`
+    * that bypasses any same-named temp view, or a backquoted branch ref
+    * `` `t/branches/dev` `` (readable AND writable — the ref is a full
+    * catalog table, so every DML/maintenance path works on it). */
+  private[sql] def claimedTable(parts: Seq[String], cat: SnapshotCatalog): Option[String] = {
+    def branchRefExists(t: String): Boolean =
+      t.contains("/branches/") && !t.contains("..") &&
+        scala.util.Try(cat.currentSnapshot(t)).toOption.flatten.nonEmpty
     parts match {
-      case Seq(t) if cat.tables().contains(t) => Some(t)
-      case Seq(ns, t) if ns.equalsIgnoreCase("graft") && cat.tables().contains(t) => Some(t)
+      case Seq(t) if cat.tables().contains(t) || branchRefExists(t) => Some(t)
+      case Seq(ns, t) if ns.equalsIgnoreCase("graft") &&
+        (cat.tables().contains(t) || branchRefExists(t)) => Some(t)
       case _ => None
     }
+  }
 
   /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: cast to
     * timestamp in the session zone, require foldability (the grammar

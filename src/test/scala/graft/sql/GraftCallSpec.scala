@@ -108,6 +108,44 @@ class GraftCallSpec extends SparkSpec {
     assert(ext.sql("SELECT count(*) AS n FROM cl2").head().getLong(0) == 7)
   }
 
+  test("CALL graft.tag names a snapshot for SQL time travel; drop_tag removes it") {
+    val t = freshTable("tg", 1 to 4)
+    val v = ext.sql(s"CALL graft.tag('$t', 'prod')").head().getLong(0)
+    assert(v == cat.currentSnapshot(t).get.snapshotId)
+    ext.sql(s"INSERT INTO $t VALUES (600, 'After', 1.0)")
+    // the tag reaches the pre-insert state from pure SQL
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 'prod'")
+      .head().getLong(0) == 4)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5)
+    // explicit version form
+    ext.sql(s"CALL graft.tag('$t', 'pinned', version => $v)")
+    assert(cat.tags(t)("pinned") == v)
+    ext.sql(s"CALL graft.drop_tag('$t', 'pinned')")
+    assert(!cat.tags(t).contains("pinned"))
+    val err = intercept[Exception] { ext.sql(s"CALL graft.drop_tag('$t', 'pinned')") }
+    assert(err.getMessage.contains("no tag"))
+  }
+
+  test("CALL graft.branch + backquoted ref: SQL reads, writes and fast-forwards a branch") {
+    val t = freshTable("br", 1 to 5)
+    ext.sql(s"CALL graft.branch('$t', 'dev')")
+    val ref = s"`$t/branches/dev`"
+    // branch reads the fork point
+    assert(ext.sql(s"SELECT count(*) AS n FROM $ref").head().getLong(0) == 5)
+    // SQL DML lands on the BRANCH only (the ref is a full catalog table)
+    ext.sql(s"INSERT INTO $ref VALUES (800, 'BranchOnly', 2.0)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $ref").head().getLong(0) == 6)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5)
+    // fast-forward publishes the branch to the base table
+    ext.sql(s"CALL graft.fast_forward('$t', 'dev')")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 6)
+    ext.sql(s"CALL graft.drop_branch('$t', 'dev')")
+    assert(!cat.branches(t).contains("dev"))
+    // the dropped ref no longer resolves in SQL
+    val err = intercept[Exception] { ext.sql(s"SELECT * FROM $ref") }
+    assert(err != null)
+  }
+
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
     val t = freshTable("bad", 1 to 2)
     val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }
