@@ -199,7 +199,36 @@ object Stress {
       val head = cat.currentSnapshot("ord").get
       (cat.snapshots("ord").size, head.totalRows, t)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace,"ivfpq_hits":$nIvfPq,"ivfpq_build_sec":$tPqBuild,"ivfpq_search_sec":$tPqSearch}}""")
+    // T10 streaming ingest-dedup at scale: 100k docs arrive in 5 exact
+    // batches (each probed against the growing fingerprint index) and
+    // 20k docs in 5 near-dup batches (LSH probe + shingle-index verify).
+    // Per-batch cost must track the BATCH (plus candidates), not the
+    // accumulated corpus — the steady-state ingest contract.
+    val (exDocs, tExIngest, ndDocs, tNdIngest) = {
+      val cat = new graft.meta.SnapshotCatalog(
+        java.nio.file.Files.createTempDirectory("graft-stress-ing-").toString)
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-ingd-").toString
+      val ckpt = "stress-ingest"
+      val (_, tEx) = time {
+        (0 until 5).foreach { i =>
+          val b = d.filter(pmod(col("doc_id"), lit(5)) === i)
+          graft.streaming.IngestDedupSink.ingestBatch(
+            cat, "ing", "doc_id", "text", dataDir, ckpt)(b, i.toLong)
+        }
+      }
+      val nEx = cat.currentSnapshot("ing").get.totalRows
+      val dnd = replicate(Tables.documents(spark, sfDir), Seq("doc_id"), 4)
+      val (_, tNd) = time {
+        (0 until 5).foreach { i =>
+          val b = dnd.filter(pmod(col("doc_id"), lit(5)) === i)
+          graft.streaming.IngestDedupSink.nearDupIngestBatch(
+            cat, "ingnd", "doc_id", "text", dataDir, ckpt, 0.8,
+            Dedup.NumBands)(b, i.toLong)
+        }
+      }
+      (nEx, tEx, cat.currentSnapshot("ingnd").get.totalRows, tNd)
+    }
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace,"ivfpq_hits":$nIvfPq,"ivfpq_build_sec":$tPqBuild,"ivfpq_search_sec":$tPqSearch,"ingest_exact_docs":$exDocs,"ingest_exact_sec":$tExIngest,"ingest_neardup_docs":$ndDocs,"ingest_neardup_sec":$tNdIngest}}""")
     spark.stop()
   }
 }

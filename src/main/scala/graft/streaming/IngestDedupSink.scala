@@ -51,7 +51,7 @@ object IngestDedupSink {
       .reduceOption(_ max _)
       .getOrElse(-1L)
 
-  private[streaming] def ingestBatch(
+  private[graft] def ingestBatch(
       catalog: SnapshotCatalog,
       table: String,
       idCol: String,
@@ -71,12 +71,14 @@ object IngestDedupSink {
 
     // novel = winners whose fingerprint is absent from the index; the
     // anti join co-keys on the fingerprint (index side is one row per
-    // distinct fingerprint — bounded, never corpus-sized)
+    // distinct fingerprint — bounded, never corpus-sized). Materialize
+    // once: BOTH commits below consume it, and the source may be an
+    // expensive plan the sink shouldn't evaluate twice
     val novel =
-      if (catalog.currentSnapshot(idx).isEmpty) winners
-      else winners.join(
-        catalog.read(spark, idx).select(col("fingerprint").as("__fp")),
-        Seq("__fp"), "left_anti")
+      (if (catalog.currentSnapshot(idx).isEmpty) winners
+       else winners.join(
+         catalog.read(spark, idx).select(col("fingerprint").as("__fp")),
+         Seq("__fp"), "left_anti")).localCheckpoint(true)
 
     // both commits are per-table idempotent under re-delivery
     if (batchId > lastCommitted(catalog, table, checkpointDir))
@@ -123,7 +125,7 @@ object IngestDedupSink {
     * the exact sink — any crash prefix re-delivers, recomputes the
     * same survivors against the unchanged not-yet-committed suffix,
     * skips what landed and completes the rest. */
-  private[streaming] def nearDupIngestBatch(
+  private[graft] def nearDupIngestBatch(
       catalog: SnapshotCatalog,
       table: String,
       idCol: String,
