@@ -563,6 +563,25 @@ class GraftCatalogRelationRule(val session: SparkSession)
         case u: UnresolvedRelation => claimedTable(u.multipartIdentifier, cat)
         case _ => None
       }
+      // Iceberg-style metadata tables from pure SQL: `t__snapshots` /
+      // `t__files` resolve to the catalog's metadata frames when the
+      // BASE table exists (metadata-sized — one row per snapshot/file,
+      // never data-sized; the same frames QueryEngine registers as
+      // views, reachable without any code access)
+      def metaPlan(p: LogicalPlan): Option[LogicalPlan] = p match {
+        case u: UnresolvedRelation => u.multipartIdentifier match {
+          case Seq(n) if n.endsWith("__snapshots") &&
+              cat.tables().contains(n.stripSuffix("__snapshots")) =>
+            Some(cat.snapshotsDf(session, n.stripSuffix("__snapshots"))
+              .queryExecution.analyzed)
+          case Seq(n) if n.endsWith("__files") &&
+              cat.tables().contains(n.stripSuffix("__files")) =>
+            Some(cat.filesDf(session, n.stripSuffix("__files"))
+              .queryExecution.analyzed)
+          case _ => None
+        }
+        case _ => None
+      }
       plan.resolveOperatorsDown {
         case f @ Filter(cond, child) =>
           child match {
@@ -575,6 +594,7 @@ class GraftCatalogRelationRule(val session: SparkSession)
           }
         case u if claimed(u).isDefined =>
           readPlan(cat, claimed(u).get, None)
+        case u if metaPlan(u).isDefined => metaPlan(u).get
       }
   }
 }

@@ -43,6 +43,22 @@ class GraftSqlResolutionSpec extends SparkSpec {
       c.filter(col("c_custkey").between(26, 30)), dataDir)
   }
 
+  test("metadata tables resolve from pure SQL: t__snapshots and t__files") {
+    setup()
+    val snaps = ext.sql(
+      "SELECT snapshot_id, operation, total_rows FROM cust__snapshots ORDER BY snapshot_id")
+      .collect()
+    assert(snaps.length == 2 && snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(snaps.forall(_.getString(1) == "append"))
+    assert(snaps.last.getLong(2) == 25)
+    // files: joinable/aggregatable like any table
+    val nFiles = ext.sql("SELECT count(*) AS n FROM cust__files").head().getLong(0)
+    assert(nFiles == writeCat.currentSnapshot("cust").get.files.size)
+    // a MISSING base table's metadata name falls through to the normal
+    // resolution error, never an empty frame
+    intercept[Exception] { ext.sql("SELECT * FROM nope__snapshots").collect() }
+  }
+
   test("plain name resolves to the catalog's current snapshot") {
     setup()
     assert(ext.sql("SELECT count(*) AS n FROM cust").head().getLong(0) == 25)
