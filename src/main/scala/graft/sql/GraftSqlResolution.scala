@@ -570,14 +570,17 @@ class GraftCatalogRelationRule(val session: SparkSession)
       // views, reachable without any code access)
       def metaPlan(p: LogicalPlan): Option[LogicalPlan] = p match {
         case u: UnresolvedRelation => u.multipartIdentifier match {
-          case Seq(n) if n.endsWith("__snapshots") &&
-              cat.tables().contains(n.stripSuffix("__snapshots")) =>
-            Some(cat.snapshotsDf(session, n.stripSuffix("__snapshots"))
-              .queryExecution.analyzed)
-          case Seq(n) if n.endsWith("__files") &&
-              cat.tables().contains(n.stripSuffix("__files")) =>
-            Some(cat.filesDf(session, n.stripSuffix("__files"))
-              .queryExecution.analyzed)
+          case Seq(n) =>
+            val frames: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+              "__snapshots" -> (cat.snapshotsDf(session, _)),
+              "__files" -> (cat.filesDf(session, _)),
+              "__partitions" -> (cat.partitionsDf(session, _)),
+              "__delete_files" -> (cat.deleteFilesDf(session, _)))
+            frames.collectFirst {
+              case (suffix, df) if n.endsWith(suffix) &&
+                  cat.tables().contains(n.stripSuffix(suffix)) =>
+                df(n.stripSuffix(suffix)).queryExecution.analyzed
+            }
           case _ => None
         }
         case _ => None

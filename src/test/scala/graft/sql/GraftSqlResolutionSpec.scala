@@ -54,6 +54,9 @@ class GraftSqlResolutionSpec extends SparkSpec {
     // files: joinable/aggregatable like any table
     val nFiles = ext.sql("SELECT count(*) AS n FROM cust__files").head().getLong(0)
     assert(nFiles == writeCat.currentSnapshot("cust").get.files.size)
+    // partitions + delete_files frames resolve too (empty delete set)
+    assert(ext.sql("SELECT count(*) AS n FROM cust__delete_files").head().getLong(0) == 0)
+    assert(ext.sql("SELECT * FROM cust__partitions").collect() != null)
     // a MISSING base table's metadata name falls through to the normal
     // resolution error, never an empty frame
     intercept[Exception] { ext.sql("SELECT * FROM nope__snapshots").collect() }
