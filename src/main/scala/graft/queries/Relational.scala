@@ -894,8 +894,8 @@ object Relational {
         |ORDER BY value DESC, ps_partkey""".stripMargin,
     "q_tpch_q12" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |WHERE l_returnflag = 'R'
         |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1110,7 +1110,7 @@ object Relational {
         |FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer) t
         |GROUP BY c_nationkey""".stripMargin,
     "q_ntile" ->
-      """SELECT bucket, COUNT(*) AS n_cust,
+      """SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_cust,
         |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS sum_bal
         |FROM (
@@ -1204,7 +1204,7 @@ object Relational {
     "q_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     "q_window_rank" ->
-      """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+      """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
         |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
         |  FROM customer) t

@@ -388,7 +388,7 @@ object TrainPrep {
          |FROM documents
          |WHERE ${bucketSql("doc_id")} < 30""".stripMargin,
     "q_balanced_sample" ->
-      s"""SELECT doc_id, lang, rk FROM (
+      s"""SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
          |  SELECT doc_id, lang,
          |    ROW_NUMBER() OVER (PARTITION BY lang
          |      ORDER BY ${bucketSql("doc_id")}, doc_id) AS rk

@@ -10,12 +10,13 @@ reported separately from hard mismatches).
 import json, sys, glob, os
 import duckdb
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in idx))
-    return sorted(cols), sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return (sorted(cols), [str(types[i]) for i in idx],
+            sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -32,13 +33,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+            s_cols, s_types, s_rows = canon(spark_rel.fetchall(), spark_rel.columns,
+                                            spark_rel.types)
             duck_rel = con.sql(sql)
-            d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
+            d_cols, d_types, d_rows = canon(duck_rel.fetchall(), duck_rel.columns,
+                                            duck_rel.types)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if s_cols != d_cols:
             print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}"); n_fail += 1; continue
+        # Mirror the driver's type-tagged hash: the oracle's declared column
+        # types must match the Spark result parquet's (e.g. an uncast integer
+        # SUM is HUGEINT in DuckDB but BIGINT from Spark — values compare
+        # equal in Python, but the driver's hash is type-tagged and differs).
+        if s_types != d_types:
+            print(f"FAIL {name}: types spark={s_types} duck={d_types}")
+            n_fail += 1; continue
         if s_rows == d_rows:
             print(f"PASS {name} ({len(s_rows)} rows)"); n_pass += 1; continue
         if len(s_rows) != len(d_rows):
