@@ -626,8 +626,7 @@ case class GraftCallCommand(
       s"CALL graft.$proc: missing required argument '$name' (position $i)"))
 
   private def asLong(name: String, v: Any): Long = v match {
-    case n: Number => n.longValue()
-    case d: BigDecimal => d.toLong
+    case n: Number => n.longValue() // scala BigDecimal is a ScalaNumber, included
     case other => throw new IllegalArgumentException(
       s"CALL graft.$proc: argument '$name' must be numeric; got $other")
   }
@@ -674,7 +673,8 @@ case class GraftCallCommand(
           reqLong(1, "version")).snapshotId))
       case "clone" =>
         Seq(Row(cat.cloneTable(str(0, "table"), str(1, "target"),
-          named.get("version").map(asLong("version", _))).snapshotId))
+          named.get("version").orElse(positional.lift(2))
+            .map(asLong("version", _))).snapshotId))
       case "tag" =>
         val table = str(0, "table")
         val v = named.get("version").map(asLong("version", _))
@@ -690,7 +690,8 @@ case class GraftCallCommand(
         Seq(Row(0L))
       case "branch" =>
         Seq(Row(cat.createBranch(str(0, "table"), str(1, "name"),
-          named.get("version").map(asLong("version", _))).snapshotId))
+          named.get("version").orElse(positional.lift(2))
+            .map(asLong("version", _))).snapshotId))
       case "drop_branch" =>
         val existed = cat.dropBranch(str(0, "table"), str(1, "name"))
         if (!existed) throw new IllegalArgumentException(
@@ -754,11 +755,19 @@ case class GraftTruncateCommand(
 
 /** `DROP TABLE [IF EXISTS] t [PURGE]` → removes the table's metadata
   * tree (snapshots, tags, branches, staged commits). PURGE additionally
-  * deletes every data/delete file the MAIN history references — the
-  * Iceberg `DROP TABLE ... PURGE` contract; without PURGE the files
-  * stay for other referents (clones share data zero-copy, so a plain
-  * DROP of a cloned table must not pull files out from under the
-  * clone). */
+  * deletes the data/delete files the table's histories reference — the
+  * Iceberg `DROP TABLE ... PURGE` contract — with two bounds that make
+  * it safe in a catalog with zero-copy clones and branches:
+  *   - the candidate set covers MAIN plus every branch history (a file
+  *     written only on `t/branches/dev` would otherwise become a
+  *     permanently unidentifiable orphan once the metadata tree dies);
+  *   - a file still listed anywhere in ANOTHER table's or branch's
+  *     history is skipped (a clone references the source's files
+  *     verbatim, so `DROP <clone> PURGE` must not reach through the
+  *     shared references and corrupt the source — and vice versa).
+  * Without PURGE the files stay for other referents entirely.
+  * The target may also be a backquoted branch ref `t/branches/dev`
+  * (drops just that branch, same purge discipline). */
 case class GraftDropCommand(
     root: String,
     table: String,
@@ -767,15 +776,31 @@ case class GraftDropCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
-    if (!cat.tables().contains(table)) {
+    val isBranchRef = table.contains("/branches/")
+    val exists =
+      if (isBranchRef)
+        scala.util.Try(cat.currentSnapshot(table)).toOption.flatten.nonEmpty
+      else cat.tables().contains(table)
+    if (!exists) {
       if (ifExists) return Seq.empty
       throw new IllegalArgumentException(
         s"no table $table in the graft catalog (DROP TABLE IF EXISTS to ignore)")
     }
+    def refsOf(t: String): Seq[String] =
+      t +: cat.branches(t).map(b => s"$t/branches/$b")
+    def historyPaths(ref: String): Iterator[String] =
+      cat.snapshots(ref).iterator.flatMap(s =>
+        s.files.iterator.map(_.path) ++ s.deleteFiles.iterator.map(_.path))
+    val droppedRefs = if (isBranchRef) Seq(table) else refsOf(table)
     val purgePaths: Seq[String] =
       if (!purge) Nil
-      else cat.snapshots(table).flatMap(s =>
-        s.files.map(_.path) ++ s.deleteFiles.map(_.path)).distinct
+      else {
+        val dropped = droppedRefs.toSet
+        val foreign = cat.tables().flatMap(refsOf).filterNot(dropped.contains)
+          .iterator.flatMap(historyPaths).toSet
+        droppedRefs.iterator.flatMap(historyPaths)
+          .filterNot(foreign.contains).toSeq.distinct
+      }
     // plain DROP spares the table's own data subtree: a zero-copy
     // clone may reference those files; PURGE is the byte-deleting path
     cat.dropTable(table, spareDataDir = !purge)

@@ -571,11 +571,14 @@ class GraftCatalogRelationRule(val session: SparkSession)
       def metaPlan(p: LogicalPlan): Option[LogicalPlan] = p match {
         case u: UnresolvedRelation => u.multipartIdentifier match {
           case Seq(n) =>
+            // longest suffix first: when two suffixes could both strip to
+            // an existing base table, the longer (more specific) one wins —
+            // resolution never depends on list order
             val frames: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
-              "__snapshots" -> (cat.snapshotsDf(session, _)),
-              "__files" -> (cat.filesDf(session, _)),
+              "__delete_files" -> (cat.deleteFilesDf(session, _)),
               "__partitions" -> (cat.partitionsDf(session, _)),
-              "__delete_files" -> (cat.deleteFilesDf(session, _)))
+              "__snapshots" -> (cat.snapshotsDf(session, _)),
+              "__files" -> (cat.filesDf(session, _)))
             frames.collectFirst {
               case (suffix, df) if n.endsWith(suffix) &&
                   cat.tables().contains(n.stripSuffix(suffix)) =>
@@ -597,7 +600,9 @@ class GraftCatalogRelationRule(val session: SparkSession)
           }
         case u if claimed(u).isDefined =>
           readPlan(cat, claimed(u).get, None)
-        case u if metaPlan(u).isDefined => metaPlan(u).get
+        case u: UnresolvedRelation =>
+          // evaluate once: build-and-bind, no guard/extract double pass
+          metaPlan(u).getOrElse(u)
       }
   }
 }

@@ -146,6 +146,22 @@ class GraftCallSpec extends SparkSpec {
     assert(err != null)
   }
 
+  test("CALL graft.branch and graft.clone honor a positional version argument") {
+    val t = freshTable("pos", 1 to 3)
+    val v1 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"INSERT INTO $t VALUES (905, 'Later', 5.0)")
+    // Iceberg-style positional third argument = snapshot version; it must
+    // pin the fork point, not be silently discarded for the current head
+    ext.sql(s"CALL graft.branch('$t', 'old', $v1)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM `$t/branches/old`")
+      .head().getLong(0) == 3)
+    ext.sql(s"CALL graft.clone('$t', 'pos_old', $v1)")
+    assert(ext.sql("SELECT count(*) AS n FROM pos_old").head().getLong(0) == 3)
+    // named form still works and agrees
+    ext.sql(s"CALL graft.clone('$t', 'pos_old2', version => $v1)")
+    assert(ext.sql("SELECT count(*) AS n FROM pos_old2").head().getLong(0) == 3)
+  }
+
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
     val t = freshTable("bad", 1 to 2)
     val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }

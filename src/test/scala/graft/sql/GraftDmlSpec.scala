@@ -397,4 +397,61 @@ class GraftDmlSpec extends SparkSpec {
     val err = intercept[Exception] { ext.sql("DROP TABLE graft.never_was") }
     assert(err.getMessage.contains("no table"))
   }
+
+  test("DROP PURGE is clone-safe in both directions: shared bytes survive, own bytes go") {
+    import java.nio.file.Paths
+    // direction 1: purge the CLONE — the source's files must survive
+    val t = freshTable("pg_src", 1 to 5)
+    ext.sql(s"CALL graft.clone('$t', 'pg_cl')")
+    val shared = cat.currentSnapshot(t).get.files.map(_.path)
+    ext.sql("INSERT INTO pg_cl VALUES (901, 'CloneOwn', 1.0)")
+    val cloneOwn = cat.currentSnapshot("pg_cl").get.files.map(_.path)
+      .filterNot(shared.contains)
+    assert(cloneOwn.nonEmpty)
+    ext.sql("DROP TABLE graft.pg_cl PURGE")
+    assert(shared.forall(p => Files.exists(Paths.get(p))),
+      "PURGE of a clone must not delete the source's files")
+    assert(cloneOwn.forall(p => !Files.exists(Paths.get(p))),
+      "PURGE must still delete the clone's own unshared files")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5)
+    // direction 2: purge the SOURCE — files the clone still lists survive
+    cat.cloneTable(t, "pg_keep")
+    ext.sql(s"INSERT INTO $t VALUES (902, 'SrcOwn', 2.0)")
+    val srcOwn = cat.currentSnapshot(t).get.files.map(_.path)
+      .filterNot(shared.contains)
+    assert(srcOwn.nonEmpty)
+    ext.sql(s"DROP TABLE graft.$t PURGE")
+    assert(shared.forall(p => Files.exists(Paths.get(p))),
+      "PURGE of the source must not delete files a clone still references")
+    assert(srcOwn.forall(p => !Files.exists(Paths.get(p))))
+    assert(ext.sql("SELECT count(*) AS n FROM pg_keep").head().getLong(0) == 5)
+  }
+
+  test("DROP PURGE covers branch-only files; DROP on a branch ref drops just the branch") {
+    import java.nio.file.Paths
+    val t = freshTable("pgbr", 1 to 4)
+    ext.sql(s"CALL graft.branch('$t', 'dev')")
+    val ref = s"`$t/branches/dev`"
+    ext.sql(s"INSERT INTO $ref VALUES (903, 'BranchOnly', 3.0)")
+    // DROP of the backquoted branch ref removes the branch, not the table
+    ext.sql(s"DROP TABLE $ref")
+    assert(!cat.branches(t).contains("dev"))
+    assert(cat.tables().contains(t))
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 4)
+    // IF EXISTS on the now-missing branch ref: quiet no-op; plain: loud
+    ext.sql(s"DROP TABLE IF EXISTS graft.$ref")
+    val err = intercept[Exception] { ext.sql(s"DROP TABLE graft.$ref") }
+    assert(err.getMessage.contains("no table"))
+    // a table PURGE must also delete files written ONLY on a branch —
+    // once the metadata tree is gone no vacuum can ever identify them
+    val t2 = freshTable("pgbr2", 1 to 3)
+    ext.sql(s"CALL graft.branch('$t2', 'dev')")
+    ext.sql(s"INSERT INTO `$t2/branches/dev` VALUES (904, 'B', 4.0)")
+    val basePaths = cat.currentSnapshot(t2).get.files.map(_.path)
+    val brPaths = cat.currentSnapshot(s"$t2/branches/dev").get.files.map(_.path)
+    assert(brPaths.exists(!basePaths.contains(_)))
+    ext.sql(s"DROP TABLE graft.$t2 PURGE")
+    assert((basePaths ++ brPaths).forall(p => !Files.exists(Paths.get(p))),
+      "branch-only files must not become permanent orphans under PURGE")
+  }
 }
