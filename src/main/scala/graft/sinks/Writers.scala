@@ -699,6 +699,19 @@ object Writers {
   /** WHEN NOT MATCHED [AND cond] THEN INSERT * */
   final case class MergeInsertAll(condition: Option[Column] = None)
 
+  /** A MERGE WHEN NOT MATCHED BY SOURCE clause (the Delta / Iceberg 1.5+
+    * full-sync idiom: "target rows the source no longer carries get
+    * deleted/flagged"). Unlike matched clauses, the condition — and an
+    * update's SET expressions — are evaluated over the TARGET row (there
+    * is no source row). First holding clause wins, SQL clause order. */
+  sealed trait BySourceClause { def condition: Option[Column] }
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = expr, ... */
+  final case class BySourceUpdate(
+      sets: Seq[(String, Column)],
+      condition: Option[Column] = None) extends BySourceClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE */
+  final case class BySourceDelete(condition: Option[Column] = None) extends BySourceClause
+
   /** Multi-clause MERGE (conditional update/delete/insert — the common
     * CDC-apply shape Delta and Iceberg both ship): per matched target
     * row the first holding matched-clause applies (update-all → source
@@ -717,7 +730,15 @@ object Writers {
     * Like mergeInto, the source must have at most one row per key.
     *
     * A delete-only merge needs only the key columns in `source`; any
-    * update/insert clause requires the full target schema. */
+    * update/insert clause requires the full target schema.
+    *
+    * `notMatchedBySource` clauses act on TARGET rows whose key is absent
+    * from the source. Their rewrite set is bounded by the TARGET side:
+    * `bySourcePrune` carries one manifest filter list per clause
+    * (derived from that clause's condition); a clause with no prunable
+    * condition sweeps every file — the inherent cost of "delete whatever
+    * the source no longer has", same as Delta. Files outside every
+    * by-source prune AND outside the source key range never move. */
   def mergeApply(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -727,19 +748,24 @@ object Writers {
       matched: Seq[MatchedClause],
       notMatched: Seq[MergeInsertAll],
       dataDir: String,
-      props: Map[String, String] = Map.empty): SnapshotMeta = {
+      props: Map[String, String] = Map.empty,
+      notMatchedBySource: Seq[BySourceClause] = Nil,
+      bySourcePrune: Seq[Seq[graft.meta.PruneFilter]] = Nil): SnapshotMeta = {
     require(keyCols.nonEmpty, "mergeApply needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs at least one WHEN clause")
-    (matched, notMatched) match {
-      case (Seq(MergeUpdateAll(None)), Seq(MergeInsertAll(None))) =>
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    (matched, notMatched, notMatchedBySource) match {
+      case (Seq(MergeUpdateAll(None)), Seq(MergeInsertAll(None)), Nil) =>
         return mergeInto(spark, catalog, table, source, keyCols, dataDir, props)
       case _ =>
     }
     val current = catalog.currentSnapshot(table)
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     val targetCols = current.schema.fieldNames.toSeq
-    val writesRows = matched.exists(_.isInstanceOf[MergeUpdateAll]) || notMatched.nonEmpty
-    if (writesRows)
+    val writesFromSource = matched.exists(_.isInstanceOf[MergeUpdateAll]) || notMatched.nonEmpty
+    val writesRows = writesFromSource ||
+      notMatchedBySource.exists(_.isInstanceOf[BySourceUpdate])
+    if (writesFromSource)
       require(targetCols.toSet.subsetOf(source.columns.toSet),
         s"source is missing target columns: ${targetCols.toSet.diff(source.columns.toSet).mkString(", ")}")
     else
@@ -761,7 +787,24 @@ object Writers {
     val src = source.withColumn("__m_act", mAct).withColumn("__nm_act", nmAct)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
 
-    val affected = catalog.planFiles(table, keyBoundFilters(source, keyCols)).map(_.path)
+    notMatchedBySource.foreach {
+      case BySourceUpdate(sets, _) => sets.foreach { case (n, _) =>
+        require(current.schema.fields.exists(_.name.equalsIgnoreCase(n)),
+          s"MERGE NOT MATCHED BY SOURCE UPDATE references unknown column '$n'") }
+      case _ =>
+    }
+
+    // rewrite set: files the source key range can touch, plus — per
+    // by-source clause — the files its condition's manifest filters
+    // select (an unprunable clause selects every file: the inherent
+    // cost of the full-sync shape)
+    val srcAffected = catalog.planFiles(table, keyBoundFilters(source, keyCols)).map(_.path)
+    val bsPrunes: Seq[Seq[graft.meta.PruneFilter]] =
+      if (bySourcePrune.size == notMatchedBySource.size) bySourcePrune
+      else Seq.fill(notMatchedBySource.size)(Nil)
+    val bsAffected: Seq[String] =
+      bsPrunes.flatMap(f => catalog.planFiles(table, f).map(_.path)).distinct
+    val affected = (srcAffected ++ bsAffected).distinct
     val affectedSet = affected.toSet
     val untouchedMeta: Seq[FileMeta] =
       current.files.filterNot(f => affectedSet.contains(f.path))
@@ -774,42 +817,80 @@ object Writers {
         .select(keyCols.map(col): _*)
         .join(srcKeys, keyCols, "left_semi").distinct())
 
+    // by-source clause selection per TARGET row: index of the first
+    // holding clause, -1 = none (the row survives untouched)
+    val bsIdx: Column = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
+      case ((cl, i), rest) =>
+        when(coalesce(cl.condition.getOrElse(lit(true)), lit(false)), lit(i)).otherwise(rest)
+    }
+    // affected-file target rows with no source match, tagged by clause
+    val taggedUnmatched: Option[DataFrame] =
+      if (notMatchedBySource.isEmpty || affected.isEmpty) None
+      else Some(catalog.visibleRows(spark, current, affected)
+        .join(srcKeys, keyCols, "left_anti").withColumn("__bs_idx", bsIdx))
+
     // survivors: affected-file rows minus those claimed by a holding
     // update/delete clause (a matched row whose source selects no
-    // clause stays)
+    // clause stays; an unmatched row stays unless a by-source clause
+    // holds for it)
     val survivorFiles: Seq[String] =
       if (affected.isEmpty) Nil
       else {
+        val visible = catalog.visibleRows(spark, current, affected)
         val claimedKeys = src.filter(col("__m_act") =!= "n")
           .select(keyCols.map(col): _*).distinct()
-        val survivors = catalog.visibleRows(spark, current, affected)
-          .join(claimedKeys, keyCols, "left_anti")
+        val survivors = taggedUnmatched match {
+          case None => visible.join(claimedKeys, keyCols, "left_anti")
+          case Some(tu) =>
+            visible.join(srcKeys, keyCols, "left_semi")
+              .join(claimedKeys, keyCols, "left_anti")
+              .unionByName(tu.filter(col("__bs_idx") === -1).drop("__bs_idx"))
+        }
         val dir = Paths.get(dataDir, s"merge-rw-${UUID.randomUUID().toString.take(8)}")
         survivors.write.parquet(dir.toString)
         listParquet(dir)
       }
 
     // new rows: updated versions of matched rows + conditional inserts
-    // of unmatched source rows
+    // of unmatched source rows + by-source updates of unmatched target
+    // rows (SET expressions evaluated over the target row)
     val insertFiles: Seq[String] =
       if (!writesRows) Nil
       else {
-        val updates = matchedKeys match {
-          case None => src.limit(0)
-          case Some(mk) =>
-            src.filter(col("__m_act") === "u").join(mk, keyCols, "left_semi")
-        }
-        val inserts = {
-          val unmatchedSrc = matchedKeys match {
-            case None => src
-            case Some(mk) => src.join(mk, keyCols, "left_anti")
+        val fromSource: Option[DataFrame] =
+          if (!writesFromSource) None
+          else Some {
+            val updates = matchedKeys match {
+              case None => src.limit(0)
+              case Some(mk) =>
+                src.filter(col("__m_act") === "u").join(mk, keyCols, "left_semi")
+            }
+            val inserts = {
+              val unmatchedSrc = matchedKeys match {
+                case None => src
+                case Some(mk) => src.join(mk, keyCols, "left_anti")
+              }
+              unmatchedSrc.filter(col("__nm_act") === "i")
+            }
+            updates.unionByName(inserts).select(targetCols.map(col): _*)
           }
-          unmatchedSrc.filter(col("__nm_act") === "i")
+        val fromBySource: Option[DataFrame] = taggedUnmatched.flatMap { tu =>
+          notMatchedBySource.zipWithIndex.collect {
+            case (u: BySourceUpdate, i) =>
+              tu.filter(col("__bs_idx") === i)
+                .select(current.schema.fields.map { f =>
+                  u.sets.find(_._1.equalsIgnoreCase(f.name))
+                    .map(_._2.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+                }.toIndexedSeq: _*)
+          }.reduceOption(_ unionByName _)
         }
-        val newRows = updates.unionByName(inserts).select(targetCols.map(col): _*)
-        val dir = Paths.get(dataDir, s"merge-ins-${UUID.randomUUID().toString.take(8)}")
-        newRows.write.parquet(dir.toString)
-        listParquet(dir)
+        (fromSource.toSeq ++ fromBySource.toSeq).reduceOption(_ unionByName _) match {
+          case None => Nil
+          case Some(newRows) =>
+            val dir = Paths.get(dataDir, s"merge-ins-${UUID.randomUUID().toString.take(8)}")
+            newRows.write.parquet(dir.toString)
+            listParquet(dir)
+        }
       }
 
     catalog.commit(spark, table, untouchedMeta.map(_.path) ++ survivorFiles ++ insertFiles,

@@ -200,9 +200,6 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           val (table, targetQuals) = target(t, cat).get
           if (withSchemaEvo) throw new UnsupportedOperationException(
             "MERGE WITH SCHEMA EVOLUTION is not supported on graft catalog tables")
-          if (bySource.nonEmpty) throw new UnsupportedOperationException(
-            "MERGE WHEN NOT MATCHED BY SOURCE is not supported on graft catalog tables " +
-              "(it requires a table-wide anti-join; use the Scala API's COW paths)")
           // clause shapes checked at ANALYSIS time: update-all / delete
           // when matched, insert-all when not, each optionally AND-ed
           // with a SOURCE-side condition; first match wins at run time
@@ -238,8 +235,45 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
               case _ =>
             }
           }
+          // WHEN NOT MATCHED BY SOURCE (the full-sync CDC-apply idiom):
+          // there is no source row, so conditions and SET expressions
+          // are TARGET-side — the mirror-image validation of the above
+          def requireTargetSide(e: Expression, what: String): Unit = e.foreach {
+            case a: UnresolvedAttribute
+                if a.nameParts.size == 2 && sourceQuals.contains(a.nameParts.head.toLowerCase) &&
+                  !targetQuals.contains(a.nameParts.head.toLowerCase) =>
+              throw new UnsupportedOperationException(
+                s"MERGE NOT MATCHED BY SOURCE $what may reference only target columns; " +
+                  s"'${a.nameParts.mkString(".")}' is source-qualified")
+            case _ =>
+          }
+          val bsClauses: Seq[(String, Option[GraftDml.Cond], Seq[(String, GraftDml.Cond)])] =
+            bySource.map {
+              case DeleteAction(c) =>
+                c.foreach(requireTargetSide(_, "conditions"))
+                ("d", c.map(GraftDml.Cond), Nil)
+              case UpdateAction(c, assigns, false) =>
+                c.foreach(requireTargetSide(_, "conditions"))
+                val sets = assigns.map { a =>
+                  requireTargetSide(a.value, "SET expressions")
+                  a.key match {
+                    case k: UnresolvedAttribute if k.nameParts.size == 1 =>
+                      k.nameParts.head -> GraftDml.Cond(a.value)
+                    case k: UnresolvedAttribute if k.nameParts.size == 2 &&
+                        targetQuals.contains(k.nameParts.head.toLowerCase) =>
+                      k.nameParts.last -> GraftDml.Cond(a.value)
+                    case other => throw new UnsupportedOperationException(
+                      "MERGE NOT MATCHED BY SOURCE UPDATE supports SET on top-level " +
+                        s"columns of the target table; got: ${other.sql}")
+                  }
+                }
+                ("u", c.map(GraftDml.Cond), sets)
+              case other => throw new UnsupportedOperationException(
+                "MERGE WHEN NOT MATCHED BY SOURCE supports UPDATE SET c = expr or " +
+                  s"DELETE (UPDATE SET * is undefined without a source row); got: $other")
+            }
           GraftMergeCommand(root, table, source, GraftDml.mergeKeyCols(cond),
-            mClauses, nmClauses, sourceQuals)
+            mClauses, nmClauses, sourceQuals, bsClauses, targetQuals)
         case AddColumns(t, cols) if alterTarget(t, cat).isDefined =>
           val table = alterTarget(t, cat).get
           val simple = cols.map { c =>
@@ -483,7 +517,9 @@ case class GraftMergeCommand(
     keyCols: Seq[String],
     matchedClauses: Seq[(String, Option[GraftDml.Cond])],
     notMatchedClauses: Seq[Option[GraftDml.Cond]],
-    sourceQuals: Set[String]) extends LeafRunnableCommand {
+    sourceQuals: Set[String],
+    bySourceClauses: Seq[(String, Option[GraftDml.Cond], Seq[(String, GraftDml.Cond)])] = Nil,
+    targetQuals: Set[String] = Set.empty) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
@@ -508,8 +544,22 @@ case class GraftMergeCommand(
       case (other, _) => throw new IllegalStateException(s"unknown merge action $other")
     }
     val notMatched = notMatchedClauses.map(c => Writers.MergeInsertAll(c.map(colOf)))
+    // by-source clauses evaluate over the TARGET row; their conditions
+    // also drive per-clause manifest pruning of the rewrite sweep
+    def tcolOf(c: GraftDml.Cond) =
+      GraftColumnShim.column(GraftDml.unqualify(c.e, targetQuals))
+    val bySource: Seq[Writers.BySourceClause] = bySourceClauses.map {
+      case ("d", c, _) => Writers.BySourceDelete(c.map(tcolOf))
+      case ("u", c, sets) =>
+        Writers.BySourceUpdate(sets.map { case (n, e) => n -> tcolOf(e) }, c.map(tcolOf))
+      case (other, _, _) => throw new IllegalStateException(s"unknown by-source action $other")
+    }
+    val bsPrune: Seq[Seq[graft.meta.PruneFilter]] = bySourceClauses.map(_._2
+      .map(c => GraftSqlResolution.pruneFiltersFrom(c.e, schema, targetQuals))
+      .getOrElse(Nil))
     Writers.mergeApply(session, cat, table, aligned, keyCols, matched, notMatched,
-      GraftDml.dataDirFor(session, root, table))
+      GraftDml.dataDirFor(session, root, table),
+      notMatchedBySource = bySource, bySourcePrune = bsPrune)
     Seq.empty
   }
 }

@@ -139,7 +139,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(19) match {
+        rnd.nextInt(20) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -337,6 +337,30 @@ class CdcLifecycleSpec extends SparkSpec {
             val newId = es.sql(s"CALL graft.rollback('t', $targetId)").head().getLong(0)
             state = targetState
             states :+= (newId, state)
+          case 19 => // SQL MERGE ... NOT MATCHED BY SOURCE (full-sync
+            // apply): matched rows take the source version; unmatched
+            // TARGET rows in the swept range get deleted; the model
+            // mirrors both effects relative to the pre-merge state
+            val keys = rnd.shuffle((0 until 100).toList).take(1 + rnd.nextInt(6))
+            val src = keys.map(k => (k.toLong, rnd.nextInt(1000).toLong))
+            val lo = rnd.nextInt(90).toLong
+            val hi = lo + rnd.nextInt(20).toLong
+            val cols = if (evolved) "(id, v, w)" else "(id, v)"
+            val vals = src.map { case (id, v) =>
+              if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)" }.mkString(", ")
+            es.sql(
+              s"""MERGE INTO t USING (SELECT * FROM VALUES $vals AS v$cols) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED BY SOURCE AND t.id BETWEEN $lo AND $hi THEN DELETE""".stripMargin)
+            val srcKeys = src.map(_._1).toSet
+            val matchedIds = state.keySet.map(_._1).intersect(srcKeys)
+            val matched = state.filter { case ((id, _), _) => srcKeys.contains(id) }
+            val swept = state.filter { case ((id, _), _) =>
+              !srcKeys.contains(id) && id >= lo && id <= hi }
+            val replaced = ms(src.filter { case (id, _) => matchedIds.contains(id) })
+            state = plus(minus(minus(state, matched), swept), replaced)
+            states :+= (cat.currentSnapshot(t).get.snapshotId, state)
         }
       }
 

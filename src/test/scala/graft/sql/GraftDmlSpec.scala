@@ -248,15 +248,70 @@ class GraftDmlSpec extends SparkSpec {
            |WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE""".stripMargin)
     }
     assert(err3.getMessage.contains("only source columns"))
-    // NOT MATCHED BY SOURCE is a table-wide anti-join: refused
+    // a BY SOURCE clause has no source row: source-qualified refs refuse
     val err4 = intercept[Exception] {
       ext.sql(
         s"""MERGE INTO $t t USING (SELECT 1 AS c_custkey, 'x' AS c_name, 0.0 AS c_acctbal) s
            |ON t.c_custkey = s.c_custkey
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED BY SOURCE AND s.c_name = 'x' THEN DELETE""".stripMargin)
     }
-    assert(err4.getMessage.contains("BY SOURCE"))
+    assert(err4.getMessage.contains("only target columns"))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync delete, conditional flag, CDC-exact") {
+    // full sync: after the merge the target IS the source
+    val t = freshTable("mrgbs", 1 to 6)
+    ext.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT * FROM VALUES
+         |    (2, 'Keep#2', 2.0), (3, 'Keep#3', 3.0), (100, 'New#100', 100.0)
+         |  AS v(c_custkey, c_name, c_acctbal)) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = ext.sql(s"SELECT c_custkey, c_name FROM $t ORDER BY c_custkey").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 100L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("Keep#2", "Keep#3", "New#100"))
+
+    // conditional variants: first holding clause wins, SET expressions
+    // read the TARGET row, unselected rows survive untouched
+    val t2 = freshTable("mrgbs2", 1 to 6)
+    val before = cat.currentSnapshot(t2).get
+    ext.sql(
+      s"""MERGE INTO $t2 t USING (
+         |  SELECT * FROM VALUES (1, 'S#1', 1.0) AS v(c_custkey, c_name, c_acctbal)) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN NOT MATCHED BY SOURCE AND t.c_custkey <= 3
+         |  THEN UPDATE SET c_name = concat('STALE:', t.c_name), c_acctbal = -t.c_acctbal
+         |WHEN NOT MATCHED BY SOURCE AND c_custkey = 4 THEN DELETE""".stripMargin)
+    val got = ext.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $t2 ORDER BY c_custkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // 1 matched (no matched clause -> untouched), 2..3 flagged, 4 gone, 5..6 untouched
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L, 6L))
+    assert(got.filter(r => r._1 == 2L || r._1 == 3L)
+      .forall(r => r._2.startsWith("STALE:") && r._3 <= 0))
+    assert(got.filter(r => r._1 == 1L || r._1 >= 5L).forall(!_._2.startsWith("STALE:")))
+    // CDC exactness across the by-source merge: net feed is
+    // delete(old 2,3,4) + insert(new 2,3)
+    val after = cat.currentSnapshot(t2).get
+    assert(after.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpMerge))
+    val feed = cat.changesBetween(spark, t2, before.snapshotId, Some(after.snapshotId))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 3L, "insert" -> 2L), s"got $byType")
+    assert(feed.filter(col("_change_type") === "delete").select("c_custkey")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
+
+    // delete-only by-source merge needs only key columns in the source
+    val t3 = freshTable("mrgbs3", 1 to 4)
+    ext.sql(
+      s"""MERGE INTO $t3 t USING (
+         |  SELECT * FROM VALUES (1), (2) AS v(c_custkey)) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(ext.sql(s"SELECT c_custkey FROM $t3 ORDER BY 1").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
   test("CREATE TABLE graft.t AS SELECT completes the SQL-only lifecycle") {
