@@ -57,7 +57,15 @@ final case class FileMeta(
     // names; stats/blooms/sketches/partitionValues stay keyed by
     // LOGICAL name (re-keyed at rename), so pruning never consults
     // this — only the scan does, to alias physical columns back. */
-    renames: Map[String, String] = Map.empty) {
+    renames: Map[String, String] = Map.empty,
+    // physical-parquet-column → its PHYSICAL type (catalogString),
+    // written by widenColumn (Iceberg type promotion): files from
+    // before a widen are read under their stored type and cast up at
+    // scan time. Recorded ONCE per column (the bytes never change, so
+    // a second widen keeps the original entry). Stats stay valid —
+    // numeric min/max are held as doubles and string blooms don't
+    // change a value's rendering, so pruning never consults this. */
+    physTypes: Map[String, String] = Map.empty) {
 
   /** Bloom values are ABSOLUTE sidecar file paths (current format) so
     * manifests stay O(stats) bytes; inline base64 (pre-sidecar
@@ -1216,6 +1224,55 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }
   }
 
+  /** Widen a column's type along the Iceberg promotion lattice
+    * (int→long, float→double, decimal precision growth) — one
+    * metadata commit, zero data bytes (`ALTER TABLE ... ALTER COLUMN c
+    * TYPE bigint`). Each file records its stored physical type ONCE in
+    * [[FileMeta.physTypes]] (keyed by the column's physical name, so
+    * later renames don't re-key it); the scan reads old files under the
+    * stored type and casts up — never relying on parquet reader
+    * promotion. Stats and blooms stay valid (numeric min/max are held
+    * as doubles; blooms are string-indexed), so manifest pruning on the
+    * widened column remains exact across eras. Narrowing and
+    * cross-family changes are refused — they would corrupt or lose
+    * data. Refuses while an equality-delete file keys on the column
+    * (its stored key tuples would compare under a different type). */
+  def widenColumn(table: String, name: String,
+      to: org.apache.spark.sql.types.DataType): SnapshotMeta =
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      val sch = prev.schema
+      val field = sch.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name on $table"))
+      val from = field.dataType
+      require(SnapshotCatalog.canWiden(from, to),
+        s"cannot change column $name from ${from.catalogString} to ${to.catalogString}: " +
+          "only widening along the promotion lattice (int->long, float->double, " +
+          "decimal precision growth) is a metadata-only evolution")
+      require(!prev.deleteFiles.exists(_.equalityColumns.contains(name)),
+        s"outstanding equality-delete files key on $name; materializeDeletes first")
+      val files = prev.files.map { f =>
+        val phys = f.renames.collectFirst { case (p, l) if l == name => p }.getOrElse(name)
+        if (f.physTypes.contains(phys)) f // bytes unchanged since first widen
+        else f.copy(physTypes = f.physTypes + (phys -> from.catalogString))
+      }
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+        .flatMap(k => prev.props.get(k).map(k -> _)).toMap
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = StructType(sch.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)).json,
+        files = files,
+        props = sticky ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve,
+          SnapshotCatalog.WidenProp ->
+            s"$name:${from.catalogString}->${to.catalogString}"),
+        deleteFiles = prev.deleteFiles)
+    }
+
   /** Sticky bloom/sketch column props with `from` renamed to `to`
     * (dropped when `to` is None). */
   private def stickyRenamed(
@@ -2092,9 +2149,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         else schema.add("_file", StringType).add("_pos", LongType)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val renOf: Map[String, Map[String, String]] =
-      entrySnap.files.map(f => f.path -> f.renames).toMap
-    paths.groupBy(p => renOf.getOrElse(normalize(p), Map.empty)).map { case (ren, ps) =>
+    val renOf: Map[String, (Map[String, String], Map[String, String])] =
+      entrySnap.files.map(f => f.path -> (f.renames, f.physTypes)).toMap
+    paths.groupBy(p => renOf.getOrElse(normalize(p), (Map.empty[String, String], Map.empty[String, String])))
+      .map { case ((ren, ptypes), ps) =>
       val inv = ren.map(_.swap) // logical -> physical
       def physName(logical: String): String =
         inv.getOrElse(logical,
@@ -2102,9 +2160,20 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           // physical column in THIS file: read absent (nulls), never
           // the dead bytes
           if (ren.contains(logical)) s"__graft_absent__$logical" else logical)
-      val physSchema = StructType(schema.fields.map(f => f.copy(name = physName(f.name))))
+      // a widened column reads under the file's STORED type (no
+      // reliance on parquet reader promotion) and casts up below —
+      // the promotion lattice guarantees the cast is lossless
+      def physType(pn: String, logical: org.apache.spark.sql.types.DataType) =
+        ptypes.get(pn).map(org.apache.spark.sql.types.DataType.fromDDL).getOrElse(logical)
+      val physSchema = StructType(schema.fields.map(f =>
+        f.copy(name = physName(f.name), dataType = physType(physName(f.name), f.dataType))))
       val base = spark.read.schema(physSchema).parquet(ps: _*)
-      val cols = schema.fields.toSeq.map(f => col(physName(f.name)).as(f.name)) ++
+      val cols = schema.fields.toSeq.map { f =>
+        val pn = physName(f.name)
+        val c = if (physType(pn, f.dataType) == f.dataType) col(pn)
+                else col(pn).cast(f.dataType)
+        c.as(f.name)
+      } ++
         (if (withLineage)
           Seq(col("_metadata.file_path").as("_file"), col("_metadata.row_index").as("_pos"))
          else Nil)
@@ -2383,6 +2452,29 @@ object SnapshotCatalog {
   val RenameProp = "graft.schema.rename"
   /** Set on a drop commit: the dropped column. */
   val DropProp = "graft.schema.drop"
+  /** Set on a type-widening commit: `col:from->to` (catalogStrings). */
+  val WidenProp = "graft.schema.widen"
+
+  /** The Iceberg type-promotion lattice (spec "Schema Evolution"):
+    * int→long, float→double, decimal(P,S)→decimal(P',S) with P'≥P —
+    * plus the small-int chain Spark surfaces (parquet stores them as
+    * int32, so byte/short widen the same way). Every admitted edge is
+    * a lossless cast; anything else (narrowing, cross-family, scale
+    * change) is refused. */
+  def canWiden(from: org.apache.spark.sql.types.DataType,
+               to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
   /** Dynamic partition overwrite: removed files are replaced WHOLESALE
     * (their partitions' old content), added files hold only brand-new
     * rows — so unlike a generic rewrite, the outputs ARE appends for

@@ -449,6 +449,43 @@ object Engine {
       cat
     })
 
+  // Memoized widen-era catalog per sf-dir: era 1 holds even orders
+  // under an INT key (kept in range via pmod so the 100x scale-ups
+  // stay exact), the key widens to BIGINT, era 2 appends odd orders
+  // shifted past the int range — so the query only matches the oracle
+  // if old files cast up exactly AND post-widen values really use the
+  // wide type.
+  private val widenCats = TrieMap.empty[String, SnapshotCatalog]
+  private def widenCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    widenCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-widen-").toString
+      val cat = new SnapshotCatalog(tmp)
+      val o = Tables.orders(s, dir)
+      Writers.writeSnapshot(cat, "orders",
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(pmod(col("o_orderkey"), lit(1000000000L)).cast("int").as("wkey"),
+            col("o_orderstatus")), tmp)
+      cat.widenColumn("orders", "wkey", org.apache.spark.sql.types.LongType)
+      Writers.writeSnapshot(cat, "orders",
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select((pmod(col("o_orderkey"), lit(1000000000L)) + 5000000000L).as("wkey"),
+            col("o_orderstatus")), tmp)
+      cat
+    })
+
+  /** Read across a type-widening evolution (int→long, Iceberg type
+    * promotion): era-1 files scan under their stored INT type and cast
+    * up at scan time; era-2 rows carry values past the int range. The
+    * aggregate over the mixed-era table must equal the oracle's single
+    * computation over the raw data. */
+  def qWidenRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = widenCatFor(s, dir)
+    cat.read(s, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("wkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Read across a column rename + drop (SURVEY §2 S48): files written
     * under the old physical names alias back through their manifest
     * name maps, new-era files scan directly, and the combined aggregate
@@ -819,6 +856,7 @@ object Engine {
     "q_overwrite_read" -> (qOverwriteRead _),
     "q_topk_pruned" -> (qTopkPruned _),
     "q_rename_read" -> (qRenameRead _),
+    "q_widen_read" -> (qWidenRead _),
     "q_sql_timetravel" -> (qSqlTimetravel _),
     "q_sql_dml" -> (qSqlDml _),
     "q_sql_update" -> (qSqlUpdate _),
@@ -980,6 +1018,11 @@ object Engine {
     "q_rename_read" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_widen_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000000000
+        |           ELSE o_orderkey % 1000000000 + 5000000000 END) AS BIGINT) AS sum_key
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_topk_pruned" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -306,6 +306,21 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
               s"columns only; got ${column.name.mkString(".")}")
           GraftAlterCommand(root, table,
             GraftAlterCommand.Rename(column.name.head, newName))
+        case AlterColumns(t, specs) if alterTarget(t, cat).isDefined =>
+          val table = alterTarget(t, cat).get
+          val widens = specs.map { s =>
+            if (s.column.name.size != 1) throw new UnsupportedOperationException(
+              "ALTER TABLE ALTER COLUMN on graft catalog tables supports top-level " +
+                s"columns only; got ${s.column.name.mkString(".")}")
+            if (s.newDataType.isEmpty || s.newNullability.nonEmpty ||
+                s.newComment.nonEmpty || s.newPosition.nonEmpty ||
+                s.newDefaultExpression.nonEmpty)
+              throw new UnsupportedOperationException(
+                "ALTER TABLE ALTER COLUMN on graft catalog tables supports TYPE " +
+                  "widening only (int->long, float->double, decimal precision growth)")
+            s.column.name.head -> s.newDataType.get
+          }
+          GraftAlterCommand(root, table, GraftAlterCommand.Widen(widens))
         case ct: CreateTableAsSelect if ctasTarget(ct.name).isDefined =>
           val t = ctasTarget(ct.name).get
           if (ct.partitioning.nonEmpty) throw new UnsupportedOperationException(
@@ -590,6 +605,8 @@ case class GraftAlterCommand(
         }
       case GraftAlterCommand.Rename(from, to) =>
         cat.renameColumn(table, from, to)
+      case GraftAlterCommand.Widen(cols) =>
+        cols.foreach { case (n, dt) => cat.widenColumn(table, n, dt) }
     }
     Seq.empty
   }
@@ -600,6 +617,7 @@ object GraftAlterCommand {
   final case class Add(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends Change
   final case class Drop(names: Seq[String], ifExists: Boolean) extends Change
   final case class Rename(from: String, to: String) extends Change
+  final case class Widen(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends Change
 }
 
 /** `CREATE TABLE graft.t AS SELECT ...` → analyze the query on the live

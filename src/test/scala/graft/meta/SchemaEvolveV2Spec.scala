@@ -149,4 +149,92 @@ class SchemaEvolveV2Spec extends SparkSpec {
     assertThrows[IllegalArgumentException] { cat.renameColumn("t", "v", "id") }
     assertThrows[IllegalArgumentException] { cat.renameColumn("t", "nope", "x") }
   }
+
+  test("type widening: metadata-only, old files read widened, pruning stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-sevw-").toString
+    val cat = new SnapshotCatalog(dir)
+    // era 1: int ids, float scores, ranged so pruning has file bounds
+    val era1 = (1 to 60).map(i => (i, i * 1.5f)).toDF("id", "score")
+    Writers.writeRangedSnapshot(cat, "w", era1, dir, "id", 3)
+    val before = cat.currentSnapshot("w").get
+
+    val widened = cat.widenColumn("w", "id", LongType)
+    cat.widenColumn("w", "score", DoubleType)
+    // zero file churn; schema widened in place
+    assert(widened.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    val sch = cat.schema("w").get
+    assert(sch("id").dataType == LongType && sch("score").dataType == DoubleType)
+
+    // era 2 appends under the widened types — values past int range
+    val era2 = Seq((5000000000L, 2.5d), (5000000001L, 3.5d)).toDF("id", "score")
+    Writers.writeSnapshot(cat, "w", era2.coalesce(1), dir)
+    val got = cat.read(spark, "w")
+    assert(got.schema("id").dataType == LongType && got.schema("score").dataType == DoubleType)
+    val want = (1 to 60).map(i => (i.toLong, (i * 1.5f).toDouble)) ++
+      Seq((5000000000L, 2.5d), (5000000001L, 3.5d))
+    assert(got.as[(Long, Double)].collect().toSet == want.toSet)
+
+    // manifest pruning on the widened column stays exact across eras
+    val prunedFiles = cat.planFiles("w", Seq(RangeNum("id", 1, 5)))
+    assert(prunedFiles.size < cat.currentSnapshot("w").get.files.size)
+    val prunedRead = cat.read(spark, "w", Seq(RangeNum("id", 1, 5)))
+      .filter(col("id") <= 5)
+    assert(prunedRead.count() == 5)
+
+    // time travel BEFORE the widen serves the narrow era exactly
+    val old = cat.read(spark, "w", snapshotId = Some(before.snapshotId))
+    assert(old.schema("id").dataType == IntegerType)
+    assert(old.schema("score").dataType == FloatType)
+    assert(old.count() == 60)
+
+    // refusals: narrowing, cross-family, no-op
+    assertThrows[IllegalArgumentException] { cat.widenColumn("w", "id", IntegerType) }
+    assertThrows[IllegalArgumentException] { cat.widenColumn("w", "score", LongType) }
+    assertThrows[IllegalArgumentException] { cat.widenColumn("w", "id", LongType) }
+    assertThrows[IllegalArgumentException] { cat.widenColumn("w", "nope", LongType) }
+  }
+
+  test("widening composes with rename, MoR deletes, rewrites and the change feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-sevwc-").toString
+    val cat = new SnapshotCatalog(dir)
+    val t0 = Writers.writeSnapshot(cat, "t",
+      (1 to 20).map(i => (i, i * 10)).toDF("id", "v").coalesce(1), dir)
+    cat.widenColumn("t", "v", LongType)
+    // widen THEN rename: physTypes stays keyed by the physical name,
+    // so the renamed read still finds the stored type and casts
+    cat.renameColumn("t", "v", "value")
+    val got = cat.read(spark, "t")
+    assert(got.schema("value").dataType == LongType)
+    assert(got.as[(Int, Long)].collect().toSet ==
+      (1 to 20).map(i => (i, i * 10L)).toSet)
+
+    // MoR position delete on the mixed-era table: mask applies across the cast
+    Writers.deleteWhereMoR(spark, cat, "t", col("id") <= 5, Nil, dir)
+    assert(cat.read(spark, "t").count() == 15)
+    // a rewrite (delete materialization) lands files in the NEW era:
+    // fresh manifest entries carry no physTypes
+    Writers.materializeDeletes(spark, cat, "t", dir)
+    val head = cat.currentSnapshot("t").get
+    assert(head.files.exists(_.physTypes.isEmpty))
+    assert(cat.read(spark, "t").count() == 15)
+
+    // change feed spanning the widen renders in the end schema
+    val feed = cat.changesBetween(spark, "t", t0.snapshotId, Some(head.snapshotId))
+    assert(feed.schema("value").dataType == LongType)
+    val dels = feed.filter(col("_change_type") === "delete")
+    assert(dels.count() == 5 && dels.select("id").as[Int].collect().toSet == (1 to 5).toSet)
+
+    // decimal precision growth is a widen; scale change is not
+    Writers.writeSnapshot(cat, "d",
+      Seq((1, BigDecimal("12.34"))).toDF("id", "amt")
+        .select(col("id"), col("amt").cast(DecimalType(10, 2)).as("amt")).coalesce(1), dir)
+    cat.widenColumn("d", "amt", DecimalType(14, 2))
+    assert(cat.read(spark, "d").schema("amt").dataType == DecimalType(14, 2))
+    assert(cat.read(spark, "d").select("amt").as[BigDecimal].head() == BigDecimal("12.34"))
+    assertThrows[IllegalArgumentException] { cat.widenColumn("d", "amt", DecimalType(16, 4)) }
+  }
 }

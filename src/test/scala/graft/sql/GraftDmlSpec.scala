@@ -385,6 +385,24 @@ class GraftDmlSpec extends SparkSpec {
       .getMessage.contains("FIRST/AFTER"))
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE widens along the promotion lattice") {
+    ext.sql("CREATE TABLE graft.wt (k INT, x FLOAT)")
+    ext.sql("INSERT INTO wt VALUES (1, CAST(1.5 AS FLOAT)), (2, CAST(2.5 AS FLOAT))")
+    ext.sql("ALTER TABLE wt ALTER COLUMN k TYPE BIGINT")
+    ext.sql("ALTER TABLE wt ALTER COLUMN x TYPE DOUBLE")
+    // post-widen inserts use the wide type for real
+    ext.sql("INSERT INTO wt VALUES (5000000000, 9.5)")
+    val rows = ext.sql("SELECT k, x FROM wt ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5000000000L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 9.5))
+    // narrowing and non-TYPE alterations refuse loudly
+    val e1 = intercept[Exception] { ext.sql("ALTER TABLE wt ALTER COLUMN k TYPE INT") }
+    assert(e1.getMessage.contains("widening"))
+    val e2 = intercept[Exception] {
+      ext.sql("ALTER TABLE wt ALTER COLUMN k COMMENT 'nope'") }
+    assert(e2.getMessage.contains("TYPE widening only"))
+  }
+
   test("DML on an unclaimed name falls through to builtin analysis") {
     val err = intercept[Exception] {
       ext.sql("DELETE FROM no_such_table WHERE x = 1")
