@@ -971,6 +971,69 @@ object Writers {
         removedPaths = rewritten.map(_.path)))))
   }
 
+  /** Sorted / z-order rewrite (Iceberg `rewrite_data_files` with a
+    * sort_order; Delta `OPTIMIZE ZORDER BY`): the table's VISIBLE rows
+    * re-cluster by `sortCols` — one range shuffle (one column) or one
+    * z-value shuffle (2..10 columns), files written sorted with
+    * disjoint ranges — committed under the compact protocol
+    * (`operation=compact`, row-preserving in visible terms, so the
+    * change feed stays silent and incremental readers skip it).
+    * This is the maintenance verb that RESTORES stats-pruning quality
+    * accumulating appends degrade: after enough unsorted commits every
+    * file's min/max spans the whole key range and planFiles keeps
+    * everything; one rewrite makes range predicates file-selective
+    * again. Outstanding MoR deletes materialize along the way (the
+    * rewrite reads visible rows and every old file retires, so the
+    * masks retire with them — same as Iceberg's rewrite).
+    *
+    * Scale: reads the table once, one shuffle, writes once — the same
+    * cost envelope as a full compaction; run it partition-at-a-time in
+    * a real deployment via the partitionValues filter. */
+  def rewriteSorted(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      dataDir: String,
+      sortCols: Seq[String],
+      nFiles: Int = 16,
+      zorder: Boolean = false): SnapshotMeta = {
+    require(sortCols.nonEmpty && sortCols.size <= 10,
+      "rewriteSorted needs 1..10 sort columns")
+    require(!zorder || sortCols.size >= 2,
+      "z-order needs at least 2 columns; one column is a plain sort")
+    val current = catalog.currentSnapshot(table)
+      .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
+    sortCols.foreach(c => require(current.schema.fieldNames.contains(c),
+      s"no column $c on $table"))
+    val allPaths = current.files.map(_.path)
+    val visible = catalog.visibleRows(spark, current, allPaths)
+    val clustered =
+      if (!zorder) // lexicographic multi-column sort (any column types)
+        visible.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else { // interleaved z-value clustering (numeric columns)
+        val buckets = 64
+        val bounds: Seq[Seq[Double]] = sortCols.map { c =>
+          visible.stat.approxQuantile(c,
+            (1 until buckets).map(_.toDouble / buckets).toArray, 0.01).toSeq
+        }
+        visible.withColumn("__z", zorderValue(sortCols.zip(bounds)))
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
+    val dir = Paths.get(dataDir, s"sorted-${UUID.randomUUID().toString.take(8)}")
+    clustered.write.parquet(dir.toString)
+    val outputs = listParquet(dir)
+    catalog.commit(spark, table, outputs,
+      props = Map(
+        SnapshotCatalog.OperationProp -> SnapshotCatalog.OpCompact,
+        SnapshotCatalog.RewrittenFromProp -> allPaths.sorted.mkString(",")),
+      intent = Some(CommitIntent(
+        basisSnapshotId = Some(current.snapshotId),
+        removedPaths = allPaths)))
+  }
+
   /** Write-audit-publish, stage step: `df`'s files are written and
     * recorded OUTSIDE the snapshot chain — readers, CDC and streaming
     * sources see NOTHING until `catalog.publishStaged`. Audit the

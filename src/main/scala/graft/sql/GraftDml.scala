@@ -767,11 +767,27 @@ case class GraftCallCommand(
         Seq(Row(0L))
       case "fast_forward" =>
         Seq(Row(cat.fastForward(str(0, "table"), str(1, "name")).snapshotId))
+      case "rewrite_sorted" =>
+        // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,
+        // zorder => true]) — re-cluster the table by the sort columns
+        // (Iceberg rewrite_data_files sort_order / Delta OPTIMIZE ZORDER)
+        val table = str(0, "table")
+        val cols = positional.drop(1).map(_.toString)
+        require(cols.nonEmpty,
+          s"CALL graft.$proc: pass the sort columns after the table name")
+        val z = named.get("zorder").exists {
+          case b: Boolean => b
+          case s => s.toString.equalsIgnoreCase("true")
+        }
+        Seq(Row(Writers.rewriteSorted(session, cat, table,
+          GraftDml.dataDirFor(session, root, table), cols,
+          nFiles = named.get("files").map(asLong("files", _).toInt).getOrElse(16),
+          zorder = z).snapshotId))
       case other =>
         throw new UnsupportedOperationException(
           s"unknown graft procedure '$other'; supported: compact, " +
             "expire_snapshots, remove_orphans, rollback, cherrypick, clone, " +
-            "tag, drop_tag, branch, drop_branch, fast_forward")
+            "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted")
     }
   }
 }

@@ -139,7 +139,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(20) match {
+        rnd.nextInt(21) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -361,6 +361,12 @@ class CdcLifecycleSpec extends SparkSpec {
             val replaced = ms(src.filter { case (id, _) => matchedIds.contains(id) })
             state = plus(minus(minus(state, matched), swept), replaced)
             states :+= (cat.currentSnapshot(t).get.snapshotId, state)
+          case 20 => // SQL CALL rewrite_sorted: full re-cluster under the
+            // compact protocol — rows preserved, feed silent (model
+            // state unchanged, new snapshot recorded)
+            val sid = es.sql("CALL graft.rewrite_sorted('t', 'id', files => 2)")
+              .head().getLong(0)
+            states :+= (sid, state)
         }
       }
 

@@ -162,6 +162,35 @@ class GraftCallSpec extends SparkSpec {
     assert(ext.sql("SELECT count(*) AS n FROM pos_old2").head().getLong(0) == 3)
   }
 
+  test("CALL graft.rewrite_sorted re-clusters: pruning selective again, rows kept, CDC-silent") {
+    import graft.meta.RangeNum
+    val t = "rws"
+    // three interleaved appends: every file spans the whole key range,
+    // so range pruning keeps everything — the degradation this verb fixes
+    (0 until 3).foreach { i =>
+      Writers.writeSnapshot(cat, t,
+        graft.Tables.customer(spark, sfDir)
+          .filter(col("c_custkey") <= 90 && col("c_custkey") % 3 === i)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")).coalesce(1),
+        dataDir)
+    }
+    val before = cat.currentSnapshot(t).get
+    assert(before.files.size == 3)
+    assert(cat.planFiles(t, Seq(RangeNum("c_custkey", 1, 10))).size == 3)
+    val pre = ext.sql(s"SELECT * FROM $t").collect().toSet
+
+    val sid = ext.sql(s"CALL graft.rewrite_sorted('$t', 'c_custkey', files => 3)")
+      .head().getLong(0)
+    val after = cat.currentSnapshot(t).get
+    assert(after.snapshotId == sid && after.files.size == 3)
+    // disjoint sorted ranges: the same predicate now keeps ONE file
+    assert(cat.planFiles(t, Seq(RangeNum("c_custkey", 1, 10))).size == 1)
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == pre)
+    // compact protocol: row-preserving and silent in the change feed
+    assert(after.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpCompact))
+    assert(cat.changesBetween(spark, t, before.snapshotId, Some(after.snapshotId)).count() == 0)
+  }
+
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
     val t = freshTable("bad", 1 to 2)
     val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }
