@@ -112,7 +112,7 @@ object Stress {
     // then a MERGE whose key range touches a small slice, then a full
     // compaction. Merge cost must track the AFFECTED slice, not the
     // table; compaction must be one read + one O(touched) commit.
-    val (nm, tMerge, tCompact, nCdc, tCdc) = {
+    val (nm, tMerge, nBsFiles, tBySource, tCompact, nCdc, tCdc) = {
       val cat = new graft.meta.SnapshotCatalog(
         java.nio.file.Files.createTempDirectory("graft-stress-meta-").toString)
       val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-data-").toString
@@ -136,6 +136,26 @@ object Stress {
       val (m, t1) = time {
         graft.sinks.Writers.mergeInto(spark, cat, "ord", src, Seq("o_orderkey"), dataDir)
       }
+      // by-source merge with a PRUNABLE clause condition on the ranged
+      // layout: the full-sync sweep must rewrite only the files the
+      // condition's manifest filters keep (plus the source key range) —
+      // never the whole 200-file table
+      val (bsFiles, tBs) = {
+        val src2 = keyed.filter(col("o_orderkey") < 5000).localCheckpoint(true)
+        val (_, tb) = time {
+          graft.sinks.Writers.mergeApply(spark, cat, "ord", src2, Seq("o_orderkey"),
+            matched = Seq(graft.sinks.Writers.MergeUpdateAll()),
+            notMatched = Nil,
+            dataDir = dataDir,
+            notMatchedBySource = Seq(graft.sinks.Writers.BySourceDelete(
+              Some(col("o_orderkey").between(10000, 15000)))),
+            bySourcePrune = Seq(Seq(graft.meta.RangeNum("o_orderkey", 10000, 15000))))
+        }
+        val swept = cat.currentSnapshot("ord").get
+          .props(graft.meta.SnapshotCatalog.RewrittenFromProp)
+          .split(",").count(_.nonEmpty)
+        (swept, tb)
+      }
       val (_, t2) = time {
         graft.sinks.Writers.compact(spark, cat, "ord", dataDir).get
       }
@@ -147,7 +167,7 @@ object Stress {
       val (cRows, t3) = time {
         cat.changesBetween(spark, "ord", 1L, None).count()
       }
-      (m.totalRows, t1, t2, cRows, t3)
+      (m.totalRows, t1, bsFiles, tBs, t2, cRows, t3)
     }
     // merge-on-read deletes at scale: the GDPR-row case. A 2.4M-row
     // ranged table takes (a) a zero-scan equality delete of ONE key —
@@ -228,7 +248,7 @@ object Stress {
       }
       (nEx, tEx, cat.currentSnapshot("ingnd").get.totalRows, tNd)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace,"ivfpq_hits":$nIvfPq,"ivfpq_build_sec":$tPqBuild,"ivfpq_search_sec":$tPqSearch,"ingest_exact_docs":$exDocs,"ingest_exact_sec":$tExIngest,"ingest_neardup_docs":$ndDocs,"ingest_neardup_sec":$tNdIngest}}""")
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"bysource_files":$nBsFiles,"bysource_sec":$tBySource,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace,"ivfpq_hits":$nIvfPq,"ivfpq_build_sec":$tPqBuild,"ivfpq_search_sec":$tPqSearch,"ingest_exact_docs":$exDocs,"ingest_exact_sec":$tExIngest,"ingest_neardup_docs":$ndDocs,"ingest_neardup_sec":$tNdIngest}}""")
     spark.stop()
   }
 }

@@ -815,6 +815,91 @@ object Engine {
       root
     })
 
+  // Explicit-SET merge layout: the source carries ONLY (key, delta) —
+  // no full target schema — and the SET expressions read BOTH pair
+  // sides; the insert clause names explicit columns with NULL fill.
+  private val mergeSetRoots = TrieMap.empty[String, String]
+  private def mergeSetRootFor(s: SparkSession, dir: String): String =
+    mergeSetRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mrgset-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "setorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        Files.createTempDirectory("graft-mrgset-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(
+        s"""MERGE INTO setorders t USING (
+           |  SELECT o_orderkey, o_totalprice AS delta FROM $src
+           |  WHERE o_orderkey % 3 = 0) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.delta < 100000
+           |  THEN UPDATE SET o_totalprice = t.o_totalprice + s.delta
+           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus)
+           |  VALUES (s.o_orderkey, 'N')""".stripMargin)
+      root
+    })
+
+  /** Explicit matched UPDATE SET (both pair sides) + INSERT (cols)
+    * through SQL MERGE; the oracle replays the pair algebra with a
+    * CASE over the key join. */
+  def qMergeUpdSet(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mergeSetRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM setorders
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  // By-source merge layout (full-sync apply): matched rows take the
+  // source's restated price; unmatched target rows either drop (cheap
+  // rows) or get flagged STALE — the Delta/Iceberg WHEN NOT MATCHED BY
+  // SOURCE surface exercised end-to-end through SQL.
+  private val mergeBsRoots = TrieMap.empty[String, String]
+  private def mergeBsRootFor(s: SparkSession, dir: String): String =
+    mergeBsRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mrgbs-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "bsorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority")),
+        Files.createTempDirectory("graft-mrgbs-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(
+        s"""MERGE INTO bsorders t USING (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    o_totalprice + 50000 AS o_totalprice, o_orderpriority
+           |  FROM $src WHERE o_orderkey % 4 = 0) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 150000 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE
+           |  THEN UPDATE SET o_orderpriority = 'STALE'""".stripMargin)
+      root
+    })
+
+  /** MERGE WHEN NOT MATCHED BY SOURCE end-to-end through SQL; the
+    * oracle replays the three-way split (replaced / deleted / flagged)
+    * over the raw table. */
+  def qMergeBySource(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mergeBsRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, o_orderpriority = 'STALE' AS stale,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM bsorders
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
   /** Conditional multi-clause MERGE end-to-end through SQL (the
     * CDC-apply idiom: matched-delete, matched-update, gated insert —
     * first clause wins). The oracle replays the clause algebra over raw
@@ -862,6 +947,8 @@ object Engine {
     "q_sql_update" -> (qSqlUpdate _),
     "q_ctas_read" -> (qCtasRead _),
     "q_merge_clauses" -> (qMergeClauses _),
+    "q_merge_upd_set" -> (qMergeUpdSet _),
+    "q_merge_bysource" -> (qMergeBySource _),
     "q_clone_read" -> (qCloneRead _),
     "q_meta_count" -> (qMetaCount _),
     "q_sql_maintenance" -> (qSqlMaintenance _),
@@ -915,6 +1002,47 @@ object Engine {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice >= 30000
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_merge_upd_set" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey, o_totalprice AS delta FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |final AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND NOT (s.delta < 100000)
+        |      THEN 'M' ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND s.delta < 100000
+        |      THEN t.o_totalprice + s.delta ELSE t.o_totalprice END AS o_totalprice
+        |  FROM seed t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.o_orderkey, 'N' AS o_orderstatus, NULL AS o_totalprice
+        |  FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM seed))
+        |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM final
+        |GROUP BY 1""".stripMargin,
+    "q_merge_bysource" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 50000 AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |final AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'STALE' AS o_orderpriority
+        |  FROM seed
+        |  WHERE o_orderkey % 4 <> 0 AND NOT (o_totalprice < 150000))
+        |SELECT o_orderstatus AS status, o_orderpriority = 'STALE' AS stale,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM final
+        |GROUP BY 1, 2""".stripMargin,
     "q_sql_dml" ->
       """WITH after_del AS (
         |  SELECT * FROM orders WHERE o_totalprice >= 50000),

@@ -694,10 +694,27 @@ object Writers {
   sealed trait MatchedClause { def condition: Option[Column] }
   /** WHEN MATCHED [AND cond] THEN UPDATE SET * */
   final case class MergeUpdateAll(condition: Option[Column] = None) extends MatchedClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ... — explicit
+    * assignments may reference BOTH rows of the matched pair: target
+    * columns by their plain name, source columns as `__s_<name>` (key
+    * columns, equal by the join, by plain name). Evaluated over the
+    * key-joined pair, map-side after one shuffle bounded by the
+    * affected files' rows vs the source. */
+  final case class MergeUpdateSet(
+      sets: Seq[(String, Column)],
+      condition: Option[Column] = None) extends MatchedClause
   /** WHEN MATCHED [AND cond] THEN DELETE */
   final case class MergeDelete(condition: Option[Column] = None) extends MatchedClause
+
+  sealed trait NotMatchedClause { def condition: Option[Column] }
   /** WHEN NOT MATCHED [AND cond] THEN INSERT * */
-  final case class MergeInsertAll(condition: Option[Column] = None)
+  final case class MergeInsertAll(condition: Option[Column] = None) extends NotMatchedClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs) —
+    * unassigned target columns insert NULL; expressions are source-side
+    * (there is no target row). */
+  final case class MergeInsertCols(
+      sets: Seq[(String, Column)],
+      condition: Option[Column] = None) extends NotMatchedClause
 
   /** A MERGE WHEN NOT MATCHED BY SOURCE clause (the Delta / Iceberg 1.5+
     * full-sync idiom: "target rows the source no longer carries get
@@ -746,7 +763,7 @@ object Writers {
       source: DataFrame,
       keyCols: Seq[String],
       matched: Seq[MatchedClause],
-      notMatched: Seq[MergeInsertAll],
+      notMatched: Seq[NotMatchedClause],
       dataDir: String,
       props: Map[String, String] = Map.empty,
       notMatchedBySource: Seq[BySourceClause] = Nil,
@@ -762,35 +779,46 @@ object Writers {
     val current = catalog.currentSnapshot(table)
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     val targetCols = current.schema.fieldNames.toSeq
-    val writesFromSource = matched.exists(_.isInstanceOf[MergeUpdateAll]) || notMatched.nonEmpty
-    val writesRows = writesFromSource ||
-      notMatchedBySource.exists(_.isInstanceOf[BySourceUpdate])
-    if (writesFromSource)
+    // star forms take whole rows from the source; explicit SET / INSERT
+    // (cols) forms need only the key columns plus whatever they reference
+    val needsFullSchema = matched.exists(_.isInstanceOf[MergeUpdateAll]) ||
+      notMatched.exists(_.isInstanceOf[MergeInsertAll])
+    val writesRows =
+      matched.exists(c => c.isInstanceOf[MergeUpdateAll] || c.isInstanceOf[MergeUpdateSet]) ||
+      notMatched.nonEmpty || notMatchedBySource.exists(_.isInstanceOf[BySourceUpdate])
+    if (needsFullSchema)
       require(targetCols.toSet.subsetOf(source.columns.toSet),
         s"source is missing target columns: ${targetCols.toSet.diff(source.columns.toSet).mkString(", ")}")
     else
       require(keyCols.toSet.subsetOf(source.columns.toSet),
-        s"delete-only merge source is missing key columns: ${keyCols.toSet.diff(source.columns.toSet).mkString(", ")}")
+        s"merge source is missing key columns: ${keyCols.toSet.diff(source.columns.toSet).mkString(", ")}")
 
     // per-source-row clause selection, first-match-wins, ONE map-side
-    // expression ('u' update / 'd' delete / 'i' insert / 'n' none)
-    val mAct = matched.foldRight(lit("n")) { (cl, rest) =>
-      val act = cl match {
-        case _: MergeUpdateAll => "u"
-        case _: MergeDelete => "d"
-      }
-      when(cl.condition.getOrElse(lit(true)), lit(act)).otherwise(rest)
+    // expression per side: the index of the first holding clause, -1 none
+    val mIdx = matched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), rest) =>
+      when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(rest)
     }
-    val nmAct = notMatched.foldRight(lit("n")) { (cl, rest) =>
-      when(cl.condition.getOrElse(lit(true)), lit("i")).otherwise(rest)
+    val nmIdx = notMatched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), rest) =>
+      when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(rest)
     }
-    val src = source.withColumn("__m_act", mAct).withColumn("__nm_act", nmAct)
+    val src = source.withColumn("__m_idx", mIdx).withColumn("__nm_idx", nmIdx)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
 
-    notMatchedBySource.foreach {
-      case BySourceUpdate(sets, _) => sets.foreach { case (n, _) =>
+    def requireTargetColumns(sets: Seq[(String, Column)], what: String): Unit =
+      sets.foreach { case (n, _) =>
         require(current.schema.fields.exists(_.name.equalsIgnoreCase(n)),
-          s"MERGE NOT MATCHED BY SOURCE UPDATE references unknown column '$n'") }
+          s"MERGE $what references unknown column '$n'") }
+    matched.foreach {
+      case MergeUpdateSet(sets, _) => requireTargetColumns(sets, "UPDATE SET")
+      case _ =>
+    }
+    notMatched.foreach {
+      case MergeInsertCols(sets, _) => requireTargetColumns(sets, "INSERT (cols)")
+      case _ =>
+    }
+    notMatchedBySource.foreach {
+      case BySourceUpdate(sets, _) =>
+        requireTargetColumns(sets, "NOT MATCHED BY SOURCE UPDATE")
       case _ =>
     }
 
@@ -837,7 +865,7 @@ object Writers {
       if (affected.isEmpty) Nil
       else {
         val visible = catalog.visibleRows(spark, current, affected)
-        val claimedKeys = src.filter(col("__m_act") =!= "n")
+        val claimedKeys = src.filter(col("__m_idx") >= 0)
           .select(keyCols.map(col): _*).distinct()
         val survivors = taggedUnmatched match {
           case None => visible.join(claimedKeys, keyCols, "left_anti")
@@ -851,28 +879,59 @@ object Writers {
         listParquet(dir)
       }
 
-    // new rows: updated versions of matched rows + conditional inserts
-    // of unmatched source rows + by-source updates of unmatched target
-    // rows (SET expressions evaluated over the target row)
+    // new rows: updated versions of matched rows (star = source row;
+    // explicit SET = expression over the matched PAIR) + conditional
+    // inserts of unmatched source rows (star or explicit columns) +
+    // by-source updates of unmatched target rows
     val insertFiles: Seq[String] =
       if (!writesRows) Nil
       else {
-        val fromSource: Option[DataFrame] =
-          if (!writesFromSource) None
-          else Some {
-            val updates = matchedKeys match {
-              case None => src.limit(0)
-              case Some(mk) =>
-                src.filter(col("__m_act") === "u").join(mk, keyCols, "left_semi")
+        val starIdxs = matched.zipWithIndex.collect { case (_: MergeUpdateAll, i) => i }
+        val updatesStar: Option[DataFrame] =
+          if (starIdxs.isEmpty) None
+          else matchedKeys.map(mk =>
+            src.filter(col("__m_idx").isin(starIdxs: _*))
+              .join(mk, keyCols, "left_semi")
+              .select(targetCols.map(col): _*))
+        val setClauses = matched.zipWithIndex.collect { case (u: MergeUpdateSet, i) => (u, i) }
+        val updatesSet: Option[DataFrame] =
+          if (setClauses.isEmpty || affected.isEmpty) None
+          else {
+            // matched pairs: visible target rows joined to their source
+            // row; source non-key columns ride as __s_<name> so SET
+            // expressions can see both sides of the pair
+            val srcRen = src.select(
+              (keyCols.map(col) ++
+                src.columns.filterNot(keyCols.contains).map(c => col(c).as(s"__s_$c"))): _*)
+            val pairs = catalog.visibleRows(spark, current, affected)
+              .join(srcRen, keyCols)
+            setClauses.map { case (u, i) =>
+              pairs.filter(col("__s___m_idx") === i)
+                .select(current.schema.fields.map { f =>
+                  u.sets.find(_._1.equalsIgnoreCase(f.name))
+                    .map(_._2.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+                }.toIndexedSeq: _*)
+            }.reduceOption(_ unionByName _)
+          }
+        val insertsDf: Option[DataFrame] =
+          if (notMatched.isEmpty) None
+          else {
+            val unmatchedSrc = matchedKeys match {
+              case None => src
+              case Some(mk) => src.join(mk, keyCols, "left_anti")
             }
-            val inserts = {
-              val unmatchedSrc = matchedKeys match {
-                case None => src
-                case Some(mk) => src.join(mk, keyCols, "left_anti")
-              }
-              unmatchedSrc.filter(col("__nm_act") === "i")
-            }
-            updates.unionByName(inserts).select(targetCols.map(col): _*)
+            notMatched.zipWithIndex.map {
+              case (_: MergeInsertAll, i) =>
+                unmatchedSrc.filter(col("__nm_idx") === i)
+                  .select(targetCols.map(col): _*)
+              case (c: MergeInsertCols, i) =>
+                unmatchedSrc.filter(col("__nm_idx") === i)
+                  .select(current.schema.fields.map { f =>
+                    c.sets.find(_._1.equalsIgnoreCase(f.name))
+                      .map(_._2.cast(f.dataType).as(f.name))
+                      .getOrElse(lit(null).cast(f.dataType).as(f.name))
+                  }.toIndexedSeq: _*)
+            }.reduceOption(_ unionByName _)
           }
         val fromBySource: Option[DataFrame] = taggedUnmatched.flatMap { tu =>
           notMatchedBySource.zipWithIndex.collect {
@@ -884,7 +943,8 @@ object Writers {
                 }.toIndexedSeq: _*)
           }.reduceOption(_ unionByName _)
         }
-        (fromSource.toSeq ++ fromBySource.toSeq).reduceOption(_ unionByName _) match {
+        (updatesStar.toSeq ++ updatesSet.toSeq ++ insertsDf.toSeq ++ fromBySource.toSeq)
+          .reduceOption(_ unionByName _) match {
           case None => Nil
           case Some(newRows) =>
             val dir = Paths.get(dataDir, s"merge-ins-${UUID.randomUUID().toString.take(8)}")

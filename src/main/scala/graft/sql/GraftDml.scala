@@ -200,38 +200,82 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           val (table, targetQuals) = target(t, cat).get
           if (withSchemaEvo) throw new UnsupportedOperationException(
             "MERGE WITH SCHEMA EVOLUTION is not supported on graft catalog tables")
-          // clause shapes checked at ANALYSIS time: update-all / delete
-          // when matched, insert-all when not, each optionally AND-ed
-          // with a SOURCE-side condition; first match wins at run time
-          val mClauses: Seq[(String, Option[GraftDml.Cond])] = matched.map {
-            case UpdateStarAction(c) => ("u", c.map(GraftDml.Cond))
-            case DeleteAction(c) => ("d", c.map(GraftDml.Cond))
-            case other => throw new UnsupportedOperationException(
-              "MERGE INTO through SQL supports WHEN MATCHED [AND cond] THEN UPDATE SET * " +
-                s"or DELETE; got: $other")
-          }
-          val nmClauses: Seq[Option[GraftDml.Cond]] = notMatched.map {
-            case InsertStarAction(c) => c.map(GraftDml.Cond)
-            case other => throw new UnsupportedOperationException(
-              "MERGE INTO through SQL supports WHEN NOT MATCHED [AND cond] THEN INSERT *; " +
-                s"got: $other")
-          }
-          // clause conditions are evaluated over the SOURCE row (the
-          // CDC-apply idiom); a target-qualified reference can't be —
-          // refuse it loudly here instead of failing resolution later
           val sourceQuals: Set[String] = source match {
             case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
             case u: UnresolvedRelation => Set(u.multipartIdentifier.last.toLowerCase)
             case _ => Set.empty
           }
-          (mClauses.flatMap(_._2) ++ nmClauses.flatten).foreach { c =>
+          val keyColsLower = GraftDml.mergeKeyCols(cond).map(_.toLowerCase).toSet
+          val targetFieldsLower: Set[String] = cat.schema(table)
+            .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+          // An assignment key must name a top-level target column
+          // (optionally target-qualified).
+          def setName(k: Expression, what: String): String = k match {
+            case a: UnresolvedAttribute if a.nameParts.size == 1 => a.nameParts.head
+            case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+                targetQuals.contains(a.nameParts.head.toLowerCase) => a.nameParts.last
+            case other => throw new UnsupportedOperationException(
+              s"MERGE $what supports SET/INSERT on top-level columns of the " +
+                s"target table; got: ${other.sql}")
+          }
+          // Matched-clause SET expressions see BOTH rows of the pair:
+          // target columns by plain name, source columns as __s_<name>
+          // (keys, equal by the join, stay plain). Bare names resolve
+          // target-first — qualify with the source alias to force the
+          // source side.
+          def pairRewrite(e: Expression): Expression = e.transformUp {
+            case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+                sourceQuals.contains(a.nameParts.head.toLowerCase) &&
+                !targetQuals.contains(a.nameParts.head.toLowerCase) =>
+              val n = a.nameParts.last
+              if (keyColsLower.contains(n.toLowerCase)) UnresolvedAttribute(Seq(n))
+              else UnresolvedAttribute(Seq("__s_" + n))
+            case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+                targetQuals.contains(a.nameParts.head.toLowerCase) =>
+              UnresolvedAttribute(Seq(a.nameParts.last))
+            case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+                !targetFieldsLower.contains(a.nameParts.head.toLowerCase) =>
+              UnresolvedAttribute(Seq("__s_" + a.nameParts.head))
+          }
+          // clause shapes checked at ANALYSIS time; first match wins at
+          // run time. Conditions are SOURCE-side facts (the CDC-apply
+          // idiom); explicit matched SETs may read both pair sides.
+          val mClauses: Seq[(String, Option[GraftDml.Cond], Seq[(String, GraftDml.Cond)])] =
+            matched.map {
+              case UpdateStarAction(c) => ("u", c.map(GraftDml.Cond), Nil)
+              case DeleteAction(c) => ("d", c.map(GraftDml.Cond), Nil)
+              case UpdateAction(c, assigns, false) =>
+                val sets = assigns.map(a =>
+                  setName(a.key, "WHEN MATCHED UPDATE") ->
+                    GraftDml.Cond(pairRewrite(a.value)))
+                ("s", c.map(GraftDml.Cond), sets)
+              case other => throw new UnsupportedOperationException(
+                "MERGE INTO through SQL supports WHEN MATCHED [AND cond] THEN UPDATE " +
+                  s"SET * / UPDATE SET c = expr / DELETE; got: $other")
+            }
+          val nmClauses: Seq[(String, Option[GraftDml.Cond], Seq[(String, GraftDml.Cond)])] =
+            notMatched.map {
+              case InsertStarAction(c) => ("i", c.map(GraftDml.Cond), Nil)
+              case InsertAction(c, assigns) =>
+                val sets = assigns.map(a =>
+                  setName(a.key, "WHEN NOT MATCHED INSERT") -> GraftDml.Cond(a.value))
+                ("c", c.map(GraftDml.Cond), sets)
+              case other => throw new UnsupportedOperationException(
+                "MERGE INTO through SQL supports WHEN NOT MATCHED [AND cond] THEN " +
+                  s"INSERT * / INSERT (cols) VALUES (exprs); got: $other")
+            }
+          // conditions and INSERT values are evaluated over the SOURCE
+          // row; a target-qualified reference can't be — refuse loudly
+          // here instead of failing resolution later
+          (mClauses.flatMap(_._2) ++ nmClauses.flatMap(_._2) ++
+            nmClauses.flatMap(_._3.map(_._2))).foreach { c =>
             c.e.foreach {
               case a: UnresolvedAttribute
                   if a.nameParts.size == 2 && targetQuals.contains(a.nameParts.head.toLowerCase) &&
                     !sourceQuals.contains(a.nameParts.head.toLowerCase) =>
                 throw new UnsupportedOperationException(
-                  s"MERGE clause conditions may reference only source columns; " +
-                    s"'${a.nameParts.mkString(".")}' is target-qualified")
+                  s"MERGE clause conditions and INSERT values may reference only " +
+                    s"source columns; '${a.nameParts.mkString(".")}' is target-qualified")
               case _ =>
             }
           }
@@ -530,8 +574,8 @@ case class GraftMergeCommand(
     table: String,
     source: LogicalPlan,
     keyCols: Seq[String],
-    matchedClauses: Seq[(String, Option[GraftDml.Cond])],
-    notMatchedClauses: Seq[Option[GraftDml.Cond]],
+    matchedClauses: Seq[(String, Option[GraftDml.Cond], Seq[(String, GraftDml.Cond)])],
+    notMatchedClauses: Seq[(String, Option[GraftDml.Cond], Seq[(String, GraftDml.Cond)])],
     sourceQuals: Set[String],
     bySourceClauses: Seq[(String, Option[GraftDml.Cond], Seq[(String, GraftDml.Cond)])] = Nil,
     targetQuals: Set[String] = Set.empty) extends LeafRunnableCommand {
@@ -554,11 +598,20 @@ case class GraftMergeCommand(
     def colOf(c: GraftDml.Cond) =
       GraftColumnShim.column(GraftDml.unqualify(c.e, sourceQuals))
     val matched: Seq[Writers.MatchedClause] = matchedClauses.map {
-      case ("u", c) => Writers.MergeUpdateAll(c.map(colOf))
-      case ("d", c) => Writers.MergeDelete(c.map(colOf))
-      case (other, _) => throw new IllegalStateException(s"unknown merge action $other")
+      case ("u", c, _) => Writers.MergeUpdateAll(c.map(colOf))
+      case ("d", c, _) => Writers.MergeDelete(c.map(colOf))
+      case ("s", c, sets) => Writers.MergeUpdateSet(
+        // pair-rewritten at analysis (plain target names + __s_ source
+        // names) — wrap verbatim, no qualifier stripping
+        sets.map { case (n, e) => n -> GraftColumnShim.column(e.e) }, c.map(colOf))
+      case (other, _, _) => throw new IllegalStateException(s"unknown merge action $other")
     }
-    val notMatched = notMatchedClauses.map(c => Writers.MergeInsertAll(c.map(colOf)))
+    val notMatched: Seq[Writers.NotMatchedClause] = notMatchedClauses.map {
+      case ("i", c, _) => Writers.MergeInsertAll(c.map(colOf))
+      case ("c", c, sets) => Writers.MergeInsertCols(
+        sets.map { case (n, e) => n -> colOf(e) }, c.map(colOf))
+      case (other, _, _) => throw new IllegalStateException(s"unknown merge action $other")
+    }
     // by-source clauses evaluate over the TARGET row; their conditions
     // also drive per-clause manifest pruning of the rewrite sweep
     def tcolOf(c: GraftDml.Cond) =

@@ -139,7 +139,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(21) match {
+        rnd.nextInt(22) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -367,6 +367,23 @@ class CdcLifecycleSpec extends SparkSpec {
             val sid = es.sql("CALL graft.rewrite_sorted('t', 'id', files => 2)")
               .head().getLong(0)
             states :+= (sid, state)
+          case 21 => // SQL MERGE explicit SET over the matched PAIR:
+            // every target row of a matched key shifts by the source's
+            // delta (per-row, unlike star's per-key collapse) — the
+            // model applies the same per-row algebra
+            val keys = rnd.shuffle((0 until 100).toList).take(1 + rnd.nextInt(6))
+            val src = keys.map(k => (k.toLong, 1 + rnd.nextInt(500).toLong))
+            val vals = src.map { case (id, d) => s"($id, $d)" }.mkString(", ")
+            es.sql(
+              s"""MERGE INTO t USING (SELECT * FROM VALUES $vals AS v(id, delta)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta""".stripMargin)
+            val deltas = src.toMap
+            val matched = state.filter { case ((id, _), _) => deltas.contains(id) }
+            val shifted = ms(matched.toSeq.flatMap { case ((id, v), n) =>
+              Seq.fill(n)((id, v + deltas(id))) })
+            state = plus(minus(state, matched), shifted)
+            states :+= (cat.currentSnapshot(t).get.snapshotId, state)
         }
       }
 

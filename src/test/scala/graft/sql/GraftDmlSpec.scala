@@ -222,16 +222,37 @@ class GraftDmlSpec extends SparkSpec {
     assert(!ext.table(t).columns.contains("op"))
   }
 
+  test("MERGE explicit matched UPDATE SET reads both pair sides; INSERT (cols) null-fills") {
+    val t = freshTable("mrgset", 1 to 6)
+    val orig = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey").between(1, 6))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // source carries ONLY the key and a delta — no full target schema
+    ext.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT * FROM VALUES (2, 5.0), (3, 7.5), (99, 1.25) AS v(c_custkey, delta)) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.delta > 6 THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta * 2
+         |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta,
+         |  c_name = concat(t.c_name, ':upd')
+         |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name) VALUES (s.c_custkey, 'NewGuy')""".stripMargin)
+    val got = ext.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    // key 3 takes the FIRST holding clause (delta > 6): bal + 15, name kept
+    assert(got(3L) == (orig(3L)._1, orig(3L)._2 + 15.0))
+    // key 2 takes the second: bal + 5, name suffixed
+    assert(got(2L) == (orig(2L)._1 + ":upd", orig(2L)._2 + 5.0))
+    // key 99 inserted with the explicit columns, c_acctbal NULL-filled
+    assert(got(99L)._1 == "NewGuy" && got(99L)._2.isNaN)
+    // untouched rows identical
+    assert(got(1L) == orig(1L) && got(5L) == orig(5L))
+    assert(got.size == 7)
+  }
+
   test("unsupported MERGE shapes fail loudly instead of mis-executing") {
     val t = freshTable("mrgbad", 1 to 3)
-    // column-level UPDATE SET assignments are not the star form
-    val err = intercept[Exception] {
-      ext.sql(
-        s"""MERGE INTO $t t USING (SELECT 1 AS c_custkey, 'x' AS c_name, 0.0 AS c_acctbal) s
-           |ON t.c_custkey = s.c_custkey
-           |WHEN MATCHED THEN UPDATE SET c_name = s.c_name""".stripMargin)
-    }
-    assert(err.getMessage.contains("UPDATE SET *"))
     val err2 = intercept[Exception] {
       ext.sql(
         s"""MERGE INTO $t t USING (SELECT 1 AS k, 'x' AS c_name, 0.0 AS c_acctbal) s
