@@ -732,22 +732,27 @@ object Writers {
   /** Multi-clause MERGE (conditional update/delete/insert — the common
     * CDC-apply shape Delta and Iceberg both ship): per matched target
     * row the first holding matched-clause applies (update-all → source
-    * version replaces it; delete → it is dropped); per unmatched source
-    * row the first holding insert clause inserts. Target rows whose
-    * matched source row selects NO clause survive untouched.
+    * version replaces it; explicit SET → a projection over the matched
+    * PAIR; delete → it is dropped); per unmatched source row the first
+    * holding insert clause inserts (star, or explicit columns with NULL
+    * fill). Target rows whose matched source row selects NO clause
+    * survive untouched.
     *
     * Same scale story as [[mergeInto]] (which stays the fast path for
     * the canonical star shape, and to which this delegates when the
     * clause list is exactly update-all + insert-all, unconditional):
     * the rewrite set is manifest-bounded by the source key range; only
     * affected files are read; untouched files keep their metadata.
+    * Explicit-SET clauses add ONE key join of the affected files' rows
+    * against the source (broadcast when small — Catalyst's choice).
     * Clause conditions must be evaluable on the source row alone
     * (columns of `source`, which may carry extra columns — e.g. a CDC
     * `op` — beyond the target schema; they are dropped before write).
     * Like mergeInto, the source must have at most one row per key.
     *
-    * A delete-only merge needs only the key columns in `source`; any
-    * update/insert clause requires the full target schema.
+    * A delete-only or explicit-SET/INSERT-cols merge needs only the key
+    * columns in `source` (plus whatever its expressions reference); the
+    * star forms require the full target schema.
     *
     * `notMatchedBySource` clauses act on TARGET rows whose key is absent
     * from the source. Their rewrite set is bounded by the TARGET side:
