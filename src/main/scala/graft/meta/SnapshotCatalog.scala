@@ -1351,13 +1351,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * props carry, so index maintenance continues on the clone's future
     * commits; existing sidecar references carry file-for-file.
     *
-    * CAVEAT (shared with Delta shallow clones): the clone references
-    * files under the SOURCE's data directories, and vacuum reasons only
-    * about its own table root's liveness — expiring the cloned-from
-    * snapshot on the source and vacuuming its data dirs can delete
-    * files the clone still lists. Keep clones inside the source's
-    * retention window, or `compact` the clone (rewrites its live rows
-    * into its own directories) to sever the tie. */
+    * CAVEAT (narrower than Delta shallow clones since r10): the clone
+    * references files under the SOURCE's data directories. Within the
+    * SAME catalog both [[vacuumDataFiles]] and `DROP ... PURGE` treat
+    * any file another table's history lists as live, so expiring the
+    * cloned-from snapshot and vacuuming the source cannot delete bytes
+    * the clone still needs. The hazard remains only for clones tracked
+    * by a DIFFERENT catalog instance root — there, keep clones inside
+    * the source's retention window, or `compact` the clone (rewrites
+    * its live rows into its own directories) to sever the tie. */
   def cloneTable(src: String, dst: String, fromSnapshotId: Option[Long] = None): SnapshotMeta = {
     val s = fromSnapshotId.map(id => snapshotById(src, id).getOrElse(
         throw new IllegalArgumentException(s"Snapshot $id not found for $src")))
@@ -2039,11 +2041,24 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         bs.flatMap(_.deleteFiles).map(d => normalize(d.path)) ++
         listStaged(ref).flatMap(staged(ref, _)).flatMap(_.paths).map(normalize)
     }
+    // zero-copy clones reference files under the SOURCE's data dir, and
+    // this walk is scoped by directory, not by referent — so a file any
+    // OTHER table (or its branches) still lists anywhere in its history
+    // is live here too, or expiring the cloned-from snapshot and
+    // vacuuming would delete bytes out from under the clone (the same
+    // cross-table discipline DROP ... PURGE applies). O(catalog
+    // metadata), memoized manifests — a maintenance-op cost.
+    val foreignLive = tables().filterNot(_ == table).flatMap { t2 =>
+      val refs = t2 +: branches(t2).map(b => branchRef(t2, b))
+      refs.flatMap(r => snapshots(r).flatMap(sn =>
+        sn.files.map(f => normalize(f.path)) ++
+          sn.deleteFiles.map(d => normalize(d.path))))
+    }
     val snaps = snapshots(table)
     val live: Set[String] =
       (snaps.flatMap(_.files).map(f => normalize(f.path)) ++
         snaps.flatMap(_.deleteFiles).map(d => normalize(d.path)) ++
-        stagedLive ++ branchLive).toSet
+        stagedLive ++ branchLive ++ foreignLive).toSet
     val cutoff = clock() - graceMs
     // Walk must tolerate a racing writer: Spark deletes `_temporary/`
     // commit-protocol dirs at job end, and Files.walk throws

@@ -76,4 +76,34 @@ class CloneSpec extends SparkSpec {
     intercept[IllegalStateException] { cat.cloneTable("cust", "cust_v1") }
     intercept[IllegalArgumentException] { cat.cloneTable("nope", "x") }
   }
+
+  test("source-side expire + vacuum never deletes bytes a clone still lists") {
+    import java.nio.file.Paths
+    val base = Files.createTempDirectory("graft-clone3-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "vsrc", c.filter(col("c_custkey") <= 30)
+      .coalesce(1), s"$base/d")
+    val shared = cat.currentSnapshot("vsrc").get.files.map(_.path)
+    cat.cloneTable("vsrc", "vkeep")
+    // the source moves on: overwrite drops every reference to the
+    // original files, then expiration erases the history that held them
+    Writers.replaceSnapshot(cat, "vsrc",
+      c.filter(col("c_custkey").between(31, 40)).coalesce(1), s"$base/d")
+    cat.expireSnapshots("vsrc", keepLast = 1)
+    assert(!cat.snapshots("vsrc").flatMap(_.files).map(_.path).exists(shared.contains))
+    // vacuum with zero grace: the shared bytes are orphans of vsrc but
+    // live for the clone — they must survive
+    val removed = cat.vacuumDataFiles("vsrc", s"$base/d", graceMs = 0L)
+    assert(!removed.exists(shared.contains),
+      s"vacuum deleted clone-referenced files: ${removed.filter(shared.contains)}")
+    assert(shared.forall(p => java.nio.file.Files.exists(Paths.get(p))))
+    assert(keys(cat, "vkeep") == c.filter(col("c_custkey") <= 30)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+    // dropping the clone releases the bytes to the next vacuum
+    cat.dropTable("vkeep", spareDataDir = true)
+    val removed2 = cat.vacuumDataFiles("vsrc", s"$base/d", graceMs = 0L)
+    assert(shared.forall(p => removed2.contains(p) ||
+      !java.nio.file.Files.exists(Paths.get(p))))
+  }
 }
