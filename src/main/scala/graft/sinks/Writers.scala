@@ -1051,9 +1051,12 @@ object Writers {
     * rewrite reads visible rows and every old file retires, so the
     * masks retire with them — same as Iceberg's rewrite).
     *
-    * Scale: reads the table once, one shuffle, writes once — the same
-    * cost envelope as a full compaction; run it partition-at-a-time in
-    * a real deployment via the partitionValues filter. */
+    * Scale: reads the scoped files once, one shuffle, writes once — the
+    * full-compaction envelope when unscoped. At 100 TB run it
+    * partition-at-a-time: `scope` (manifest prune filters, e.g. from a
+    * partition predicate) bounds the sweep to the matching files;
+    * everything outside keeps its manifest metadata untouched, and a
+    * maintenance scheduler walks the partitions across nights. */
   def rewriteSorted(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -1061,7 +1064,8 @@ object Writers {
       dataDir: String,
       sortCols: Seq[String],
       nFiles: Int = 16,
-      zorder: Boolean = false): SnapshotMeta = {
+      zorder: Boolean = false,
+      scope: Seq[graft.meta.PruneFilter] = Nil): SnapshotMeta = {
     require(sortCols.nonEmpty && sortCols.size <= 10,
       "rewriteSorted needs 1..10 sort columns")
     require(!zorder || sortCols.size >= 2,
@@ -1070,7 +1074,8 @@ object Writers {
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     sortCols.foreach(c => require(current.schema.fieldNames.contains(c),
       s"no column $c on $table"))
-    val allPaths = current.files.map(_.path)
+    val allPaths = catalog.planFiles(table, scope).map(_.path)
+    if (allPaths.isEmpty) return current // scope pruned everything: no-op
     val visible = catalog.visibleRows(spark, current, allPaths)
     val clustered =
       if (!zorder) // lexicographic multi-column sort (any column types)

@@ -822,8 +822,12 @@ case class GraftCallCommand(
         Seq(Row(cat.fastForward(str(0, "table"), str(1, "name")).snapshotId))
       case "rewrite_sorted" =>
         // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,
-        // zorder => true]) — re-cluster the table by the sort columns
-        // (Iceberg rewrite_data_files sort_order / Delta OPTIMIZE ZORDER)
+        // zorder => true, where => 'pred']) — re-cluster by the sort
+        // columns (Iceberg rewrite_data_files sort_order / Delta
+        // OPTIMIZE ZORDER). `where` scopes the sweep to the files its
+        // manifest filters keep — the partition-at-a-time maintenance
+        // shape at 100 TB; a predicate that yields no prunable filter
+        // refuses loudly rather than silently sweeping the whole table.
         val table = str(0, "table")
         val cols = positional.drop(1).map(_.toString)
         require(cols.nonEmpty,
@@ -832,10 +836,23 @@ case class GraftCallCommand(
           case b: Boolean => b
           case s => s.toString.equalsIgnoreCase("true")
         }
+        val scope: Seq[graft.meta.PruneFilter] = named.get("where") match {
+          case Some(w) =>
+            val schema = cat.schema(table).getOrElse(
+              throw new IllegalArgumentException(s"no snapshots for table $table"))
+            val fs = GraftSqlResolution.pruneFiltersFrom(
+              session.sessionState.sqlParser.parseExpression(w.toString),
+              schema, Set.empty)
+            require(fs.nonEmpty,
+              s"CALL graft.$proc: where => '$w' yields no manifest filter; use " +
+                "bare-column comparisons against literals, or omit it for a full rewrite")
+            fs
+          case None => Nil
+        }
         Seq(Row(Writers.rewriteSorted(session, cat, table,
           GraftDml.dataDirFor(session, root, table), cols,
           nFiles = named.get("files").map(asLong("files", _).toInt).getOrElse(16),
-          zorder = z).snapshotId))
+          zorder = z, scope = scope).snapshotId))
       case other =>
         throw new UnsupportedOperationException(
           s"unknown graft procedure '$other'; supported: compact, " +

@@ -189,6 +189,37 @@ class GraftCallSpec extends SparkSpec {
     // compact protocol: row-preserving and silent in the change feed
     assert(after.props.get(SnapshotCatalog.OperationProp).contains(SnapshotCatalog.OpCompact))
     assert(cat.changesBetween(spark, t, before.snapshotId, Some(after.snapshotId)).count() == 0)
+
+    // scoped form: `where` bounds the sweep to matching files — the
+    // partition-at-a-time maintenance shape. Append 2 more interleaved
+    // full-range files, then rewrite ONLY the low half.
+    (0 until 2).foreach { i =>
+      Writers.writeSnapshot(cat, t,
+        graft.Tables.customer(spark, sfDir)
+          .filter(col("c_custkey") <= 90 && col("c_custkey") % 2 === i)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")).coalesce(1),
+        dataDir)
+    }
+    val files5 = cat.currentSnapshot(t).get.files.map(_.path).toSet
+    assert(files5.size == 5)
+    ext.sql(s"CALL graft.rewrite_sorted('$t', 'c_custkey', files => 2, " +
+      "where => 'c_custkey <= 45')")
+    val afterScoped = cat.currentSnapshot(t).get
+    // the 3 sorted disjoint files: only those overlapping [_, 45] swept;
+    // the 2 new full-range files swept; high-half sorted files untouched
+    val untouched = afterScoped.files.map(_.path).toSet.intersect(files5)
+    assert(untouched.nonEmpty, "scoped rewrite must leave out-of-scope files untouched")
+    // rows preserved: the appended batches together duplicate exactly
+    // the pre-rewrite rows, so the distinct set is unchanged and the
+    // multiset doubled
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == pre)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 2L * pre.size)
+    // a where that yields no manifest filter refuses loudly
+    val err = intercept[Exception] {
+      ext.sql(s"CALL graft.rewrite_sorted('$t', 'c_custkey', " +
+        "where => 'c_custkey + 0 > 1')")
+    }
+    assert(err.getMessage.contains("no manifest filter"))
   }
 
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
