@@ -619,10 +619,26 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val df = spark.read.parquet(paths: _*)
     val present = columns.filter(df.columns.contains)
     if (present.isEmpty) return Map.empty
+    buildBloomsCore(spark, table,
+      df.withColumn("__f", col("_metadata.file_path")), "__f",
+      present, rowsByFile, fpp)
+  }
+
+  /** Executor-side bloom-sidecar build over any frame carrying a
+    * file-path column — shared by the commit path (raw new files) and
+    * the index backfill (logical scan of old eras). */
+  private def buildBloomsCore(
+      spark: SparkSession,
+      table: String,
+      df: org.apache.spark.sql.DataFrame,
+      fileCol: String,
+      present: Seq[String],
+      rowsByFile: Map[String, Long],
+      fpp: Double): Map[String, Map[String, String]] = {
     import spark.implicits._
     val entries = present.map(c => struct(lit(c).as("c"), col(c).cast("string").as("v")))
     val flat = df
-      .select(col("_metadata.file_path").as("f"), explode(array(entries: _*)).as("e"))
+      .select(col(fileCol).as("f"), explode(array(entries: _*)).as("e"))
       .select(col("f"), col("e.c").as("c"), col("e.v").as("v"))
       .as[(String, String, String)]
     val agg = new BloomColumnAgg(rowsByFile, fpp)
@@ -647,6 +663,105 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .map { case (file, rows) =>
         file -> rows.map { case (_, c, sidecar) => c -> sidecar }.toMap
       }
+  }
+
+  /** Enable index maintenance on columns of a LIVE table — the Delta
+    * `CREATE BLOOMFILTER INDEX` surface generalized to both index
+    * kinds: merges the columns into the sticky bloom/sketch props
+    * (every future commit keeps indexing them) and BACKFILLS existing
+    * files that lack an entry, in one metadata commit. The backfill
+    * scans ONLY the missing files, through the logical-era scan
+    * (renamed/widened files index under their current names), and
+    * sidecars are written executor-side like the commit path — the
+    * driver sees path strings, never serialized filters. The file set
+    * is unchanged, so CDC and incremental readers see nothing; the
+    * commit is labeled [[SnapshotCatalog.OpIndex]]. Re-running
+    * converges (files already indexed are skipped). */
+  def indexColumns(
+      spark: SparkSession,
+      table: String,
+      bloomColumns: Seq[String] = Nil,
+      sketchColumns: Seq[String] = Nil,
+      bloomFpp: Double = 0.03): SnapshotMeta = {
+    require(bloomColumns.nonEmpty || sketchColumns.nonEmpty,
+      s"indexColumns on $table: pass at least one column")
+    val current = currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val fields = current.schema.fieldNames.toSet
+    (bloomColumns ++ sketchColumns).foreach(c =>
+      require(fields.contains(c), s"no column $c on $table"))
+
+    def merged(prop: String, add: Seq[String]): Seq[String] =
+      (current.props.get(prop).map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil) ++ add).distinct
+    val allBloom = merged(SnapshotCatalog.BloomColumnsProp, bloomColumns)
+    val allSketch = merged(SnapshotCatalog.SketchColumnsProp, sketchColumns)
+    val rowsByFile = current.files.map(f => f.path -> f.rowCount).toMap
+
+    val needBloomPaths = current.files
+      .filter(f => bloomColumns.exists(c => !f.blooms.contains(c))).map(_.path)
+    val bloomRefs: Map[String, Map[String, String]] =
+      if (needBloomPaths.isEmpty) Map.empty
+      else {
+        val sub = StructType(current.schema.fields.filter(f => bloomColumns.contains(f.name)))
+        buildBloomsCore(spark, table,
+          readLogical(spark, sub, current, needBloomPaths, withLineage = true),
+          "_file", bloomColumns, rowsByFile, bloomFpp)
+      }
+
+    val needSketchPaths = current.files
+      .filter(f => sketchColumns.exists(c => !f.sketches.contains(c))).map(_.path)
+    val sketchRefs: Map[String, Map[String, String]] =
+      if (needSketchPaths.isEmpty) Map.empty
+      else {
+        val sub = StructType(current.schema.fields.filter(f => sketchColumns.contains(f.name)))
+        val base = readLogical(spark, sub, current, needSketchPaths, withLineage = true)
+        val skAggs = sketchColumns.map(c => hll_sketch_agg(col(c).cast("string")).as(s"sk__$c"))
+        val per = base.groupBy(col("_file")).agg(skAggs.head, skAggs.tail: _*)
+        val dir = tableDir(table).resolve("sketches")
+        Files.createDirectories(dir)
+        val dirStr = dir.toAbsolutePath.toString
+        val outSchema = StructType(per.schema.map(f =>
+          if (f.name.startsWith("sk__")) f.copy(dataType = StringType) else f))
+        val skIdx = sketchColumns.map(c => per.schema.fieldIndex(s"sk__$c") -> c)
+        per.map { row =>
+          val vals = row.toSeq.toArray
+          skIdx.foreach { case (i, c) =>
+            vals(i) = Option(row.getAs[Array[Byte]](i)).map { bytes =>
+              val sidecar = Paths.get(dirStr,
+                s"hll-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
+              Files.write(sidecar, bytes)
+              sidecar.toAbsolutePath.toString
+            }.orNull
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }(org.apache.spark.sql.Encoders.row(outSchema)).collect()
+          .map { row =>
+            normalize(row.getAs[String]("_file")) ->
+              sketchColumns.flatMap(c =>
+                Option(row.getAs[String](s"sk__$c")).map(c -> _)).toMap
+          }.toMap
+      }
+
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"table $table vanished during index build"))
+      val files = prev.files.map(f => f.copy(
+        blooms = f.blooms ++ bloomRefs.getOrElse(f.path, Map.empty),
+        sketches = f.sketches ++ sketchRefs.getOrElse(f.path, Map.empty)))
+      val sticky = Map(
+        SnapshotCatalog.BloomColumnsProp -> allBloom.mkString(","),
+        SnapshotCatalog.SketchColumnsProp -> allSketch.mkString(","))
+        .filter(_._2.nonEmpty)
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = prev.schemaJson,
+        files = files,
+        props = sticky + (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
+        deleteFiles = prev.deleteFiles)
+    }
   }
 
   // ---- snapshot log ----------------------------------------------------
@@ -2469,6 +2584,10 @@ object SnapshotCatalog {
   val DropProp = "graft.schema.drop"
   /** Set on a type-widening commit: `col:from->to` (catalogStrings). */
   val WidenProp = "graft.schema.widen"
+  /** Metadata-only index enable/backfill: file set unchanged, no rows
+    * move — CDC walks see nothing (the generic-rewrite default with an
+    * empty file delta). */
+  val OpIndex = "index"
 
   /** The Iceberg type-promotion lattice (spec "Schema Evolution"):
     * int→long, float→double, decimal(P,S)→decimal(P',S) with P'≥P —

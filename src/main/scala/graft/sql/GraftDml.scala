@@ -853,11 +853,31 @@ case class GraftCallCommand(
           GraftDml.dataDirFor(session, root, table), cols,
           nFiles = named.get("files").map(asLong("files", _).toInt).getOrElse(16),
           zorder = z, scope = scope).snapshotId))
+      case "index" =>
+        // CALL graft.index('t', 'c1', ...[, type => 'bloom'|'sketch'|'both',
+        // fpp => 0.03]) — enable sticky index maintenance on the columns
+        // and backfill existing files (metadata-only commit; the Delta
+        // CREATE BLOOMFILTER INDEX surface for a SQL-only deployment)
+        val table = str(0, "table")
+        val cols = positional.drop(1).map(_.toString)
+        require(cols.nonEmpty,
+          s"CALL graft.$proc: pass the columns to index after the table name")
+        val kind = named.get("type").map(_.toString.toLowerCase).getOrElse("bloom")
+        require(Set("bloom", "sketch", "both").contains(kind),
+          s"CALL graft.$proc: type must be 'bloom', 'sketch' or 'both'; got '$kind'")
+        val fpp = named.get("fpp").map {
+          case n: Number => n.doubleValue()
+          case o => o.toString.toDouble
+        }.getOrElse(0.03)
+        Seq(Row(cat.indexColumns(session, table,
+          bloomColumns = if (kind != "sketch") cols else Nil,
+          sketchColumns = if (kind != "bloom") cols else Nil,
+          bloomFpp = fpp).snapshotId))
       case other =>
         throw new UnsupportedOperationException(
           s"unknown graft procedure '$other'; supported: compact, " +
             "expire_snapshots, remove_orphans, rollback, cherrypick, clone, " +
-            "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted")
+            "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, index")
     }
   }
 }

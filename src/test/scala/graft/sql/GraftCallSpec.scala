@@ -222,6 +222,47 @@ class GraftCallSpec extends SparkSpec {
     assert(err.getMessage.contains("no manifest filter"))
   }
 
+  test("CALL graft.index backfills blooms/sketches and sticks for future commits") {
+    import graft.meta.EqString
+    // three files, none indexed at write time (the SQL-only deployment:
+    // tables created through SQL have no way to pass bloomColumns)
+    val t = "idx"
+    (0 until 3).foreach { i =>
+      Writers.writeSnapshot(cat, t,
+        graft.Tables.customer(spark, sfDir)
+          .filter(col("c_custkey") % 3 === i && col("c_custkey") <= 60)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")).coalesce(1),
+        dataDir)
+    }
+    assert(cat.currentSnapshot(t).get.files.forall(_.blooms.isEmpty))
+    val n0 = ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    val sid = ext.sql(s"CALL graft.index('$t', 'c_name', type => 'both')")
+      .head().getLong(0)
+    val snap = cat.currentSnapshot(t).get
+    assert(snap.snapshotId == sid)
+    // metadata-only: same files, every one now carries bloom + sketch
+    assert(snap.files.size == 3)
+    assert(snap.files.forall(f => f.blooms.contains("c_name") &&
+      f.sketches.contains("c_name")))
+    // the backfilled bloom actually prunes: a value present in exactly
+    // one file keeps that file; an absent value keeps none
+    val one = ext.sql(s"SELECT c_name FROM $t WHERE c_custkey = 7").head().getString(0)
+    assert(cat.planFiles(t, Seq(EqString("c_name", one))).size == 1)
+    assert(cat.planFiles(t, Seq(EqString("c_name", "Customer#nope"))).isEmpty)
+    // rows unharmed, feed silent across the index commit
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == n0)
+    assert(cat.changesBetween(spark, t, sid - 1, Some(sid)).count() == 0)
+    // sticky: a future SQL INSERT indexes its new file without asking
+    ext.sql(s"INSERT INTO $t VALUES (901, 'Customer#000000901', 'BUILDING')")
+    val newFile = cat.currentSnapshot(t).get.files
+      .filterNot(f => snap.files.map(_.path).contains(f.path))
+    assert(newFile.nonEmpty && newFile.forall(_.blooms.contains("c_name")))
+    // re-running converges; unknown column refuses
+    ext.sql(s"CALL graft.index('$t', 'c_name')")
+    val err = intercept[Exception] { ext.sql(s"CALL graft.index('$t', 'nope')") }
+    assert(err.getMessage.contains("no column"))
+  }
+
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
     val t = freshTable("bad", 1 to 2)
     val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }
