@@ -267,6 +267,22 @@ class GraftSqlResolutionSpec extends SparkSpec {
     assert(masked.head().getLong(0) == 39L)
   }
 
+  test("metadata COUNT/MIN/MAX fold stays exact across a type widening") {
+    setup()
+    import spark.implicits._
+    val era1 = (1 to 30).map(i => (i, s"d$i")).toDF("k", "s")
+    Writers.writeSnapshot(writeCat, "wfold", era1.coalesce(1), dataDir)
+    writeCat.widenColumn("wfold", "k", org.apache.spark.sql.types.LongType)
+    Writers.writeSnapshot(writeCat, "wfold",
+      Seq((6000000000L, "big")).toDF("k", "s").coalesce(1), dataDir)
+    // the fold binds the CURRENT (widened) type; int-era bounds live as
+    // exact doubles, so the folded MAX is the era-2 long value
+    val df = ext.sql("SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi FROM wfold")
+    assert(!hasFileScan(df), "widened table's count/min/max should still fold")
+    val r = df.head()
+    assert(r.getLong(0) == 31L && r.getLong(1) == 1L && r.getLong(2) == 6000000000L)
+  }
+
   test("metadata COUNT never folds under a pending HAVING") {
     setup()
     // HAVING without GROUP BY: folding the child Project first would
