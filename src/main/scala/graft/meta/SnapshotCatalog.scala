@@ -764,6 +764,37 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }
   }
 
+  /** Disable index maintenance on columns and drop their per-file
+    * entries — the inverse of [[indexColumns]], for when the index's
+    * write-amplification outweighs its pruning (e.g. a high-cardinality
+    * column that stopped being filtered on). One metadata commit;
+    * orphaned sidecar files fall to [[vacuumSidecars]]. */
+  def dropIndexColumns(
+      spark: SparkSession,
+      table: String,
+      columns: Seq[String]): SnapshotMeta = {
+    require(columns.nonEmpty, s"dropIndexColumns on $table: pass at least one column")
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      def without(prop: String): Map[String, String] =
+        prev.props.get(prop).map(_.split(",").toSeq.filter(_.nonEmpty)
+          .filterNot(columns.contains)).filter(_.nonEmpty)
+          .map(cols => Map(prop -> cols.mkString(","))).getOrElse(Map.empty)
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = prev.schemaJson,
+        files = prev.files.map(f => f.copy(
+          blooms = f.blooms -- columns, sketches = f.sketches -- columns)),
+        props = without(SnapshotCatalog.BloomColumnsProp) ++
+          without(SnapshotCatalog.SketchColumnsProp) +
+          (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
+        deleteFiles = prev.deleteFiles)
+    }
+  }
+
   // ---- snapshot log ----------------------------------------------------
 
   /** Optimistic commit protocol (mirrors Iceberg's): build the snapshot

@@ -873,11 +873,20 @@ case class GraftCallCommand(
           bloomColumns = if (kind != "sketch") cols else Nil,
           sketchColumns = if (kind != "bloom") cols else Nil,
           bloomFpp = fpp).snapshotId))
+      case "drop_index" =>
+        // CALL graft.drop_index('t', 'c1', ...) — stop maintaining and
+        // drop the per-file bloom/sketch entries; sidecars fall to vacuum
+        val table = str(0, "table")
+        val cols = positional.drop(1).map(_.toString)
+        require(cols.nonEmpty,
+          s"CALL graft.$proc: pass the columns after the table name")
+        Seq(Row(cat.dropIndexColumns(session, table, cols).snapshotId))
       case other =>
         throw new UnsupportedOperationException(
           s"unknown graft procedure '$other'; supported: compact, " +
             "expire_snapshots, remove_orphans, rollback, cherrypick, clone, " +
-            "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, index")
+            "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, " +
+            "index, drop_index")
     }
   }
 }

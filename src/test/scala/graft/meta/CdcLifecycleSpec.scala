@@ -139,7 +139,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(22) match {
+        rnd.nextInt(23) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -384,6 +384,15 @@ class CdcLifecycleSpec extends SparkSpec {
               Seq.fill(n)((id, v + deltas(id))) })
             state = plus(minus(state, matched), shifted)
             states :+= (cat.currentSnapshot(t).get.snapshotId, state)
+          case 22 => // SQL CALL index / drop_index: metadata-only index
+            // enable+backfill (and sometimes the inverse) — file set
+            // unchanged, rows unchanged, feed silent
+            val sid =
+              if (rnd.nextBoolean())
+                es.sql("CALL graft.index('t', 'id', type => 'both')").head().getLong(0)
+              else
+                es.sql("CALL graft.drop_index('t', 'id')").head().getLong(0)
+            states :+= (sid, state)
         }
       }
 

@@ -261,6 +261,13 @@ class GraftCallSpec extends SparkSpec {
     ext.sql(s"CALL graft.index('$t', 'c_name')")
     val err = intercept[Exception] { ext.sql(s"CALL graft.index('$t', 'nope')") }
     assert(err.getMessage.contains("no column"))
+    // drop_index: maintenance stops and per-file entries go; the next
+    // insert no longer indexes
+    ext.sql(s"CALL graft.drop_index('$t', 'c_name')")
+    assert(cat.currentSnapshot(t).get.files.forall(f =>
+      !f.blooms.contains("c_name") && !f.sketches.contains("c_name")))
+    ext.sql(s"INSERT INTO $t VALUES (902, 'Customer#000000902', 'AUTOMOBILE')")
+    assert(cat.currentSnapshot(t).get.files.forall(!_.blooms.contains("c_name")))
   }
 
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
