@@ -75,11 +75,15 @@ final case class FileMeta(
     * (< 0xFC), whose base64 encoding can never start with '/' — base64
     * only leads with '/' when the first byte's top 6 bits are all set. */
   def bloomFor(column: String): Option[BloomFilter] =
-    blooms.get(column).map { ref =>
+    blooms.get(column).flatMap { ref =>
       if (ref.startsWith("/"))
-        BloomFilter.readFrom(Files.newInputStream(Paths.get(ref)))
+        // a sidecar another catalog instance dropped/vacuumed (e.g. a
+        // clone's source in a different root) degrades to "no bloom":
+        // pruning keeps the file instead of the read failing
+        if (!Files.exists(Paths.get(ref))) None
+        else Some(BloomFilter.readFrom(Files.newInputStream(Paths.get(ref))))
       else
-        BloomFilter.readFrom(new ByteArrayInputStream(Base64.getDecoder.decode(ref)))
+        Some(BloomFilter.readFrom(new ByteArrayInputStream(Base64.getDecoder.decode(ref))))
     }
 }
 
@@ -942,13 +946,16 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def dropTable(table: String, spareDataDir: Boolean = false): Boolean = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return false
-    val spared = dir.resolve("data").toAbsolutePath
+    // spare the data subtree AND the bloom/sketch sidecar dirs: a
+    // zero-copy clone references both verbatim, so a plain DROP of the
+    // source must leave them for the clone (PURGE deletes the tree)
+    val spared = Seq("data", "blooms", "sketches").map(d => dir.resolve(d).toAbsolutePath)
     val stream = Files.walk(dir)
     val all = try stream.iterator().asScala.toList finally stream.close()
     all.sortBy(-_.getNameCount)
       .filterNot { p =>
         val ap = p.toAbsolutePath
-        spareDataDir && (ap.startsWith(spared) || ap == dir.toAbsolutePath)
+        spareDataDir && (spared.exists(ap.startsWith) || ap == dir.toAbsolutePath)
       }
       .foreach(p => Files.deleteIfExists(p))
     val prefix = dir.toAbsolutePath.toString
@@ -1707,8 +1714,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     if (snap.files.exists(f => f.rowCount > 0 && !f.sketches.contains(column))) None
     else {
-      val bins = snap.files.flatMap(_.sketches.get(column))
-        .map(p => Files.readAllBytes(Paths.get(p)))
+      // a sidecar another catalog dropped/vacuumed makes the estimate
+      // un-derivable for that file — answer None (exact-scan fallback),
+      // never a silent undercount
+      val refs = snap.files.flatMap(_.sketches.get(column))
+      if (refs.exists(p => !Files.exists(Paths.get(p)))) return None
+      val bins = refs.map(p => Files.readAllBytes(Paths.get(p)))
       if (bins.isEmpty) Some(0L)
       else {
         import spark.implicits._
@@ -2247,9 +2258,16 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     def refsOf(chain: Seq[SnapshotMeta]): Seq[String] =
       chain.flatMap(_.files).flatMap(f =>
         f.blooms.values.filter(_.startsWith("/")) ++ f.sketches.values)
+    // clones copy manifest entries verbatim, sidecar paths included —
+    // a sidecar any OTHER table's history still references is live
+    // here too (same cross-table discipline as the data vacuum)
+    val foreign = tables().filterNot(_ == table).flatMap { t2 =>
+      refsOf(snapshots(t2)) ++ branches(t2).flatMap(b =>
+        refsOf(snapshots(branchRef(t2, b))))
+    }
     val live: Set[String] =
       (refsOf(snapshots(table)) ++ branches(table).flatMap(b =>
-        refsOf(snapshots(branchRef(table, b))))).map(normalize).toSet
+        refsOf(snapshots(branchRef(table, b)))) ++ foreign).map(normalize).toSet
     val cutoff = clock() - graceMs
     Seq("blooms", "sketches").flatMap { kind =>
       val dir = tableDir(table).resolve(kind)

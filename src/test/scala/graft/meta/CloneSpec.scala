@@ -106,4 +106,43 @@ class CloneSpec extends SparkSpec {
     assert(shared.forall(p => removed2.contains(p) ||
       !java.nio.file.Files.exists(Paths.get(p))))
   }
+
+  test("clone-referenced SIDECARS survive source drop/vacuum; missing ones degrade, not fail") {
+    import java.nio.file.Paths
+    import graft.meta.{EqString => Eq}
+    val base = Files.createTempDirectory("graft-clone4-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val c = Tables.customer(spark, sfDir)
+    Writers.writeSnapshot(cat, "bsrc", c.filter(col("c_custkey") <= 30).coalesce(1),
+      s"$base/d", bloomColumns = Seq("c_name"))
+    cat.cloneTable("bsrc", "bkeep")
+    val sidecars = cat.currentSnapshot("bkeep").get.files
+      .flatMap(_.blooms.values).filter(_.startsWith("/"))
+    assert(sidecars.nonEmpty)
+    // an in-range value absent from the data: only the bloom can prune it
+    val ghost = "Customer#0000000150000"
+    assert(cat.planFiles("bkeep", Seq(Eq("c_name", ghost))).isEmpty)
+
+    // source-side expire + sidecar vacuum: clone-referenced sidecars live
+    Writers.replaceSnapshot(cat, "bsrc",
+      c.filter(col("c_custkey").between(31, 35)).coalesce(1), s"$base/d")
+    cat.expireSnapshots("bsrc", keepLast = 1)
+    cat.vacuumSidecars("bsrc", graceMs = 0L)
+    assert(sidecars.forall(p => java.nio.file.Files.exists(Paths.get(p))))
+
+    // plain DROP of the source spares sidecar dirs too: the clone keeps
+    // reading AND keeps its bloom pruning
+    cat.dropTable("bsrc", spareDataDir = true)
+    assert(sidecars.forall(p => java.nio.file.Files.exists(Paths.get(p))))
+    assert(cat.planFiles("bkeep", Seq(Eq("c_name", ghost))).isEmpty)
+    assert(keys(cat, "bkeep") == c.filter(col("c_custkey") <= 30)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+
+    // a genuinely missing sidecar (deleted by an out-of-catalog actor)
+    // degrades to "no bloom": the file is kept and the read still works
+    sidecars.foreach(p => java.nio.file.Files.delete(Paths.get(p)))
+    assert(cat.planFiles("bkeep", Seq(Eq("c_name", ghost))).nonEmpty)
+    assert(keys(cat, "bkeep") == c.filter(col("c_custkey") <= 30)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet)
+  }
 }
