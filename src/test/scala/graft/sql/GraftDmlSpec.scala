@@ -251,6 +251,26 @@ class GraftDmlSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("explicit-SET and by-source MERGE never resurrect MoR-masked rows") {
+    val t = freshTable("mrgmor", 1 to 8)
+    ext.sql(s"DELETE FROM $t WHERE c_custkey <= 2") // MoR mask, no rewrite
+    assert(cat.currentSnapshot(t).get.deleteFiles.nonEmpty)
+    ext.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT * FROM VALUES (1, 10.0), (3, 30.0) AS v(c_custkey, delta)) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta
+         |WHEN NOT MATCHED BY SOURCE AND c_custkey = 4 THEN DELETE""".stripMargin)
+    val got = ext.sql(s"SELECT c_custkey FROM $t ORDER BY 1").collect().map(_.getLong(0))
+    // 1,2 were masked (1's source row matches NOTHING visible and must
+    // not resurrect it); 3 updated in place; 4 swept; 5..8 survive
+    assert(got.toSeq == Seq(3L, 5L, 6L, 7L, 8L))
+    val bal3 = ext.sql(s"SELECT c_acctbal FROM $t WHERE c_custkey = 3").head().getDouble(0)
+    val orig3 = graft.Tables.customer(spark, sfDir).filter(col("c_custkey") === 3)
+      .select(col("c_acctbal")).head().getDouble(0)
+    assert(bal3 == orig3 + 30.0)
+  }
+
   test("unsupported MERGE shapes fail loudly instead of mis-executing") {
     val t = freshTable("mrgbad", 1 to 3)
     val err2 = intercept[Exception] {
