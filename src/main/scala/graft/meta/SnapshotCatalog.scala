@@ -528,18 +528,29 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }.toSeq
 
     publish(table) { prev =>
-      val files = resolveFiles(prev, newFiles)
+      // additive evolution (the Iceberg model): the table schema is the
+      // union of history — prior field order kept, new columns appended,
+      // and a narrow append into a WIDENED column keeps the wide type
+      // while the new files record their stored narrow type (the scan
+      // casts them up, exactly like widenColumn-era files)
+      val merged = prev.map(p => SnapshotCatalog.mergeSchemas(p.schema, schema))
+        .getOrElse(schema)
+      val narrowed: Map[String, String] = schema.fields.flatMap { nf =>
+        merged.fields.find(_.name == nf.name) match {
+          case Some(mf) if SnapshotCatalog.canWiden(nf.dataType, mf.dataType) =>
+            Some(nf.name -> nf.dataType.catalogString)
+          case _ => None
+        }
+      }.toMap
+      val stamped =
+        if (narrowed.isEmpty) newFiles
+        else newFiles.map(f => f.copy(physTypes = f.physTypes ++ narrowed))
+      val files = resolveFiles(prev, stamped)
       SnapshotMeta(
         snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
         timestampMs = clock(),
         parentId = prev.map(_.snapshotId),
-        // additive evolution (the Iceberg model): the table schema is
-        // the union of history — prior field order kept (with the new
-        // commit's type on a widened field), new columns appended. A
-        // narrow append after an evolution must not silently drop the
-        // evolved columns from the current schema.
-        schemaJson = prev.map(p => SnapshotCatalog.mergeSchemas(p.schema, schema))
-          .getOrElse(schema).json,
+        schemaJson = merged.json,
         files = files,
         props = withSticky,
         deleteFiles = carriedDeletes(prev, files.map(_.path).toSet))
@@ -2563,11 +2574,32 @@ object SnapshotCatalog {
   /** Additive schema merge: prior field order kept (a field present in
     * both takes the NEW commit's type — widening wins), new fields
     * appended in commit order. */
+  /** Additive schema union for an append: prior field order kept, new
+    * columns appended. A same-named field with a DIFFERENT type is only
+    * admitted when the append's type is NARROWER along the promotion
+    * lattice (old int producers keep writing into a widened long column
+    * — the table keeps its wide type and the commit stamps the files'
+    * stored type, see the publish path). A WIDER append refuses —
+    * widening is an explicit `widenColumn` / `ALTER COLUMN TYPE`
+    * decision, not a side effect of one producer's frame — and a
+    * cross-family change refuses (silently adopting it, as this once
+    * did, leaves prior files unreadable under the new schema). */
   private[meta] def mergeSchemas(prev: StructType, next: StructType): StructType = {
     val prevNames = prev.fieldNames.toSet
     StructType(
-      prev.fields.map(f => next.fields.find(_.name == f.name).getOrElse(f)) ++
-        next.fields.filterNot(f => prevNames.contains(f.name)))
+      prev.fields.map { f =>
+        next.fields.find(_.name == f.name) match {
+          case Some(nf) if nf.dataType == f.dataType => nf
+          case Some(nf) if canWiden(nf.dataType, f.dataType) => f // narrow append: keep wide
+          case Some(nf) => throw new IllegalArgumentException(
+            s"append changes column ${f.name} from ${f.dataType.catalogString} to " +
+              s"${nf.dataType.catalogString}: cast the frame to the table schema" +
+              (if (canWiden(f.dataType, nf.dataType))
+                 ", or widen the table first (widenColumn / ALTER COLUMN TYPE)"
+               else " (cross-family changes are never an additive evolution)"))
+          case None => f
+        }
+      } ++ next.fields.filterNot(f => prevNames.contains(f.name)))
   }
 
   /** Commit-operation snapshot props consumed by [[SnapshotCatalog.readIncremental]]. */

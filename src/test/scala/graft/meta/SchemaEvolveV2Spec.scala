@@ -194,6 +194,27 @@ class SchemaEvolveV2Spec extends SparkSpec {
     assertThrows[IllegalArgumentException] { cat.widenColumn("w", "score", LongType) }
     assertThrows[IllegalArgumentException] { cat.widenColumn("w", "id", LongType) }
     assertThrows[IllegalArgumentException] { cat.widenColumn("w", "nope", LongType) }
+
+    // an old producer keeps appending the NARROW type: the table keeps
+    // its wide schema, the new files record their stored type, and the
+    // scan casts them up — never a schema narrowing
+    Writers.writeSnapshot(cat, "w",
+      Seq((81, 81 * 1.5f)).toDF("id", "score").coalesce(1), dir)
+    assert(cat.schema("w").get("id").dataType == LongType)
+    assert(cat.currentSnapshot("w").get.files.exists(_.physTypes.get("id").contains("int")))
+    assert(cat.read(spark, "w").filter(col("id") === 81L).count() == 1)
+    assert(cat.read(spark, "w").count() == 63)
+    // widening by APPEND refuses — evolution is an explicit DDL decision
+    Writers.writeSnapshot(cat, "nw", (1 to 3).map(i => (i, s"x$i")).toDF("k", "s").coalesce(1), dir)
+    val wideErr = intercept[IllegalArgumentException] {
+      Writers.writeSnapshot(cat, "nw", Seq((9L, "y")).toDF("k", "s").coalesce(1), dir)
+    }
+    assert(wideErr.getMessage.contains("widen the table first"))
+    // cross-family appends refuse instead of silently re-typing history
+    val xErr = intercept[IllegalArgumentException] {
+      Writers.writeSnapshot(cat, "nw", Seq(("oops", "y")).toDF("k", "s").coalesce(1), dir)
+    }
+    assert(xErr.getMessage.contains("never an additive evolution"))
   }
 
   test("widening composes with rename, MoR deletes, rewrites and the change feed") {

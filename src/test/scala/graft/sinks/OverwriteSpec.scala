@@ -78,7 +78,9 @@ class OverwriteSpec extends SparkSpec {
     // feed), the rest dropped, plus one synthetic new row
     val base = Tables.nation(spark, sfDir).filter(col("n_regionkey") === 3)
     val verbatim = base.filter(col("n_nationkey") % 2 === 0)
-    val fresh = base.limit(1).withColumn("n_nationkey", lit(999L))
+    // cast to the table's int key type: an append that silently widened
+    // the column is exactly what mergeSchemas now refuses
+    val fresh = base.limit(1).withColumn("n_nationkey", lit(999).cast("int"))
     val restated = verbatim.unionByName(fresh).withColumn("p_rk", col("n_regionkey"))
     val s2 = Writers.overwritePartitions(cat, "nation", restated, s"$dir/ow1", Seq("p_rk"))
 
