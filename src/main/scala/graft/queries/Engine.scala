@@ -312,6 +312,50 @@ object Engine {
       .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("sum_price"))
   }
 
+  // Memoized sorted-rewrite events catalog per sf-dir (SURVEY §2 S59 at
+  // the query level): a days(ts)-partitioned layout built from three
+  // interleaved appends — every file spans the whole `value` range, the
+  // degradation rewrite_sorted exists to fix — then re-clustered on
+  // `value` through the SQL CALL itself. The benched/verified path is a
+  // two-dimensionally pruned range read: the day predicate prunes via
+  // partition values (which the partition-aware rewrite PRESERVES) and
+  // the value predicate prunes via the restored per-file min/max.
+  private val sortedCats = TrieMap.empty[String, SnapshotCatalog]
+  private def sortedCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    sortedCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-sorted-").toString
+      val cat = new SnapshotCatalog(tmp)
+      val ev = Tables.events(s, dir)
+      (0 until 3).foreach { i =>
+        Writers.writeTransformedSnapshot(cat, "events",
+          ev.filter(pmod(col("event_id"), lit(3)) === i), s"$tmp/append$i", daysSpec)
+      }
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, tmp)
+      es.sql("CALL graft.rewrite_sorted('events', 'value', files => 60)")
+      cat
+    })
+
+  /** Range read over a `CALL graft.rewrite_sorted` re-clustered layout
+    * (SURVEY §2 S59 at the query level): after the partition-aware
+    * rewrite, the time predicate still prunes whole day partitions from
+    * manifest partition values AND the value predicate prunes within
+    * each day from the re-sorted files' min/max; the row filter
+    * restores exactness and the result equals the plain-scan oracle. */
+  def qSortedRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = sortedCatFor(s, dir)
+    val utc = java.time.ZoneOffset.UTC
+    val loMs = java.time.LocalDate.parse("2024-01-08").atStartOfDay(utc).toInstant.toEpochMilli
+    val hiMs = java.time.LocalDate.parse("2024-01-15").atStartOfDay(utc).toInstant.toEpochMilli
+    Writers.readTransformed(cat, s, "events", daysSpec,
+        Seq(RangeNum("ts", loMs.toDouble, hiMs.toDouble), RangeNum("value", 50.0, 150.0)))
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit("2024-01-15").cast("timestamp") &&
+        col("value") >= 50.0 && col("value") <= 150.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+  }
+
   // Memoized sketch-indexed customer catalog per sf-dir (SURVEY §2 S37).
   private val sketchCats = TrieMap.empty[String, SnapshotCatalog]
   private val sketchedCols =
@@ -931,6 +975,7 @@ object Engine {
     "q_inlist_read" -> (qInlistRead _),
     "q_days_read" -> (qDaysRead _),
     "q_zorder_read" -> (qZorderRead _),
+    "q_sorted_read" -> (qSortedRead _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
@@ -1115,6 +1160,14 @@ object Engine {
         |FROM events
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-17'
+        |GROUP BY event_type""".stripMargin,
+    "q_sorted_read" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+        |  AND value >= 50.0 AND value <= 150.0
         |GROUP BY event_type""".stripMargin,
     "q_merge_read" ->
       """SELECT o_orderkey,

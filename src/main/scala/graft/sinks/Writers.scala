@@ -246,10 +246,15 @@ object Writers {
       nFiles: Int = 16,
       props: Map[String, String] = Map.empty): SnapshotMeta = {
     require(zCols.nonEmpty && zCols.size <= 10, "z-order needs 1..10 columns")
-    val buckets = 64
-    val bounds: Seq[Seq[Double]] = zCols.map { c =>
-      df.stat.approxQuantile(c, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01).toSeq
+    zCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order needs numeric columns; $c is ${df.schema(c).dataType.catalogString}")
     }
+    val buckets = 64
+    // ONE pass over df for every column's bounds (the multi-column
+    // approxQuantile overload), not one scan per z column
+    val bounds: Seq[Seq[Double]] = df.stat.approxQuantile(zCols.toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.01).map(_.toSeq).toSeq
     val zValue = zorderValue(zCols.zip(bounds))
     val dir = Paths.get(dataDir, s"zorder-${UUID.randomUUID().toString.take(8)}")
     df.withColumn("__z", zValue)
@@ -1038,9 +1043,10 @@ object Writers {
 
   /** Sorted / z-order rewrite (Iceberg `rewrite_data_files` with a
     * sort_order; Delta `OPTIMIZE ZORDER BY`): the table's VISIBLE rows
-    * re-cluster by `sortCols` — one range shuffle (one column) or one
-    * z-value shuffle (2..10 columns), files written sorted with
-    * disjoint ranges — committed under the compact protocol
+    * re-cluster by `sortCols` — a range shuffle (lexicographic sort)
+    * or a z-value shuffle (interleaved, 2..10 numeric columns), files
+    * written sorted with disjoint ranges — committed under the compact
+    * protocol
     * (`operation=compact`, row-preserving in visible terms, so the
     * change feed stays silent and incremental readers skip it).
     * This is the maintenance verb that RESTORES stats-pruning quality
@@ -1051,12 +1057,28 @@ object Writers {
     * rewrite reads visible rows and every old file retires, so the
     * masks retire with them — same as Iceberg's rewrite).
     *
-    * Scale: reads the scoped files once, one shuffle, writes once — the
-    * full-compaction envelope when unscoped. At 100 TB run it
-    * partition-at-a-time: `scope` (manifest prune filters, e.g. from a
-    * partition predicate) bounds the sweep to the matching files;
-    * everything outside keeps its manifest metadata untouched, and a
-    * maintenance scheduler walks the partitions across nights. */
+    * PARTITION-AWARE (like [[compact]]): scoped files re-cluster WITHIN
+    * their partition (identical manifest `partitionValues`) and each
+    * group's outputs land under re-encoded `k=v` path segments — so a
+    * rewrite on a hive-partitioned or hidden-transform (`days(ts)`,
+    * `bucket(n,c)`) layout preserves the footer-free partition-value
+    * pruning the layout was built for, while sharpening the sort
+    * columns' min/max inside every partition. (A flat write here would
+    * silently downgrade a `bucket(n,col)` point lookup to
+    * stats-can't-prune.) Unpartitioned tables degenerate to one group,
+    * the plain behavior. The hand-encoded segments round-trip exactly
+    * through the manifest parser (`URLDecoder(URLEncoder(v)) == v`), so
+    * new files prune under the same values the old ones did.
+    *
+    * Scale: reads the scoped files once; z-order bucket bounds come
+    * from ONE multi-column `approxQuantile` pass (a single global
+    * binning model — z-values stay comparable across groups); then one
+    * range/z shuffle per partition group, each an independent job a
+    * maintenance scheduler can walk (the same envelope as partition-
+    * aware `compact`). At 100 TB run it partition-at-a-time: `scope`
+    * (manifest prune filters, e.g. from a partition predicate) bounds
+    * the sweep to the matching files; everything outside keeps its
+    * manifest metadata untouched. */
   def rewriteSorted(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -1074,34 +1096,59 @@ object Writers {
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     sortCols.foreach(c => require(current.schema.fieldNames.contains(c),
       s"no column $c on $table"))
-    val allPaths = catalog.planFiles(table, scope).map(_.path)
-    if (allPaths.isEmpty) return current // scope pruned everything: no-op
-    val visible = catalog.visibleRows(spark, current, allPaths)
-    val clustered =
-      if (!zorder) // lexicographic multi-column sort (any column types)
-        visible.repartitionByRange(nFiles, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-      else { // interleaved z-value clustering (numeric columns)
+    if (zorder) sortCols.foreach { c =>
+      require(current.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order needs numeric columns; $c on $table is " +
+          s"${current.schema(c).dataType.catalogString} — use a plain sort (zorder => false)")
+    }
+    val scoped = catalog.planFiles(table, scope)
+    if (scoped.isEmpty) return current // scope pruned everything: no-op
+    val scopedPaths = scoped.map(_.path)
+    // z-order bucket bounds: one pass over ALL scoped rows for ALL
+    // columns (the multi-column approxQuantile overload — not one scan
+    // per column), computed globally so every group bins identically
+    val boundsOpt: Option[Seq[(String, Seq[Double])]] =
+      if (!zorder) None
+      else {
         val buckets = 64
-        val bounds: Seq[Seq[Double]] = sortCols.map { c =>
-          visible.stat.approxQuantile(c,
-            (1 until buckets).map(_.toDouble / buckets).toArray, 0.01).toSeq
-        }
-        visible.withColumn("__z", zorderValue(sortCols.zip(bounds)))
-          .repartitionByRange(nFiles, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
+        val qs = catalog.visibleRows(spark, current, scopedPaths).stat.approxQuantile(
+          sortCols.toArray, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        Some(sortCols.zip(qs.map(_.toSeq)))
       }
-    val dir = Paths.get(dataDir, s"sorted-${UUID.randomUUID().toString.take(8)}")
-    clustered.write.parquet(dir.toString)
-    val outputs = listParquet(dir)
+    val groups = scoped.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+    val totalBytes = math.max(1L, scoped.map(_.sizeBytes).sum)
+    val base = Paths.get(dataDir, s"sorted-${UUID.randomUUID().toString.take(8)}")
+    val outputs = groups.zipWithIndex.flatMap { case ((pv, fs), gi) =>
+      val sub = pv.toSeq.sortBy(_._1).foldLeft(base.resolve(s"g$gi")) {
+        case (p, (k, v)) =>
+          p.resolve(s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}")
+      }
+      // output files proportional to the group's bytes (≥1 each):
+      // partitions keep file counts that track their data volume
+      val nOut = math.max(1, math.round(
+        nFiles.toDouble * fs.map(_.sizeBytes).sum / totalBytes).toInt)
+      val visible = catalog.visibleRows(spark, current, fs.map(_.path))
+      val clustered = boundsOpt match {
+        case None => // lexicographic multi-column sort (any column types)
+          visible.repartitionByRange(nOut, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+        case Some(bounds) => // interleaved z-value clustering
+          visible.withColumn("__z", zorderValue(bounds))
+            .repartitionByRange(nOut, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+      }
+      clustered.write.parquet(sub.toString)
+      listParquet(sub)
+    }
     catalog.commit(spark, table, outputs,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpCompact,
-        SnapshotCatalog.RewrittenFromProp -> allPaths.sorted.mkString(",")),
+        SnapshotCatalog.RewrittenFromProp -> scopedPaths.sorted.mkString(",")),
       intent = Some(CommitIntent(
         basisSnapshotId = Some(current.snapshotId),
-        removedPaths = allPaths)))
+        removedPaths = scopedPaths)))
   }
 
   /** Write-audit-publish, stage step: `df`'s files are written and

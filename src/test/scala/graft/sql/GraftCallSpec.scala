@@ -220,6 +220,88 @@ class GraftCallSpec extends SparkSpec {
         "where => 'c_custkey + 0 > 1')")
     }
     assert(err.getMessage.contains("no manifest filter"))
+    // z-order on a non-numeric column refuses loudly, not deep in Spark
+    val zerr = intercept[Exception] {
+      ext.sql(s"CALL graft.rewrite_sorted('$t', 'c_name', 'c_custkey', zorder => true)")
+    }
+    assert(zerr.getMessage.contains("numeric"))
+  }
+
+  test("CALL graft.rewrite_sorted is partition-aware: days(ts) pruning survives the rewrite") {
+    import graft.meta.{DaysTransform, EqString, RangeNum}
+    val t = "rwsdays"
+    val days = Seq(DaysTransform("ts"))
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    // three interleaved appends: each day partition holds 3 files, each
+    // spanning the whole value range — partition pruning works, value
+    // stats pruning does not
+    (0 until 3).foreach { i =>
+      Writers.writeTransformedSnapshot(cat, t,
+        ev.filter(pmod(col("event_id"), lit(3)) === i).repartition(1),
+        s"$dataDir/$t-append$i", days)
+    }
+    val partCol = days.head.partCol
+    val dayFilter = Seq(EqString(partCol, "2024-01-02"))
+    val before = cat.currentSnapshot(t).get
+    assert(before.files.size == 9, "3 days x 3 appends")
+    assert(cat.planFiles(t, dayFilter).size == 3)
+    val pre = ext.sql(s"SELECT * FROM $t").collect().toSet
+
+    ext.sql(s"CALL graft.rewrite_sorted('$t', 'value', files => 6)")
+    val after = cat.currentSnapshot(t).get
+    // THE S59 acceptance: partition-value pruning is IDENTICAL in
+    // selectivity — a day filter keeps exactly that day's files, and
+    // every kept file still carries the day partition value (a flat
+    // rewrite would have erased them and kept everything)
+    val keptDay = cat.planFiles(t, dayFilter)
+    assert(after.files.forall(_.partitionValues.contains(partCol)),
+      "every rewritten file must keep its day partition value")
+    assert(keptDay.nonEmpty && keptDay.size < after.files.size)
+    assert(keptDay.forall(_.partitionValues.get(partCol).contains("2024-01-02")))
+    assert(keptDay.size == after.files.count(
+      _.partitionValues.get(partCol).contains("2024-01-02")))
+    // AND the rewrite did its actual job: within a day, the value sort
+    // makes a narrow value range strictly more file-selective than the
+    // day filter alone (files => 6 over 3 equal days = 2 sorted files/day)
+    assert(keptDay.size == 2)
+    val dayAndValue = cat.planFiles(t, dayFilter :+ RangeNum("value", 0.0, 5.0))
+    assert(dayAndValue.size < keptDay.size,
+      "within-partition sort must restore value stats pruning")
+    // rows preserved, feed silent (compact protocol)
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == pre)
+    assert(cat.changesBetween(spark, t, before.snapshotId, Some(after.snapshotId)).count() == 0)
+  }
+
+  test("CALL graft.rewrite_sorted is partition-aware: bucket(n,c) point pruning survives") {
+    import graft.meta.{BucketTransform, EqString}
+    val t = "rwsbkt"
+    val b = BucketTransform("c_custkey", 4)
+    (0 until 3).foreach { i =>
+      Writers.writeTransformedSnapshot(cat, t,
+        graft.Tables.customer(spark, sfDir)
+          .filter(col("c_custkey") <= 120 && pmod(col("c_custkey"), lit(3)) === i)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")).repartition(1),
+        s"$dataDir/$t-append$i", Seq(b))
+    }
+    val pv = b.bucketOf("7")
+    val pointFilter = Seq(EqString(b.partCol, pv))
+    val before = cat.currentSnapshot(t).get
+    assert(cat.planFiles(t, pointFilter).size < before.files.size,
+      "bucket layout must prune before the rewrite")
+    val pre = ext.sql(s"SELECT * FROM $t").collect().toSet
+
+    ext.sql(s"CALL graft.rewrite_sorted('$t', 'c_acctbal', files => 4)")
+    val after = cat.currentSnapshot(t).get
+    val kept = cat.planFiles(t, pointFilter)
+    // a bucket point lookup is UNRECOVERABLE from column stats — only
+    // preserved partition values can prune it; the flat rewrite kept all
+    assert(kept.nonEmpty && kept.size < after.files.size,
+      "bucket point-lookup prune must survive the rewrite")
+    assert(kept.forall(_.partitionValues.get(b.partCol).contains(pv)))
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == pre)
+    assert(cat.changesBetween(spark, t, before.snapshotId, Some(after.snapshotId)).count() == 0)
   }
 
   test("CALL graft.index backfills blooms/sketches and sticks for future commits") {
