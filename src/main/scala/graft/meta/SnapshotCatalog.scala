@@ -79,9 +79,15 @@ final case class FileMeta(
       if (ref.startsWith("/"))
         // a sidecar another catalog instance dropped/vacuumed (e.g. a
         // clone's source in a different root) degrades to "no bloom":
-        // pruning keeps the file instead of the read failing
-        if (!Files.exists(Paths.get(ref))) None
-        else Some(BloomFilter.readFrom(Files.newInputStream(Paths.get(ref))))
+        // pruning keeps the file instead of the read failing. Open-and-
+        // catch, NOT exists-then-open — a concurrent vacuum between the
+        // check and the open is exactly the race this guards against.
+        try {
+          val in = Files.newInputStream(Paths.get(ref))
+          try Some(BloomFilter.readFrom(in)) finally in.close()
+        } catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException => None
+        }
       else
         Some(BloomFilter.readFrom(new ByteArrayInputStream(Base64.getDecoder.decode(ref))))
     }
@@ -700,83 +706,105 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       bloomFpp: Double = 0.03): SnapshotMeta = {
     require(bloomColumns.nonEmpty || sketchColumns.nonEmpty,
       s"indexColumns on $table: pass at least one column")
-    val current = currentSnapshot(table).getOrElse(
+    val fields0 = currentSnapshot(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots for table $table"))
-    val fields = current.schema.fieldNames.toSet
+      .schema.fieldNames.toSet
     (bloomColumns ++ sketchColumns).foreach(c =>
-      require(fields.contains(c), s"no column $c on $table"))
+      require(fields0.contains(c), s"no column $c on $table"))
 
-    def merged(prop: String, add: Seq[String]): Seq[String] =
-      (current.props.get(prop).map(_.split(",").toSeq.filter(_.nonEmpty))
-        .getOrElse(Nil) ++ add).distinct
-    val allBloom = merged(SnapshotCatalog.BloomColumnsProp, bloomColumns)
-    val allSketch = merged(SnapshotCatalog.SketchColumnsProp, sketchColumns)
-    val rowsByFile = current.files.map(f => f.path -> f.rowCount).toMap
-
-    val needBloomPaths = current.files
-      .filter(f => bloomColumns.exists(c => !f.blooms.contains(c))).map(_.path)
-    val bloomRefs: Map[String, Map[String, String]] =
-      if (needBloomPaths.isEmpty) Map.empty
-      else {
-        val sub = StructType(current.schema.fields.filter(f => bloomColumns.contains(f.name)))
-        buildBloomsCore(spark, table,
-          readLogical(spark, sub, current, needBloomPaths, withLineage = true),
-          "_file", bloomColumns, rowsByFile, bloomFpp)
-      }
-
-    val needSketchPaths = current.files
-      .filter(f => sketchColumns.exists(c => !f.sketches.contains(c))).map(_.path)
-    val sketchRefs: Map[String, Map[String, String]] =
-      if (needSketchPaths.isEmpty) Map.empty
-      else {
-        val sub = StructType(current.schema.fields.filter(f => sketchColumns.contains(f.name)))
-        val base = readLogical(spark, sub, current, needSketchPaths, withLineage = true)
-        val skAggs = sketchColumns.map(c => hll_sketch_agg(col(c).cast("string")).as(s"sk__$c"))
-        val per = base.groupBy(col("_file")).agg(skAggs.head, skAggs.tail: _*)
-        val dir = tableDir(table).resolve("sketches")
-        Files.createDirectories(dir)
-        val dirStr = dir.toAbsolutePath.toString
-        val outSchema = StructType(per.schema.map(f =>
-          if (f.name.startsWith("sk__")) f.copy(dataType = StringType) else f))
-        val skIdx = sketchColumns.map(c => per.schema.fieldIndex(s"sk__$c") -> c)
-        per.map { row =>
-          val vals = row.toSeq.toArray
-          skIdx.foreach { case (i, c) =>
-            vals(i) = Option(row.getAs[Array[Byte]](i)).map { bytes =>
-              val sidecar = Paths.get(dirStr,
-                s"hll-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
-              Files.write(sidecar, bytes)
-              sidecar.toAbsolutePath.toString
-            }.orNull
-          }
-          Row.fromSeq(vals.toIndexedSeq)
-        }(org.apache.spark.sql.Encoders.row(outSchema)).collect()
-          .map { row =>
-            normalize(row.getAs[String]("_file")) ->
-              sketchColumns.flatMap(c =>
-                Option(row.getAs[String](s"sk__$c")).map(c -> _)).toMap
-          }.toMap
-      }
-
-    publish(table) { prevOpt =>
-      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+    // Backfill-until-converged: a file committed concurrently between
+    // the scan below and the publish carries no index entry yet — the
+    // loop re-scans ONLY the still-missing files and converges (each
+    // round's entries stick; re-running is idempotent). A file that can
+    // never yield an entry (0 rows → no aggregate row) stops the loop
+    // via the no-progress guard instead of spinning.
+    var last: SnapshotMeta = null
+    var prevMissing = Int.MaxValue
+    var done = false
+    while (!done) {
+      val current = currentSnapshot(table).getOrElse(throw new IllegalStateException(
         s"table $table vanished during index build"))
-      val files = prev.files.map(f => f.copy(
-        blooms = f.blooms ++ bloomRefs.getOrElse(f.path, Map.empty),
-        sketches = f.sketches ++ sketchRefs.getOrElse(f.path, Map.empty)))
-      val sticky = Map(
-        SnapshotCatalog.BloomColumnsProp -> allBloom.mkString(","),
-        SnapshotCatalog.SketchColumnsProp -> allSketch.mkString(","))
-        .filter(_._2.nonEmpty)
-      SnapshotMeta(
-        snapshotId = prev.snapshotId + 1,
-        timestampMs = clock(),
-        parentId = Some(prev.snapshotId),
-        schemaJson = prev.schemaJson,
-        files = files,
-        props = sticky + (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
-        deleteFiles = prev.deleteFiles)
+      val rowsByFile = current.files.map(f => f.path -> f.rowCount).toMap
+
+      val needBloomPaths = current.files
+        .filter(f => bloomColumns.exists(c => !f.blooms.contains(c))).map(_.path)
+      val bloomRefs: Map[String, Map[String, String]] =
+        if (needBloomPaths.isEmpty) Map.empty
+        else {
+          val sub = StructType(current.schema.fields.filter(f => bloomColumns.contains(f.name)))
+          buildBloomsCore(spark, table,
+            readLogical(spark, sub, current, needBloomPaths, withLineage = true),
+            "_file", bloomColumns, rowsByFile, bloomFpp)
+        }
+
+      val needSketchPaths = current.files
+        .filter(f => sketchColumns.exists(c => !f.sketches.contains(c))).map(_.path)
+      val sketchRefs: Map[String, Map[String, String]] =
+        if (needSketchPaths.isEmpty) Map.empty
+        else {
+          val sub = StructType(current.schema.fields.filter(f => sketchColumns.contains(f.name)))
+          val base = readLogical(spark, sub, current, needSketchPaths, withLineage = true)
+          val skAggs = sketchColumns.map(c => hll_sketch_agg(col(c).cast("string")).as(s"sk__$c"))
+          val per = base.groupBy(col("_file")).agg(skAggs.head, skAggs.tail: _*)
+          val dir = tableDir(table).resolve("sketches")
+          Files.createDirectories(dir)
+          val dirStr = dir.toAbsolutePath.toString
+          val outSchema = StructType(per.schema.map(f =>
+            if (f.name.startsWith("sk__")) f.copy(dataType = StringType) else f))
+          val skIdx = sketchColumns.map(c => per.schema.fieldIndex(s"sk__$c") -> c)
+          per.map { row =>
+            val vals = row.toSeq.toArray
+            skIdx.foreach { case (i, c) =>
+              vals(i) = Option(row.getAs[Array[Byte]](i)).map { bytes =>
+                val sidecar = Paths.get(dirStr,
+                  s"hll-${java.util.UUID.randomUUID().toString.take(12)}-$c.bin")
+                Files.write(sidecar, bytes)
+                sidecar.toAbsolutePath.toString
+              }.orNull
+            }
+            Row.fromSeq(vals.toIndexedSeq)
+          }(org.apache.spark.sql.Encoders.row(outSchema)).collect()
+            .map { row =>
+              normalize(row.getAs[String]("_file")) ->
+                sketchColumns.flatMap(c =>
+                  Option(row.getAs[String](s"sk__$c")).map(c -> _)).toMap
+            }.toMap
+        }
+
+      last = publish(table) { prevOpt =>
+        val prev = prevOpt.getOrElse(throw new IllegalStateException(
+          s"table $table vanished during index build"))
+        // sticky merge recomputed from THIS attempt's actual parent —
+        // a concurrent indexColumns on OTHER columns keeps its sticky
+        // set instead of losing a last-writer-wins race on the props
+        def merged(prop: String, add: Seq[String]): Seq[String] =
+          (prev.props.get(prop).map(_.split(",").toSeq.filter(_.nonEmpty))
+            .getOrElse(Nil) ++ add).distinct
+        val files = prev.files.map(f => f.copy(
+          blooms = f.blooms ++ bloomRefs.getOrElse(f.path, Map.empty),
+          sketches = f.sketches ++ sketchRefs.getOrElse(f.path, Map.empty)))
+        val sticky = Map(
+          SnapshotCatalog.BloomColumnsProp ->
+            merged(SnapshotCatalog.BloomColumnsProp, bloomColumns).mkString(","),
+          SnapshotCatalog.SketchColumnsProp ->
+            merged(SnapshotCatalog.SketchColumnsProp, sketchColumns).mkString(","))
+          .filter(_._2.nonEmpty)
+        SnapshotMeta(
+          snapshotId = prev.snapshotId + 1,
+          timestampMs = clock(),
+          parentId = Some(prev.snapshotId),
+          schemaJson = prev.schemaJson,
+          files = files,
+          props = sticky + (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
+          deleteFiles = prev.deleteFiles)
+      }
+      val missing = last.files.count(f =>
+        bloomColumns.exists(c => !f.blooms.contains(c)) ||
+          sketchColumns.exists(c => !f.sketches.contains(c)))
+      if (missing == 0 || missing >= prevMissing) done = true
+      else prevMissing = missing
     }
+    last
   }
 
   /** Disable index maintenance on columns and drop their per-file
@@ -957,21 +985,70 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def dropTable(table: String, spareDataDir: Boolean = false): Boolean = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return false
-    // spare the data subtree AND the bloom/sketch sidecar dirs: a
-    // zero-copy clone references both verbatim, so a plain DROP of the
-    // source must leave them for the clone (PURGE deletes the tree)
-    val spared = Seq("data", "blooms", "sketches").map(d => dir.resolve(d).toAbsolutePath)
+    val spared = sparedSubtrees(table)
     val stream = Files.walk(dir)
     val all = try stream.iterator().asScala.toList finally stream.close()
     all.sortBy(-_.getNameCount)
       .filterNot { p =>
         val ap = p.toAbsolutePath
-        spareDataDir && (spared.exists(ap.startsWith) || ap == dir.toAbsolutePath)
+        spareDataDir && (spared.exists(ap.startsWith) || ap == dir.toAbsolutePath ||
+          // keep the ancestor dirs of a spared branch subtree alive
+          spared.exists(_.startsWith(ap)))
       }
       .foreach(p => Files.deleteIfExists(p))
     val prefix = dir.toAbsolutePath.toString
     manifestCache.keySet.removeIf(_.startsWith(prefix))
     true
+  }
+
+  /** The subtrees a metadata drop must never wipe: the table's own
+    * `data`/`blooms`/`sketches` dirs AND each branch's — a zero-copy
+    * clone (of the table or of a branch) references those files
+    * verbatim, so only the explicitly liveness-checked purge path may
+    * delete bytes there. Absolute paths. */
+  def sparedSubtrees(table: String): Seq[Path] = {
+    val dir = tableDir(table)
+    val kinds = Seq("data", "blooms", "sketches")
+    (kinds.map(d => dir.resolve(d)) ++
+      branches(table).flatMap(b =>
+        kinds.map(d => dir.resolve("branches").resolve(b).resolve(d))))
+      .map(_.toAbsolutePath)
+  }
+
+  /** Absolute table-directory path — purge attribution compares file
+    * paths against table trees through this. */
+  def tableDirOf(table: String): String = tableDir(table).toAbsolutePath.toString
+
+  /** Oldest RETAINED snapshot — one directory listing + ONE memoized
+    * manifest parse. The purge-attribution probe: any file a clone or
+    * branch shares sits in its fork-point snapshot, which (until
+    * expired) is its oldest. */
+  def firstSnapshot(table: String): Option[SnapshotMeta] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val stream = Files.list(dir)
+    val paths = try stream.iterator().asScala.toList finally stream.close()
+    val re = "snap-(\\d+)\\.json".r
+    paths.flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+        .map(m => m.group(1).toLong -> p))
+      .sortBy(_._1).headOption.map(x => parseSnap(x._2))
+  }
+
+  /** Best-effort bottom-up removal of now-empty directories under the
+    * table dir (and the dir itself) — the tail of a PURGE after the
+    * liveness-checked file deletions; shared survivors keep their dirs
+    * (delete on a non-empty dir fails and is ignored). */
+  def pruneEmptyDirs(table: String): Unit = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return
+    val stream = Files.walk(dir)
+    val all = try stream.iterator().asScala.toList finally stream.close()
+    all.sortBy(-_.getNameCount).foreach { p =>
+      if (Files.isDirectory(p)) {
+        try Files.delete(p)
+        catch { case _: java.io.IOException => () } // non-empty: keep
+      }
+    }
   }
 
   def snapshots(table: String): Seq[SnapshotMeta] = {
@@ -1561,9 +1638,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   /** Delete a branch: its manifests, pointer, tags and sidecars. Data
     * files the branch wrote are left to [[vacuumDataFiles]] — they stop
-    * being live the moment the branch metadata is gone. */
+    * being live the moment the branch metadata is gone (and a zero-copy
+    * clone taken FROM the branch may still reference them). */
   def dropBranch(table: String, name: String): Boolean =
-    dropTable(branchRef(table, name))
+    dropTable(branchRef(table, name), spareDataDir = true)
 
   /** Publish a branch into its table (Iceberg `fast_forward`): replays
     * every branch commit after the fork point onto the table head, in

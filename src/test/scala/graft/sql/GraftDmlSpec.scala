@@ -541,6 +541,69 @@ class GraftDmlSpec extends SparkSpec {
     assert(ext.sql("SELECT count(*) AS n FROM pg_keep").head().getLong(0) == 5)
   }
 
+  test("DROP PURGE spares clone-shared bytes under the source's OWN data dir (default SQL deployment)") {
+    import java.nio.file.Paths
+    // the source is built ENTIRELY through SQL, so its data files live
+    // under <tableDir>/data — the layout where a tree-wiping PURGE of
+    // the source would reach through the clone's shared references
+    ext.sql("CREATE TABLE graft.pgown (k BIGINT, name STRING, v DOUBLE)")
+    ext.sql("INSERT INTO pgown VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    val shared = cat.currentSnapshot("pgown").get.files.map(_.path)
+    assert(shared.nonEmpty && shared.forall(_.startsWith(cat.tableDirOf("pgown"))),
+      "precondition: default SQL deployment writes under the source's own tableDir")
+    ext.sql("CALL graft.clone('pgown', 'pgown_cl')")
+    ext.sql("INSERT INTO pgown VALUES (3, 'c', 3.0)") // post-clone, unshared
+    val own = cat.currentSnapshot("pgown").get.files.map(_.path)
+      .filterNot(shared.contains)
+    assert(own.nonEmpty)
+    ext.sql("DROP TABLE graft.pgown PURGE")
+    assert(shared.forall(p => Files.exists(Paths.get(p))),
+      "PURGE of a cloned-from source must not tree-wipe its own data dir")
+    assert(own.forall(p => !Files.exists(Paths.get(p))),
+      "the source's unshared bytes still go")
+    // the clone reads every pre-clone row through the shared bytes
+    assert(ext.sql("SELECT count(*) AS n FROM pgown_cl").head().getLong(0) == 2)
+    assert(ext.sql("SELECT sum(k) AS s FROM pgown_cl").head().getLong(0) == 3)
+    // dropping the last referent releases the shared bytes AND the
+    // empty directory skeleton they kept alive
+    ext.sql("DROP TABLE graft.pgown_cl PURGE")
+    assert(shared.forall(p => !Files.exists(Paths.get(p))))
+    assert(!Files.exists(Paths.get(cat.tableDirOf("pgown"))),
+      "with no referents left, the source tree is fully pruned")
+    assert(!Files.exists(Paths.get(cat.tableDirOf("pgown_cl"))))
+  }
+
+  test("PURGE foreign-liveness walk is bounded: unrelated tables are never history-walked") {
+    // a catalog full of unrelated tables: none of them may appear in the
+    // purge walk set (on a 10k-snapshot catalog, walking them is the
+    // cost; the probes are two memoized parses each)
+    ext.sql("CREATE TABLE graft.fw_u1 (k BIGINT)")
+    ext.sql("INSERT INTO fw_u1 VALUES (1), (2)")
+    ext.sql("CREATE TABLE graft.fw_u2 (k BIGINT)")
+    ext.sql("INSERT INTO fw_u2 VALUES (3)")
+    ext.sql("CREATE TABLE graft.fw_src (k BIGINT, v DOUBLE)")
+    ext.sql("INSERT INTO fw_src VALUES (1, 1.0), (2, 2.0)")
+    ext.sql("CALL graft.clone('fw_src', 'fw_cl')")
+    // dropping the SOURCE: its candidates live under its own tree; the
+    // clone is found by the fork-snapshot membership probe
+    val srcCands = cat.snapshots("fw_src").flatMap(_.files.map(_.path)).distinct
+    val w1 = GraftDropCommand.foreignWalkRefs(cat, Set("fw_src"), "fw_src", srcCands)
+    assert(w1.contains("fw_cl"), "the clone must be fully walked")
+    assert(!w1.exists(r => r.startsWith("fw_u1") || r.startsWith("fw_u2")),
+      "unrelated tables must be skipped")
+    // dropping the CLONE: candidates sit under the source's tree — the
+    // tree-prefix probe attributes them to the source alone
+    val clCands = cat.snapshots("fw_cl").flatMap(_.files.map(_.path)).distinct
+    val w2 = GraftDropCommand.foreignWalkRefs(cat, Set("fw_cl"), "fw_cl", clCands)
+    assert(w2.contains("fw_src"))
+    assert(!w2.exists(r => r.startsWith("fw_u1") || r.startsWith("fw_u2")))
+    // a candidate OUTSIDE every table tree (external shared dataDir):
+    // attribution impossible — conservative full walk
+    val w3 = GraftDropCommand.foreignWalkRefs(cat, Set("fw_cl"), "fw_cl",
+      clCands :+ "/somewhere/external/shared.parquet")
+    assert(w3.contains("fw_u1") && w3.contains("fw_u2") && w3.contains("fw_src"))
+  }
+
   test("DROP PURGE covers branch-only files; DROP on a branch ref drops just the branch") {
     import java.nio.file.Paths
     val t = freshTable("pgbr", 1 to 4)
