@@ -219,6 +219,46 @@ object Stress {
       val head = cat.currentSnapshot("ord").get
       (cat.snapshots("ord").size, head.totalRows, t)
     }
+    // r11 probes: (a) sticky-index backfill over a 200-file table — ONE
+    // metadata commit, executor-side sidecars, cost tracks scanning the
+    // missing files once; (b) partition-aware sorted rewrite over a
+    // bucket(8, o_custkey)-partitioned 2.4M-row layout — the bucket
+    // point-lookup prune must survive the rewrite (prune ratios printed
+    // before/after) with cost in compact's envelope.
+    val (tIdxBackfill, nIdxFiles, tRwsPart, rwsPruneBefore, rwsPruneAfter) = {
+      val cat = new graft.meta.SnapshotCatalog(
+        java.nio.file.Files.createTempDirectory("graft-stress-idx-").toString)
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-stress-idxd-").toString
+      val keyed = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val maxKey = keyed.agg(max(col("o_orderkey"))).head().getLong(0)
+      val width = maxKey / 200 + 1
+      (0 until 200).foreach { i =>
+        graft.sinks.Writers.writeRangedSnapshot(cat, "idx",
+          keyed.filter(col("o_orderkey") >= i * width &&
+            col("o_orderkey") < (i + 1) * width).coalesce(1), dataDir,
+          "o_orderkey", 1)
+      }
+      val (idxSnap, ti) = time {
+        cat.indexColumns(spark, "idx", bloomColumns = Seq("o_custkey"))
+      }
+      val nIdx = idxSnap.files.count(_.blooms.contains("o_custkey"))
+      val b = graft.meta.BucketTransform("o_custkey", 8)
+      (0 until 3).foreach { i =>
+        graft.sinks.Writers.writeTransformedSnapshot(cat, "part",
+          keyed.filter(pmod(col("o_orderkey"), lit(3)) === i).repartition(4),
+          s"$dataDir/part$i", Seq(b))
+      }
+      val pf = Seq(graft.meta.EqString(b.partCol, b.bucketOf("4242")))
+      val before =
+        (cat.planFiles("part", pf).size, cat.currentSnapshot("part").get.files.size)
+      val (_, tr) = time {
+        graft.sinks.Writers.rewriteSorted(spark, cat, "part", dataDir,
+          Seq("o_totalprice"), nFiles = 24)
+      }
+      val after =
+        (cat.planFiles("part", pf).size, cat.currentSnapshot("part").get.files.size)
+      (ti, nIdx, tr, s"${before._1}/${before._2}", s"${after._1}/${after._2}")
+    }
     // T10 streaming ingest-dedup at scale: 100k docs arrive in 5 exact
     // batches (each probed against the growing fingerprint index) and
     // 20k docs in 5 near-dup batches (LSH probe + shingle-index verify).
@@ -248,7 +288,7 @@ object Stress {
       }
       (nEx, tEx, cat.currentSnapshot("ingnd").get.totalRows, tNd)
     }
-    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"bysource_files":$nBsFiles,"bysource_sec":$tBySource,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace,"ivfpq_hits":$nIvfPq,"ivfpq_build_sec":$tPqBuild,"ivfpq_search_sec":$tPqSearch,"ingest_exact_docs":$exDocs,"ingest_exact_sec":$tExIngest,"ingest_neardup_docs":$ndDocs,"ingest_neardup_sec":$tNdIngest}}""")
+    println(s"""{"stress":{"lineitem_rows":$nl,"agg_sec":$tAgg,"join_rows":$nj,"join_sec":$tJoin,"dedup_pairs":$nd,"dedup_sec":$tDedup,"ann_rows":$na,"ann_sec":$tAnn,"ivf_rows":$ni,"ivf_sec":$tIvf,"clone_pairs":$nc,"clone_sec":$tClones,"packs":$np,"pack_sec":$tPack,"asof_hot_rows":$nasof,"asof_hot_sec":$tAsof,"merge_rows":$nm,"merge_sec":$tMerge,"bysource_files":$nBsFiles,"bysource_sec":$tBySource,"compact_sec":$tCompact,"cdc_rows":$nCdc,"cdc_sec":$tCdc,"mor_eqdel_sec":$tEqDel,"mor_base_read_sec":$tBaseRead,"mor_masked_read_sec":$tMaskRead,"mor_materialize_sec":$tMat,"race_commits":$nCommits,"race_rows":$nRowsAfter,"race_sec":$tRace,"ivfpq_hits":$nIvfPq,"ivfpq_build_sec":$tPqBuild,"ivfpq_search_sec":$tPqSearch,"ingest_exact_docs":$exDocs,"ingest_exact_sec":$tExIngest,"ingest_neardup_docs":$ndDocs,"ingest_neardup_sec":$tNdIngest,"idx_backfill_sec":$tIdxBackfill,"idx_files":$nIdxFiles,"rws_part_sec":$tRwsPart,"rws_prune_before":"$rwsPruneBefore","rws_prune_after":"$rwsPruneAfter"}}""")
     spark.stop()
   }
 }

@@ -139,7 +139,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(23) match {
+        rnd.nextInt(24) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -392,6 +392,15 @@ class CdcLifecycleSpec extends SparkSpec {
                 es.sql("CALL graft.index('t', 'id', type => 'both')").head().getLong(0)
               else
                 es.sql("CALL graft.drop_index('t', 'id')").head().getLong(0)
+            states :+= (sid, state)
+          case 23 => // SQL CALL rewrite_sorted scoped by `where`: only
+            // the manifest-matching files re-cluster (the partition-at-
+            // a-time maintenance shape); the intent reconcile must keep
+            // every out-of-scope file — rows preserved, feed silent
+            val cut = 10 + rnd.nextInt(80)
+            val sid = es.sql("CALL graft.rewrite_sorted('t', 'id', files => 2, " +
+                s"where => 'id <= $cut')")
+              .head().getLong(0)
             states :+= (sid, state)
         }
       }
