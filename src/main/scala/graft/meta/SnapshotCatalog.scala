@@ -65,7 +65,16 @@ final case class FileMeta(
     // a second widen keeps the original entry). Stats stay valid —
     // numeric min/max are held as doubles and string blooms don't
     // change a value's rendering, so pruning never consults this. */
-    physTypes: Map[String, String] = Map.empty) {
+    physTypes: Map[String, String] = Map.empty,
+    // LOGICAL-column → SQL-literal default for columns ABSENT from this
+    // file's bytes (Iceberg v3 default-values: `initial-default` for
+    // files predating an ADD COLUMN ... DEFAULT, `write-default` for
+    // files appended without the column while a default was in force).
+    // The scan serves the literal instead of a null fill; re-keyed at
+    // rename, dropped with the column. Pruning stays conservative (no
+    // stats entry → file kept), which is always correct for a
+    // constant-valued column. */
+    defaults: Map[String, String] = Map.empty) {
 
   /** Bloom values are ABSOLUTE sidecar file paths (current format) so
     * manifests stay O(stats) bytes; inline base64 (pre-sidecar
@@ -155,6 +164,18 @@ final case class SnapshotMeta(
     deleteFiles.filter(_.dataPaths.exists(set.contains))
   }
 }
+
+/** One stored version of a SQL view's definition (Iceberg view spec's
+  * view-version entry): the SQL text plus when it became current. */
+final case class ViewVersion(versionId: Long, timestampMs: Long, sql: String)
+
+/** A stored SQL view: the full version history plus the current pointer
+  * — `CREATE OR REPLACE` / `ALTER VIEW AS` append versions, so the
+  * definition's evolution is auditable like table history. */
+final case class ViewMeta(
+    name: String,
+    currentVersionId: Long,
+    versions: Seq[ViewVersion])
 
 /** A concurrent commit made this commit's plan unsafe to re-apply
   * (Iceberg's `ValidationException` on optimistic-commit retry): the
@@ -311,7 +332,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       props: Map[String, String] = Map.empty,
       sketchColumns: Seq[String] = Nil,
       deleteFilesOverride: Option[Seq[DeleteFileMeta]] = None,
-      intent: Option[CommitIntent] = None): SnapshotMeta = {
+      intent: Option[CommitIntent] = None,
+      declaredSchema: Option[StructType] = None): SnapshotMeta = {
     // deleteFilesOverride replaces the whole delete-file list verbatim —
     // deterministic only when the head can't drift under the commit
     require(deleteFilesOverride.isEmpty || intent.forall(_.strictBasis),
@@ -539,8 +561,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       // and a narrow append into a WIDENED column keeps the wide type
       // while the new files record their stored narrow type (the scan
       // casts them up, exactly like widenColumn-era files)
-      val merged = prev.map(p => SnapshotCatalog.mergeSchemas(p.schema, schema))
+      val merged0 = prev.map(p => SnapshotCatalog.mergeSchemas(p.schema, schema))
         .getOrElse(schema)
+      // a DECLARED schema (CREATE TABLE with contracts) overlays what the
+      // parquet footers can't carry: nullability and column defaults —
+      // the footer read always comes back nullable with empty metadata
+      val merged = declaredSchema.map(decl => StructType(merged0.fields.map(f =>
+        decl.fields.find(_.name == f.name)
+          .map(d => f.copy(nullable = d.nullable, metadata = d.metadata))
+          .getOrElse(f)))).getOrElse(merged0)
       val narrowed: Map[String, String] = schema.fields.flatMap { nf =>
         merged.fields.find(_.name == nf.name) match {
           case Some(mf) if SnapshotCatalog.canWiden(nf.dataType, mf.dataType) =>
@@ -551,7 +580,34 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       val stamped =
         if (narrowed.isEmpty) newFiles
         else newFiles.map(f => f.copy(physTypes = f.physTypes ++ narrowed))
-      val files = resolveFiles(prev, stamped)
+      // columns ABSENT from the appended frame read their write-default
+      // (stamped per file, like the ADD-time initial-default) — the
+      // additive-evolution null fill only when no default is in force
+      val absentDefaults: Map[String, String] = merged.fields.toSeq
+        .filterNot(f => schema.fieldNames.contains(f.name))
+        .flatMap(f => SnapshotCatalog.writeDefaultOf(f)
+          .filter(_ != "NULL").map(f.name -> _)).toMap
+      val defaulted =
+        if (absentDefaults.isEmpty) stamped
+        else stamped.map(f => f.copy(defaults = f.defaults ++ absentDefaults))
+      // NOT NULL enforcement, free from the stats pass above: a new file
+      // carrying a null in a NOT NULL column (or omitting the column
+      // with no non-null default) aborts the commit before publish —
+      // the written files never enter a snapshot and fall to orphan GC
+      merged.fields.filterNot(_.nullable).foreach { nf =>
+        if (!schema.fieldNames.contains(nf.name)) {
+          if (!absentDefaults.contains(nf.name) && defaulted.exists(_.rowCount > 0))
+            throw new IllegalStateException(
+              s"NOT NULL violation on $table.${nf.name}: appended rows omit the " +
+                "column and it has no non-null write-default")
+        } else defaulted.foreach { fm =>
+          if (fm.stats.get(nf.name).flatMap(_.nullCount).exists(_ > 0))
+            throw new IllegalStateException(
+              s"NOT NULL violation on $table.${nf.name}: " +
+                s"${fm.stats(nf.name).nullCount.get} null value(s) in ${fm.path}")
+        }
+      }
+      val files = resolveFiles(prev, defaulted)
       SnapshotMeta(
         snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
         timestampMs = clock(),
@@ -972,6 +1028,116 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .sorted
   }
 
+  // ---- SQL views (versioned definitions — Iceberg view spec) -----------
+  // A view is STORED SQL, not data: `<root>/views/<name>.json` holds the
+  // full version history (Iceberg's view-version list), reads expand the
+  // CURRENT version's text into the query plan at resolution time, and
+  // `CREATE OR REPLACE` / `ALTER VIEW AS` append a version rather than
+  // overwrite — the definition history stays auditable the same way
+  // table history does. Writes are atomic tmp+move; view DDL is
+  // last-writer-wins (a racing REPLACE pair both land, one wins the
+  // pointer — same as Iceberg's view metadata swap).
+
+  private def viewsDir: Path = Paths.get(root, "views")
+  private def viewPath(name: String): Path = viewsDir.resolve(s"$name.json")
+
+  /** All stored view names, sorted. */
+  def views(): Seq[String] = {
+    if (!Files.isDirectory(viewsDir)) return Nil
+    val stream = Files.list(viewsDir)
+    val files = try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".json")).toList
+      finally stream.close()
+    files.map(_.getFileName.toString.stripSuffix(".json")).sorted
+  }
+
+  def viewMeta(name: String): Option[ViewMeta] = {
+    val p = viewPath(name)
+    if (!Files.exists(p)) None
+    else scala.util.Try(JsonMethods.parse(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).extract[ViewMeta]).toOption
+  }
+
+  /** The CURRENT version's SQL text, if the view exists. */
+  def viewSql(name: String): Option[String] =
+    viewMeta(name).flatMap(m =>
+      m.versions.find(_.versionId == m.currentVersionId).map(_.sql))
+
+  /** Relation names (bare or `graft.`-qualified last part) referenced by
+    * a view body — the cycle-check input. Parse-level only: names that
+    * resolve to tables/temp views are fine either way, we only need the
+    * VIEW-to-view edges. */
+  private def referencedNames(sql: String): Seq[String] = {
+    val names = scala.collection.mutable.ListBuffer[String]()
+    def walk(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      plan.foreach { node =>
+        node match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            names += u.multipartIdentifier.last
+          case _ =>
+        }
+        // subquery plans hang off EXPRESSIONS (EXISTS / IN / scalar
+        // subqueries), which TreeNode.foreach does not descend into
+        node.expressions.foreach(_.foreach {
+          case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            walk(sq.plan)
+          case _ =>
+        })
+      }
+    walk(org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql))
+    names.distinct.toList
+  }
+
+  /** Create (or replace) a view. Refuses: invalid names, collision with
+    * a TABLE (a name must mean one thing), unparseable SQL, and any
+    * definition whose view-reference graph reaches back to `name` — the
+    * acyclicity invariant that makes resolution-time expansion
+    * terminate. REPLACE appends a new version (history kept);
+    * `ifNotExists` makes an existing view a quiet no-op. */
+  def createView(name: String, sql: String, replace: Boolean = false,
+      ifNotExists: Boolean = false): ViewMeta = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid view name: $name")
+    require(!tables().contains(name),
+      s"a table named $name exists in this catalog; a view cannot shadow it")
+    val existing = viewMeta(name)
+    if (existing.isDefined && !replace) {
+      if (ifNotExists) return existing.get
+      throw new IllegalArgumentException(
+        s"view $name already exists (use CREATE OR REPLACE VIEW)")
+    }
+    // cycle check over the stored-view graph WITH this definition in
+    // place of name's: DFS from the new body's references
+    def reaches(from: String, seen: Set[String]): Boolean = {
+      if (from == name) return true
+      if (seen.contains(from)) return false
+      viewSql(from) match {
+        case None => false // a table or unknown name: not a view edge
+        case Some(s) => referencedNames(s).exists(reaches(_, seen + from))
+      }
+    }
+    val refs = referencedNames(sql) // also validates the SQL parses
+    refs.foreach { r =>
+      if (reaches(r, Set.empty)) throw new IllegalArgumentException(
+        s"view $name would be self-referential through $r; view graphs must be acyclic")
+    }
+    val nextId = existing.map(_.currentVersionId + 1).getOrElse(1L)
+    val meta = ViewMeta(name, nextId,
+      existing.map(_.versions).getOrElse(Nil) :+ ViewVersion(nextId, clock(), sql))
+    Files.createDirectories(viewsDir)
+    val tmp = Files.createTempFile(viewsDir, s".$name-", ".tmp")
+    Files.write(tmp, Serialization.writePretty(meta).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, viewPath(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    meta
+  }
+
+  /** Drop a view (its whole version history). */
+  def dropView(name: String, ifExists: Boolean = false): Unit = {
+    val existed = Files.deleteIfExists(viewPath(name))
+    if (!existed && !ifExists)
+      throw new IllegalArgumentException(s"no view $name in this catalog")
+  }
+
   /** Drop a table: its manifests, current pointer, tags, staged
     * entries and bloom/sketch sidecars are deleted and the memoized
     * parses purged. Data files in the CALLER'S data dir are untouched —
@@ -1009,9 +1175,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def sparedSubtrees(table: String): Seq[Path] = {
     val dir = tableDir(table)
     val kinds = Seq("data", "blooms", "sketches")
+    // branch dirs from DISK, not branches(): a dropped branch leaves its
+    // spared data behind with no live snapshot, and a clone taken from
+    // it before the drop may still reference those bytes
+    val brDir = dir.resolve("branches")
+    val onDisk =
+      if (!Files.isDirectory(brDir)) Nil
+      else {
+        val stream = Files.list(brDir)
+        try stream.iterator().asScala.filter(Files.isDirectory(_)).toList
+        finally stream.close()
+      }
     (kinds.map(d => dir.resolve(d)) ++
-      branches(table).flatMap(b =>
-        kinds.map(d => dir.resolve("branches").resolve(b).resolve(d))))
+      onDisk.flatMap(bd => kinds.map(d => bd.resolve(d))))
       .map(_.toAbsolutePath)
   }
 
@@ -1383,7 +1559,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         val phys = f.renames.collectFirst { case (p, l) if l == from => p }.getOrElse(from)
         f.copy(stats = rekey(f.stats), blooms = rekey(f.blooms),
           sketches = rekey(f.sketches), partitionValues = rekey(f.partitionValues),
-          renames = f.renames - phys + (phys -> to))
+          renames = f.renames - phys + (phys -> to), defaults = rekey(f.defaults))
       }
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -1419,7 +1595,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         val phys = f.renames.collectFirst { case (p, l) if l == name => p }.getOrElse(name)
         f.copy(stats = f.stats - name, blooms = f.blooms - name,
           sketches = f.sketches - name, partitionValues = f.partitionValues - name,
-          renames = f.renames - phys + (phys -> s"__graft_dropped__$name"))
+          renames = f.renames - phys + (phys -> s"__graft_dropped__$name"),
+          defaults = f.defaults - name)
       }
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -1443,13 +1620,42 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * mapping keeps the old physical bytes unreachable — the re-added
     * column reads null from pre-drop files, never resurrected values
     * (Iceberg's drop-then-re-add semantics, S26). */
-  def addColumn(table: String, name: String, dataType: org.apache.spark.sql.types.DataType): SnapshotMeta = {
+  def addColumn(table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: Option[String] = None,
+      nullable: Boolean = true): SnapshotMeta = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name: $name")
+    // an ADD-time DEFAULT is both the initial-default (every existing
+    // file reads it — stamped per file below) and the write-default
+    // (future writes omitting the column fill it — commit stamps them);
+    // rendered ONCE here so both stamps agree to the byte
+    val rendered = defaultSql.map(
+      SnapshotCatalog.renderDefaultSql(_, dataType, s"ADD COLUMN $name"))
+    if (!nullable) {
+      require(rendered.exists(_ != "NULL"),
+        s"ADD COLUMN $name NOT NULL is unsatisfiable on existing rows without a " +
+          "non-null DEFAULT (old files would read null)")
+      require(SnapshotCatalog.notNullEnforceable(dataType),
+        s"NOT NULL on ${dataType.catalogString} cannot be enforced from commit " +
+          "stats; supported: numeric, string, date, timestamp")
+    }
     publish(table) { prevOpt =>
       val prev = prevOpt.getOrElse(
         throw new IllegalArgumentException(s"No snapshots for table $table"))
       require(!prev.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists on $table")
+      val meta = rendered.map { r =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(SnapshotCatalog.InitialDefaultMetaKey, r)
+          .putString(SnapshotCatalog.WriteDefaultMetaKey, r)
+          .build()
+      }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      // every file in the pre-ADD snapshot lacks the column: stamp its
+      // initial-default so the scan serves the literal, not a null fill
+      val files = rendered match {
+        case Some(r) => prev.files.map(f => f.copy(defaults = f.defaults + (name -> r)))
+        case None => prev.files
+      }
       val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
@@ -1457,13 +1663,104 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         timestampMs = clock(),
         parentId = Some(prev.snapshotId),
         schemaJson = StructType(prev.schema.fields :+
-          org.apache.spark.sql.types.StructField(name, dataType, nullable = true)).json,
-        files = prev.files,
+          org.apache.spark.sql.types.StructField(name, dataType, nullable = nullable,
+            metadata = meta)).json,
+        files = files,
         props = sticky ++ Map(
           SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve),
         deleteFiles = prev.deleteFiles)
     }
   }
+
+  /** Set or clear a column's WRITE-DEFAULT (`ALTER COLUMN c SET DEFAULT
+    * lit` / `DROP DEFAULT`) — one metadata commit, zero data bytes.
+    * Affects FUTURE writes that omit the column only: files already
+    * stamped (pre-ADD initial-defaults, prior write-default appends)
+    * keep the literal they were committed under, exactly Iceberg v3's
+    * initial-default vs write-default split. */
+  def setColumnDefault(table: String, name: String,
+      defaultSql: Option[String]): SnapshotMeta =
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      val field = prev.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name on $table"))
+      val rendered = defaultSql.map(
+        SnapshotCatalog.renderDefaultSql(_, field.dataType, s"ALTER COLUMN $name"))
+      if (!field.nullable) require(rendered.exists(_ != "NULL"),
+        s"column $name is NOT NULL; a missing/null DEFAULT would make writes " +
+          "omitting it unsatisfiable")
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(field.metadata)
+        .remove(SnapshotCatalog.WriteDefaultMetaKey)
+      rendered.foreach(mb.putString(SnapshotCatalog.WriteDefaultMetaKey, _))
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+        .flatMap(k => prev.props.get(k).map(k -> _)).toMap
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = StructType(prev.schema.fields.map(f =>
+          if (f.name == name) f.copy(metadata = mb.build()) else f)).json,
+        files = prev.files,
+        props = sticky ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve),
+        deleteFiles = prev.deleteFiles)
+    }
+
+  /** Tighten or relax a column's nullability (`ALTER COLUMN c SET NOT
+    * NULL` / `DROP NOT NULL`). Relaxing is pure metadata. Tightening
+    * must PROVE no visible null exists first: per-file null-count stats
+    * and default stamps settle almost every file from the manifest
+    * alone; only files with no metadata proof (e.g. a null count hidden
+    * behind an outstanding MoR mask) pay a bounded existence scan. Once
+    * set, every future commit enforces the contract from the stats pass
+    * it already runs — a violating write aborts before publish. */
+  def setColumnNullability(spark: SparkSession, table: String, name: String,
+      nullable: Boolean): SnapshotMeta =
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      val field = prev.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name on $table"))
+      if (!nullable) {
+        require(SnapshotCatalog.notNullEnforceable(field.dataType),
+          s"NOT NULL on ${field.dataType.catalogString} cannot be enforced from " +
+            "commit stats; supported: numeric, string, date, timestamp")
+        require(SnapshotCatalog.writeDefaultOf(field).forall(_ != "NULL"),
+          s"column $name has DEFAULT NULL; drop or replace the default first")
+        // proof runs INSIDE the publish attempt (against ITS parent, so
+        // a concurrent null append can't slip between check and commit):
+        // zero rows, a non-null default stamp for an absent column, or a
+        // stats null count of exactly 0 settle files from the manifest;
+        // only unproven files (e.g. nulls hidden behind a MoR mask) pay
+        // a bounded existence scan
+        val unproven = prev.files.filterNot { f =>
+          f.rowCount == 0L ||
+            f.defaults.get(name).exists(_ != "NULL") ||
+            f.stats.get(name).flatMap(_.nullCount).contains(0L)
+        }
+        if (unproven.nonEmpty) {
+          val hasNull = !visibleRows(spark, prev, unproven.map(_.path))
+            .filter(col(name).isNull).isEmpty
+          require(!hasNull,
+            s"SET NOT NULL on $table.$name: visible null values exist " +
+              s"(checked ${unproven.size} file(s) without a manifest proof)")
+        }
+      }
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+        .flatMap(k => prev.props.get(k).map(k -> _)).toMap
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = StructType(prev.schema.fields.map(f =>
+          if (f.name == name) f.copy(nullable = nullable) else f)).json,
+        files = prev.files,
+        props = sticky ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve),
+        deleteFiles = prev.deleteFiles)
+    }
 
   /** Widen a column's type along the Iceberg promotion lattice
     * (int→long, float→double, decimal precision growth) — one
@@ -1884,7 +2181,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   private def renderAs(target: StructType, df: DataFrame): DataFrame =
     df.select(target.fields.toSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else SnapshotCatalog.initialDefaultOf(f) match {
+        // rows from an era predating the column read its initial-default
+        // (matching the per-file stamp the scan serves), not a null fill
+        case Some(sql) => expr(sql).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
 
   /** Files of a snapshot surviving manifest pruning. */
@@ -2417,10 +2719,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         else schema.add("_file", StringType).add("_pos", LongType)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val renOf: Map[String, (Map[String, String], Map[String, String])] =
-      entrySnap.files.map(f => f.path -> (f.renames, f.physTypes)).toMap
-    paths.groupBy(p => renOf.getOrElse(normalize(p), (Map.empty[String, String], Map.empty[String, String])))
-      .map { case ((ren, ptypes), ps) =>
+    val renOf: Map[String, (Map[String, String], Map[String, String], Map[String, String])] =
+      entrySnap.files.map(f => f.path -> (f.renames, f.physTypes, f.defaults)).toMap
+    paths.groupBy(p => renOf.getOrElse(normalize(p),
+        (Map.empty[String, String], Map.empty[String, String], Map.empty[String, String])))
+      .map { case ((ren, ptypes, defs), ps) =>
       val inv = ren.map(_.swap) // logical -> physical
       def physName(logical: String): String =
         inv.getOrElse(logical,
@@ -2437,9 +2740,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         f.copy(name = physName(f.name), dataType = physType(physName(f.name), f.dataType))))
       val base = spark.read.schema(physSchema).parquet(ps: _*)
       val cols = schema.fields.toSeq.map { f =>
-        val pn = physName(f.name)
-        val c = if (physType(pn, f.dataType) == f.dataType) col(pn)
-                else col(pn).cast(f.dataType)
+        // a default stamp means the column is ABSENT from these files'
+        // bytes (initial-default of an ADD, or write-default of an
+        // append that omitted it): serve the stored literal — never a
+        // null fill, never the physical read
+        val c = defs.get(f.name) match {
+          case Some(sql) => expr(sql).cast(f.dataType)
+          case None =>
+            val pn = physName(f.name)
+            if (physType(pn, f.dataType) == f.dataType) col(pn)
+            else col(pn).cast(f.dataType)
+        }
         c.as(f.name)
       } ++
         (if (withLineage)
@@ -2667,7 +2978,10 @@ object SnapshotCatalog {
     StructType(
       prev.fields.map { f =>
         next.fields.find(_.name == f.name) match {
-          case Some(nf) if nf.dataType == f.dataType => nf
+          // keep the DECLARED field, not the frame's: a parquet-read
+          // frame is always nullable with empty metadata, and taking it
+          // would silently drop a NOT NULL contract or a column default
+          case Some(nf) if nf.dataType == f.dataType => f
           case Some(nf) if canWiden(nf.dataType, f.dataType) => f // narrow append: keep wide
           case Some(nf) => throw new IllegalArgumentException(
             s"append changes column ${f.name} from ${f.dataType.catalogString} to " +
@@ -2678,6 +2992,69 @@ object SnapshotCatalog {
           case None => f
         }
       } ++ next.fields.filterNot(f => prevNames.contains(f.name)))
+  }
+
+  /** [[StructField.metadata]] key holding a column's WRITE-DEFAULT — the
+    * SQL literal filled in for writes that omit the column (Iceberg v3
+    * `write-default`). Changed by `ALTER COLUMN ... SET/DROP DEFAULT`
+    * without touching already-written files. */
+  val WriteDefaultMetaKey = "graft.default.write"
+
+  /** [[StructField.metadata]] key holding a column's INITIAL-DEFAULT —
+    * the SQL literal rows from files PREDATING the column read (Iceberg
+    * v3 `initial-default`). Fixed at `ADD COLUMN ... DEFAULT` time;
+    * `SET DEFAULT` never changes it (history would silently rewrite). */
+  val InitialDefaultMetaKey = "graft.default.initial"
+
+  def writeDefaultOf(f: StructField): Option[String] =
+    if (f.metadata.contains(WriteDefaultMetaKey))
+      Some(f.metadata.getString(WriteDefaultMetaKey)) else None
+
+  def initialDefaultOf(f: StructField): Option[String] =
+    if (f.metadata.contains(InitialDefaultMetaKey))
+      Some(f.metadata.getString(InitialDefaultMetaKey)) else None
+
+  /** Validate a DEFAULT expression and render it as a self-contained SQL
+    * literal of exactly `colType` (via [[Literal.sql]], which round-trips
+    * through both the stored manifests and `functions.expr`): the
+    * expression must be foldable (a default computed from a table is not
+    * a column contract), and its value must cast losslessly-enough to the
+    * column type under TRY semantics — a non-null value casting to null
+    * refuses loudly instead of silently storing a contract that nulls
+    * every row. */
+  def renderDefaultExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      colType: DataType, what: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    require(e.foldable, s"$what DEFAULT must be a literal expression; got ${e.sql}")
+    val raw = try e.eval(null) catch {
+      case ex: Exception => throw new IllegalArgumentException(
+        s"$what DEFAULT ${e.sql} cannot be evaluated: ${ex.getMessage}")
+    }
+    val cast = Cast(Literal.create(raw, e.dataType), colType, Some("UTC"), EvalMode.TRY)
+    val v = cast.eval(null)
+    require(raw == null || v != null,
+      s"$what DEFAULT ${e.sql} does not cast to ${colType.catalogString}")
+    Literal.create(v, colType).sql
+  }
+
+  /** [[renderDefaultExpr]] over SQL text (the Scala-API surface). */
+  def renderDefaultSql(defaultSql: String, colType: DataType, what: String): String = {
+    val parsed = try
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(defaultSql)
+    catch {
+      case ex: Exception => throw new IllegalArgumentException(
+        s"$what DEFAULT does not parse: $defaultSql (${ex.getMessage})")
+    }
+    renderDefaultExpr(parsed, colType, what)
+  }
+
+  /** Column types whose commit-time stats carry a null count — the set
+    * NOT NULL can be ENFORCED on for free (the enforcement reads the
+    * stats pass the commit already runs; no extra scan). */
+  def notNullEnforceable(dt: DataType): Boolean = dt match {
+    case _: NumericType | _: TimestampType | _: DateType | _: StringType => true
+    case _ => false
   }
 
   /** Commit-operation snapshot props consumed by [[SnapshotCatalog.readIncremental]]. */

@@ -530,6 +530,49 @@ object Engine {
       .orderBy(col("o_orderstatus"))
   }
 
+  // Memoized default-era catalog per sf-dir (SURVEY §2 S61): era 1 is
+  // written BEFORE the column exists (reads the ADD-time
+  // initial-default 0.05), era 2 appends after `SET DEFAULT 0.10`
+  // while OMITTING the column (write-default stamps the files — no
+  // bytes), era 3 writes explicit values. Both DDLs go through the SQL
+  // surface. The aggregate only matches the oracle if each era serves
+  // ITS literal — a null fill or a wrong-era default breaks the sum.
+  private val defCats = TrieMap.empty[String, SnapshotCatalog]
+  private def defCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    defCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-def-").toString
+      val cat = new SnapshotCatalog(tmp)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      Writers.writeSnapshot(cat, "orders",
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), tmp)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, tmp)
+      es.sql("ALTER TABLE orders ADD COLUMNS (o_disc DOUBLE DEFAULT 0.05)")
+      es.sql("ALTER TABLE orders ALTER COLUMN o_disc SET DEFAULT 0.10")
+      Writers.writeSnapshot(cat, "orders",
+        o.filter(pmod(col("o_orderkey"), lit(4)) === 1), tmp)
+      Writers.writeSnapshot(cat, "orders",
+        o.filter(pmod(col("o_orderkey"), lit(4)) === 3)
+          .withColumn("o_disc", lit(0.02)), tmp)
+      cat
+    })
+
+  /** Read across column-default eras (SURVEY §2 S61 at the query
+    * level): pre-add rows serve the initial-default, omitted-column
+    * appends serve the write-default in force at THEIR commit, explicit
+    * values win — the discounted-price aggregate equals the oracle's
+    * single CASE over the raw table. All three eras are metadata stamps
+    * (zero data bytes written for the defaults). */
+  def qDefaultRead(s: SparkSession, dir: String): DataFrame = {
+    val cat = defCatFor(s, dir)
+    cat.read(s, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice") * (lit(1.0) - col("o_disc"))))
+          .cast("double").as("sum_net"))
+  }
+
   /** Read across a column rename + drop (SURVEY §2 S48): files written
     * under the old physical names alias back through their manifest
     * name maps, new-era files scan directly, and the combined aggregate
@@ -602,6 +645,41 @@ object Engine {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  // Memoized view catalog per sf-dir (SURVEY §2 S62): orders committed,
+  // then TWO stacked views created through SQL DDL — an aggregate view
+  // over the table and a view over that view. The benched/verified path
+  // reads the TOP view, so resolution must expand both stored
+  // definitions and still push the table read through the catalog scan.
+  private val viewRoots = TrieMap.empty[String, String]
+  private def viewRootFor(s: SparkSession, dir: String): String =
+    viewRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-views-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "vorders",
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        Files.createTempDirectory("graft-views-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("CREATE VIEW graft.pri_sum AS " +
+        "SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price " +
+        "FROM vorders WHERE o_totalprice > 50000.0 GROUP BY o_orderpriority")
+      es.sql("CREATE VIEW graft.pri_top AS " +
+        "SELECT o_orderpriority, n_orders, sum_price FROM pri_sum WHERE n_orders > 0")
+      root
+    })
+
+  /** Stored-SQL-view read (SURVEY §2 S62 at the query level): the query
+    * names only the TOP view of a two-view stack; both definitions
+    * expand at resolution time and the result equals the oracle's
+    * inline SQL over the raw table. */
+  def qViewRead(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, viewRootFor(s, dir))
+    es.sql("SELECT o_orderpriority, n_orders, sum_price FROM pri_top")
   }
 
   // Memoized metadata-count catalog per sf-dir: full orders committed
@@ -976,6 +1054,8 @@ object Engine {
     "q_days_read" -> (qDaysRead _),
     "q_zorder_read" -> (qZorderRead _),
     "q_sorted_read" -> (qSortedRead _),
+    "q_default_read" -> (qDefaultRead _),
+    "q_view_read" -> (qViewRead _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
@@ -1169,6 +1249,20 @@ object Engine {
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
         |  AND value >= 50.0 AND value <= 150.0
         |GROUP BY event_type""".stripMargin,
+    "q_view_read" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > 50000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_default_read" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice * (1 - CASE
+        |    WHEN o_orderkey % 2 = 0 THEN CAST(0.05 AS DOUBLE)
+        |    WHEN o_orderkey % 4 = 1 THEN CAST(0.10 AS DOUBLE)
+        |    ELSE CAST(0.02 AS DOUBLE) END) AS DECIMAL(15,4))) AS DOUBLE) AS sum_net
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_merge_read" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0

@@ -939,7 +939,12 @@ object Writers {
                   .select(current.schema.fields.map { f =>
                     c.sets.find(_._1.equalsIgnoreCase(f.name))
                       .map(_._2.cast(f.dataType).as(f.name))
-                      .getOrElse(lit(null).cast(f.dataType).as(f.name))
+                      .getOrElse(
+                        // unassigned target column: its write-default if
+                        // one is in force (S61), else NULL
+                        graft.meta.SnapshotCatalog.writeDefaultOf(f)
+                          .map(expr(_).cast(f.dataType).as(f.name))
+                          .getOrElse(lit(null).cast(f.dataType).as(f.name)))
                   }.toIndexedSeq: _*)
             }.reduceOption(_ unionByName _)
           }
@@ -1200,7 +1205,8 @@ object Writers {
       dataDir: String,
       bloomColumns: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
-      sketchColumns: Seq[String] = Nil): SnapshotMeta = {
+      sketchColumns: Seq[String] = Nil,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None): SnapshotMeta = {
     val dir = Paths.get(dataDir, s"commit-${UUID.randomUUID().toString.take(8)}")
     df.write.parquet(dir.toString)
     val files = listParquet(dir)
@@ -1210,7 +1216,8 @@ object Writers {
       reuseMeta = prevFiles.map(f => f.path -> f).toMap,
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend) ++ props,
       sketchColumns = sketchColumns,
-      intent = Some(CommitIntent(prev.map(_.snapshotId))))
+      intent = Some(CommitIntent(prev.map(_.snapshotId))),
+      declaredSchema = declaredSchema)
   }
 
   /** Full-table replace (SQL `INSERT OVERWRITE` semantics): write `df`,

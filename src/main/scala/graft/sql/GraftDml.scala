@@ -17,7 +17,8 @@ import scala.jdk.CollectionConverters._
   * time travel; this gives it writes):
   *
   *   INSERT INTO t SELECT ... / VALUES ...        -- snapshot append
-  *   INSERT INTO t (c1, c2) VALUES ...            -- missing cols → NULL
+  *   INSERT INTO t (c1, c2) VALUES ...            -- missing cols → write-
+  *                                                --   default (S61) or NULL
   *   INSERT OVERWRITE t SELECT ...                -- full-table replace
   *   DELETE FROM t WHERE <cond>                   -- MoR position delete
   *   UPDATE t SET c = <expr> [WHERE <cond>]       -- COW self-merge
@@ -32,6 +33,12 @@ import scala.jdk.CollectionConverters._
   *   ALTER TABLE t ADD COLUMNS (c TYPE, ...)      -- metadata-only DDL
   *   ALTER TABLE t DROP COLUMN [IF EXISTS] c      --   (zero data bytes,
   *   ALTER TABLE t RENAME COLUMN a TO b           --    one snapshot each)
+  *   ALTER TABLE t ADD COLUMNS (c T DEFAULT lit [NOT NULL])  -- S61: old
+  *     files read the literal (initial-default), writes omitting the
+  *     column fill it (write-default)
+  *   ALTER TABLE t ALTER COLUMN c SET/DROP DEFAULT lit  -- future writes
+  *   ALTER TABLE t ALTER COLUMN c SET/DROP NOT NULL     -- commit-time
+  *     enforcement from the stats pass; SET proves no visible null first
   *   CREATE TABLE graft.t AS SELECT ...           -- CTAS (the `graft.`
   *     namespace is the claim signal: the table doesn't exist yet, so
   *     name resolution can't arbitrate — bare-name CTAS stays with the
@@ -47,6 +54,9 @@ import scala.jdk.CollectionConverters._
   *   INSERT INTO `t/branches/dev` VALUES ...      --    backquoted ref
   *   CALL graft.fast_forward('t', 'dev')          --    is a full table
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
+  *   CREATE [OR REPLACE] VIEW graft.v AS SELECT.. -- stored SQL views
+  *   ALTER VIEW v AS SELECT ...                   --   (versioned defs,
+  *   DROP VIEW [IF EXISTS] v                      --    S62)
   *   TRUNCATE TABLE t                             -- replace with empty
   *   DROP TABLE [IF EXISTS] graft.t [PURGE]       -- metadata (+ PURGE:
   *                                                --    main-history files)
@@ -326,14 +336,15 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             if (c.path.nonEmpty) throw new UnsupportedOperationException(
               "ALTER TABLE ADD COLUMNS on graft catalog tables supports top-level " +
                 s"columns only; got nested field ${c.name.mkString(".")}")
-            if (!c.nullable) throw new UnsupportedOperationException(
+            if (!c.nullable && c.default.isEmpty) throw new UnsupportedOperationException(
               "ALTER TABLE ADD COLUMNS NOT NULL is unsatisfiable on existing rows " +
-                "without a table rewrite; add the column nullable")
+                "without a DEFAULT; add one (existing rows read it) or add the " +
+                "column nullable")
             if (c.position.nonEmpty) throw new UnsupportedOperationException(
               "ALTER TABLE ADD COLUMNS FIRST/AFTER is not supported; columns append")
-            if (c.default.nonEmpty) throw new UnsupportedOperationException(
-              "ALTER TABLE ADD COLUMNS DEFAULT is not supported on graft catalog tables")
-            c.colName -> c.dataType
+            // validated and rendered against the column type inside
+            // addColumn; originalSQL carries the literal text verbatim
+            (c.colName, c.dataType, c.default.map(_.originalSQL), c.nullable)
           }
           GraftAlterCommand(root, table, GraftAlterCommand.Add(simple))
         case DropColumns(t, fields, ifExists) if alterTarget(t, cat).isDefined =>
@@ -354,19 +365,30 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             GraftAlterCommand.Rename(column.name.head, newName))
         case AlterColumns(t, specs) if alterTarget(t, cat).isDefined =>
           val table = alterTarget(t, cat).get
-          val widens = specs.map { s =>
+          val changes: Seq[GraftAlterCommand.Change] = specs.map { s =>
             if (s.column.name.size != 1) throw new UnsupportedOperationException(
               "ALTER TABLE ALTER COLUMN on graft catalog tables supports top-level " +
                 s"columns only; got ${s.column.name.mkString(".")}")
-            if (s.newDataType.isEmpty || s.newNullability.nonEmpty ||
-                s.newComment.nonEmpty || s.newPosition.nonEmpty ||
-                s.newDefaultExpression.nonEmpty)
+            val cn = s.column.name.head
+            if (s.newComment.nonEmpty || s.newPosition.nonEmpty)
               throw new UnsupportedOperationException(
-                "ALTER TABLE ALTER COLUMN on graft catalog tables supports TYPE " +
-                  "widening only (int->long, float->double, decimal precision growth)")
-            s.column.name.head -> s.newDataType.get
+                "ALTER TABLE ALTER COLUMN COMMENT/FIRST/AFTER is not supported on " +
+                  "graft catalog tables")
+            val forms = Seq(s.newDataType.nonEmpty, s.newNullability.nonEmpty,
+              s.newDefaultExpression.nonEmpty || s.dropDefault).count(identity)
+            if (forms != 1) throw new UnsupportedOperationException(
+              "ALTER TABLE ALTER COLUMN on graft catalog tables supports exactly one " +
+                "of: TYPE widening, SET/DROP DEFAULT, SET/DROP NOT NULL")
+            if (s.newDataType.nonEmpty)
+              GraftAlterCommand.Widen(Seq(cn -> s.newDataType.get))
+            else if (s.newNullability.nonEmpty)
+              GraftAlterCommand.SetNullability(cn, s.newNullability.get)
+            else
+              GraftAlterCommand.SetDefault(cn,
+                s.newDefaultExpression.map(_.originalSQL))
           }
-          GraftAlterCommand(root, table, GraftAlterCommand.Widen(widens))
+          if (changes.size == 1) GraftAlterCommand(root, table, changes.head)
+          else GraftAlterCommand(root, table, GraftAlterCommand.Multi(changes))
         case ct: CreateTableAsSelect if ctasTarget(ct.name).isDefined =>
           val t = ctasTarget(ct.name).get
           if (ct.partitioning.nonEmpty) throw new UnsupportedOperationException(
@@ -400,20 +422,53 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             case _ =>
           }
           val fields = columns.map { c =>
-            if (c.defaultValue.nonEmpty || c.generationExpression.nonEmpty ||
-                c.identityColumnSpec.nonEmpty)
+            if (c.generationExpression.nonEmpty || c.identityColumnSpec.nonEmpty)
               throw new UnsupportedOperationException(
-                "CREATE TABLE DEFAULT/GENERATED/IDENTITY columns are not supported " +
+                "CREATE TABLE GENERATED/IDENTITY columns are not supported " +
                   "on graft catalog tables")
-            if (!c.nullable) throw new UnsupportedOperationException(
-              "NOT NULL columns are not enforced by graft write paths; declare the " +
-                "column nullable and gate writes with expectations (S45)")
-            org.apache.spark.sql.types.StructField(c.name, c.dataType, nullable = true)
+            if (!c.nullable &&
+                !graft.meta.SnapshotCatalog.notNullEnforceable(c.dataType))
+              throw new UnsupportedOperationException(
+                s"NOT NULL on ${c.dataType.catalogString} cannot be enforced from " +
+                  "commit stats; supported: numeric, string, date, timestamp")
+            // DEFAULT = the column's write-default (S61): INSERTs that
+            // omit the column fill it; rendered/validated here so a bad
+            // literal refuses at CREATE time, not first INSERT
+            val rendered = c.defaultValue.map(d =>
+              graft.meta.SnapshotCatalog.renderDefaultExpr(
+                d.child, c.dataType, s"CREATE TABLE column ${c.name}"))
+            if (!c.nullable && rendered.contains("NULL"))
+              throw new UnsupportedOperationException(
+                s"column ${c.name} is NOT NULL with DEFAULT NULL: contradictory")
+            val meta = rendered.map { r =>
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(graft.meta.SnapshotCatalog.WriteDefaultMetaKey, r).build()
+            }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+            org.apache.spark.sql.types.StructField(c.name, c.dataType,
+              nullable = c.nullable, metadata = meta)
           }
           GraftCreateCommand(root, t,
             org.apache.spark.sql.types.StructType(fields), ignoreIfExists)
         case DropTable(child, ifExists, purge) if dropTarget(child, cat).isDefined =>
           GraftDropCommand(root, dropTarget(child, cat).get, ifExists, purge)
+        // ---- SQL views (S62): stored definitions, graft.-namespaced ----
+        case cv: CreateView if viewTarget(cv.child, cat, mustExist = false).isDefined =>
+          val name = viewTarget(cv.child, cat, mustExist = false).get
+          if (cv.userSpecifiedColumns.nonEmpty) throw new UnsupportedOperationException(
+            "CREATE VIEW with a column list is not supported on graft views; " +
+              "alias columns in the SELECT instead")
+          if (cv.properties.nonEmpty) throw new UnsupportedOperationException(
+            "CREATE VIEW ... TBLPROPERTIES is not supported on graft views")
+          val sql = cv.originalText.getOrElse(throw new UnsupportedOperationException(
+            s"CREATE VIEW $name has no SQL text to store"))
+          GraftViewCommand(root, name, GraftViewCommand.Create(
+            sql, replace = cv.replace, ifNotExists = cv.allowExisting))
+        case av: AlterViewAs if viewTarget(av.child, cat, mustExist = true).isDefined =>
+          GraftViewCommand(root, viewTarget(av.child, cat, mustExist = true).get,
+            GraftViewCommand.Redefine(av.originalText))
+        case dv: DropView if viewTarget(dv.child, cat, mustExist = true).isDefined =>
+          GraftViewCommand(root, viewTarget(dv.child, cat, mustExist = true).get,
+            GraftViewCommand.Drop(dv.ifExists))
         case TruncateTable(child)
             if ddlName(child).exists(p => claimedTable(p, cat).isDefined) =>
           GraftTruncateCommand(root, ddlName(child).flatMap(claimedTable(_, cat)).get)
@@ -434,6 +489,28 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
         claimedTable(u.multipartIdentifier, cat)
       case _ => None
     }
+
+  /** A view-DDL target this rule claims: always the explicit `graft.<v>`
+    * namespace; a BARE name only when `mustExist` and the view is in the
+    * store (DROP/ALTER on a known view) — bare CREATE VIEW stays with
+    * the session catalog (temp-view conventions live there). */
+  private def viewTarget(p: LogicalPlan, cat: SnapshotCatalog,
+      mustExist: Boolean): Option[String] = {
+    val parts: Option[Seq[String]] = p match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        Some(u.nameParts)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedView =>
+        Some(u.multipartIdentifier)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(u.multipartIdentifier)
+      case _ => None
+    }
+    parts.flatMap {
+      case Seq(ns, v) if ns.equalsIgnoreCase("graft") => Some(v)
+      case Seq(v) if mustExist && cat.viewMeta(v).isDefined => Some(v)
+      case _ => None
+    }
+  }
 
   /** A CTAS target this rule claims: the explicit `graft.<t>` namespace
     * — the table does not exist yet, so (unlike INSERT/DELETE/MERGE)
@@ -500,7 +577,12 @@ case class GraftInsertCommand(
         src.select(schema.fields.map { f =>
           byPos.get(f.name.toLowerCase) match {
             case Some(srcCol) => col(srcCol).cast(f.dataType).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
+            case None =>
+              // unnamed column: its write-default if one is in force
+              // (S61), else NULL — standard SQL DEFAULT fill
+              graft.meta.SnapshotCatalog.writeDefaultOf(f)
+                .map(org.apache.spark.sql.functions.expr(_).cast(f.dataType).as(f.name))
+                .getOrElse(lit(null).cast(f.dataType).as(f.name))
           }
         }.toIndexedSeq: _*)
       } else {
@@ -648,9 +730,11 @@ case class GraftAlterCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
-    change match {
+    def apply(c: GraftAlterCommand.Change): Unit = c match {
       case GraftAlterCommand.Add(cols) =>
-        cols.foreach { case (n, dt) => cat.addColumn(table, n, dt) }
+        cols.foreach { case (n, dt, default, nullable) =>
+          cat.addColumn(table, n, dt, default, nullable)
+        }
       case GraftAlterCommand.Drop(names, ifExists) =>
         names.foreach { n =>
           val exists = cat.schema(table).exists(_.fieldNames.contains(n))
@@ -662,17 +746,65 @@ case class GraftAlterCommand(
         cat.renameColumn(table, from, to)
       case GraftAlterCommand.Widen(cols) =>
         cols.foreach { case (n, dt) => cat.widenColumn(table, n, dt) }
+      case GraftAlterCommand.SetDefault(name, default) =>
+        cat.setColumnDefault(table, name, default)
+      case GraftAlterCommand.SetNullability(name, nullable) =>
+        cat.setColumnNullability(session, table, name, nullable)
+      case GraftAlterCommand.Multi(changes) => changes.foreach(apply)
     }
+    apply(change)
     Seq.empty
   }
 }
 
 object GraftAlterCommand {
   sealed trait Change
-  final case class Add(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends Change
+  /** (name, type, DEFAULT literal SQL if any, nullable) per added column. */
+  final case class Add(cols: Seq[(String, org.apache.spark.sql.types.DataType,
+    Option[String], Boolean)]) extends Change
   final case class Drop(names: Seq[String], ifExists: Boolean) extends Change
   final case class Rename(from: String, to: String) extends Change
   final case class Widen(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends Change
+  /** `ALTER COLUMN c SET DEFAULT lit` (Some) / `DROP DEFAULT` (None). */
+  final case class SetDefault(name: String, default: Option[String]) extends Change
+  /** `ALTER COLUMN c SET NOT NULL` (false) / `DROP NOT NULL` (true). */
+  final case class SetNullability(name: String, nullable: Boolean) extends Change
+  final case class Multi(changes: Seq[Change]) extends Change
+}
+
+/** SQL view DDL (S62): `CREATE [OR REPLACE] VIEW graft.v AS SELECT ...`
+  * stores the SQL text as a new view version, `ALTER VIEW v AS ...`
+  * redefines an EXISTING view (new version, history kept), `DROP VIEW`
+  * removes the store. Reads expand the current version at resolution
+  * time ([[GraftCatalogRelationRule]]); the catalog refuses cyclic view
+  * graphs and table-name collisions at DDL time. */
+case class GraftViewCommand(
+    root: String,
+    name: String,
+    action: GraftViewCommand.Action) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    action match {
+      case GraftViewCommand.Create(sql, replace, ifNotExists) =>
+        cat.createView(name, sql, replace, ifNotExists)
+      case GraftViewCommand.Redefine(sql) =>
+        if (cat.viewMeta(name).isEmpty) throw new IllegalArgumentException(
+          s"no view $name in the graft catalog (ALTER VIEW needs an existing view; " +
+            "use CREATE VIEW)")
+        cat.createView(name, sql, replace = true)
+      case GraftViewCommand.Drop(ifExists) =>
+        cat.dropView(name, ifExists)
+    }
+    Seq.empty
+  }
+}
+
+object GraftViewCommand {
+  sealed trait Action
+  final case class Create(sql: String, replace: Boolean, ifNotExists: Boolean) extends Action
+  final case class Redefine(sql: String) extends Action
+  final case class Drop(ifExists: Boolean) extends Action
 }
 
 /** `CREATE TABLE graft.t AS SELECT ...` → analyze the query on the live
@@ -694,6 +826,8 @@ case class GraftCtasCommand(
         s"table $table already exists in the graft catalog " +
           "(use CREATE TABLE IF NOT EXISTS, or INSERT INTO to append)")
     }
+    if (cat.viewMeta(table).isDefined) throw new IllegalArgumentException(
+      s"a view named $table exists in this catalog; a table cannot shadow it")
     val df = GraftColumnShim.ofRows(session, query)
     Writers.writeSnapshot(cat, table, df,
       GraftDml.dataDirFor(session, root, table))
@@ -911,10 +1045,16 @@ case class GraftCreateCommand(
       throw new IllegalArgumentException(
         s"table $table already exists in the graft catalog")
     }
+    if (cat.viewMeta(table).isDefined) throw new IllegalArgumentException(
+      s"a view named $table exists in this catalog; a table cannot shadow it")
     val empty = session.createDataFrame(
       new java.util.ArrayList[Row](), tableSchema).repartition(1)
+    // the parquet footer can't carry nullability or column defaults —
+    // pass the declared schema so the first snapshot records the
+    // contracts verbatim
     Writers.writeSnapshot(cat, table, empty,
-      GraftDml.dataDirFor(session, root, table))
+      GraftDml.dataDirFor(session, root, table),
+      declaredSchema = Some(tableSchema))
     Seq.empty
   }
 }

@@ -588,6 +588,25 @@ class GraftCatalogRelationRule(val session: SparkSession)
         }
         case _ => None
       }
+      // stored SQL views (S62): a name that is NOT a table but IS in the
+      // view store expands to its CURRENT definition's parsed plan under
+      // a SubqueryAlias — inner relations (tables, other views, branch
+      // refs, time travel) resolve through these same rules on the next
+      // analyzer pass. Terminates because createView enforces an acyclic
+      // view-reference graph at DDL time.
+      def viewPlan(p: LogicalPlan): Option[LogicalPlan] = p match {
+        case u: UnresolvedRelation =>
+          val name = u.multipartIdentifier match {
+            case Seq(n) => Some(n)
+            case Seq(ns, n) if ns.equalsIgnoreCase("graft") => Some(n)
+            case _ => None
+          }
+          name.filterNot(n => cat.tables().contains(n)).flatMap { n =>
+            cat.viewSql(n).map(sql => SubqueryAlias(n,
+              session.sessionState.sqlParser.parsePlan(sql)))
+          }
+        case _ => None
+      }
       plan.resolveOperatorsDown {
         case f @ Filter(cond, child) =>
           child match {
@@ -602,7 +621,7 @@ class GraftCatalogRelationRule(val session: SparkSession)
           readPlan(cat, claimed(u).get, None)
         case u: UnresolvedRelation =>
           // evaluate once: build-and-bind, no guard/extract double pass
-          metaPlan(u).getOrElse(u)
+          viewPlan(u).orElse(metaPlan(u)).getOrElse(u)
       }
   }
 }

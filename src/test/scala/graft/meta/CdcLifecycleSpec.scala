@@ -2,6 +2,7 @@ package graft.meta
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import graft.SparkSpec
@@ -139,7 +140,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(24) match {
+        rnd.nextInt(25) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -402,6 +403,31 @@ class CdcLifecycleSpec extends SparkSpec {
                 s"where => 'id <= $cut')")
               .head().getLong(0)
             states :+= (sid, state)
+          case 24 if !evolved => // S61 write-default: move v's default to
+            // a fresh constant (metadata-only — feed must stay silent),
+            // then append a frame OMITTING v: the committed file LACKS
+            // the column (write-default stamp, zero data bytes), and
+            // every later reader — state compares, feeds, compactions,
+            // merges and deletes racing over those files — must serve
+            // the constant the stamp recorded, not a later default
+            val d = rnd.nextInt(1000).toLong
+            es.sql(s"ALTER TABLE t ALTER COLUMN v SET DEFAULT ${d}L")
+            states :+= (cat.currentSnapshot(t).get.snapshotId, state)
+            val ids = (0 until 1 + rnd.nextInt(4))
+              .map(_ => rnd.nextInt(100).toLong).distinct
+            val omitted = spark.createDataFrame(
+              ids.map(org.apache.spark.sql.Row(_)).asJava,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType)))).coalesce(1)
+            val sid = Writers.writeSnapshot(cat, t, omitted, dataDir).snapshotId
+            state = plus(state, ms(ids.map(i => (i, d))))
+            states :+= (sid, state)
+          case 24 => // evolved rows carry the derived third column a
+            // constant default can't model — keep the op a plain append
+            val b = batch(3 + rnd.nextInt(8))
+            state = plus(state, ms(b))
+            states :+= (Writers.writeSnapshot(cat, t, df(b), dataDir).snapshotId, state)
         }
       }
 

@@ -441,7 +441,7 @@ class GraftDmlSpec extends SparkSpec {
     assert(e1.getMessage.contains("widening"))
     val e2 = intercept[Exception] {
       ext.sql("ALTER TABLE wt ALTER COLUMN k COMMENT 'nope'") }
-    assert(e2.getMessage.contains("TYPE widening only"))
+    assert(e2.getMessage.contains("not supported"))
   }
 
   test("DML on an unclaimed name falls through to builtin analysis") {
@@ -473,9 +473,13 @@ class GraftDmlSpec extends SparkSpec {
     assert(err.getMessage.contains("already exists"))
     ext.sql("CREATE TABLE IF NOT EXISTS graft.ct1 (x INT)")
     assert(ext.sql("SELECT count(*) AS n FROM ct1").head().getLong(0) == 1)
-    // NOT NULL is unenforced by the write paths -> refuse at create
-    val nn = intercept[Exception] { ext.sql("CREATE TABLE graft.ct2 (k BIGINT NOT NULL)") }
+    // NOT NULL is a declared contract (S61): accepted at create,
+    // enforced at commit — a violating insert aborts before publish
+    ext.sql("CREATE TABLE graft.ct2 (k BIGINT NOT NULL)")
+    val nn = intercept[Exception] {
+      ext.sql("INSERT INTO ct2 VALUES (CAST(NULL AS BIGINT))") }
     assert(nn.getMessage.contains("NOT NULL"))
+    assert(ext.sql("SELECT count(*) AS n FROM ct2").head().getLong(0) == 0)
   }
 
   test("TRUNCATE TABLE empties in one snapshot; time travel reaches the old rows") {
@@ -630,5 +634,80 @@ class GraftDmlSpec extends SparkSpec {
     ext.sql(s"DROP TABLE graft.$t2 PURGE")
     assert((basePaths ++ brPaths).forall(p => !Files.exists(Paths.get(p))),
       "branch-only files must not become permanent orphans under PURGE")
+  }
+
+  test("S61 SQL: CREATE TABLE DEFAULT/NOT NULL; INSERT fills defaults; null refuses") {
+    ext.sql("CREATE TABLE graft.defs (id BIGINT NOT NULL, name STRING, " +
+      "score DOUBLE DEFAULT 0.25)")
+    // subset INSERT: score fills its write-default, not NULL
+    ext.sql("INSERT INTO defs (id, name) VALUES (1, 'a')")
+    ext.sql("INSERT INTO defs VALUES (2, 'b', 9.0)")
+    val rows = ext.sql("SELECT id, score FROM defs ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 0.25), (2L, 9.0)))
+    // a null in the NOT NULL key aborts before publish — table unchanged
+    val head = cat.currentSnapshot("defs").get.snapshotId
+    val ex = intercept[Exception] {
+      ext.sql("INSERT INTO defs VALUES (NULL, 'x', 1.0)")
+    }
+    assert(ex.getMessage.contains("NOT NULL violation"))
+    assert(cat.currentSnapshot("defs").get.snapshotId == head)
+    // NOT NULL on a type stats can't enforce refuses at CREATE
+    val ex2 = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.defs2 (b BINARY NOT NULL)")
+    }
+    assert(ex2.getMessage.contains("cannot be enforced"))
+  }
+
+  test("S61 SQL: ADD COLUMNS DEFAULT [NOT NULL], ALTER COLUMN SET/DROP DEFAULT / NOT NULL") {
+    val t = freshTable("defalter", 1 to 3)
+    // ADD with DEFAULT: existing rows read the literal
+    ext.sql(s"ALTER TABLE $t ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE tier = 'bronze'")
+      .head().getLong(0) == 3)
+    // ADD ... NOT NULL without DEFAULT still refuses; with DEFAULT works
+    val ex = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t ADD COLUMNS (bad STRING NOT NULL)")
+    }
+    assert(ex.getMessage.contains("unsatisfiable"))
+    ext.sql(s"ALTER TABLE $t ADD COLUMNS (region STRING DEFAULT 'emea' NOT NULL)")
+    ext.sql(s"INSERT INTO $t (c_custkey, c_name, c_acctbal) VALUES (50, 'x', 1.0)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE region = 'emea'")
+      .head().getLong(0) == 4)
+    // SET DEFAULT moves future writes only
+    ext.sql(s"ALTER TABLE $t ALTER COLUMN tier SET DEFAULT 'silver'")
+    ext.sql(s"INSERT INTO $t (c_custkey, c_name, c_acctbal) VALUES (51, 'y', 2.0)")
+    val tiers = ext.sql(s"SELECT c_custkey, tier FROM $t ORDER BY c_custkey").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiers(50L) == "bronze" && tiers(51L) == "silver" && tiers(1L) == "bronze")
+    // DROP DEFAULT: the next omitting write reads null
+    ext.sql(s"ALTER TABLE $t ALTER COLUMN tier DROP DEFAULT")
+    ext.sql(s"INSERT INTO $t (c_custkey, c_name, c_acctbal) VALUES (52, 'z', 3.0)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE tier IS NULL")
+      .head().getLong(0) == 1)
+    // SET NOT NULL refuses while that null is visible; after deleting it
+    // the contract lands and a violating insert aborts
+    val ex2 = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t ALTER COLUMN tier SET NOT NULL")
+    }
+    assert(ex2.getMessage.contains("null values exist"))
+    ext.sql(s"DELETE FROM $t WHERE tier IS NULL")
+    ext.sql(s"ALTER TABLE $t ALTER COLUMN tier SET NOT NULL")
+    val ex3 = intercept[Exception] {
+      ext.sql(s"INSERT INTO $t VALUES (53, 'w', 4.0, NULL, 'emea')")
+    }
+    assert(ex3.getMessage.contains("NOT NULL violation"))
+    // DROP NOT NULL relaxes again
+    ext.sql(s"ALTER TABLE $t ALTER COLUMN tier DROP NOT NULL")
+    ext.sql(s"INSERT INTO $t VALUES (53, 'w', 4.0, NULL, 'emea')")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE tier IS NULL")
+      .head().getLong(0) == 1)
+    // MERGE WHEN NOT MATCHED INSERT (cols): unassigned column fills its
+    // write-default (region='emea'), not NULL
+    ext.sql(s"MERGE INTO $t USING (SELECT 60 AS c_custkey, 'm' AS c_name) s " +
+      s"ON $t.c_custkey = s.c_custkey " +
+      "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name) VALUES (s.c_custkey, s.c_name)")
+    val m = ext.sql(s"SELECT region, tier FROM $t WHERE c_custkey = 60").head()
+    assert(m.getString(0) == "emea" && m.isNullAt(1))
   }
 }

@@ -1,0 +1,154 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.meta.SnapshotCatalog
+import graft.sinks.Writers
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.functions._
+
+/** SQL views over catalog tables (SURVEY §2 S62, the Iceberg view-spec
+  * model): a view is STORED SQL with a version history — reads expand
+  * the current definition at resolution time, `CREATE OR REPLACE` /
+  * `ALTER VIEW AS` append versions, the reference graph must stay
+  * acyclic, and names are arbitrated against tables (one name, one
+  * meaning). */
+class GraftViewSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-view-").toString
+  private lazy val dataDir = Files.createTempDirectory("graft-view-data-").toString
+  private lazy val cat = new SnapshotCatalog(root)
+
+  private lazy val ext = {
+    val s = GraftColumnShim.sessionWithExtensions(
+      spark, e => new graft.GraftExtensions().apply(e))
+    s.conf.set(GraftSqlResolution.RootConf, root)
+    s
+  }
+
+  private def seedOrders(): Unit =
+    if (!cat.tables().contains("vorders")) {
+      Writers.writeSnapshot(cat, "vorders",
+        graft.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        dataDir)
+      ()
+    }
+
+  test("CREATE VIEW stores SQL; reads expand the definition; view-on-view stacks") {
+    seedOrders()
+    ext.sql("CREATE VIEW graft.pri_sum AS " +
+      "SELECT o_orderpriority, count(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS s " +
+      "FROM vorders GROUP BY o_orderpriority")
+    val direct = ext.sql(
+      "SELECT o_orderpriority, count(*) AS n FROM vorders GROUP BY o_orderpriority")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaView = ext.sql("SELECT o_orderpriority, n FROM pri_sum")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaView == direct && viaView.nonEmpty)
+    // a view over the view (graft.-qualified AND bare both resolve)
+    ext.sql("CREATE VIEW graft.pri_top AS " +
+      "SELECT * FROM graft.pri_sum WHERE n >= 1")
+    assert(ext.sql("SELECT count(*) AS c FROM pri_top").head().getLong(0) ==
+      direct.size)
+    assert(cat.views().contains("pri_sum") && cat.views().contains("pri_top"))
+  }
+
+  test("CREATE OR REPLACE / ALTER VIEW AS append versions; history kept; reads follow current") {
+    seedOrders()
+    ext.sql("CREATE VIEW graft.vv AS SELECT count(*) AS n FROM vorders")
+    val n1 = ext.sql("SELECT n FROM vv").head().getLong(0)
+    assert(n1 > 0)
+    ext.sql("CREATE OR REPLACE VIEW graft.vv AS " +
+      "SELECT count(*) AS n FROM vorders WHERE o_orderkey % 2 = 0")
+    val n2 = ext.sql("SELECT n FROM vv").head().getLong(0)
+    assert(n2 < n1)
+    ext.sql("ALTER VIEW vv AS SELECT count(*) AS n FROM vorders WHERE 1 = 0")
+    assert(ext.sql("SELECT n FROM vv").head().getLong(0) == 0)
+    val meta = cat.viewMeta("vv").get
+    assert(meta.versions.size == 3 && meta.currentVersionId == 3L)
+    assert(meta.versions.map(_.versionId) == Seq(1L, 2L, 3L))
+    // ALTER VIEW on a missing view refuses (CREATE is the birth verb)
+    val ex = intercept[Exception] {
+      ext.sql("ALTER VIEW graft.missing_v AS SELECT 1 AS x")
+    }
+    assert(ex.getMessage.contains("no view"))
+  }
+
+  test("DROP VIEW removes the store; IF EXISTS is quiet; IF NOT EXISTS no-ops") {
+    seedOrders()
+    ext.sql("CREATE VIEW graft.dropme AS SELECT count(*) AS n FROM vorders")
+    assert(cat.views().contains("dropme"))
+    ext.sql("DROP VIEW dropme")
+    assert(!cat.views().contains("dropme"))
+    ext.sql("DROP VIEW IF EXISTS graft.dropme")
+    val ex = intercept[Exception] { ext.sql("DROP VIEW graft.dropme") }
+    assert(ex.getMessage.contains("no view"))
+    // IF NOT EXISTS keeps the FIRST definition
+    ext.sql("CREATE VIEW graft.keep1 AS SELECT 1 AS one")
+    ext.sql("CREATE VIEW IF NOT EXISTS graft.keep1 AS SELECT 2 AS one")
+    assert(ext.sql("SELECT one FROM keep1").head().getInt(0) == 1)
+    val ex2 = intercept[Exception] {
+      ext.sql("CREATE VIEW graft.keep1 AS SELECT 3 AS one")
+    }
+    assert(ex2.getMessage.contains("already exists"))
+  }
+
+  test("name arbitration and acyclicity: no shadowing either way, no view cycles") {
+    seedOrders()
+    // a view cannot take a table's name
+    val ex1 = intercept[Exception] {
+      ext.sql("CREATE VIEW graft.vorders AS SELECT 1 AS x")
+    }
+    assert(ex1.getMessage.contains("cannot shadow"))
+    // a table cannot take a view's name (CTAS and CREATE TABLE)
+    ext.sql("CREATE VIEW graft.takenname AS SELECT 1 AS x")
+    val ex2 = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.takenname (id BIGINT)")
+    }
+    assert(ex2.getMessage.contains("cannot shadow"))
+    val ex3 = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.takenname AS SELECT 1 AS y")
+    }
+    assert(ex3.getMessage.contains("cannot shadow"))
+    // direct self-reference and two-step cycles refuse at DDL time
+    val ex4 = intercept[Exception] {
+      ext.sql("CREATE VIEW graft.selfy AS SELECT * FROM selfy")
+    }
+    assert(ex4.getMessage.contains("acyclic"))
+    ext.sql("CREATE VIEW graft.cyc_a AS SELECT 1 AS x")
+    ext.sql("CREATE VIEW graft.cyc_b AS SELECT * FROM cyc_a")
+    val ex5 = intercept[Exception] {
+      ext.sql("CREATE OR REPLACE VIEW graft.cyc_a AS SELECT * FROM cyc_b")
+    }
+    assert(ex5.getMessage.contains("acyclic"))
+    // and the subquery-shaped edge is seen too (EXISTS body)
+    val ex6 = intercept[Exception] {
+      ext.sql("CREATE OR REPLACE VIEW graft.cyc_a AS " +
+        "SELECT x FROM (SELECT 1 AS x) t WHERE EXISTS (SELECT 1 FROM cyc_b)")
+    }
+    assert(ex6.getMessage.contains("acyclic"))
+  }
+
+  test("views compose with catalog reads: DML through the base table is visible; prune survives") {
+    seedOrders()
+    Writers.writeSnapshot(cat, "vinc",
+      graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") <= 100), dataDir)
+    ext.sql("CREATE VIEW graft.vinc_n AS SELECT count(*) AS n FROM vinc")
+    val before = ext.sql("SELECT n FROM vinc_n").head().getLong(0)
+    ext.sql("INSERT INTO vinc VALUES (999999, 1.0)")
+    assert(ext.sql("SELECT n FROM vinc_n").head().getLong(0) == before + 1)
+    // a filter INSIDE the view body reaches the catalog's manifest
+    // pruning — the same WHERE→prune path a direct read takes
+    ext.sql("CREATE VIEW graft.vinc_lo AS " +
+      "SELECT o_orderkey FROM vinc WHERE o_orderkey <= 10")
+    val got = ext.sql("SELECT count(*) AS c FROM vinc_lo").head().getLong(0)
+    val want = ext.sql("SELECT count(*) AS c FROM vinc WHERE o_orderkey <= 10")
+      .head().getLong(0)
+    assert(got == want)
+  }
+}
