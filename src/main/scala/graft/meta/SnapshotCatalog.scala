@@ -594,19 +594,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       // carrying a null in a NOT NULL column (or omitting the column
       // with no non-null default) aborts the commit before publish —
       // the written files never enter a snapshot and fall to orphan GC
-      merged.fields.filterNot(_.nullable).foreach { nf =>
-        if (!schema.fieldNames.contains(nf.name)) {
-          if (!absentDefaults.contains(nf.name) && defaulted.exists(_.rowCount > 0))
-            throw new IllegalStateException(
-              s"NOT NULL violation on $table.${nf.name}: appended rows omit the " +
-                "column and it has no non-null write-default")
-        } else defaulted.foreach { fm =>
-          if (fm.stats.get(nf.name).flatMap(_.nullCount).exists(_ > 0))
-            throw new IllegalStateException(
-              s"NOT NULL violation on $table.${nf.name}: " +
-                s"${fm.stats(nf.name).nullCount.get} null value(s) in ${fm.path}")
-        }
-      }
+      SnapshotCatalog.enforceNotNull(
+        table, merged, schema.fieldNames.toSeq, absentDefaults, defaulted)
       val files = resolveFiles(prev, defaulted)
       SnapshotMeta(
         snapshotId = prev.map(_.snapshotId + 1).getOrElse(1L),
@@ -782,7 +771,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         s"table $table vanished during index build"))
       val rowsByFile = current.files.map(f => f.path -> f.rowCount).toMap
 
-      val needBloomPaths = current.files
+      // 0-row files can never yield an aggregate row, hence never an
+      // entry — excluding them keeps the no-progress guard from paying
+      // one extra identical commit before tripping
+      val indexable = current.files.filter(_.rowCount > 0)
+      val needBloomPaths = indexable
         .filter(f => bloomColumns.exists(c => !f.blooms.contains(c))).map(_.path)
       val bloomRefs: Map[String, Map[String, String]] =
         if (needBloomPaths.isEmpty) Map.empty
@@ -793,8 +786,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
             "_file", bloomColumns, rowsByFile, bloomFpp)
         }
 
-      val needSketchPaths = current.files
+      val needSketchPaths = indexable
         .filter(f => sketchColumns.exists(c => !f.sketches.contains(c))).map(_.path)
+
+      // Converged with nothing to do AND the sticky props already in
+      // force: return without publishing — an idempotent re-run must not
+      // burn a snapshot id on an identical commit.
+      def stickyHas(prop: String, cols: Seq[String]): Boolean =
+        cols.isEmpty || current.props.get(prop)
+          .exists(p => cols.forall(p.split(",").contains))
+      if (needBloomPaths.isEmpty && needSketchPaths.isEmpty &&
+          stickyHas(SnapshotCatalog.BloomColumnsProp, bloomColumns) &&
+          stickyHas(SnapshotCatalog.SketchColumnsProp, sketchColumns))
+        return current
       val sketchRefs: Map[String, Map[String, String]] =
         if (needSketchPaths.isEmpty) Map.empty
         else {
@@ -854,9 +858,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           props = sticky + (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
           deleteFiles = prev.deleteFiles)
       }
-      val missing = last.files.count(f =>
-        bloomColumns.exists(c => !f.blooms.contains(c)) ||
-          sketchColumns.exists(c => !f.sketches.contains(c)))
+      val missing = last.files.count(f => f.rowCount > 0 &&
+        (bloomColumns.exists(c => !f.blooms.contains(c)) ||
+          sketchColumns.exists(c => !f.sketches.contains(c))))
       if (missing == 0 || missing >= prevMissing) done = true
       else prevMissing = missing
     }
@@ -1039,7 +1043,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   // pointer — same as Iceberg's view metadata swap).
 
   private def viewsDir: Path = Paths.get(root, "views")
-  private def viewPath(name: String): Path = viewsDir.resolve(s"$name.json")
+  // EVERY read/delete path re-validates the name, not just createView:
+  // the store resolves `<name>.json` under viewsDir, and a name carrying
+  // '/' or '..' (reachable through SQL backquoted identifiers) must never
+  // address a path outside it — DROP VIEW graft.`../t/snap-…` would
+  // otherwise delete another table's manifest.
+  private def validViewName(name: String): Boolean =
+    name.matches("[A-Za-z_][A-Za-z0-9_]*")
+  private def viewPath(name: String): Path = {
+    require(validViewName(name), s"invalid view name: $name")
+    viewsDir.resolve(s"$name.json")
+  }
 
   /** All stored view names, sorted. */
   def views(): Seq[String] = {
@@ -1052,6 +1066,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   }
 
   def viewMeta(name: String): Option[ViewMeta] = {
+    // resolution probes this with arbitrary relation names — an invalid
+    // name is simply "not a view", never a path under viewsDir
+    if (!validViewName(name)) return None
     val p = viewPath(name)
     if (!Files.exists(p)) None
     else scala.util.Try(JsonMethods.parse(
@@ -3035,7 +3052,11 @@ object SnapshotCatalog {
     val v = cast.eval(null)
     require(raw == null || v != null,
       s"$what DEFAULT ${e.sql} does not cast to ${colType.catalogString}")
-    Literal.create(v, colType).sql
+    // Null-valued defaults render as the ONE canonical sentinel "NULL":
+    // Spark's Literal.sql renders typed nulls as `CAST(NULL AS T)`, which
+    // would slip past every `_ != "NULL"` NOT-NULL guard (ADD COLUMN /
+    // SET DEFAULT / commit stamping / SET NOT NULL's stamp-as-proof).
+    if (v == null) "NULL" else Literal.create(v, colType).sql
   }
 
   /** [[renderDefaultExpr]] over SQL text (the Scala-API surface). */
@@ -3048,6 +3069,35 @@ object SnapshotCatalog {
     }
     renderDefaultExpr(parsed, colType, what)
   }
+
+  /** Commit-time NOT NULL enforcement over the files a commit is about
+    * to publish, from the null-count stats the commit's stats pass
+    * already computed (zero extra scans). Absence of the stat on a
+    * non-empty file is a REFUSAL, not a pass — a write path that skips
+    * stats may not silently weaken the contract (matching the SET NOT
+    * NULL proof discipline). */
+  private[meta] def enforceNotNull(table: String, merged: StructType,
+      writtenCols: Seq[String], absentDefaults: Map[String, String],
+      files: Seq[FileMeta]): Unit =
+    merged.fields.filterNot(_.nullable).foreach { nf =>
+      if (!writtenCols.contains(nf.name)) {
+        if (!absentDefaults.contains(nf.name) && files.exists(_.rowCount > 0))
+          throw new IllegalStateException(
+            s"NOT NULL violation on $table.${nf.name}: appended rows omit the " +
+              "column and it has no non-null write-default")
+      } else files.foreach { fm =>
+        fm.stats.get(nf.name).flatMap(_.nullCount) match {
+          case Some(n) if n > 0 => throw new IllegalStateException(
+            s"NOT NULL violation on $table.${nf.name}: " +
+              s"$n null value(s) in ${fm.path}")
+          case Some(_) => // proven null-free
+          case None if fm.rowCount > 0 => throw new IllegalStateException(
+            s"NOT NULL on $table.${nf.name} cannot be verified: " +
+              s"${fm.path} carries no null-count stat for the column")
+          case None => // empty file, vacuously satisfied
+        }
+      }
+    }
 
   /** Column types whose commit-time stats carry a null count — the set
     * NOT NULL can be ENFORCED on for free (the enforcement reads the

@@ -169,6 +169,78 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(ins == Seq((1L, "a2", 0.5)))
   }
 
+  test("DEFAULT NULL renders the ONE canonical sentinel; every NOT NULL guard sees it") {
+    import spark.implicits._
+    // Spark's Literal.sql renders typed nulls as CAST(NULL AS T) —
+    // renderDefault* must normalize to "NULL" or the guards go blind
+    assert(SnapshotCatalog.renderDefaultSql("NULL",
+      org.apache.spark.sql.types.IntegerType, "t") == "NULL")
+    assert(SnapshotCatalog.renderDefaultSql("CAST(NULL AS INT)",
+      org.apache.spark.sql.types.IntegerType, "t") == "NULL")
+    // a legitimate string default WHOSE TEXT contains NULL is not null
+    assert(SnapshotCatalog.renderDefaultSql("'NULLISH'",
+      org.apache.spark.sql.types.StringType, "t") == "'NULLISH'")
+
+    val (cat, dir) = freshCat()
+    Writers.writeSnapshot(cat, "t", Seq((1L, "a")).toDF("id", "name").coalesce(1), dir)
+    // ADD COLUMN ... DEFAULT NULL NOT NULL: unsatisfiable, refused
+    val ex1 = intercept[IllegalArgumentException] {
+      cat.addColumn("t", "n", org.apache.spark.sql.types.IntegerType,
+        defaultSql = Some("NULL"), nullable = false)
+    }
+    assert(ex1.getMessage.contains("unsatisfiable"))
+    // SET DEFAULT NULL on a NOT NULL column: refused
+    cat.setColumnNullability(spark, "t", "name", nullable = false)
+    val ex2 = intercept[IllegalArgumentException] {
+      cat.setColumnDefault("t", "name", Some("NULL"))
+    }
+    assert(ex2.getMessage.contains("NOT NULL"))
+    // a null write-default never stamps as proof: column added with
+    // DEFAULT NULL (nullable), rows read null — SET NOT NULL must refuse
+    // even though the files carry a defaults stamp for the column
+    cat.addColumn("t", "m", org.apache.spark.sql.types.IntegerType, Some("NULL"))
+    val ex3 = intercept[IllegalArgumentException] {
+      cat.setColumnNullability(spark, "t", "m", nullable = false)
+    }
+    assert(ex3.getMessage.contains("has DEFAULT NULL"))
+    // and with the null default dropped, the "NULL" stamps on the files
+    // are still never proof of non-null — the visible-null check refuses
+    cat.setColumnDefault("t", "m", None)
+    assert(cat.currentSnapshot("t").get.files.forall(
+      _.defaults.get("m").contains("NULL")))
+    val ex4 = intercept[IllegalArgumentException] {
+      cat.setColumnNullability(spark, "t", "m", nullable = false)
+    }
+    assert(ex4.getMessage.contains("null values exist"))
+  }
+
+  test("commit refuses NOT NULL it cannot verify: absent null-count stat is not a pass") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def fm(stats: Map[String, ColStats], rows: Long) = FileMeta(
+      path = "/x/f.parquet", rowCount = rows, sizeBytes = 1L, stats = stats)
+    // stat present, zero nulls: passes
+    SnapshotCatalog.enforceNotNull("t", schema, Seq("id"), Map.empty,
+      Seq(fm(Map("id" -> ColStats(minD = Some(1.0), maxD = Some(2.0),
+        nullCount = Some(0L))), rows = 2)))
+    // stat present, nulls: violation
+    val ex1 = intercept[IllegalStateException] {
+      SnapshotCatalog.enforceNotNull("t", schema, Seq("id"), Map.empty,
+        Seq(fm(Map("id" -> ColStats(nullCount = Some(1L))), rows = 2)))
+    }
+    assert(ex1.getMessage.contains("NOT NULL violation"))
+    // stat STRIPPED on a non-empty file: refusal, not a silent pass
+    val ex2 = intercept[IllegalStateException] {
+      SnapshotCatalog.enforceNotNull("t", schema, Seq("id"), Map.empty,
+        Seq(fm(Map.empty, rows = 2)))
+    }
+    assert(ex2.getMessage.contains("cannot be verified"))
+    // empty file: vacuously fine
+    SnapshotCatalog.enforceNotNull("t", schema, Seq("id"), Map.empty,
+      Seq(fm(Map.empty, rows = 0)))
+  }
+
   test("refusals: bad literal, non-foldable default, NOT NULL on unenforceable type") {
     import spark.implicits._
     val (cat, dir) = freshCat()

@@ -339,8 +339,11 @@ class GraftCallSpec extends SparkSpec {
     val newFile = cat.currentSnapshot(t).get.files
       .filterNot(f => snap.files.map(_.path).contains(f.path))
     assert(newFile.nonEmpty && newFile.forall(_.blooms.contains("c_name")))
-    // re-running converges; unknown column refuses
-    ext.sql(s"CALL graft.index('$t', 'c_name')")
+    // re-running converges WITHOUT churn: nothing to stamp + sticky
+    // already in force = no snapshot-id burn on an identical commit
+    val before = cat.currentSnapshot(t).get.snapshotId
+    assert(ext.sql(s"CALL graft.index('$t', 'c_name')").head().getLong(0) == before)
+    assert(cat.currentSnapshot(t).get.snapshotId == before)
     val err = intercept[Exception] { ext.sql(s"CALL graft.index('$t', 'nope')") }
     assert(err.getMessage.contains("no column"))
     // drop_index: maintenance stops and per-file entries go; the next

@@ -657,6 +657,20 @@ class GraftDmlSpec extends SparkSpec {
       ext.sql("CREATE TABLE graft.defs2 (b BINARY NOT NULL)")
     }
     assert(ex2.getMessage.contains("cannot be enforced"))
+    // NOT NULL with DEFAULT NULL is contradictory — and the typed form
+    // CAST(NULL AS T) is the same null (the canonical-sentinel check)
+    val ex3 = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.defs3 (k BIGINT NOT NULL DEFAULT NULL)")
+    }
+    assert(ex3.getMessage.contains("contradictory"))
+    val ex4 = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.defs3 (k BIGINT NOT NULL DEFAULT CAST(NULL AS BIGINT))")
+    }
+    assert(ex4.getMessage.contains("contradictory"))
+    // a string default whose TEXT contains NULL is a value, not null
+    ext.sql("CREATE TABLE graft.defs4 (k BIGINT NOT NULL, s STRING NOT NULL DEFAULT 'NULLISH')")
+    ext.sql("INSERT INTO defs4 (k) VALUES (1)")
+    assert(ext.sql("SELECT s FROM defs4").head().getString(0) == "NULLISH")
   }
 
   test("S61 SQL: ADD COLUMNS DEFAULT [NOT NULL], ALTER COLUMN SET/DROP DEFAULT / NOT NULL") {

@@ -96,6 +96,27 @@ class GraftViewSpec extends SparkSpec {
     assert(ex2.getMessage.contains("already exists"))
   }
 
+  test("view names can never address a path outside the view store") {
+    seedOrders()
+    // a backquoted identifier carrying '/' or '..' must refuse at every
+    // surface — DROP VIEW graft.`../t/snap-…` would otherwise delete
+    // another table's manifest json (and ../../ escapes the catalog root)
+    val evil = "../vorders/snap-00000000000000000001"
+    val ex1 = intercept[Exception] { ext.sql(s"DROP VIEW graft.`$evil`") }
+    assert(ex1.getMessage.contains("invalid view name") ||
+      ex1.getMessage.contains("no view"))
+    val ex2 = intercept[Exception] { cat.dropView(evil) }
+    assert(ex2.getMessage.contains("invalid view name"))
+    val ex3 = intercept[Exception] { cat.dropView(evil, ifExists = true) }
+    assert(ex3.getMessage.contains("invalid view name"))
+    // reads degrade to "not a view" instead of resolving a path
+    assert(cat.viewMeta(evil).isEmpty && cat.viewSql(evil).isEmpty)
+    val ex4 = intercept[Exception] { cat.createView(evil, "SELECT 1 AS one") }
+    assert(ex4.getMessage.contains("invalid view name"))
+    // the table's manifests are untouched by all of the above
+    assert(cat.currentSnapshot("vorders").isDefined)
+  }
+
   test("name arbitration and acyclicity: no shadowing either way, no view cycles") {
     seedOrders()
     // a view cannot take a table's name
