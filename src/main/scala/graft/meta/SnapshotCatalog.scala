@@ -909,7 +909,14 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   private def publish(table: String)(mkSnap: Option[SnapshotMeta] => SnapshotMeta): SnapshotMeta = {
     var attempts = 0
     while (attempts < 100) {
-      val snap = mkSnap(currentSnapshot(table))
+      val prev = currentSnapshot(table)
+      // name arbitration holds at the Scala-API surface too, not just
+      // SQL CREATE: a FIRST commit under a name a stored view holds
+      // would make viewPlan silently prefer the table
+      if (prev.isEmpty && viewMeta(table).isDefined)
+        throw new IllegalArgumentException(
+          s"a view named $table exists in this catalog; a table cannot shadow it")
+      val snap = mkSnap(prev)
       if (write(table, snap)) return snap
       attempts += 1
     }
@@ -1080,6 +1087,21 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     viewMeta(name).flatMap(m =>
       m.versions.find(_.versionId == m.currentVersionId).map(_.sql))
 
+  /** A HISTORICAL version's SQL text (Iceberg view spec: the version
+    * list is the auditable history): by version id, or the version in
+    * force at a timestamp. Data still reads CURRENT table state — only
+    * the view DEFINITION time-travels (a view has no data of its own). */
+  def viewSqlAt(name: String, versionId: Option[Long] = None,
+      asOfMs: Option[Long] = None): Option[String] =
+    viewMeta(name).flatMap { m =>
+      (versionId, asOfMs) match {
+        case (Some(id), _) => m.versions.find(_.versionId == id).map(_.sql)
+        case (_, Some(ts)) =>
+          m.versions.filter(_.timestampMs <= ts).sortBy(_.versionId).lastOption.map(_.sql)
+        case _ => m.versions.find(_.versionId == m.currentVersionId).map(_.sql)
+      }
+    }
+
   /** Relation names (bare or `graft.`-qualified last part) referenced by
     * a view body — the cycle-check input. Parse-level only: names that
     * resolve to tables/temp views are fine either way, we only need the
@@ -1103,6 +1125,52 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       }
     walk(org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql))
     names.distinct.toList
+  }
+
+  /** Stored views whose CURRENT definition references `table` — and,
+    * when `column` is set, whose body also touches that column (an
+    * attribute with the name anywhere in the body, or a star, which may
+    * expand to it). Direct dependents only: a stacked view breaks
+    * through its parent, which is the first name a user must deal with.
+    * An unparseable body counts as dependent (conservative). */
+  def dependentViews(table: String, column: Option[String] = None): Seq[String] =
+    views().filter { v =>
+      viewSql(v).exists { sql =>
+        try {
+          referencedNames(sql).exists(_.equalsIgnoreCase(table)) &&
+            column.forall(c => referencesColumn(sql, c))
+        } catch { case _: Exception => true }
+      }
+    }
+
+  /** Parse-level check: does `sql` mention an attribute whose last name
+    * part is `column`, or a star (which may expand to it)? */
+  private def referencesColumn(sql: String, column: String): Boolean = {
+    var hit = false
+    def walk(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      plan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.last.equalsIgnoreCase(column) => hit = true
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedStar => hit = true
+          case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            walk(sq.plan)
+          case _ =>
+        })
+      }
+    walk(org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql))
+    hit
+  }
+
+  /** Refuse a DDL operation while stored views depend on it — the
+    * Postgres discipline (refuse, name the dependents) over Hive's
+    * (dangle, fail later deep in analysis with an unresolved error). */
+  private def requireNoDependentViews(table: String, column: Option[String],
+      op: String): Unit = {
+    val deps = dependentViews(table, column)
+    require(deps.isEmpty,
+      s"cannot $op: view(s) ${deps.mkString(", ")} depend on it; " +
+        "drop or redefine the view(s) first")
   }
 
   /** Create (or replace) a view. Refuses: invalid names, collision with
@@ -1148,8 +1216,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     meta
   }
 
-  /** Drop a view (its whole version history). */
+  /** Drop a view (its whole version history). Refuses while other
+    * stored views reference it — same discipline as table DDL. */
   def dropView(name: String, ifExists: Boolean = false): Unit = {
+    if (viewMeta(name).isDefined)
+      requireNoDependentViews(name, None, s"drop view $name")
     val existed = Files.deleteIfExists(viewPath(name))
     if (!existed && !ifExists)
       throw new IllegalArgumentException(s"no view $name in this catalog")
@@ -1168,6 +1239,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def dropTable(table: String, spareDataDir: Boolean = false): Boolean = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return false
+    requireNoDependentViews(table, None, s"drop table $table")
     val spared = sparedSubtrees(table)
     val stream = Files.walk(dir)
     val all = try stream.iterator().asScala.toList finally stream.close()
@@ -1560,6 +1632,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * first); position deletes are name-free and carry across. */
   def renameColumn(table: String, from: String, to: String): SnapshotMeta = {
     require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name: $to")
+    requireNoDependentViews(table, Some(from), s"rename column $table.$from")
     publish(table) { prevOpt =>
       val prev = prevOpt.getOrElse(
         throw new IllegalArgumentException(s"No snapshots for table $table"))
@@ -1599,7 +1672,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * values (Iceberg's drop-then-re-add semantics). Stats/blooms/
     * sketches for the column leave the manifests. Refuses while an
     * equality-delete file keys on the column. */
-  def dropColumn(table: String, name: String): SnapshotMeta =
+  def dropColumn(table: String, name: String): SnapshotMeta = {
+    requireNoDependentViews(table, Some(name), s"drop column $table.$name")
     publish(table) { prevOpt =>
       val prev = prevOpt.getOrElse(
         throw new IllegalArgumentException(s"No snapshots for table $table"))
@@ -1626,6 +1700,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           SnapshotCatalog.DropProp -> name),
         deleteFiles = prev.deleteFiles)
     }
+  }
 
   /** Add a column — one metadata commit, zero data bytes (Iceberg
     * `ALTER TABLE ... ADD COLUMN`): the field appends to the schema as

@@ -669,6 +669,14 @@ object Engine {
         "FROM vorders WHERE o_totalprice > 50000.0 GROUP BY o_orderpriority")
       es.sql("CREATE VIEW graft.pri_top AS " +
         "SELECT o_orderpriority, n_orders, sum_price FROM pri_sum WHERE n_orders > 0")
+      // a REPLACED view: version 1 is the real aggregate, version 2 a
+      // deliberately different shape — VERSION AS OF 1 must still serve
+      // the original definition (over current data)
+      es.sql("CREATE VIEW graft.pri_ver AS " +
+        "SELECT o_orderpriority, count(*) AS n_orders FROM vorders " +
+        "GROUP BY o_orderpriority")
+      es.sql("CREATE OR REPLACE VIEW graft.pri_ver AS " +
+        "SELECT 'replaced' AS marker")
       root
     })
 
@@ -680,6 +688,17 @@ object Engine {
     val es = extSessionFor(s)
     es.conf.set(graft.sql.GraftSqlResolution.RootConf, viewRootFor(s, dir))
     es.sql("SELECT o_orderpriority, n_orders, sum_price FROM pri_top")
+  }
+
+  /** Historical view definition (S62, the Iceberg view-spec version
+    * list): `VERSION AS OF 1` must serve the ORIGINAL definition over
+    * CURRENT table data even though the current version was replaced
+    * with an entirely different shape. The oracle replays version 1's
+    * SQL inline over the raw table. */
+  def qViewVersion(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, viewRootFor(s, dir))
+    es.sql("SELECT o_orderpriority, n_orders FROM pri_ver VERSION AS OF 1")
   }
 
   // Memoized metadata-count catalog per sf-dir: full orders committed
@@ -1056,6 +1075,7 @@ object Engine {
     "q_sorted_read" -> (qSortedRead _),
     "q_default_read" -> (qDefaultRead _),
     "q_view_read" -> (qViewRead _),
+    "q_view_version" -> (qViewVersion _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
@@ -1254,6 +1274,10 @@ object Engine {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_totalprice > 50000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_view_version" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
     "q_default_read" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

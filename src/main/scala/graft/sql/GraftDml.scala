@@ -91,6 +91,18 @@ object GraftDml {
     * unless `spark.graft.catalog.dataDir` overrides the base. */
   val DataDirConf = "spark.graft.catalog.dataDir"
 
+  /** `SHOW ... LIKE` pattern semantics (Spark's filterPattern): `*`
+    * matches any characters, `|` separates alternatives, matching is
+    * case-insensitive; everything else is literal. */
+  def showPatternMatches(pattern: Option[String], name: String): Boolean =
+    pattern.forall(_.split("\\|").exists { p =>
+      val rx = p.trim.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*")
+      java.util.regex.Pattern
+        .compile(rx, java.util.regex.Pattern.CASE_INSENSITIVE)
+        .matcher(name).matches()
+    })
+
   /** Opaque expression holder: a command's constructor fields of type
     * `Expression` are scanned by CheckAnalysis, which rejects the (by
     * design) unresolved DML condition — the holder hides it from the
@@ -478,8 +490,35 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
                 (parts.size == 3 && parts(1).equalsIgnoreCase("system"))) =>
           val (pos, named) = GraftDml.evalCallArgs(args)
           GraftCallCommand(root, parts.last.toLowerCase, pos, named)
+        // ---- SQL discovery: the catalog is enumerable from pure SQL ----
+        case st: ShowTables if graftNamespace(st.namespace) =>
+          GraftShowCommand(root, views = false, st.pattern)
+        case sv: ShowViews if graftNamespace(sv.namespace) =>
+          GraftShowCommand(root, views = true, sv.pattern)
+        case d: DescribeRelation if describeTarget(d.relation, cat).isDefined =>
+          if (d.partitionSpec.nonEmpty) throw new UnsupportedOperationException(
+            "DESCRIBE with a PARTITION spec is not supported on graft catalog tables")
+          GraftDescribeCommand(root, describeTarget(d.relation, cat).get, d.isExtended)
       }
   }
+
+  /** Is a SHOW statement's namespace the graft catalog? */
+  private def graftNamespace(p: LogicalPlan): Boolean = p match {
+    case ns: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+      ns.multipartIdentifier.map(_.toLowerCase) == Seq("graft")
+    case _ => false
+  }
+
+  /** DESCRIBE claims an explicit `graft.<n>` unconditionally (a missing
+    * name is OUR loud error, not a session-catalog one) and a bare name
+    * only when it is a catalog table or stored view — the same presence
+    * arbitration reads use. */
+  private def describeTarget(p: LogicalPlan, cat: SnapshotCatalog): Option[String] =
+    ddlName(p).flatMap {
+      case Seq(ns, n) if ns.equalsIgnoreCase("graft") => Some(n)
+      case Seq(n) if cat.tables().contains(n) || cat.viewMeta(n).isDefined => Some(n)
+      case _ => None
+    }
 
   /** The claimed table of an ALTER TABLE target (an [[UnresolvedTable]],
     * unlike DML's UnresolvedRelation). */
@@ -805,6 +844,89 @@ object GraftViewCommand {
   final case class Create(sql: String, replace: Boolean, ifNotExists: Boolean) extends Action
   final case class Redefine(sql: String) extends Action
   final case class Drop(ifExists: Boolean) extends Action
+}
+
+/** `SHOW TABLES IN graft` / `SHOW VIEWS IN graft` — enumerate the
+  * catalog from pure SQL. Metadata-sized (one store listing, no data
+  * I/O); Spark's output column conventions so tooling that reads SHOW
+  * output keeps working. */
+case class GraftShowCommand(
+    root: String,
+    views: Boolean,
+    pattern: Option[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference(if (views) "viewName" else "tableName",
+      StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    (if (views) cat.views() else cat.tables())
+      .filter(GraftDml.showPatternMatches(pattern, _)).sorted
+      .map(n => Row("graft", n, false))
+  }
+}
+
+/** `DESCRIBE [EXTENDED] <table-or-view>` over the graft catalog: one
+  * row per column with the declared type and the S61 contracts (NOT
+  * NULL / DEFAULT) rendered in the comment column; EXTENDED appends the
+  * detail section (snapshot id, file/row counts from the manifest —
+  * metadata-sized, no data I/O; view text + version for views). */
+case class GraftDescribeCommand(
+    root: String,
+    name: String,
+    isExtended: Boolean) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = true)(),
+    AttributeReference("comment", StringType, nullable = true)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    cat.schema(name) match {
+      case Some(schema) =>
+        val snap = cat.currentSnapshot(name).get
+        val cols = schema.fields.toSeq.map { f =>
+          val contracts = Seq(
+            if (!f.nullable) Some("NOT NULL") else None,
+            graft.meta.SnapshotCatalog.writeDefaultOf(f).map(d => s"DEFAULT $d")
+          ).flatten
+          Row(f.name, f.dataType.simpleString,
+            if (contracts.isEmpty) null else contracts.mkString(" "))
+        }
+        if (!isExtended) cols
+        else cols ++ Seq(
+          Row("", "", ""),
+          Row("# Detailed Table Information", "", ""),
+          Row("Type", "graft table", null),
+          Row("Provider", "parquet", null),
+          Row("Snapshot", snap.snapshotId.toString, null),
+          Row("Files", snap.files.size.toString, null),
+          Row("Rows", snap.files.map(_.rowCount).sum.toString, null))
+      case None =>
+        val sql = cat.viewSql(name).getOrElse(throw new IllegalArgumentException(
+          s"no table or view $name in the graft catalog"))
+        // the view's shape comes from analyzing its body on the live
+        // session — inner names resolve through the injected rules
+        val schema = session.sql(sql).schema
+        val cols = schema.fields.toSeq.map(f =>
+          Row(f.name, f.dataType.simpleString, null))
+        if (!isExtended) cols
+        else cols ++ Seq(
+          Row("", "", ""),
+          Row("# Detailed View Information", "", ""),
+          Row("Type", "graft view", null),
+          Row("View Text", sql, null),
+          Row("Version", cat.viewMeta(name).get.currentVersionId.toString, null))
+    }
+  }
 }
 
 /** `CREATE TABLE graft.t AS SELECT ...` → analyze the query on the live

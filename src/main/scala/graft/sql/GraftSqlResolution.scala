@@ -289,6 +289,37 @@ class GraftTimeTravelRule(val session: SparkSession)
             claimedTable(u.multipartIdentifier, cat).map((_, ts, ver))
           case _ => None
         }
+      // `v VERSION AS OF n` on a stored VIEW resolves version n of the
+      // DEFINITION (Iceberg view spec's version list); TIMESTAMP AS OF
+      // picks the definition in force at that time. Data still reads
+      // current table state — a view has no data of its own.
+      def viewTT(p: LogicalPlan): Option[LogicalPlan] = p match {
+        case RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+          val name = u.multipartIdentifier match {
+            case Seq(n) => Some(n)
+            case Seq(ns, n) if ns.equalsIgnoreCase("graft") => Some(n)
+            case _ => None
+          }
+          name.filterNot(cat.tables().contains)
+            .filter(cat.viewMeta(_).isDefined).map { n =>
+              val sqlText = (ts, ver) match {
+                case (None, Some(v)) =>
+                  val id = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+                    s"VERSION AS OF '$v' on view $n: views version by numeric id"))
+                  cat.viewSqlAt(n, versionId = Some(id)).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"VERSION AS OF $id: no such version of view $n"))
+                case (Some(expr), None) =>
+                  cat.viewSqlAt(n, asOfMs = Some(evalAsOfMillis(session, expr)))
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"TIMESTAMP AS OF on view $n: no version existed at that time"))
+                case _ => throw new IllegalArgumentException(
+                  "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
+              }
+              SubqueryAlias(n, session.sessionState.sqlParser.parsePlan(sqlText))
+            }
+        case _ => None
+      }
       // a global COUNT over an AS OF relation is exactly as manifest-
       // answerable as the current-snapshot form (S52): the historical
       // snapshot's row totals are immutable facts. Same soundness
@@ -329,6 +360,7 @@ class GraftTimeTravelRule(val session: SparkSession)
         case tt if claimedTT(tt).isDefined =>
           val (t, ts, ver) = claimedTT(tt).get
           timeTravelPlan(cat, t, ts, ver, None)
+        case tt if viewTT(tt).isDefined => viewTT(tt).get
       }
   }
 }

@@ -724,4 +724,50 @@ class GraftDmlSpec extends SparkSpec {
     val m = ext.sql(s"SELECT region, tier FROM $t WHERE c_custkey = 60").head()
     assert(m.getString(0) == "emea" && m.isNullAt(1))
   }
+
+  test("SQL discovery: SHOW TABLES / SHOW VIEWS IN graft enumerate the catalog") {
+    ext.sql("CREATE TABLE graft.disco (id BIGINT NOT NULL, name STRING, " +
+      "score DOUBLE DEFAULT 0.25)")
+    ext.sql("CREATE VIEW graft.disco_v AS SELECT id FROM disco")
+    val tables = ext.sql("SHOW TABLES IN graft").collect()
+    assert(tables.map(_.getString(1)).contains("disco"))
+    assert(!tables.map(_.getString(1)).contains("disco_v")) // views are not tables
+    assert(tables.forall(r => r.getString(0) == "graft" && !r.getBoolean(2)))
+    // LIKE pattern: '*' glob, '|' alternation, case-insensitive
+    assert(ext.sql("SHOW TABLES IN graft LIKE 'DISC*'")
+      .collect().map(_.getString(1)).toSeq == Seq("disco"))
+    assert(ext.sql("SHOW TABLES IN graft LIKE 'nope|disco'")
+      .collect().map(_.getString(1)).toSeq == Seq("disco"))
+    val views = ext.sql("SHOW VIEWS IN graft").collect().map(_.getString(1))
+    assert(views.contains("disco_v") && !views.contains("disco"))
+  }
+
+  test("SQL discovery: DESCRIBE renders types and the S61 contracts; views describe too") {
+    if (!cat.tables().contains("disco"))
+      ext.sql("CREATE TABLE graft.disco (id BIGINT NOT NULL, name STRING, " +
+        "score DOUBLE DEFAULT 0.25)")
+    if (cat.viewMeta("disco_v").isEmpty)
+      ext.sql("CREATE VIEW graft.disco_v AS SELECT id FROM disco")
+    val desc = ext.sql("DESCRIBE TABLE graft.disco").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(desc.contains(("id", "bigint", "NOT NULL")))
+    assert(desc.contains(("name", "string", null)))
+    assert(desc.contains(("score", "double", "DEFAULT 0.25D")))
+    // bare name resolves when the table exists; EXTENDED adds manifest
+    // facts (metadata-sized — no data I/O)
+    val ex1 = ext.sql("DESCRIBE EXTENDED disco").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ex1("Type") == "graft table" && ex1.contains("Snapshot") &&
+      ex1.contains("Files") && ex1.contains("Rows"))
+    // a stored view describes through its analyzed body
+    val vdesc = ext.sql("DESCRIBE graft.disco_v").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(vdesc.toSeq == Seq(("id", "bigint")))
+    val vext = ext.sql("DESCRIBE EXTENDED disco_v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vext("Type") == "graft view" && vext("View Text").contains("SELECT id"))
+    // a missing graft-qualified name is OUR loud error
+    val ex = intercept[Exception] { ext.sql("DESCRIBE graft.nope").collect() }
+    assert(ex.getMessage.contains("no table or view"))
+  }
 }

@@ -153,6 +153,77 @@ class GraftViewSpec extends SparkSpec {
     assert(ex6.getMessage.contains("acyclic"))
   }
 
+  test("dependent views block base DDL: drop table / rename / drop column refuse, view named") {
+    Writers.writeSnapshot(cat, "depbase",
+      graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice")).limit(10), dataDir)
+    ext.sql("CREATE VIEW graft.dep_v AS SELECT o_orderkey FROM depbase")
+    // DROP TABLE refuses and names the dependent view (Postgres
+    // discipline, not Hive's dangle-and-fail-later)
+    val ex1 = intercept[Exception] { ext.sql("DROP TABLE graft.depbase") }
+    assert(ex1.getMessage.contains("dep_v"))
+    // column-level: the view touches o_orderkey, so rename/drop refuse...
+    val ex2 = intercept[Exception] { cat.renameColumn("depbase", "o_orderkey", "k") }
+    assert(ex2.getMessage.contains("dep_v"))
+    val ex3 = intercept[Exception] { cat.dropColumn("depbase", "o_orderkey") }
+    assert(ex3.getMessage.contains("dep_v"))
+    // ...but a column the view body never mentions evolves freely
+    cat.renameColumn("depbase", "o_totalprice", "price")
+    cat.dropColumn("depbase", "price")
+    // a SELECT * view depends on EVERY column
+    ext.sql("CREATE VIEW graft.dep_star AS SELECT * FROM depbase")
+    val ex4 = intercept[Exception] { cat.addColumn("depbase", "x",
+      org.apache.spark.sql.types.LongType); cat.dropColumn("depbase", "x") }
+    assert(ex4.getMessage.contains("dep_star"))
+    // a view referenced by another view refuses to drop too
+    ext.sql("CREATE VIEW graft.dep_v2 AS SELECT * FROM dep_v")
+    val ex5 = intercept[Exception] { ext.sql("DROP VIEW graft.dep_v") }
+    assert(ex5.getMessage.contains("dep_v2"))
+    // drop in dependency order: leaf first, then base view, then table
+    ext.sql("DROP VIEW graft.dep_v2")
+    ext.sql("DROP VIEW graft.dep_v")
+    ext.sql("DROP VIEW graft.dep_star")
+    ext.sql("DROP TABLE graft.depbase")
+    assert(!cat.tables().contains("depbase"))
+  }
+
+  test("the Scala API cannot shadow a view either: first commit under a view name refuses") {
+    ext.sql("CREATE VIEW graft.apitaken AS SELECT 1 AS x")
+    val ex = intercept[IllegalArgumentException] {
+      import spark.implicits._
+      Writers.writeSnapshot(cat, "apitaken", Seq(1L).toDF("id"), dataDir)
+    }
+    assert(ex.getMessage.contains("cannot shadow"))
+    assert(!cat.tables().contains("apitaken"))
+    // the view still resolves
+    assert(ext.sql("SELECT x FROM apitaken").head().getInt(0) == 1)
+  }
+
+  test("VERSION AS OF on a view resolves the historical definition over current data") {
+    seedOrders()
+    ext.sql("CREATE VIEW graft.vta AS SELECT count(*) AS n FROM vorders")
+    Thread.sleep(10) // distinct version timestamps for TIMESTAMP AS OF
+    ext.sql("CREATE OR REPLACE VIEW graft.vta AS " +
+      "SELECT count(*) AS n, 2 AS v FROM vorders")
+    // current = version 2 (two columns); VERSION AS OF 1 = old shape
+    assert(ext.sql("SELECT * FROM vta").columns.toSeq == Seq("n", "v"))
+    val old = ext.sql("SELECT * FROM vta VERSION AS OF 1")
+    assert(old.columns.toSeq == Seq("n"))
+    // the old DEFINITION reads CURRENT data (a view has no data of its own)
+    assert(old.head().getLong(0) == ext.sql("SELECT count(*) AS n FROM vorders")
+      .head().getLong(0))
+    // a version that never existed refuses loudly
+    val ex = intercept[Exception] { ext.sql("SELECT * FROM vta VERSION AS OF 99").collect() }
+    assert(ex.getMessage.contains("no such version"))
+    // TIMESTAMP AS OF picks the definition in force at that time
+    val v1ts = cat.viewMeta("vta").get.versions.find(_.versionId == 1L).get.timestampMs
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(v1ts))
+    val atV1 = ext.sql(s"SELECT * FROM vta TIMESTAMP AS OF '$tsLit'")
+    assert(atV1.columns.toSeq == Seq("n"))
+  }
+
   test("views compose with catalog reads: DML through the base table is visible; prune survives") {
     seedOrders()
     Writers.writeSnapshot(cat, "vinc",
