@@ -1001,6 +1001,26 @@ object Writers {
     * incremental reads substitute outputs for inputs when the inputs
     * were themselves in-range appends. Returns None when fewer than
     * `minFiles` files qualify (nothing worth rewriting). */
+  /** Run one independent Spark job per partition group from a BOUNDED
+    * driver-side pool — the scheduler interleaves their stages across
+    * executors, so an unscoped nightly rewrite over 1,000 partitions
+    * stops being 1,000 serial jobs. Bounded (default 8 in flight): each
+    * job is a full shuffle, and unbounded submission would thrash the
+    * shuffle/memory budget at scale. Results keep input order; the
+    * first failure propagates with its original exception. */
+  private def perGroupJobs[A, B](groups: Seq[A], maxConcurrent: Int = 8)(f: A => B): Seq[B] = {
+    if (groups.size <= 1) return groups.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, groups.size))
+    try {
+      val futures = groups.map(g => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(g) }))
+      futures.map(fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+    } finally { pool.shutdown(); () }
+  }
+
   def compact(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -1017,9 +1037,9 @@ object Writers {
     val (binned, loners) = groups.partition(_._2.size >= 2)
     if (binned.isEmpty || binned.values.map(_.size).sum < minFiles) return None
     val base = Paths.get(dataDir, s"compact-${UUID.randomUUID().toString.take(8)}")
-    val outputs = binned.toSeq
+    val outputs = perGroupJobs(binned.toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
-      .zipWithIndex.flatMap { case ((pv, fs), gi) =>
+      .zipWithIndex) { case ((pv, fs), gi) =>
         val sub = pv.toSeq.sortBy(_._1).foldLeft(base.resolve(s"g$gi")) {
           case (p, (k, v)) =>
             p.resolve(s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}")
@@ -1033,7 +1053,7 @@ object Writers {
           .coalesce(nOut)
           .write.parquet(sub.toString)
         listParquet(sub)
-      }
+      }.flatten
     val rewritten = binned.values.flatten.toSeq
     val kept = big ++ loners.values.flatten
     Some(catalog.commit(spark, table, kept.map(_.path) ++ outputs,
@@ -1078,9 +1098,11 @@ object Writers {
     * Scale: reads the scoped files once; z-order bucket bounds come
     * from ONE multi-column `approxQuantile` pass (a single global
     * binning model — z-values stay comparable across groups); then one
-    * range/z shuffle per partition group, each an independent job a
-    * maintenance scheduler can walk (the same envelope as partition-
-    * aware `compact`). At 100 TB run it partition-at-a-time: `scope`
+    * range/z shuffle per partition group, submitted from a bounded
+    * driver pool (8 jobs in flight, same as partition-aware `compact`)
+    * so an unscoped multi-partition rewrite overlaps its group jobs
+    * instead of serializing them. At 100 TB run it partition-at-a-time:
+    * `scope`
     * (manifest prune filters, e.g. from a partition predicate) bounds
     * the sweep to the matching files; everything outside keeps its
     * manifest metadata untouched. */
@@ -1124,7 +1146,7 @@ object Writers {
       .sortBy(_._1.toSeq.sorted.mkString(","))
     val totalBytes = math.max(1L, scoped.map(_.sizeBytes).sum)
     val base = Paths.get(dataDir, s"sorted-${UUID.randomUUID().toString.take(8)}")
-    val outputs = groups.zipWithIndex.flatMap { case ((pv, fs), gi) =>
+    val outputs = perGroupJobs(groups.zipWithIndex) { case ((pv, fs), gi) =>
       val sub = pv.toSeq.sortBy(_._1).foldLeft(base.resolve(s"g$gi")) {
         case (p, (k, v)) =>
           p.resolve(s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}")
@@ -1146,7 +1168,7 @@ object Writers {
       }
       clustered.write.parquet(sub.toString)
       listParquet(sub)
-    }
+    }.flatten
     catalog.commit(spark, table, outputs,
       props = Map(
         SnapshotCatalog.OperationProp -> SnapshotCatalog.OpCompact,

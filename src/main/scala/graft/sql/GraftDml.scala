@@ -56,7 +56,13 @@ import scala.jdk.CollectionConverters._
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
   *   CREATE [OR REPLACE] VIEW graft.v AS SELECT.. -- stored SQL views
   *   ALTER VIEW v AS SELECT ...                   --   (versioned defs,
-  *   DROP VIEW [IF EXISTS] v                      --    S62)
+  *   DROP VIEW [IF EXISTS] v                      --    S62; drops refuse
+  *                                                --    under dependents)
+  *   SELECT ... FROM v VERSION AS OF 2            -- historical view
+  *                                                --    definition
+  *   SHOW TABLES IN graft [LIKE 'p*']             -- catalog discovery
+  *   SHOW VIEWS IN graft [LIKE 'p*']              --   (S63): enumerate +
+  *   DESCRIBE [EXTENDED] t_or_v                   --    inspect from SQL
   *   TRUNCATE TABLE t                             -- replace with empty
   *   DROP TABLE [IF EXISTS] graft.t [PURGE]       -- metadata (+ PURGE:
   *                                                --    main-history files)
