@@ -63,6 +63,7 @@ import scala.jdk.CollectionConverters._
   *   SHOW TABLES IN graft [LIKE 'p*']             -- catalog discovery
   *   SHOW VIEWS IN graft [LIKE 'p*']              --   (S63): enumerate +
   *   DESCRIBE [EXTENDED] t_or_v                   --    inspect from SQL
+  *   SHOW CREATE TABLE t_or_v                     -- round-trippable DDL
   *   TRUNCATE TABLE t                             -- replace with empty
   *   DROP TABLE [IF EXISTS] graft.t [PURGE]       -- metadata (+ PURGE:
   *                                                --    main-history files)
@@ -505,6 +506,8 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           if (d.partitionSpec.nonEmpty) throw new UnsupportedOperationException(
             "DESCRIBE with a PARTITION spec is not supported on graft catalog tables")
           GraftDescribeCommand(root, describeTarget(d.relation, cat).get, d.isExtended)
+        case sc: ShowCreateTable if describeTarget(sc.child, cat).isDefined =>
+          GraftShowCreateCommand(root, describeTarget(sc.child, cat).get)
       }
   }
 
@@ -874,6 +877,41 @@ case class GraftShowCommand(
     (if (views) cat.views() else cat.tables())
       .filter(GraftDml.showPatternMatches(pattern, _)).sorted
       .map(n => Row("graft", n, false))
+  }
+}
+
+/** `SHOW CREATE TABLE <t-or-v>`: render the canonical DDL that would
+  * recreate the object — columns with their S61 contracts for tables,
+  * the stored current definition for views. Round-trippable: the
+  * emitted statement parses and executes back through this same rule
+  * set. */
+case class GraftShowCreateCommand(
+    root: String,
+    name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    cat.schema(name) match {
+      case Some(schema) =>
+        val cols = schema.fields.toSeq.map { f =>
+          val parts = Seq(
+            Some(s"  ${f.name} ${f.dataType.sql}"),
+            if (!f.nullable) Some("NOT NULL") else None,
+            graft.meta.SnapshotCatalog.writeDefaultOf(f).map(d => s"DEFAULT $d")
+          ).flatten
+          parts.mkString(" ")
+        }
+        Seq(Row(s"CREATE TABLE graft.$name (\n${cols.mkString(",\n")})\nUSING parquet"))
+      case None =>
+        val sql = cat.viewSql(name).getOrElse(throw new IllegalArgumentException(
+          s"no table or view $name in the graft catalog"))
+        Seq(Row(s"CREATE VIEW graft.$name AS $sql"))
+    }
   }
 }
 

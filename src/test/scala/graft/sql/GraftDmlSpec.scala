@@ -770,4 +770,26 @@ class GraftDmlSpec extends SparkSpec {
     val ex = intercept[Exception] { ext.sql("DESCRIBE graft.nope").collect() }
     assert(ex.getMessage.contains("no table or view"))
   }
+
+  test("SHOW CREATE TABLE renders round-trippable DDL with contracts; views show their SQL") {
+    if (!cat.tables().contains("disco"))
+      ext.sql("CREATE TABLE graft.disco (id BIGINT NOT NULL, name STRING, " +
+        "score DOUBLE DEFAULT 0.25)")
+    if (cat.viewMeta("disco_v").isEmpty)
+      ext.sql("CREATE VIEW graft.disco_v AS SELECT id FROM disco")
+    val ddl = ext.sql("SHOW CREATE TABLE graft.disco").head().getString(0)
+    assert(ddl.contains("id BIGINT NOT NULL"))
+    assert(ddl.contains("score DOUBLE DEFAULT 0.25D"))
+    assert(ddl.contains("USING parquet"))
+    // the emitted statement executes back through the same rule set
+    ext.sql(ddl.replace("graft.disco", "graft.disco2"))
+    val re = cat.schema("disco2").get
+    assert(re.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(!re("id").nullable)
+    assert(graft.meta.SnapshotCatalog.writeDefaultOf(re("score")).contains("0.25D"))
+    // a view renders its stored current definition
+    val vddl = ext.sql("SHOW CREATE TABLE disco_v").head().getString(0)
+    assert(vddl.startsWith("CREATE VIEW graft.disco_v AS") &&
+      vddl.contains("SELECT id"))
+  }
 }
