@@ -690,6 +690,17 @@ object Engine {
     es.sql("SELECT o_orderpriority, n_orders, sum_price FROM pri_top")
   }
 
+  /** SQL catalog discovery (S63): DESCRIBE over a catalog table renders
+    * one row per column with the declared type — metadata-sized, zero
+    * data I/O. The oracle pins the exact rendering with a literal
+    * VALUES relation (a schema surface has no algebra to replay; the
+    * pin is the regression gate). */
+  def qSqlDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, viewRootFor(s, dir))
+    es.sql("DESCRIBE TABLE graft.vorders")
+  }
+
   /** Historical view definition (S62, the Iceberg view-spec version
     * list): `VERSION AS OF 1` must serve the ORIGINAL definition over
     * CURRENT table data even though the current version was replaced
@@ -1076,6 +1087,7 @@ object Engine {
     "q_default_read" -> (qDefaultRead _),
     "q_view_read" -> (qViewRead _),
     "q_view_version" -> (qViewVersion _),
+    "q_sql_discovery" -> (qSqlDiscovery _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
@@ -1279,6 +1291,12 @@ object Engine {
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_sql_discovery" ->
+      """SELECT col_name, data_type, comment FROM (VALUES
+        |  ('o_orderkey', 'bigint', CAST(NULL AS VARCHAR)),
+        |  ('o_orderpriority', 'string', CAST(NULL AS VARCHAR)),
+        |  ('o_totalprice', 'double', CAST(NULL AS VARCHAR))
+        |) AS t(col_name, data_type, comment)""".stripMargin,
     "q_default_read" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice * (1 - CASE
