@@ -64,6 +64,7 @@ import scala.jdk.CollectionConverters._
   *   SHOW VIEWS IN graft [LIKE 'p*']              --   (S63): enumerate +
   *   DESCRIBE [EXTENDED] t_or_v                   --    inspect from SQL
   *   SHOW CREATE TABLE t_or_v                     -- round-trippable DDL
+  *   SHOW PARTITIONS t [PARTITION (k='v')]        -- manifest-answered
   *   TRUNCATE TABLE t                             -- replace with empty
   *   DROP TABLE [IF EXISTS] graft.t [PURGE]       -- metadata (+ PURGE:
   *                                                --    main-history files)
@@ -508,6 +509,16 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           GraftDescribeCommand(root, describeTarget(d.relation, cat).get, d.isExtended)
         case sc: ShowCreateTable if describeTarget(sc.child, cat).isDefined =>
           GraftShowCreateCommand(root, describeTarget(sc.child, cat).get)
+        case sp: ShowPartitions
+            if ddlName(sp.child).exists(p => claimedTable(p, cat).isDefined) =>
+          val spec: Map[String, String] = sp.pattern.map {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec =>
+              u.spec
+            case other => throw new UnsupportedOperationException(
+              s"unsupported PARTITION spec: $other")
+          }.getOrElse(Map.empty)
+          GraftShowPartitionsCommand(root,
+            ddlName(sp.child).flatMap(claimedTable(_, cat)).get, spec)
       }
   }
 
@@ -912,6 +923,36 @@ case class GraftShowCreateCommand(
           s"no table or view $name in the graft catalog"))
         Seq(Row(s"CREATE VIEW graft.$name AS $sql"))
     }
+  }
+}
+
+/** `SHOW PARTITIONS t [PARTITION (k='v', ...)]`: the distinct partition
+  * tuples of the current snapshot, straight off the manifest's
+  * `partitionValues` — works for hive layouts AND hidden transforms
+  * (`days(ts)`, `bucket(n,c)` render their transform columns), zero
+  * data I/O. An optional spec filters on the given key equalities.
+  * Values render URL-encoded exactly as the path segments they came
+  * from, keys in sorted order (the layout writers' order). */
+case class GraftShowPartitionsCommand(
+    root: String,
+    table: String,
+    spec: Map[String, String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table"))
+    snap.files.map(_.partitionValues).distinct
+      .filter(pv => pv.nonEmpty && spec.forall { case (k, v) => pv.get(k).contains(v) })
+      .map(pv => pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
+        .mkString("/"))
+      .sorted.map(Row(_))
   }
 }
 

@@ -792,4 +792,25 @@ class GraftDmlSpec extends SparkSpec {
     assert(vddl.startsWith("CREATE VIEW graft.disco_v AS") &&
       vddl.contains("SELECT id"))
   }
+
+  test("SHOW PARTITIONS answers from the manifest: hive layout, spec filter, unpartitioned empty") {
+    val days = Seq(graft.meta.DaysTransform("ts"))
+    val pcol = days.head.partCol
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    Writers.writeTransformedSnapshot(cat, "showpart", ev,
+      s"$dataDir/showpart", days)
+    val parts = ext.sql("SHOW PARTITIONS showpart").collect().map(_.getString(0))
+    assert(parts.length == 3 && parts.forall(_.startsWith(s"$pcol=2024-01-0")))
+    assert(parts.toSeq == parts.toSeq.sorted)
+    // a PARTITION spec filters to matching tuples
+    val one = ext.sql(
+      s"SHOW PARTITIONS showpart PARTITION (`$pcol` = '2024-01-02')")
+      .collect().map(_.getString(0))
+    assert(one.toSeq == Seq(s"$pcol=2024-01-02"))
+    // an unpartitioned table has no tuples to show
+    val t = freshTable("showpart0", 1 to 3)
+    assert(ext.sql(s"SHOW PARTITIONS $t").collect().isEmpty)
+  }
 }
