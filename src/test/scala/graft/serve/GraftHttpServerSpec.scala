@@ -362,6 +362,14 @@ class GraftHttpServerSpec extends SparkSpec {
       assert(rows("SELECT count(*) AS n FROM cust_tt VERSION AS OF 2").head.contains("30"))
       // ...and the corpus temp views still serve alongside
       assert(rows("SELECT count(*) AS n FROM region").nonEmpty)
+      // the FULL SQL surface rides the same session: stored views,
+      // discovery, DDL — a SQL-only client over HTTP sees everything a
+      // spark.sql.extensions deployment sees
+      rows("CREATE VIEW graft.cust_v AS SELECT count(*) AS n FROM cust_tt")
+      assert(rows("SELECT n FROM cust_v").head.contains("30"))
+      assert(rows("SHOW TABLES IN graft").exists(_.contains("cust_tt")))
+      assert(rows("SHOW VIEWS IN graft").exists(_.contains("cust_v")))
+      assert(rows("DESCRIBE graft.cust_tt").exists(_.contains("c_custkey")))
     } finally srv.stop()
   }
 
