@@ -1028,10 +1028,18 @@ object Writers {
       dataDir: String,
       targetBytes: Long = 128L << 20,
       smallBytes: Long = 32L << 20,
-      minFiles: Int = 2): Option[SnapshotMeta] = {
+      minFiles: Int = 2,
+      scope: Seq[graft.meta.PruneFilter] = Nil): Option[SnapshotMeta] = {
     val current = catalog.currentSnapshot(table)
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
-    val (small, big) = current.files.partition(_.sizeBytes < smallBytes)
+    // `scope` bounds the sweep to the files its manifest filters keep
+    // (e.g. a partition predicate) — the partition-at-a-time nightly
+    // shape at 100 TB; out-of-scope files keep their metadata untouched
+    val inScope: Set[String] =
+      if (scope.isEmpty) current.files.map(_.path).toSet
+      else catalog.planFiles(table, scope).map(_.path).toSet
+    val (small, big) = current.files.partition(f =>
+      f.sizeBytes < smallBytes && inScope.contains(f.path))
     if (small.size < minFiles) return None
     val groups = small.groupBy(_.partitionValues)
     val (binned, loners) = groups.partition(_._2.size >= 2)

@@ -1082,6 +1082,26 @@ case class GraftCallCommand(
         Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
     }
 
+  /** The manifest filters of an optional `where => 'pred'` argument —
+    * scopes a maintenance sweep (compact / rewrite_sorted) to the files
+    * the predicate keeps, the partition-at-a-time nightly shape. A
+    * predicate yielding no prunable filter refuses loudly rather than
+    * silently sweeping the whole table. */
+  private def whereScope(session: SparkSession, cat: SnapshotCatalog,
+      table: String): Seq[graft.meta.PruneFilter] = named.get("where") match {
+    case Some(w) =>
+      val schema = cat.schema(table).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots for table $table"))
+      val fs = GraftSqlResolution.pruneFiltersFrom(
+        session.sessionState.sqlParser.parseExpression(w.toString),
+        schema, Set.empty)
+      require(fs.nonEmpty,
+        s"CALL graft.$proc: where => '$w' yields no manifest filter; use " +
+          "bare-column comparisons against literals, or omit it for a full sweep")
+      fs
+    case None => Nil
+  }
+
   private def arg(i: Int, name: String): Option[Any] =
     named.get(name).orElse(positional.lift(i))
 
@@ -1106,12 +1126,16 @@ case class GraftCallCommand(
     val cat = GraftSqlResolution.catalogFor(root)
     proc match {
       case "compact" =>
+        // CALL graft.compact('t'[, target_mb, small_mb, min_files,
+        // where => 'pred']) — `where` scopes the sweep like
+        // rewrite_sorted's (partition-at-a-time nightly compaction)
         val table = str(0, "table")
         val res = Writers.compact(session, cat, table,
           GraftDml.dataDirFor(session, root, table),
           targetBytes = long(1, "target_mb", 128) << 20,
           smallBytes = long(2, "small_mb", 32) << 20,
-          minFiles = long(3, "min_files", 2).toInt)
+          minFiles = long(3, "min_files", 2).toInt,
+          scope = whereScope(session, cat, table))
         Seq(Row(res.isDefined, res.map(_.snapshotId).orNull))
       case "expire_snapshots" =>
         val table = str(0, "table")
@@ -1179,23 +1203,10 @@ case class GraftCallCommand(
           case b: Boolean => b
           case s => s.toString.equalsIgnoreCase("true")
         }
-        val scope: Seq[graft.meta.PruneFilter] = named.get("where") match {
-          case Some(w) =>
-            val schema = cat.schema(table).getOrElse(
-              throw new IllegalArgumentException(s"no snapshots for table $table"))
-            val fs = GraftSqlResolution.pruneFiltersFrom(
-              session.sessionState.sqlParser.parseExpression(w.toString),
-              schema, Set.empty)
-            require(fs.nonEmpty,
-              s"CALL graft.$proc: where => '$w' yields no manifest filter; use " +
-                "bare-column comparisons against literals, or omit it for a full rewrite")
-            fs
-          case None => Nil
-        }
         Seq(Row(Writers.rewriteSorted(session, cat, table,
           GraftDml.dataDirFor(session, root, table), cols,
           nFiles = named.get("files").map(asLong("files", _).toInt).getOrElse(16),
-          zorder = z, scope = scope).snapshotId))
+          zorder = z, scope = whereScope(session, cat, table)).snapshotId))
       case "index" =>
         // CALL graft.index('t', 'c1', ...[, type => 'bloom'|'sketch'|'both',
         // fpp => 0.03]) — enable sticky index maintenance on the columns

@@ -140,7 +140,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(25) match {
+        rnd.nextInt(26) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -428,6 +428,14 @@ class CdcLifecycleSpec extends SparkSpec {
             val b = batch(3 + rnd.nextInt(8))
             state = plus(state, ms(b))
             states :+= (Writers.writeSnapshot(cat, t, df(b), dataDir).snapshotId, state)
+          case 25 => // SQL CALL compact scoped by `where` (r12): only the
+            // manifest-matching small files bin-pack; every out-of-scope
+            // file must survive with its identity — rows preserved, feed
+            // silent, a no-op result allowed (too few files in scope)
+            val cut = 10 + rnd.nextInt(80)
+            val res = es.sql(s"CALL graft.compact('t', where => 'id <= $cut')").head()
+            if (res.getBoolean(0))
+              states :+= (res.getLong(1), state)
         }
       }
 

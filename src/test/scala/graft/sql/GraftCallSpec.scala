@@ -56,6 +56,43 @@ class GraftCallSpec extends SparkSpec {
     assert(cat.changesBetween(spark, t, before.snapshotId).isEmpty)
   }
 
+  test("CALL graft.compact with where => scopes the sweep to the matching partition") {
+    import graft.meta.DaysTransform
+    val t = "cmpw"
+    val days = Seq(DaysTransform("ts"))
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    // 3 days x 3 small files each
+    (0 until 3).foreach { i =>
+      Writers.writeTransformedSnapshot(cat, t,
+        ev.filter(pmod(col("event_id"), lit(3)) === i).repartition(1),
+        s"$dataDir/$t-a$i", days)
+    }
+    val before = cat.currentSnapshot(t).get
+    assert(before.files.size == 9)
+    val rowsBefore = ext.sql(s"SELECT * FROM $t").collect().toSet
+    val res = ext.sql(s"CALL graft.compact('$t', " +
+      "where => 'ts >= TIMESTAMP \\'2024-01-02\\' AND ts < TIMESTAMP \\'2024-01-03\\'')")
+      .head()
+    assert(res.getBoolean(0))
+    val after = cat.currentSnapshot(t).get
+    // only the matching day's 3 files compacted; the other 6 SURVIVE
+    // with their file identity (metadata untouched)
+    val dayOf = (f: graft.meta.FileMeta) => f.partitionValues(days.head.partCol)
+    val untouchedBefore = before.files.filter(f => dayOf(f) != "2024-01-02").map(_.path).toSet
+    assert(after.files.filter(f => dayOf(f) != "2024-01-02").map(_.path).toSet ==
+      untouchedBefore)
+    assert(after.files.count(f => dayOf(f) == "2024-01-02") == 1)
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == rowsBefore)
+    assert(cat.changesBetween(spark, t, before.snapshotId).isEmpty)
+    // a predicate yielding no manifest filter refuses loudly
+    val ex = intercept[Exception] {
+      ext.sql(s"CALL graft.compact('$t', where => 'value + 1 > 0')")
+    }
+    assert(ex.getMessage.contains("yields no manifest filter"))
+  }
+
   test("CALL graft.expire_snapshots trims history to retain_last") {
     val t = freshTable("exp", 1 to 3)
     ext.sql(s"INSERT INTO $t VALUES (201, 'A', 1.0)")
