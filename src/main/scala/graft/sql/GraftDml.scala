@@ -53,6 +53,8 @@ import scala.jdk.CollectionConverters._
   *   CALL graft.branch('t', 'dev')                --    branch, and a
   *   INSERT INTO `t/branches/dev` VALUES ...      --    backquoted ref
   *   CALL graft.fast_forward('t', 'dev')          --    is a full table
+  *   CALL graft.changelog('t', from [, to,        -- net CDC feed as a
+  *     view => 'name'])                           --    queryable view
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
   *   CREATE [OR REPLACE] VIEW graft.v AS SELECT.. -- stored SQL views
   *   ALTER VIEW v AS SELECT ...                   --   (versioned defs,
@@ -1078,6 +1080,9 @@ case class GraftCallCommand(
       case "remove_orphans" =>
         Seq(AttributeReference("removed_data", LongType, nullable = false)(),
           AttributeReference("removed_sidecars", LongType, nullable = false)())
+      case "changelog" =>
+        Seq(AttributeReference("view",
+          org.apache.spark.sql.types.StringType, nullable = false)())
       case _ =>
         Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
     }
@@ -1187,6 +1192,23 @@ case class GraftCallCommand(
         Seq(Row(0L))
       case "fast_forward" =>
         Seq(Row(cat.fastForward(str(0, "table"), str(1, "name")).snapshotId))
+      case "changelog" =>
+        // CALL graft.changelog('t', from [, to, view => 'name']) —
+        // register the NET row-level change feed between two snapshots
+        // as a temp view (Iceberg's create_changelog_view): incremental
+        // ETL from pure SQL. The view is a LAZY plan over the feed —
+        // nothing materializes until queried; at 100 TB the consumer
+        // filters/aggregates it like any relation and only the feed's
+        // era-scoped files are read.
+        val table = str(0, "table")
+        val from = long(1, "from_snapshot", -1L)
+        require(from >= 0, s"CALL graft.$proc: pass the from-snapshot id")
+        val to = arg(2, "to_snapshot").map(asLong("to_snapshot", _))
+        val view = named.get("view").map(_.toString).getOrElse(s"${table}_changes")
+        require(view.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"CALL graft.$proc: invalid view name $view")
+        cat.changesBetween(session, table, from, to).createOrReplaceTempView(view)
+        Seq(Row(view))
       case "rewrite_sorted" =>
         // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,
         // zorder => true, where => 'pred']) — re-cluster by the sort

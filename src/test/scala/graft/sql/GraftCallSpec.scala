@@ -93,6 +93,41 @@ class GraftCallSpec extends SparkSpec {
     assert(ex.getMessage.contains("yields no manifest filter"))
   }
 
+  test("CALL graft.changelog registers the net CDC feed as a queryable view") {
+    val t = freshTable("chg", 1 to 5)
+    val s1 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"INSERT INTO $t VALUES (300, 'New#300', 1.0)")
+    ext.sql(s"DELETE FROM $t WHERE c_custkey = 1")
+    ext.sql(s"UPDATE $t SET c_acctbal = 99.0 WHERE c_custkey = 2")
+    // feed from s1 to current, registered under a chosen name
+    val v = ext.sql(s"CALL graft.changelog('$t', $s1, view => 'chg_feed')")
+      .head().getString(0)
+    assert(v == "chg_feed")
+    val feed = ext.sql(
+      "SELECT _change_type, c_custkey FROM chg_feed ORDER BY _change_type, c_custkey")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // NET: insert of 300, delete of 1, update of 2 (delete+insert pair)
+    assert(feed.contains(("insert", 300L)) && feed.contains(("delete", 1L)))
+    assert(feed.contains(("delete", 2L)) && feed.contains(("insert", 2L)))
+    assert(!feed.exists(_._2 == 3L)) // untouched rows never appear
+    // the view composes with plain SQL (aggregate over the feed)
+    val n = ext.sql("SELECT count(*) AS n FROM chg_feed WHERE _change_type = 'insert'")
+      .head().getLong(0)
+    assert(n == 2L)
+    // bounded to-snapshot: only the first commit's insert
+    ext.sql(s"CALL graft.changelog('$t', $s1, ${s1 + 1}, view => 'chg_one')")
+    val one = ext.sql("SELECT _change_type, c_custkey FROM chg_one").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(one.toSeq == Seq(("insert", 300L)))
+    // refusals: missing from-snapshot, invalid view name
+    val e1 = intercept[Exception] { ext.sql(s"CALL graft.changelog('$t')") }
+    assert(e1.getMessage.contains("from-snapshot"))
+    val e2 = intercept[Exception] {
+      ext.sql(s"CALL graft.changelog('$t', $s1, view => 'bad name')")
+    }
+    assert(e2.getMessage.contains("invalid view name"))
+  }
+
   test("CALL graft.expire_snapshots trims history to retain_last") {
     val t = freshTable("exp", 1 to 3)
     ext.sql(s"INSERT INTO $t VALUES (201, 'A', 1.0)")
