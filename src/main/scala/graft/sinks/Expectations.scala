@@ -71,8 +71,10 @@ object Expectations {
         coalesce(sum(when(rowViolation(r), 1L).otherwise(0L)), lit(0L))
           .cast("long").as(r.name)
     }
+    // rule names are free text (a SqlCheck label may carry dots/spaces):
+    // backtick-quote so col() never dot-splits them
     val pairs = rules.map(r =>
-      struct(lit(r.name).as("rule"), col(r.name).as("violations")))
+      struct(lit(r.name).as("rule"), col(s"`${r.name}`").as("violations")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs: _*)).as("e"))
       .select(col("e.rule").as("rule"), col("e.violations").as("violations"))

@@ -55,6 +55,8 @@ import scala.jdk.CollectionConverters._
   *   CALL graft.fast_forward('t', 'dev')          --    is a full table
   *   CALL graft.changelog('t', from [, to,        -- net CDC feed as a
   *     view => 'name'])                           --    queryable view
+  *   CALL graft.check('t', 'pred', ...[,          -- data-quality audit:
+  *     unique => 'k1,k2'])                        --    violations/rule
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
   *   CREATE [OR REPLACE] VIEW graft.v AS SELECT.. -- stored SQL views
   *   ALTER VIEW v AS SELECT ...                   --   (versioned defs,
@@ -1083,6 +1085,10 @@ case class GraftCallCommand(
       case "changelog" =>
         Seq(AttributeReference("view",
           org.apache.spark.sql.types.StringType, nullable = false)())
+      case "check" =>
+        Seq(AttributeReference("rule",
+          org.apache.spark.sql.types.StringType, nullable = false)(),
+          AttributeReference("violations", LongType, nullable = false)())
       case _ =>
         Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
     }
@@ -1192,6 +1198,24 @@ case class GraftCallCommand(
         Seq(Row(0L))
       case "fast_forward" =>
         Seq(Row(cat.fastForward(str(0, "table"), str(1, "name")).snapshotId))
+      case "check" =>
+        // CALL graft.check('t', 'pred1', 'pred2', ...[, unique =>
+        // 'k1,k2']) — data-quality audit from SQL (S45's Expectations):
+        // every predicate's violation count (null = violation: an
+        // unknown check must not pass) plus an optional key-uniqueness
+        // rule, ALL folded into ONE aggregate over ONE scan regardless
+        // of rule count. Rows report per-rule counts; zero = holds.
+        val table = str(0, "table")
+        val preds = positional.drop(1).map(_.toString)
+        val unique = named.get("unique").map(
+          _.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        val rules: Seq[graft.sinks.Expectation] =
+          preds.map(p => graft.sinks.SqlCheck(p.replace("`", "'"), p)) ++
+            unique.map(graft.sinks.UniqueKey(_)).toSeq
+        require(rules.nonEmpty,
+          s"CALL graft.$proc: pass at least one predicate (or unique => 'k1,k2')")
+        graft.sinks.Expectations.check(cat.read(session, table), rules)
+          .collect().toSeq
       case "changelog" =>
         // CALL graft.changelog('t', from [, to, view => 'name']) —
         // register the NET row-level change feed between two snapshots

@@ -93,6 +93,23 @@ class GraftCallSpec extends SparkSpec {
     assert(ex.getMessage.contains("yields no manifest filter"))
   }
 
+  test("CALL graft.check audits data quality from SQL: per-rule violation counts") {
+    val t = freshTable("qc", 1 to 10)
+    ext.sql(s"INSERT INTO $t VALUES (301, NULL, -5.0), (301, 'Dup#301', 2.0)")
+    val rep = ext.sql(s"CALL graft.check('$t', 'c_name IS NOT NULL', " +
+      "'c_acctbal >= -1000.0', unique => 'c_custkey')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("check:c_name IS NOT NULL") == 1L) // the planted null
+    assert(rep("check:c_acctbal >= -1000.0") == 0L)
+    assert(rep("unique:c_custkey") == 1L) // 301 appears twice
+    // a clean table audits clean; no predicate refuses
+    val clean = ext.sql(s"CALL graft.check('$t', 'c_custkey > 0')")
+      .head().getLong(1)
+    assert(clean == 0L)
+    val ex = intercept[Exception] { ext.sql(s"CALL graft.check('$t')") }
+    assert(ex.getMessage.contains("at least one predicate"))
+  }
+
   test("CALL graft.changelog registers the net CDC feed as a queryable view") {
     val t = freshTable("chg", 1 to 5)
     val s1 = cat.currentSnapshot(t).get.snapshotId
