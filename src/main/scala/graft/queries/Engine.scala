@@ -690,6 +690,40 @@ object Engine {
     es.sql("SELECT o_orderpriority, n_orders, sum_price FROM pri_top")
   }
 
+  // Memoized changelog catalog per sf-dir: orders committed (s1), then
+  // a COW update (price bump on k%7) and a MoR delete (k%11) — rows on
+  // both moduli exercise the update-then-delete NET collapse.
+  private val changelogRoots = TrieMap.empty[String, SnapshotCatalog]
+  private def changelogCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    changelogRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-changelog-").toString
+      val cat = new SnapshotCatalog(root)
+      val dd = Files.createTempDirectory("graft-changelog-data-").toString
+      Writers.writeSnapshot(cat, "chorders",
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")), dd)
+      Writers.updateWhere(s, cat, "chorders",
+        Seq("o_totalprice" -> (col("o_totalprice") + lit(100.0))),
+        pmod(col("o_orderkey"), lit(7)) === 0, Nil, dd)
+      Writers.deleteWhereMoR(s, cat, "chorders",
+        pmod(col("o_orderkey"), lit(11)) === 0, Nil, dd)
+      cat
+    })
+
+  /** NET row-level change feed (S25/S56 `changelog` at the query level):
+    * the feed from the first snapshot to current must equal the pure
+    * set algebra the oracle replays — deletes = initial EXCEPT final,
+    * inserts = final EXCEPT initial — across a COW update, a MoR
+    * delete, and their overlap (updated-then-deleted rows collapse to
+    * one NET delete). The first CDC surface with a full value-level
+    * oracle, not just spec reconciliation. */
+  def qChangelog(s: SparkSession, dir: String): DataFrame = {
+    val cat = changelogCatFor(s, dir)
+    cat.changesBetween(s, "chorders", fromSnapshotId = 1L)
+      .select(col("_change_type").as("change"),
+        col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+  }
+
   /** SQL catalog discovery (S63): DESCRIBE over a catalog table renders
     * one row per column with the declared type — metadata-sized, zero
     * data I/O. The oracle pins the exact rendering with a literal
@@ -1088,6 +1122,7 @@ object Engine {
     "q_view_read" -> (qViewRead _),
     "q_view_version" -> (qViewVersion _),
     "q_sql_discovery" -> (qSqlDiscovery _),
+    "q_changelog" -> (qChangelog _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
@@ -1291,6 +1326,16 @@ object Engine {
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_changelog" ->
+      """WITH i AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+        |), f AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN p + 100.0 ELSE p END AS p
+        |  FROM i WHERE k % 11 <> 0
+        |)
+        |SELECT 'delete' AS change, k, p FROM (SELECT k, p FROM i EXCEPT SELECT k, p FROM f)
+        |UNION ALL
+        |SELECT 'insert' AS change, k, p FROM (SELECT k, p FROM f EXCEPT SELECT k, p FROM i)""".stripMargin,
     "q_sql_discovery" ->
       """SELECT col_name, data_type, comment FROM (VALUES
         |  ('o_orderkey', 'bigint', CAST(NULL AS VARCHAR)),
