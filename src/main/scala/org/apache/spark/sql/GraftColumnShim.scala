@@ -11,6 +11,11 @@ object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Flush pending listener-bus events (spec hook: zero-Spark-job
+    * assertions must not race async event delivery). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Apply a SparkSessionExtensions' injected functions to a registry
     * (test hook: lets specs prove config-style wiring without cycling a
     * SparkContext, which would kill the suite-shared session). */

@@ -793,6 +793,35 @@ class GraftDmlSpec extends SparkSpec {
       vddl.contains("SELECT id"))
   }
 
+  test("discovery launches ZERO Spark jobs — the metadata-sized claim, listener-proven") {
+    if (!cat.tables().contains("disco"))
+      ext.sql("CREATE TABLE graft.disco (id BIGINT NOT NULL, name STRING, " +
+        "score DOUBLE DEFAULT 0.25)")
+    if (cat.viewMeta("disco_v").isEmpty)
+      ext.sql("CREATE VIEW graft.disco_v AS SELECT id FROM disco")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      GraftColumnShim.drainListenerBus(spark) // settle prior tests' events
+      val before = jobs.get()
+      ext.sql("SHOW TABLES IN graft").collect()
+      ext.sql("SHOW VIEWS IN graft LIKE 'disc*'").collect()
+      ext.sql("DESCRIBE EXTENDED disco").collect()
+      ext.sql("DESCRIBE graft.disco_v").collect() // body ANALYZED, never run
+      ext.sql("SHOW CREATE TABLE graft.disco").collect()
+      ext.sql("SHOW PARTITIONS disco").collect()
+      GraftColumnShim.drainListenerBus(spark)
+      assert(jobs.get() == before,
+        s"discovery must answer from metadata, not Spark jobs (${jobs.get() - before} launched)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("SHOW PARTITIONS answers from the manifest: hive layout, spec filter, unpartitioned empty") {
     val days = Seq(graft.meta.DaysTransform("ts"))
     val pcol = days.head.partCol
