@@ -71,10 +71,13 @@ object Expectations {
         coalesce(sum(when(rowViolation(r), 1L).otherwise(0L)), lit(0L))
           .cast("long").as(r.name)
     }
-    // rule names are free text (a SqlCheck label may carry dots/spaces):
-    // backtick-quote so col() never dot-splits them
+    // rule names are free text (a SqlCheck label may carry dots/spaces,
+    // even backticks): backtick-quote so col() never dot-splits them,
+    // doubling embedded backticks — Spark's identifier escape — so a
+    // label like check:`k` > 'a' still round-trips
     val pairs = rules.map(r =>
-      struct(lit(r.name).as("rule"), col(s"`${r.name}`").as("violations")))
+      struct(lit(r.name).as("rule"),
+        col(s"`${r.name.replace("`", "``")}`").as("violations")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs: _*)).as("e"))
       .select(col("e.rule").as("rule"), col("e.violations").as("violations"))

@@ -1015,9 +1015,18 @@ object Writers {
     try {
       val futures = groups.map(g => pool.submit(
         new java.util.concurrent.Callable[B] { def call(): B = f(g) }))
-      futures.map(fu =>
+      try futures.map(fu =>
         try fu.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      catch { case t: Throwable =>
+        // first failure propagates — cancel the siblings rather than let
+        // queued/running group jobs (each a full shuffle) burn cluster
+        // time producing outputs nobody will commit (they'd only fall to
+        // orphan GC anyway)
+        futures.foreach(_.cancel(true))
+        pool.shutdownNow()
+        throw t
+      }
     } finally { pool.shutdown(); () }
   }
 

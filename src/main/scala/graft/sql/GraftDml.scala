@@ -850,16 +850,42 @@ case class GraftViewCommand(
     val cat = GraftSqlResolution.catalogFor(root)
     action match {
       case GraftViewCommand.Create(sql, replace, ifNotExists) =>
+        if (replace) requireReplaceKeepsShape(session, cat, sql)
         cat.createView(name, sql, replace, ifNotExists)
       case GraftViewCommand.Redefine(sql) =>
         if (cat.viewMeta(name).isEmpty) throw new IllegalArgumentException(
           s"no view $name in the graft catalog (ALTER VIEW needs an existing view; " +
             "use CREATE VIEW)")
+        requireReplaceKeepsShape(session, cat, sql)
         cat.createView(name, sql, replace = true)
       case GraftViewCommand.Drop(ifExists) =>
         cat.dropView(name, ifExists)
     }
     Seq.empty
+  }
+
+  /** The dependent-view discipline extended to REPLACE/ALTER VIEW AS
+    * (the same Postgres refuse-and-name contract drops follow): a
+    * redefinition that changes the view's OUTPUT SHAPE (column names or
+    * types, order-sensitive — a dependent's `v.*` expansion is
+    * positional) while other stored views read it would break them at
+    * their next read, so it refuses and names the dependents. A
+    * same-shape redefinition (the versioned-definition use case: fix a
+    * predicate, swap an implementation) stays allowed. Analysis-only —
+    * both bodies are resolved for their schemas, never executed. */
+  private def requireReplaceKeepsShape(
+      session: SparkSession, cat: SnapshotCatalog, newSql: String): Unit = {
+    val deps = cat.dependentViews(name)
+    if (deps.isEmpty) return
+    cat.viewSql(name).foreach { oldSql =>
+      def shape(q: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
+        session.sql(q).schema.fields
+          .map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      if (shape(oldSql) != shape(newSql)) throw new IllegalArgumentException(
+        s"cannot replace view $name: stored view(s) ${deps.mkString(", ")} depend " +
+          "on it and the new definition changes its output columns — drop the " +
+          "dependents first, or keep the column names and types")
+    }
   }
 }
 
@@ -951,8 +977,23 @@ case class GraftShowPartitionsCommand(
     val cat = GraftSqlResolution.catalogFor(root)
     val snap = cat.currentSnapshot(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots for table $table"))
+    // a spec key that is not a partition column refuses loudly (Spark's
+    // AnalysisException contract) — a typo'd key must read as an error,
+    // never as "no partitions"
+    val partKeys = snap.files.flatMap(_.partitionValues.keys).distinct
+    val unknown = spec.keys.filterNot(partKeys.contains)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"SHOW PARTITIONS $table: ${unknown.mkString(", ")} " +
+        (if (partKeys.isEmpty) "— the table is not partitioned"
+         else s"is not a partition column; partition columns: ${partKeys.sorted.mkString(", ")}"))
     snap.files.map(_.partitionValues).distinct
-      .filter(pv => pv.nonEmpty && spec.forall { case (k, v) => pv.get(k).contains(v) })
+      .filter(pv => pv.nonEmpty && spec.forall { case (k, v) =>
+        // values match in either spelling: the logical (decoded) value a
+        // user writes, or the URL-encoded form copied back from a
+        // displayed row / path segment
+        pv.get(k).exists(raw =>
+          raw == v || java.net.URLEncoder.encode(raw, "UTF-8") == v)
+      })
       .map(pv => pv.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
         .mkString("/"))
@@ -1210,7 +1251,7 @@ case class GraftCallCommand(
         val unique = named.get("unique").map(
           _.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         val rules: Seq[graft.sinks.Expectation] =
-          preds.map(p => graft.sinks.SqlCheck(p.replace("`", "'"), p)) ++
+          preds.map(p => graft.sinks.SqlCheck(p, p)) ++
             unique.map(graft.sinks.UniqueKey(_)).toSeq
         require(rules.nonEmpty,
           s"CALL graft.$proc: pass at least one predicate (or unique => 'k1,k2')")
@@ -1231,6 +1272,15 @@ case class GraftCallCommand(
         val view = named.get("view").map(_.toString).getOrElse(s"${table}_changes")
         require(view.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"CALL graft.$proc: invalid view name $view")
+        // a temp view deliberately wins un-suffixed name resolution, so a
+        // feed named like a catalog table/view would silently shadow it
+        // for every later plain-name read in this session — refuse and
+        // ask for a distinct name rather than hijack the catalog
+        if (cat.tables().contains(view) || cat.viewMeta(view).isDefined)
+          throw new IllegalArgumentException(
+            s"CALL graft.$proc: '$view' names an existing catalog " +
+              s"${if (cat.viewMeta(view).isDefined) "view" else "table"} and a temp " +
+              "view would shadow it for plain-name reads; pass view => '<other name>'")
         cat.changesBetween(session, table, from, to).createOrReplaceTempView(view)
         Seq(Row(view))
       case "rewrite_sorted" =>

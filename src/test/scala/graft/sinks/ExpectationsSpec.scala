@@ -39,6 +39,16 @@ class ExpectationsSpec extends SparkSpec {
       "unique:k" -> 1L))         // two k=2 rows → one extra
   }
 
+  test("free-text rule labels round-trip: dots, spaces, even embedded backticks") {
+    val df = Seq((1L, -5.0), (2L, 3.0)).toDF("k", "v")
+    val rep = report(Expectations.check(df, Seq(
+      SqlCheck("v.is positive", "v > 0"),
+      SqlCheck("bal in `expected` band", "v < 100"))))
+    assert(rep == Map(
+      "check:v.is positive" -> 1L,
+      "check:bal in `expected` band" -> 0L))
+  }
+
   test("empty input yields zero violations for every rule (not an empty report)") {
     val df = Seq.empty[(Long, String)].toDF("k", "tag")
     val rep = report(Expectations.check(df, Seq(

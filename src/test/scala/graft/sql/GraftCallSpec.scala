@@ -108,6 +108,12 @@ class GraftCallSpec extends SparkSpec {
     assert(clean == 0L)
     val ex = intercept[Exception] { ext.sql(s"CALL graft.check('$t')") }
     assert(ex.getMessage.contains("at least one predicate"))
+    // predicates are plain SQL: a string literal uses standard ''
+    // escaping inside the CALL argument, and the label reports VERBATIM
+    // (no backtick-for-quote rewriting)
+    val lit = ext.sql(s"CALL graft.check('$t', 'c_name != ''nope''')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lit("check:c_name != 'nope'") == 1L) // only the planted NULL name
   }
 
   test("CALL graft.changelog registers the net CDC feed as a queryable view") {
@@ -143,6 +149,18 @@ class GraftCallSpec extends SparkSpec {
       ext.sql(s"CALL graft.changelog('$t', $s1, view => 'bad name')")
     }
     assert(e2.getMessage.contains("invalid view name"))
+    // a feed named like a catalog table/view would temp-view-shadow it
+    // for every later plain-name read — refuse, don't hijack
+    val e3 = intercept[Exception] {
+      ext.sql(s"CALL graft.changelog('$t', $s1, view => '$t')")
+    }
+    assert(e3.getMessage.contains("shadow"))
+    ext.sql(s"CREATE VIEW graft.chg_v AS SELECT c_custkey FROM $t")
+    val e4 = intercept[Exception] {
+      ext.sql(s"CALL graft.changelog('$t', $s1, view => 'chg_v')")
+    }
+    assert(e4.getMessage.contains("shadow") && e4.getMessage.contains("view"))
+    ext.sql("DROP VIEW graft.chg_v")
   }
 
   test("CALL graft.expire_snapshots trims history to retain_last") {

@@ -842,4 +842,37 @@ class GraftDmlSpec extends SparkSpec {
     val t = freshTable("showpart0", 1 to 3)
     assert(ext.sql(s"SHOW PARTITIONS $t").collect().isEmpty)
   }
+
+  test("SHOW PARTITIONS: unknown spec keys refuse; encoded values match") {
+    // a typo'd spec key must be a loud error (Spark's AnalysisException
+    // contract), never a silent 'no partitions'
+    val ex = intercept[Exception] {
+      ext.sql("SHOW PARTITIONS showpart PARTITION (`no_such_col` = 'x')").collect()
+    }
+    assert(ex.getMessage.contains("no_such_col") &&
+      ex.getMessage.contains("not a partition column"))
+    // …and on an unpartitioned table the refusal says so
+    val t = freshTable("showpart1", 1 to 3)
+    val ex2 = intercept[Exception] {
+      ext.sql(s"SHOW PARTITIONS $t PARTITION (`c_custkey` = '1')").collect()
+    }
+    assert(ex2.getMessage.contains("not partitioned"))
+    // a value copied back from displayed (URL-encoded) output matches the
+    // same tuple its logical (decoded) spelling does — exercised on a
+    // value whose two spellings actually differ
+    import spark.implicits._
+    val df = Seq((1L, "North America"), (2L, "Europe")).toDF("id", "zone")
+    Writers.writePartitionedSnapshot(cat, "showpart_enc", df,
+      s"$dataDir/showpart_enc", Seq("zone"))
+    val logical = ext.sql(
+      "SHOW PARTITIONS showpart_enc PARTITION (`zone` = 'North America')")
+      .collect().map(_.getString(0))
+    assert(logical.length == 1 && logical.head.contains("North"))
+    val displayed = logical.head.stripPrefix("zone=") // the encoded rendering
+    assert(displayed != "North America") // the spellings differ here
+    val roundTrip = ext.sql(
+      s"SHOW PARTITIONS showpart_enc PARTITION (`zone` = '$displayed')")
+      .collect().map(_.getString(0))
+    assert(roundTrip.toSeq == logical.toSeq)
+  }
 }

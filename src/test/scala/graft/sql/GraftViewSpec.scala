@@ -187,6 +187,33 @@ class GraftViewSpec extends SparkSpec {
     assert(!cat.tables().contains("depbase"))
   }
 
+  test("REPLACE under dependents: shape change refuses and names them; same-shape replace allowed") {
+    seedOrders()
+    ext.sql("CREATE VIEW graft.rep_base AS " +
+      "SELECT o_orderkey AS k, o_totalprice AS p FROM vorders")
+    ext.sql("CREATE VIEW graft.rep_top AS SELECT k FROM rep_base WHERE k > 0")
+    // dropping a column the dependent may expand (rep_base.* is
+    // positional) breaks rep_top at next read — refuse, Postgres-style
+    val ex = intercept[Exception] {
+      ext.sql("CREATE OR REPLACE VIEW graft.rep_base AS " +
+        "SELECT o_orderkey AS k FROM vorders")
+    }
+    assert(ex.getMessage.contains("rep_top") &&
+      ex.getMessage.contains("output columns"))
+    // ALTER VIEW AS follows the same discipline
+    val ex2 = intercept[Exception] {
+      ext.sql("ALTER VIEW rep_base AS SELECT o_orderkey AS k, 'x' AS p FROM vorders")
+    }
+    assert(ex2.getMessage.contains("rep_top")) // p changed type: refuse too
+    // a SAME-shape redefinition (the versioned-definition use case —
+    // tighten a predicate) stays allowed and versions normally
+    ext.sql("CREATE OR REPLACE VIEW graft.rep_base AS " +
+      "SELECT o_orderkey AS k, o_totalprice AS p FROM vorders WHERE o_orderkey > 0")
+    assert(cat.viewMeta("rep_base").get.currentVersionId == 2L)
+    assert(ext.sql("SELECT count(*) AS c FROM rep_top").head().getLong(0) > 0)
+    ext.sql("DROP VIEW graft.rep_top"); ext.sql("DROP VIEW graft.rep_base")
+  }
+
   test("the Scala API cannot shadow a view either: first commit under a view name refuses") {
     ext.sql("CREATE VIEW graft.apitaken AS SELECT 1 AS x")
     val ex = intercept[IllegalArgumentException] {
