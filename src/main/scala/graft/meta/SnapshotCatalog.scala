@@ -875,14 +875,18 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
   def dropIndexColumns(
       spark: SparkSession,
       table: String,
-      columns: Seq[String]): SnapshotMeta = {
+      columns: Seq[String],
+      dropBlooms: Boolean = true,
+      dropSketches: Boolean = true): SnapshotMeta = {
     require(columns.nonEmpty, s"dropIndexColumns on $table: pass at least one column")
+    require(dropBlooms || dropSketches,
+      s"dropIndexColumns on $table: nothing to drop")
     publish(table) { prevOpt =>
       val prev = prevOpt.getOrElse(
         throw new IllegalArgumentException(s"No snapshots for table $table"))
-      def without(prop: String): Map[String, String] =
+      def without(prop: String, active: Boolean): Map[String, String] =
         prev.props.get(prop).map(_.split(",").toSeq.filter(_.nonEmpty)
-          .filterNot(columns.contains)).filter(_.nonEmpty)
+          .filterNot(c => active && columns.contains(c))).filter(_.nonEmpty)
           .map(cols => Map(prop -> cols.mkString(","))).getOrElse(Map.empty)
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -890,9 +894,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         parentId = Some(prev.snapshotId),
         schemaJson = prev.schemaJson,
         files = prev.files.map(f => f.copy(
-          blooms = f.blooms -- columns, sketches = f.sketches -- columns)),
-        props = without(SnapshotCatalog.BloomColumnsProp) ++
-          without(SnapshotCatalog.SketchColumnsProp) +
+          blooms = if (dropBlooms) f.blooms -- columns else f.blooms,
+          sketches = if (dropSketches) f.sketches -- columns else f.sketches)),
+        props = without(SnapshotCatalog.BloomColumnsProp, dropBlooms) ++
+          without(SnapshotCatalog.SketchColumnsProp, dropSketches) +
           (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
         deleteFiles = prev.deleteFiles)
     }
@@ -1278,6 +1283,63 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     (kinds.map(d => dir.resolve(d)) ++
       onDisk.flatMap(bd => kinds.map(d => bd.resolve(d))))
       .map(_.toAbsolutePath)
+  }
+
+  /** Rename a table: a METADATA-ONLY move of its manifests, pointer,
+    * tags, staged WAP entries and branch metadata into the new name's
+    * directory. Data files and bloom/sketch sidecars are PATH-ADDRESSED
+    * by the manifests (absolute paths), so they STAY where they are and
+    * every snapshot keeps reading verbatim — time travel, branches,
+    * CDC eras and zero-copy clones taken from this table all survive
+    * unchanged, and a later vacuum under either name still sees the
+    * files through the cross-table liveness walk. Refuses under
+    * dependent views (stored view bodies reference the OLD name — the
+    * S62 refuse-and-name discipline) and on any name collision.
+    * O(metadata) driver-side file moves, zero data I/O. Maintenance op:
+    * don't race it with in-flight commits on the same table. */
+  def renameTable(table: String, newName: String): Unit = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid table name: $newName")
+    require(!table.contains("/"),
+      s"cannot rename a branch ref: $table (rename the base table)")
+    if (currentSnapshot(table).isEmpty)
+      throw new IllegalArgumentException(s"no table $table in this catalog")
+    requireNoDependentViews(table, None, s"rename table $table")
+    require(newName != table, s"rename $table: the new name is the same")
+    require(!tables().contains(newName),
+      s"a table named $newName already exists in this catalog")
+    require(viewMeta(newName).isEmpty,
+      s"a view named $newName exists in this catalog; a table cannot shadow it")
+    moveTableMeta(tableDir(table), tableDir(newName))
+    // memoized manifests are keyed by absolute path under the OLD dir; a
+    // table later re-created at that name must never hit stale entries
+    val prefix = tableDir(table).toAbsolutePath.toString
+    manifestCache.keySet.removeIf(_.startsWith(prefix))
+    ()
+  }
+
+  /** Everything except the path-addressed payload dirs
+    * (data/blooms/sketches) moves; `branches/` (and `tags/`) recurse —
+    * a branch is a nested table dir with the same layout, keeping ITS
+    * payload dirs behind too. The old directory survives exactly when
+    * payload stayed in it. */
+  private def moveTableMeta(src: Path, dst: Path): Unit = {
+    val keep = Set("data", "blooms", "sketches")
+    Files.createDirectories(dst)
+    val stream = Files.list(src)
+    val entries = try stream.iterator().asScala.toList finally stream.close()
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p)) {
+        if (!keep.contains(n)) moveTableMeta(p, dst.resolve(n))
+      } else {
+        Files.move(p, dst.resolve(n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    try { Files.delete(src); () }
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 
   /** Absolute table-directory path — purge attribution compares file

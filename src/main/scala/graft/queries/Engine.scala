@@ -757,6 +757,56 @@ object Engine {
     es.sql("SELECT o_orderpriority, n_orders FROM pri_ver VERSION AS OF 1")
   }
 
+  // Memoized WAP-SQL catalog per sf-dir: the whole write-audit-publish
+  // loop driven from PURE SQL — a clean batch staged and gate-published,
+  // a dirty batch staged, refused by the gate and LEFT STAGED (the
+  // audit-trail contract). Stage/audit/publish are table maintenance
+  // (one batch write + metadata commits); the benched/verified path is
+  // the read of the published state, which must show the clean batch
+  // and never the dirty one.
+  private val wapRoots = TrieMap.empty[String, String]
+  private def wapRootFor(s: SparkSession, dir: String): String =
+    wapRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-wapsql-").toString
+      val cat = new SnapshotCatalog(root)
+      val dd = Files.createTempDirectory("graft-wapsql-data-").toString
+      Writers.writeRangedSnapshot(cat, "waporders",
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        dd, "o_orderkey", 8)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      val clean = es.sql("CALL graft.stage('waporders', " +
+        "'SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice + 0.5 " +
+        "FROM waporders WHERE o_orderkey <= 800')").head().getString(0)
+      val ok = es.sql(s"CALL graft.publish_if_clean('waporders', '$clean', " +
+        "'o_orderstatus IS NOT NULL')").collect()
+      require(ok.forall(_.getBoolean(2)), "clean WAP batch must publish")
+      val dirty = es.sql("CALL graft.stage('waporders', " +
+        "'SELECT o_orderkey + 20000000, CAST(NULL AS STRING), o_totalprice " +
+        "FROM waporders WHERE o_orderkey <= 400')").head().getString(0)
+      val refused = es.sql(s"CALL graft.publish_if_clean('waporders', '$dirty', " +
+        "'o_orderstatus IS NOT NULL')").collect()
+      require(refused.forall(!_.getBoolean(2)), "dirty WAP batch must refuse")
+      root
+    })
+
+  /** SQL write-audit-publish (S38+S45+S56 closed from pure SQL, r13):
+    * the published state equals base rows plus the gate-passed batch —
+    * and NOTHING of the refused batch (its NULL statuses would surface
+    * as an extra group and fail the hash). The oracle replays the clean
+    * publish as set algebra over the raw table. */
+  def qWapSql(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, wapRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_published
+        |FROM waporders GROUP BY o_orderstatus""".stripMargin)
+  }
+
   // Memoized metadata-count catalog per sf-dir: full orders committed
   // once; the benched/verified path is the manifest-answered COUNT.
   private val metaCountRoots = TrieMap.empty[String, String]
@@ -1134,6 +1184,7 @@ object Engine {
     "q_view_version" -> (qViewVersion _),
     "q_sql_discovery" -> (qSqlDiscovery _),
     "q_changelog" -> (qChangelog _),
+    "q_wap_sql" -> (qWapSql _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
@@ -1347,6 +1398,17 @@ object Engine {
         |SELECT 'delete' AS change, k, p FROM (SELECT k, p FROM i EXCEPT SELECT k, p FROM f)
         |UNION ALL
         |SELECT 'insert' AS change, k, p FROM (SELECT k, p FROM f EXCEPT SELECT k, p FROM i)""".stripMargin,
+    "q_wap_sql" ->
+      """WITH finalstate AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice + 0.5
+        |  FROM orders WHERE o_orderkey <= 800)
+        |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_published
+        |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
     "q_sql_discovery" ->
       """SELECT col_name, data_type, comment FROM (VALUES
         |  ('o_orderkey', 'bigint', CAST(NULL AS VARCHAR)),

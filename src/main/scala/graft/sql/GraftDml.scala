@@ -56,7 +56,22 @@ import scala.jdk.CollectionConverters._
   *   CALL graft.changelog('t', from [, to,        -- net CDC feed as a
   *     view => 'name'])                           --    queryable view
   *   CALL graft.check('t', 'pred', ...[,          -- data-quality audit:
-  *     unique => 'k1,k2'])                        --    violations/rule
+  *     unique => 'k1,k2', staged => 'id'])        --    violations/rule
+  *   CALL graft.stage('t', 'SELECT ...')          -- write-audit-publish
+  *   CALL graft.staged('t')                       --    from pure SQL:
+  *   CALL graft.publish_staged('t', 'id')         --    stage invisibly,
+  *   CALL graft.publish_if_clean('t', 'id',       --    audit, publish
+  *     'pred', ...[, unique => 'k'])              --    iff clean,
+  *   CALL graft.discard_staged('t', 'id')         --    or discard
+  *   ALTER TABLE t RENAME TO t2                   -- metadata-only move;
+  *                                                --    data stays put
+  *   SHOW TBLPROPERTIES t [('key')]               -- manifest props
+  *   ALTER TABLE t SET TBLPROPERTIES (            -- sticky index
+  *     'graft.bloom.columns' = 'c1,c2')           --    enable+backfill
+  *   ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS]-- (same code path as
+  *     ('graft.sketch.columns')                   --    CALL graft.index)
+  *   CALL graft.expire_rows('t', 'ts', cutoff_ms  -- compliance TTL
+  *     => t | older_than_ms => age)               --    sweep (MoR mask)
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
   *   CREATE [OR REPLACE] VIEW graft.v AS SELECT.. -- stored SQL views
   *   ALTER VIEW v AS SELECT ...                   --   (versioned defs,
@@ -475,6 +490,26 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.types.StructType(fields), ignoreIfExists)
         case DropTable(child, ifExists, purge) if dropTarget(child, cat).isDefined =>
           GraftDropCommand(root, dropTarget(child, cat).get, ifExists, purge)
+        case RenameTable(child, newParts, isView)
+            if ddlName(child).exists(p =>
+              claimedTable(p, cat).isDefined ||
+                p.lastOption.exists(n => cat.viewMeta(n).isDefined) ||
+                (p.size == 2 && p.head.equalsIgnoreCase("graft"))) =>
+          val oldParts = ddlName(child).get
+          val oldName = claimedTable(oldParts, cat).getOrElse(oldParts.last)
+          if (isView || cat.viewMeta(oldName).isDefined)
+            throw new UnsupportedOperationException(
+              s"RENAME on graft views is not supported (a view is versioned SQL " +
+                "text; DROP VIEW + CREATE VIEW under the new name keeps the " +
+                "history explicit)")
+          val newName = newParts match {
+            case Seq(n) => n
+            case Seq(ns, n) if ns.equalsIgnoreCase("graft") => n
+            case other => throw new UnsupportedOperationException(
+              s"RENAME TO ${other.mkString(".")}: a graft table can only be " +
+                "renamed within the graft catalog")
+          }
+          GraftRenameTableCommand(root, oldName, newName)
         // ---- SQL views (S62): stored definitions, graft.-namespaced ----
         case cv: CreateView if viewTarget(cv.child, cat, mustExist = false).isDefined =>
           val name = viewTarget(cv.child, cat, mustExist = false).get
@@ -513,6 +548,17 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
           GraftDescribeCommand(root, describeTarget(d.relation, cat).get, d.isExtended)
         case sc: ShowCreateTable if describeTarget(sc.child, cat).isDefined =>
           GraftShowCreateCommand(root, describeTarget(sc.child, cat).get)
+        case ShowTableProperties(child, key, _)
+            if ddlName(child).exists(p => claimedTable(p, cat).isDefined) =>
+          GraftShowTblPropsCommand(root,
+            ddlName(child).flatMap(claimedTable(_, cat)).get, key)
+        case SetTableProperties(child, props) if alterTarget(child, cat).isDefined =>
+          GraftTblPropsCommand(root, alterTarget(child, cat).get,
+            set = props, unset = Nil, unsetIfExists = false)
+        case UnsetTableProperties(child, keys, ifExists)
+            if alterTarget(child, cat).isDefined =>
+          GraftTblPropsCommand(root, alterTarget(child, cat).get,
+            set = Map.empty, unset = keys, unsetIfExists = ifExists)
         case sp: ShowPartitions
             if ddlName(sp.child).exists(p => claimedTable(p, cat).isDefined) =>
           val spec: Map[String, String] = sp.pattern.map {
@@ -956,6 +1002,91 @@ case class GraftShowCreateCommand(
   }
 }
 
+/** `SHOW TBLPROPERTIES t [('key')]`: the current snapshot's table
+  * properties straight off the manifest (the Iceberg snapshot-summary /
+  * table-props surface) — the sticky engine props (`graft.bloom.columns`,
+  * `graft.sketch.columns`) plus the last commit's operation props.
+  * Metadata-sized, zero data I/O (in the discovery zero-job battery).
+  * A named key that is not set refuses loudly — a typo must never read
+  * as 'no property'. */
+case class GraftShowTblPropsCommand(
+    root: String,
+    table: String,
+    key: Option[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    val props = cat.currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table")).props
+    key match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        throw new IllegalArgumentException(
+          s"table $table has no property '$k'; set: ${props.keys.toSeq.sorted.mkString(", ")}"))))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `ALTER TABLE t SET/UNSET TBLPROPERTIES`, scoped to the engine-owned
+  * sticky index props: SET `graft.bloom.columns` / `graft.sketch.columns`
+  * routes through the SAME [[SnapshotCatalog.indexColumns]] backfill the
+  * `CALL graft.index` verb uses (enable + backfill existing files, then
+  * sticky for every later commit), and UNSET through kind-scoped
+  * [[SnapshotCatalog.dropIndexColumns]] — SQL and CALL can never
+  * diverge. Arbitrary user properties refuse loudly: snapshot props are
+  * engine metadata, not a key-value store. */
+case class GraftTblPropsCommand(
+    root: String,
+    table: String,
+    set: Map[String, String],
+    unset: Seq[String],
+    unsetIfExists: Boolean) extends LeafRunnableCommand {
+
+  private val BloomProp = graft.meta.SnapshotCatalog.BloomColumnsProp
+  private val SketchProp = graft.meta.SnapshotCatalog.SketchColumnsProp
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftSqlResolution.catalogFor(root)
+    val owned = Set(BloomProp, SketchProp)
+    val badSet = set.keys.filterNot(owned.contains)
+    val badUnset = unset.filterNot(owned.contains)
+    if (badSet.nonEmpty || badUnset.nonEmpty) throw new UnsupportedOperationException(
+      s"TBLPROPERTIES on graft tables are engine-owned; supported: " +
+        s"${owned.toSeq.sorted.mkString(", ")} (got ${(badSet ++ badUnset).mkString(", ")})")
+    def cols(v: String): Seq[String] =
+      v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (set.nonEmpty) {
+      val bloom = set.get(BloomProp).map(cols).getOrElse(Nil)
+      val sketch = set.get(SketchProp).map(cols).getOrElse(Nil)
+      require(bloom.nonEmpty || sketch.nonEmpty,
+        s"SET TBLPROPERTIES: pass at least one column")
+      cat.indexColumns(session, table,
+        bloomColumns = bloom, sketchColumns = sketch)
+      ()
+    }
+    unset.foreach { p =>
+      val current = cat.currentSnapshot(table).getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+        .props.get(p).map(cols).getOrElse(Nil)
+      if (current.isEmpty) {
+        if (!unsetIfExists) throw new IllegalArgumentException(
+          s"table $table has no property '$p' (UNSET ... IF EXISTS to ignore)")
+      } else {
+        cat.dropIndexColumns(session, table, current,
+          dropBlooms = p == BloomProp, dropSketches = p == SketchProp)
+        ()
+      }
+    }
+    Seq.empty
+  }
+}
+
 /** `SHOW PARTITIONS t [PARTITION (k='v', ...)]`: the distinct partition
   * tuples of the current snapshot, straight off the manifest's
   * `partitionValues` — works for hive layouts AND hidden transforms
@@ -1111,13 +1242,25 @@ case class GraftCallCommand(
     named: Map[String, Any]) extends LeafRunnableCommand {
 
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
-  import org.apache.spark.sql.types.{BooleanType, LongType}
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     proc match {
       case "compact" =>
         Seq(AttributeReference("committed", BooleanType, nullable = false)(),
           AttributeReference("snapshot_id", LongType, nullable = true)())
+      case "stage" =>
+        Seq(AttributeReference("staged_id", StringType, nullable = false)())
+      case "staged" =>
+        Seq(AttributeReference("staged_id", StringType, nullable = false)(),
+          AttributeReference("staged_at_ms", LongType, nullable = false)(),
+          AttributeReference("files", LongType, nullable = false)())
+      case "discard_staged" =>
+        Seq(AttributeReference("discarded", BooleanType, nullable = false)())
+      case "publish_if_clean" =>
+        Seq(AttributeReference("rule", StringType, nullable = false)(),
+          AttributeReference("violations", LongType, nullable = false)(),
+          AttributeReference("published", BooleanType, nullable = false)())
       case "expire_snapshots" =>
         Seq(AttributeReference("expired", LongType, nullable = false)())
       case "remove_orphans" =>
@@ -1152,6 +1295,23 @@ case class GraftCallCommand(
           "bare-column comparisons against literals, or omit it for a full sweep")
       fs
     case None => Nil
+  }
+
+  /** Expectation rules from CALL arguments: every positional from
+    * `firstPred` on is a SQL predicate (plain SQL, standard ''
+    * escaping; the label reports verbatim), plus an optional
+    * `unique => 'k1,k2'` key-uniqueness rule. Shared by check and
+    * publish_if_clean so the audit and the gate can never diverge. */
+  private def checkRules(firstPred: Int): Seq[graft.sinks.Expectation] = {
+    val preds = positional.drop(firstPred).map(_.toString)
+    val unique = named.get("unique").map(
+      _.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val rules: Seq[graft.sinks.Expectation] =
+      preds.map(p => graft.sinks.SqlCheck(p, p)) ++
+        unique.map(graft.sinks.UniqueKey(_)).toSeq
+    require(rules.nonEmpty,
+      s"CALL graft.$proc: pass at least one predicate (or unique => 'k1,k2')")
+    rules
   }
 
   private def arg(i: Int, name: String): Option[Any] =
@@ -1241,22 +1401,91 @@ case class GraftCallCommand(
         Seq(Row(cat.fastForward(str(0, "table"), str(1, "name")).snapshotId))
       case "check" =>
         // CALL graft.check('t', 'pred1', 'pred2', ...[, unique =>
-        // 'k1,k2']) — data-quality audit from SQL (S45's Expectations):
-        // every predicate's violation count (null = violation: an
-        // unknown check must not pass) plus an optional key-uniqueness
-        // rule, ALL folded into ONE aggregate over ONE scan regardless
-        // of rule count. Rows report per-rule counts; zero = holds.
+        // 'k1,k2', staged => 'id']) — data-quality audit from SQL
+        // (S45's Expectations): every predicate's violation count
+        // (null = violation: an unknown check must not pass) plus an
+        // optional key-uniqueness rule, ALL folded into ONE aggregate
+        // over ONE scan regardless of rule count. Rows report per-rule
+        // counts; zero = holds. With staged => the audit runs over the
+        // PROSPECTIVE state of that staged WAP commit (current rows +
+        // staged files) — the audit half of write-audit-publish, before
+        // anything becomes visible.
         val table = str(0, "table")
-        val preds = positional.drop(1).map(_.toString)
-        val unique = named.get("unique").map(
-          _.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        val rules: Seq[graft.sinks.Expectation] =
-          preds.map(p => graft.sinks.SqlCheck(p, p)) ++
-            unique.map(graft.sinks.UniqueKey(_)).toSeq
-        require(rules.nonEmpty,
-          s"CALL graft.$proc: pass at least one predicate (or unique => 'k1,k2')")
-        graft.sinks.Expectations.check(cat.read(session, table), rules)
-          .collect().toSeq
+        val rules = checkRules(firstPred = 1)
+        val frame = named.get("staged") match {
+          case Some(id) => graft.sinks.Expectations.auditStaged(
+            session, cat, table, id.toString, rules)
+          case None => graft.sinks.Expectations.check(
+            cat.read(session, table), rules)
+        }
+        frame.collect().toSeq
+      case "stage" =>
+        // CALL graft.stage('t', 'SELECT ...') — the WRITE half of
+        // write-audit-publish from pure SQL: run the query, cast its
+        // columns positionally to the table schema (INSERT semantics)
+        // and record the files OUTSIDE the snapshot chain. Readers, CDC
+        // and streaming sources see nothing until publish; the returned
+        // staged id is what check(staged =>), publish_staged,
+        // publish_if_clean and discard_staged take.
+        val table = str(0, "table")
+        val q = str(1, "query")
+        val schema = cat.schema(table).getOrElse(
+          throw new IllegalArgumentException(s"no snapshots for table $table"))
+        val src = session.sql(q)
+        require(src.columns.size == schema.size,
+          s"CALL graft.$proc: $table needs ${schema.size} columns, " +
+            s"the query produced ${src.columns.size}")
+        // generated column names carry dots/parens (`(o_totalprice + 0.5)`)
+        // — backtick-quote so col() never dot-splits them
+        val projected = src.select(src.columns.zip(schema.fields).map {
+          case (c, f) =>
+            col(s"`${c.replace("`", "``")}`").cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        Seq(Row(Writers.stageAppendSnapshot(cat, table, projected,
+          GraftDml.dataDirFor(session, root, table))))
+      case "staged" =>
+        // CALL graft.staged('t') — the audit queue: staged-but-
+        // unpublished WAP commits, oldest first. Metadata-only.
+        val table = str(0, "table")
+        cat.listStaged(table).flatMap(cat.staged(table, _))
+          .sortBy(_.timestampMs)
+          .map(st => Row(st.stagedId, st.timestampMs, st.paths.size.toLong))
+      case "publish_staged" =>
+        // CALL graft.publish_staged('t', 'id') — the unconditional
+        // PUBLISH: the staged files land on top of the CURRENT snapshot
+        // through the normal optimistic commit (append cherry-pick), so
+        // commits that raced in after staging are preserved.
+        Seq(Row(cat.publishStaged(session, str(0, "table"),
+          str(1, "staged_id")).snapshotId))
+      case "discard_staged" =>
+        // CALL graft.discard_staged('t', 'id') — drop a staged commit
+        // that failed its audit; its files fall to remove_orphans. An
+        // unknown id refuses loudly (an audit trail must not silently
+        // 'discard' nothing).
+        val table = str(0, "table")
+        val id = str(1, "staged_id")
+        if (cat.staged(table, id).isEmpty) throw new IllegalArgumentException(
+          s"no staged commit $id for table $table")
+        cat.discardStaged(table, id)
+        Seq(Row(true))
+      case "publish_if_clean" =>
+        // CALL graft.publish_if_clean('t', 'id', 'pred1', ...[, unique
+        // => 'k1,k2']) — the gated publish that closes the WAP loop:
+        // audit the PROSPECTIVE state, publish iff every rule has zero
+        // violations. On failure the staged entry is LEFT IN PLACE
+        // (inspect with check(staged =>), then fix-and-restage or
+        // discard) — an audit must never destroy the evidence it failed
+        // on. Rows report per-rule counts plus the outcome.
+        val table = str(0, "table")
+        val id = str(1, "staged_id")
+        val rules = checkRules(firstPred = 2)
+        graft.sinks.Expectations.publishStagedIfClean(
+            session, cat, table, id, rules) match {
+          case Right(_) =>
+            rules.map(_.name).sorted.map(n => Row(n, 0L, true))
+          case Left(report) =>
+            report.toSeq.sortBy(_._1).map { case (n, v) => Row(n, v, false) }
+        }
       case "changelog" =>
         // CALL graft.changelog('t', from [, to, view => 'name']) —
         // register the NET row-level change feed between two snapshots
@@ -1283,6 +1512,26 @@ case class GraftCallCommand(
               "view would shadow it for plain-name reads; pass view => '<other name>'")
         cat.changesBetween(session, table, from, to).createOrReplaceTempView(view)
         Seq(Row(view))
+      case "expire_rows" =>
+        // CALL graft.expire_rows('t', 'ts_col', cutoff_ms => t |
+        // older_than_ms => age) — the nightly compliance TTL sweep
+        // (S40's expireRowsOlderThan) from pure SQL: every row whose
+        // ts_col is strictly before the cutoff expires as a MoR mask.
+        // Manifest min/max prune bounds the marking scan to files that
+        // could hold old rows — on a time-ordered ingest layout the
+        // cold prefix, never the live tail — and the commit is pure
+        // metadata. No matching rows = no commit (the returned id is
+        // the unchanged head).
+        val table = str(0, "table")
+        val tsCol = str(1, "ts_column")
+        val cutoff = named.get("cutoff_ms").map(asLong("cutoff_ms", _))
+          .orElse(named.get("older_than_ms").map(a =>
+            System.currentTimeMillis() - asLong("older_than_ms", a)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CALL graft.$proc: pass cutoff_ms => <epoch ms> or " +
+              "older_than_ms => <age ms>"))
+        Seq(Row(Writers.expireRowsOlderThan(session, cat, table, tsCol, cutoff,
+          GraftDml.dataDirFor(session, root, table)).snapshotId))
       case "rewrite_sorted" =>
         // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,
         // zorder => true, where => 'pred']) — re-cluster by the sort
@@ -1336,7 +1585,8 @@ case class GraftCallCommand(
           s"unknown graft procedure '$other'; supported: compact, " +
             "expire_snapshots, remove_orphans, rollback, cherrypick, clone, " +
             "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, " +
-            "index, drop_index")
+            "index, drop_index, check, changelog, stage, staged, " +
+            "publish_staged, publish_if_clean, discard_staged, expire_rows")
     }
   }
 }
@@ -1412,6 +1662,22 @@ case class GraftTruncateCommand(
   * Without PURGE the files stay for other referents entirely.
   * The target may also be a backquoted branch ref `t/branches/dev`
   * (drops just that branch, same purge discipline). */
+/** `ALTER TABLE t RENAME TO t2` → [[SnapshotCatalog.renameTable]]: a
+  * metadata-only move (manifests, pointer, tags, staged entries, branch
+  * metadata); data files and sidecars are path-addressed and stay put,
+  * so history, branches and clones keep working. Refuses under
+  * dependent views and on collisions. */
+case class GraftRenameTableCommand(
+    root: String,
+    table: String,
+    newName: String) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlResolution.catalogFor(root).renameTable(table, newName)
+    Seq.empty
+  }
+}
+
 case class GraftDropCommand(
     root: String,
     table: String,

@@ -140,7 +140,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(26) match {
+        rnd.nextInt(27) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -436,6 +436,28 @@ class CdcLifecycleSpec extends SparkSpec {
             val res = es.sql(s"CALL graft.compact('t', where => 'id <= $cut')").head()
             if (res.getBoolean(0))
               states :+= (res.getLong(1), state)
+          case 26 => // SQL WAP verbs (r13): stage is INVISIBLE (no
+            // commit, no model change); a coin then gate-publishes
+            // (clean rule → the batch lands as one append commit) or
+            // discards (nothing ever lands) — either way every
+            // interleaved feed and time-travel read must stay exact
+            val b = batch(3 + rnd.nextInt(8))
+            val vals = b.map((sqlTuple _).tupled).mkString(", ")
+            val before = cat.currentSnapshot(t).get.snapshotId
+            val sid = es.sql(
+              s"CALL graft.stage('t', 'SELECT * FROM VALUES $vals')")
+              .head().getString(0)
+            assert(cat.currentSnapshot(t).get.snapshotId == before,
+              s"seq=$seq stage must not commit")
+            if (rnd.nextBoolean()) {
+              val pub = es.sql(
+                s"CALL graft.publish_if_clean('t', '$sid', 'id IS NOT NULL')")
+                .collect()
+              assert(pub.forall(_.getBoolean(2)), s"seq=$seq clean stage must publish")
+              state = plus(state, ms(b))
+              states :+= (cat.currentSnapshot(t).get.snapshotId, state)
+            } else
+              es.sql(s"CALL graft.discard_staged('t', '$sid')")
         }
       }
 

@@ -163,6 +163,69 @@ class GraftCallSpec extends SparkSpec {
     ext.sql("DROP VIEW graft.chg_v")
   }
 
+  test("WAP from pure SQL: stage invisibly, audit the prospective state, publish iff clean, discard") {
+    val t = freshTable("wap", 1 to 8)
+    val baseRows = ext.sql(s"SELECT * FROM $t").collect().toSet
+    val baseSnap = cat.currentSnapshot(t).get.snapshotId
+    // STAGE: a batch with a planted violation (null name) — invisible
+    val dirtyId = ext.sql(s"CALL graft.stage('$t', " +
+      "'SELECT 501L, CAST(NULL AS STRING), -3.0')").head().getString(0)
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == baseRows,
+      "a staged batch must be invisible to reads")
+    assert(cat.currentSnapshot(t).get.snapshotId == baseSnap,
+      "staging must not commit")
+    assert(cat.changesBetween(spark, t, baseSnap).isEmpty,
+      "a staged batch must be invisible to CDC")
+    // the audit queue lists it
+    val queue = ext.sql(s"CALL graft.staged('$t')").collect()
+    assert(queue.map(_.getString(0)).contains(dirtyId))
+    // AUDIT the prospective state: the staged null violates; base rows pass
+    val audit = ext.sql(s"CALL graft.check('$t', 'c_name IS NOT NULL', " +
+      s"staged => '$dirtyId')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("check:c_name IS NOT NULL") == 1L)
+    // GATED PUBLISH refuses: rows report the violation, nothing commits,
+    // the staged entry stays for inspection
+    val refused = ext.sql(s"CALL graft.publish_if_clean('$t', '$dirtyId', " +
+      "'c_name IS NOT NULL')").collect()
+    assert(refused.forall(!_.getBoolean(2)) &&
+      refused.exists(r => r.getString(0) == "check:c_name IS NOT NULL" && r.getLong(1) == 1L))
+    assert(cat.currentSnapshot(t).get.snapshotId == baseSnap)
+    assert(cat.listStaged(t).contains(dirtyId), "a failed audit keeps the evidence")
+    // DISCARD it; its files fall to remove_orphans
+    assert(ext.sql(s"CALL graft.discard_staged('$t', '$dirtyId')").head().getBoolean(0))
+    assert(!cat.listStaged(t).contains(dirtyId))
+    val removed = ext.sql(s"CALL graft.remove_orphans('$t', grace_s => 0)")
+      .head().getLong(0)
+    assert(removed >= 1L, "discarded staged files are orphans")
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == baseRows)
+    // a clean batch staged, gate-published: rows land, WAP id recorded
+    val cleanId = ext.sql(s"CALL graft.stage('$t', " +
+      "'SELECT 502L, ''Clean#502'', 7.5')").head().getString(0)
+    val ok = ext.sql(s"CALL graft.publish_if_clean('$t', '$cleanId', " +
+      "'c_name IS NOT NULL', unique => 'c_custkey')").collect()
+    assert(ok.forall(_.getBoolean(2)) && ok.length == 2)
+    val published = cat.currentSnapshot(t).get
+    assert(published.snapshotId == baseSnap + 1)
+    assert(published.props.get(SnapshotCatalog.WapIdProp).contains(cleanId))
+    assert(ext.sql(s"SELECT c_name FROM $t WHERE c_custkey = 502").head()
+      .getString(0) == "Clean#502")
+    // unconditional publish path + refusals
+    val id3 = ext.sql(s"CALL graft.stage('$t', 'SELECT 503L, ''X#503'', 1.0')")
+      .head().getString(0)
+    val snap3 = ext.sql(s"CALL graft.publish_staged('$t', '$id3')").head().getLong(0)
+    assert(snap3 == published.snapshotId + 1)
+    assert(ext.sql(s"CALL graft.staged('$t')").collect().isEmpty)
+    val e1 = intercept[Exception] {
+      ext.sql(s"CALL graft.discard_staged('$t', 'nosuch')")
+    }
+    assert(e1.getMessage.contains("no staged commit"))
+    val e2 = intercept[Exception] {
+      ext.sql(s"CALL graft.stage('$t', 'SELECT 1L')")
+    }
+    assert(e2.getMessage.contains("columns"))
+  }
+
   test("CALL graft.expire_snapshots trims history to retain_last") {
     val t = freshTable("exp", 1 to 3)
     ext.sql(s"INSERT INTO $t VALUES (201, 'A', 1.0)")
@@ -189,6 +252,37 @@ class GraftCallSpec extends SparkSpec {
     assert(!Files.exists(orphan), "orphan must be deleted")
     assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5,
       "referenced files must survive the vacuum")
+  }
+
+  test("CALL graft.expire_rows sweeps rows before the cutoff as a MoR mask, no data churn") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("value"))
+    Writers.writeSnapshot(cat, "ttlsql", ev.repartitionByRange(4, col("ts")), dataDir)
+    val (minTs, maxTs) = {
+      val r = ev.agg(min(col("ts")).cast("long"), max(col("ts")).cast("long")).head()
+      (r.getLong(0) * 1000L, r.getLong(1) * 1000L)
+    }
+    val cutoff = (minTs + maxTs) / 2
+    val expectedKept = ev.filter(
+      col("ts").cast("timestamp") >= timestamp_millis(lit(cutoff))).count()
+    val before = cat.currentSnapshot("ttlsql").get
+    val sid = ext.sql(s"CALL graft.expire_rows('ttlsql', 'ts', cutoff_ms => $cutoff)")
+      .head().getLong(0)
+    val after = cat.currentSnapshot("ttlsql").get
+    assert(sid == after.snapshotId && after.snapshotId == before.snapshotId + 1)
+    // MoR: the sweep is a mask commit, zero data-file churn
+    assert(after.files.map(_.path) == before.files.map(_.path))
+    assert(after.deleteFiles.size > before.deleteFiles.size)
+    assert(ext.sql("SELECT count(*) AS n FROM ttlsql").head().getLong(0) == expectedKept)
+    assert(expectedKept > 0, "fixture must keep a live tail")
+    // an age so large nothing qualifies: no commit, head unchanged
+    val same = ext.sql(
+      "CALL graft.expire_rows('ttlsql', 'ts', older_than_ms => 4102444800000)")
+      .head().getLong(0)
+    assert(same == after.snapshotId)
+    // missing cutoff refuses with the expected usage
+    val e = intercept[Exception] { ext.sql("CALL graft.expire_rows('ttlsql', 'ts')") }
+    assert(e.getMessage.contains("cutoff_ms"))
   }
 
   test("CALL graft.rollback and graft.cherrypick move the table as new commits") {

@@ -816,6 +816,7 @@ class GraftDmlSpec extends SparkSpec {
       ext.sql("DESCRIBE graft.disco_v").collect() // body ANALYZED, never run
       ext.sql("SHOW CREATE TABLE graft.disco").collect()
       ext.sql("SHOW PARTITIONS disco").collect()
+      ext.sql("SHOW TBLPROPERTIES disco").collect()
       GraftColumnShim.drainListenerBus(spark)
       assert(jobs.get() == before,
         s"discovery must answer from metadata, not Spark jobs (${jobs.get() - before} launched)")
@@ -841,6 +842,109 @@ class GraftDmlSpec extends SparkSpec {
     // an unpartitioned table has no tuples to show
     val t = freshTable("showpart0", 1 to 3)
     assert(ext.sql(s"SHOW PARTITIONS $t").collect().isEmpty)
+  }
+
+  test("SHOW/SET/UNSET TBLPROPERTIES: the sticky index props through the index code path") {
+    val t = freshTable("props", 1 to 6)
+    // SET enables + backfills through indexColumns: blooms appear on
+    // every file and the prop sticks for later commits
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bloom.columns' = 'c_custkey')")
+    val snap = cat.currentSnapshot(t).get
+    assert(snap.props.get(SnapshotCatalog.BloomColumnsProp).contains("c_custkey"))
+    assert(snap.files.filter(_.rowCount > 0).forall(_.blooms.contains("c_custkey")))
+    // SHOW lists it; SHOW ('key') returns that one row; a missing key
+    // refuses loudly (a typo must never read as 'no property')
+    val shown = ext.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown(SnapshotCatalog.BloomColumnsProp) == "c_custkey")
+    val one = ext.sql(s"SHOW TBLPROPERTIES $t ('graft.bloom.columns')").head()
+    assert(one.getString(1) == "c_custkey")
+    val e1 = intercept[Exception] {
+      ext.sql(s"SHOW TBLPROPERTIES $t ('nope')").collect()
+    }
+    assert(e1.getMessage.contains("no property"))
+    // arbitrary user properties refuse: snapshot props are engine metadata
+    val e2 = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('team' = 'data-eng')")
+    }
+    assert(e2.getMessage.contains("engine-owned"))
+    // UNSET is kind-scoped: dropping the bloom prop keeps the same
+    // column's sketches (and their prop) intact
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.sketch.columns' = 'c_custkey')")
+    ext.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.bloom.columns')")
+    val after = cat.currentSnapshot(t).get
+    assert(!after.props.contains(SnapshotCatalog.BloomColumnsProp))
+    assert(after.props.get(SnapshotCatalog.SketchColumnsProp).contains("c_custkey"))
+    assert(after.files.filter(_.rowCount > 0).forall(f =>
+      !f.blooms.contains("c_custkey") && f.sketches.contains("c_custkey")))
+    // UNSET of an unset prop refuses without IF EXISTS, is quiet with it
+    val e3 = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.bloom.columns')")
+    }
+    assert(e3.getMessage.contains("no property"))
+    val head = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS ('graft.bloom.columns')")
+    assert(cat.currentSnapshot(t).get.snapshotId == head,
+      "a quiet no-op UNSET must not burn a snapshot id")
+  }
+
+  test("ALTER TABLE RENAME TO: metadata-only move; history, branches, tags and clones survive") {
+    val t = freshTable("ren_src", 1 to 6)
+    ext.sql(s"INSERT INTO $t VALUES (400, 'Late#400', 4.0)")
+    val rowsBefore = ext.sql(s"SELECT * FROM $t").collect().toSet
+    cat.tag(t, "epoch1", 1L)
+    ext.sql(s"CALL graft.branch('$t', 'dev')")
+    ext.sql(s"CALL graft.clone('$t', 'ren_clone')")
+    val dataFilesBefore = cat.currentSnapshot(t).get.files.map(_.path).toSet
+    ext.sql(s"ALTER TABLE $t RENAME TO ren_dst")
+    // old name gone, new name serves the same rows from the SAME files
+    assert(!cat.tables().contains(t) && cat.tables().contains("ren_dst"))
+    assert(ext.sql("SELECT * FROM ren_dst").collect().toSet == rowsBefore)
+    assert(cat.currentSnapshot("ren_dst").get.files.map(_.path).toSet ==
+      dataFilesBefore, "rename must not touch data files")
+    val e0 = intercept[Exception] { ext.sql(s"SELECT * FROM graft.$t").collect() }
+    assert(e0.getMessage.nonEmpty)
+    // history + tags travel with the metadata
+    assert(ext.sql("SELECT count(*) AS n FROM ren_dst VERSION AS OF 1")
+      .head().getLong(0) == 6L)
+    assert(ext.sql("SELECT count(*) AS n FROM ren_dst VERSION AS OF 'epoch1'")
+      .head().getLong(0) == 6L)
+    // branches follow the new name
+    assert(cat.branches("ren_dst") == Seq("dev"))
+    assert(ext.sql("SELECT count(*) AS n FROM `ren_dst/branches/dev`")
+      .head().getLong(0) == 7L)
+    // the zero-copy clone keeps reading its path-addressed files
+    assert(ext.sql("SELECT count(*) AS n FROM ren_clone").head().getLong(0) == 7L)
+    // writes continue under the new name
+    ext.sql("INSERT INTO ren_dst VALUES (401, 'After#401', 1.0)")
+    assert(ext.sql("SELECT count(*) AS n FROM ren_dst").head().getLong(0) == 8L)
+  }
+
+  test("ALTER TABLE RENAME TO: refusals — dependent views, collisions, views, branch refs") {
+    val t = freshTable("ren_guard", 1 to 3)
+    ext.sql(s"CREATE VIEW graft.ren_v AS SELECT c_custkey FROM $t")
+    val e1 = intercept[Exception] { ext.sql(s"ALTER TABLE $t RENAME TO ren_other") }
+    assert(e1.getMessage.contains("ren_v"))
+    ext.sql("DROP VIEW graft.ren_v")
+    // collision with an existing table / view
+    val t2 = freshTable("ren_taken", 1 to 2)
+    val e2 = intercept[Exception] { ext.sql(s"ALTER TABLE $t RENAME TO $t2") }
+    assert(e2.getMessage.contains("already exists"))
+    ext.sql("CREATE VIEW graft.ren_vtaken AS SELECT 1 AS x")
+    val e3 = intercept[Exception] { ext.sql(s"ALTER TABLE $t RENAME TO ren_vtaken") }
+    assert(e3.getMessage.contains("cannot shadow"))
+    // renaming a VIEW is refused (drop+recreate keeps history explicit)
+    val e4 = intercept[Exception] { ext.sql("ALTER TABLE ren_vtaken RENAME TO z") }
+    assert(e4.getMessage.contains("not supported"))
+    ext.sql("DROP VIEW graft.ren_vtaken")
+    // a missing graft-qualified source refuses loudly
+    val e5 = intercept[Exception] { ext.sql("ALTER TABLE graft.ren_missing RENAME TO z") }
+    assert(e5.getMessage.contains("no table"))
+    // the old name is reusable after rename (payload leftovers are fine)
+    ext.sql(s"ALTER TABLE $t RENAME TO ren_moved")
+    val t3 = freshTable("ren_guard", 10 to 12)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t3").head().getLong(0) == 3L)
+    assert(ext.sql("SELECT count(*) AS n FROM ren_moved").head().getLong(0) == 3L)
   }
 
   test("SHOW PARTITIONS: unknown spec keys refuse; encoded values match") {
