@@ -1111,7 +1111,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * a view body — the cycle-check input. Parse-level only: names that
     * resolve to tables/temp views are fine either way, we only need the
     * VIEW-to-view edges. */
-  private def referencedNames(sql: String): Seq[String] = {
+  private def referencedNames(sql: String): Seq[String] =
+    referencedNamesIn(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql))
+
+  private def referencedNamesIn(
+      body: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     val names = scala.collection.mutable.ListBuffer[String]()
     def walk(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
       plan.foreach { node =>
@@ -1128,9 +1133,36 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           case _ =>
         })
       }
-    walk(org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql))
+    walk(body)
     names.distinct.toList
   }
+
+  // Parsed CURRENT-version view bodies, memoized by (name, versionId):
+  // dependency arbitration parses every stored view per DDL — noise at
+  // O(100) views, O(views) parser invocations per DDL at thousands.
+  // Version-keyed entries can only go stale through DROP VIEW (a
+  // recreate restarts version ids at 1 with different text), which
+  // invalidates by name; None = unparseable (counts as dependent,
+  // conservative). Bounded like the manifest memo.
+  private val viewBodyCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]()
+
+  private def parsedCurrentBody(v: String):
+      Option[Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    viewMeta(v).map { m =>
+      val key = (v, m.currentVersionId)
+      val hit = viewBodyCache.get(key)
+      if (hit != null) hit
+      else {
+        if (viewBodyCache.size >= 4096) viewBodyCache.clear()
+        val parsed =
+          try m.versions.find(_.versionId == m.currentVersionId).map(ver =>
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(ver.sql))
+          catch { case _: Exception => None }
+        viewBodyCache.put(key, parsed)
+        parsed
+      }
+    }
 
   /** Stored views whose CURRENT definition references `table` — and,
     * when `column` is set, whose body also touches that column (an
@@ -1140,17 +1172,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * An unparseable body counts as dependent (conservative). */
   def dependentViews(table: String, column: Option[String] = None): Seq[String] =
     views().filter { v =>
-      viewSql(v).exists { sql =>
-        try {
-          referencedNames(sql).exists(_.equalsIgnoreCase(table)) &&
-            column.forall(c => referencesColumn(sql, c))
-        } catch { case _: Exception => true }
+      parsedCurrentBody(v).exists {
+        case None => true // unparseable body: conservatively dependent
+        case Some(plan) =>
+          referencedNamesIn(plan).exists(_.equalsIgnoreCase(table)) &&
+            column.forall(c => referencesColumnIn(plan, c))
       }
     }
 
-  /** Parse-level check: does `sql` mention an attribute whose last name
-    * part is `column`, or a star (which may expand to it)? */
-  private def referencesColumn(sql: String, column: String): Boolean = {
+  /** Parse-level check: does the body mention an attribute whose last
+    * name part is `column`, or a star (which may expand to it)? */
+  private def referencesColumnIn(
+      body: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      column: String): Boolean = {
     var hit = false
     def walk(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
       plan.foreach { node =>
@@ -1163,7 +1197,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           case _ =>
         })
       }
-    walk(org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql))
+    walk(body)
     hit
   }
 
@@ -1227,6 +1261,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     if (viewMeta(name).isDefined)
       requireNoDependentViews(name, None, s"drop view $name")
     val existed = Files.deleteIfExists(viewPath(name))
+    // a later CREATE under this name restarts version ids at 1, so
+    // version-keyed body memos for the name must not survive the drop
+    viewBodyCache.keySet.removeIf(_._1 == name)
     if (!existed && !ifExists)
       throw new IllegalArgumentException(s"no view $name in this catalog")
   }
