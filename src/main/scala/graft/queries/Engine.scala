@@ -757,6 +757,43 @@ object Engine {
     es.sql("SELECT o_orderpriority, n_orders FROM pri_ver VERSION AS OF 1")
   }
 
+  // Memoized rename catalog per sf-dir: orders committed under one name,
+  // mutated (so the read crosses a rewrite era), tagged, then RENAMED —
+  // all through SQL. The rename is a metadata-only move (data files are
+  // path-addressed and stay put); the benched/verified path is the read
+  // under the NEW name, which must serve the same bytes.
+  private val renameTblRoots = TrieMap.empty[String, String]
+  private def renameTblRootFor(s: SparkSession, dir: String): String =
+    renameTblRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-rentbl-").toString
+      val cat = new SnapshotCatalog(root)
+      val dd = Files.createTempDirectory("graft-rentbl-data-").toString
+      Writers.writeRangedSnapshot(cat, "renorders",
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        dd, "o_orderkey", 8)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      // a key-bounded COW update so the renamed read crosses a rewrite
+      // era (rename must preserve operation lineage, not just files)
+      es.sql("UPDATE renorders SET o_totalprice = o_totalprice + 25.0 " +
+        "WHERE o_orderkey <= 1000")
+      es.sql("ALTER TABLE renorders RENAME TO renamed_orders")
+      root
+    })
+
+  /** Table rename (S64, r13): the read under the NEW name must equal the
+    * oracle's replay of the pre-rename state — same rows, same mutation
+    * era, zero data movement (the rename moved metadata only). */
+  def qTableRenameRead(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, renameTblRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM renamed_orders GROUP BY o_orderpriority""".stripMargin)
+  }
+
   // Memoized WAP-SQL catalog per sf-dir: the whole write-audit-publish
   // loop driven from PURE SQL — a clean batch staged and gate-published,
   // a dirty batch staged, refused by the gate and LEFT STAGED (the
@@ -1185,6 +1222,7 @@ object Engine {
     "q_sql_discovery" -> (qSqlDiscovery _),
     "q_changelog" -> (qChangelog _),
     "q_wap_sql" -> (qWapSql _),
+    "q_table_rename_read" -> (qTableRenameRead _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_merge_read" -> (qMergeRead _),
@@ -1398,6 +1436,11 @@ object Engine {
         |SELECT 'delete' AS change, k, p FROM (SELECT k, p FROM i EXCEPT SELECT k, p FROM f)
         |UNION ALL
         |SELECT 'insert' AS change, k, p FROM (SELECT k, p FROM f EXCEPT SELECT k, p FROM i)""".stripMargin,
+    "q_table_rename_read" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice + CASE WHEN o_orderkey <= 1000
+        |    THEN 25.0 ELSE 0.0 END AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_wap_sql" ->
       """WITH finalstate AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
