@@ -373,6 +373,46 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/query runs the r13 surface over the wire: WAP verbs, RENAME TO, TBLPROPERTIES") {
+    import graft.sinks.Writers
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-httpwap-").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-httpwap-data-").toString
+    val cat = new graft.meta.SnapshotCatalog(root)
+    Writers.writeSnapshot(cat, "wap_http",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), dataDir)
+
+    val node = graft.GraftConfig.node(spark, sfDir,
+      graft.GraftConfig(catalogRoot = Some(root)))
+    val srv = node.serve()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def rows(sql: String): Seq[String] = {
+        val (code, body) = get(s"$base/query?sql=${enc(sql)}")
+        assert(code == 200, body)
+        body.split("\n").toSeq.drop(1).filter(_.nonEmpty)
+      }
+      // stage over HTTP: the returned staged id drives the whole cycle
+      val stagedLine = rows("CALL graft.stage('wap_http', 'SELECT 9L, 90.0')").head
+      val id = "\"staged_id\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(stagedLine).get.group(1)
+      assert(rows("SELECT count(*) AS n FROM wap_http").head.contains("3"),
+        "a staged batch must be invisible over the wire too")
+      assert(rows("CALL graft.staged('wap_http')").exists(_.contains(id)))
+      val pub = rows(
+        s"CALL graft.publish_if_clean('wap_http', '$id', 'k IS NOT NULL')")
+      assert(pub.forall(_.contains("true")))
+      assert(rows("SELECT count(*) AS n FROM wap_http").head.contains("4"))
+      // rename over HTTP; the renamed table serves immediately
+      rows("ALTER TABLE wap_http RENAME TO wap_http2")
+      assert(rows("SELECT count(*) AS n FROM wap_http2").head.contains("4"))
+      // sticky index props over HTTP, inspected over HTTP
+      rows("ALTER TABLE wap_http2 SET TBLPROPERTIES ('graft.bloom.columns' = 'k')")
+      assert(rows("SHOW TBLPROPERTIES wap_http2 ('graft.bloom.columns')")
+        .head.contains("k"))
+    } finally srv.stop()
+  }
+
   private def awaitNoActiveJobs(timeoutMs: Long): Unit = {
     val tracker = spark.sparkContext.statusTracker
     val deadline = System.currentTimeMillis() + timeoutMs
