@@ -799,6 +799,8 @@ class GraftDmlSpec extends SparkSpec {
         "score DOUBLE DEFAULT 0.25)")
     if (cat.viewMeta("disco_v").isEmpty)
       ext.sql("CREATE VIEW graft.disco_v AS SELECT id FROM disco")
+    if (!cat.tables().contains("disco_ren"))
+      ext.sql("CREATE TABLE graft.disco_ren (id BIGINT)")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -817,6 +819,10 @@ class GraftDmlSpec extends SparkSpec {
       ext.sql("SHOW CREATE TABLE graft.disco").collect()
       ext.sql("SHOW PARTITIONS disco").collect()
       ext.sql("SHOW TBLPROPERTIES disco").collect()
+      // RENAME TO is metadata-only BY MEASUREMENT too: both directions
+      // (and the old-name reuse they imply) launch zero jobs
+      ext.sql("ALTER TABLE disco_ren RENAME TO disco_ren2")
+      ext.sql("ALTER TABLE disco_ren2 RENAME TO disco_ren")
       GraftColumnShim.drainListenerBus(spark)
       assert(jobs.get() == before,
         s"discovery must answer from metadata, not Spark jobs (${jobs.get() - before} launched)")
