@@ -140,7 +140,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(27) match {
+        rnd.nextInt(28) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -458,6 +458,19 @@ class CdcLifecycleSpec extends SparkSpec {
               states :+= (cat.currentSnapshot(t).get.snapshotId, state)
             } else
               es.sql(s"CALL graft.discard_staged('t', '$sid')")
+          case 27 => // SQL CALL expire_rows (r13): the compliance TTL
+            // sweep as a MoR mask — v doubles as an epoch-seconds
+            // column; rows with v strictly before the cutoff expire.
+            // Same no-match-no-commit contract as the other MoR ops.
+            val cutoffSec = rnd.nextInt(1000).toLong
+            val before = cat.currentSnapshot(t).map(_.snapshotId)
+            val sid = es.sql(
+              s"CALL graft.expire_rows('t', 'v', cutoff_ms => ${cutoffSec * 1000})")
+              .head().getLong(0)
+            if (!before.contains(sid)) {
+              state = state.filter { case ((_, v), _) => v >= cutoffSec }
+              states :+= (sid, state)
+            }
         }
       }
 
