@@ -405,7 +405,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       (if (stickyBloomCols.isEmpty) Map.empty
        else Map(SnapshotCatalog.BloomColumnsProp -> stickyBloomCols.mkString(","))) ++
       (if (stickySketchCols.isEmpty) Map.empty
-       else Map(SnapshotCatalog.SketchColumnsProp -> stickySketchCols.mkString(",")))
+       else Map(SnapshotCatalog.SketchColumnsProp -> stickySketchCols.mkString(","))) ++
+      // the table comment is sticky metadata too: carried unless the
+      // caller re-states it explicitly
+      currentSnapshot(table).flatMap(_.props.get(SnapshotCatalog.CommentProp))
+        .filterNot(_ => props.contains(SnapshotCatalog.CommentProp))
+        .map(SnapshotCatalog.CommentProp -> _)
     // no new files to scan: all-reused commits AND fully-empty commits
     // (e.g. a delete that removed every row) carry the schema forward
     if (newPaths.isEmpty) {
@@ -1847,7 +1852,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         case Some(r) => prev.files.map(f => f.copy(defaults = f.defaults + (name -> r)))
         case None => prev.files
       }
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
+        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -1869,6 +1875,57 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * stamped (pre-ADD initial-defaults, prior write-default appends)
     * keep the literal they were committed under, exactly Iceberg v3's
     * initial-default vs write-default split. */
+  /** Set (Some) or clear (None) the table's COMMENT — one metadata-only
+    * commit; the text rides the sticky-prop carry so every later commit
+    * keeps it. */
+  def setTableComment(table: String, comment: Option[String]): SnapshotMeta =
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
+        SnapshotCatalog.SketchColumnsProp)
+        .flatMap(k => prev.props.get(k).map(k -> _)).toMap
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = prev.schemaJson,
+        files = prev.files,
+        props = sticky ++ comment.map(SnapshotCatalog.CommentProp -> _) +
+          (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve),
+        deleteFiles = prev.deleteFiles)
+    }
+
+  /** Set (Some) or clear (None) a column's COMMENT — stored in the
+    * schema's field metadata under Spark's own `comment` key, so the
+    * text survives schema merges exactly like the S61 default stamps
+    * and renders wherever Spark renders comments. Metadata-only. */
+  def setColumnComment(table: String, name: String,
+      comment: Option[String]): SnapshotMeta =
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      val field = prev.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name on $table"))
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(field.metadata)
+        .remove("comment")
+      comment.foreach(mb.putString("comment", _))
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
+        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
+        .flatMap(k => prev.props.get(k).map(k -> _)).toMap
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = StructType(prev.schema.fields.map(f =>
+          if (f.name == name) f.copy(metadata = mb.build()) else f)).json,
+        files = prev.files,
+        props = sticky ++ Map(
+          SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve),
+        deleteFiles = prev.deleteFiles)
+    }
+
   def setColumnDefault(table: String, name: String,
       defaultSql: Option[String]): SnapshotMeta =
     publish(table) { prevOpt =>
@@ -1885,7 +1942,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         .withMetadata(field.metadata)
         .remove(SnapshotCatalog.WriteDefaultMetaKey)
       rendered.foreach(mb.putString(SnapshotCatalog.WriteDefaultMetaKey, _))
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
+        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -1939,7 +1997,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
               s"(checked ${unproven.size} file(s) without a manifest proof)")
         }
       }
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
+        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -1986,7 +2045,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         if (f.physTypes.contains(phys)) f // bytes unchanged since first widen
         else f.copy(physTypes = f.physTypes + (phys -> from.catalogString))
       }
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp)
+      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
+        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -3289,6 +3349,12 @@ object SnapshotCatalog {
   /** Sticky table prop listing the HLL-sketched columns (comma-joined);
     * carried forward and re-applied to new files by every commit. */
   val SketchColumnsProp = "graft.sketch.columns"
+
+  /** Sticky table prop holding the user's table COMMENT (COMMENT ON
+    * TABLE / CREATE TABLE ... COMMENT); carried forward by every
+    * commit, surfaced by DESCRIBE EXTENDED, SHOW TBLPROPERTIES and
+    * SHOW CREATE TABLE. */
+  val CommentProp = "graft.comment"
 
   /** Set on a published snapshot to the staged id it came from —
     * the WAP audit trail (Iceberg's `wap.id` summary entry). */

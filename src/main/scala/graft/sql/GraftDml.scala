@@ -65,6 +65,11 @@ import scala.jdk.CollectionConverters._
   *   CALL graft.discard_staged('t', 'id')         --    or discard
   *   ALTER TABLE t RENAME TO t2                   -- metadata-only move;
   *                                                --    data stays put
+  *   COMMENT ON TABLE t IS 'x' | NULL             -- table + column
+  *   ALTER TABLE t ALTER COLUMN c COMMENT 'x'     --    comments ('' =
+  *   CREATE TABLE graft.t (c T COMMENT 'x')       --    clear); DESCRIBE
+  *     COMMENT 'table text'                       --    + SHOW CREATE
+  *                                                --    render them
   *   SHOW TBLPROPERTIES t [('key')]               -- manifest props
   *   ALTER TABLE t SET TBLPROPERTIES (            -- sticky index
   *     'graft.bloom.columns' = 'c1,c2')           --    enable+backfill
@@ -409,19 +414,23 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
               "ALTER TABLE ALTER COLUMN on graft catalog tables supports top-level " +
                 s"columns only; got ${s.column.name.mkString(".")}")
             val cn = s.column.name.head
-            if (s.newComment.nonEmpty || s.newPosition.nonEmpty)
+            if (s.newPosition.nonEmpty)
               throw new UnsupportedOperationException(
-                "ALTER TABLE ALTER COLUMN COMMENT/FIRST/AFTER is not supported on " +
+                "ALTER TABLE ALTER COLUMN FIRST/AFTER is not supported on " +
                   "graft catalog tables")
             val forms = Seq(s.newDataType.nonEmpty, s.newNullability.nonEmpty,
-              s.newDefaultExpression.nonEmpty || s.dropDefault).count(identity)
+              s.newDefaultExpression.nonEmpty || s.dropDefault,
+              s.newComment.nonEmpty).count(identity)
             if (forms != 1) throw new UnsupportedOperationException(
               "ALTER TABLE ALTER COLUMN on graft catalog tables supports exactly one " +
-                "of: TYPE widening, SET/DROP DEFAULT, SET/DROP NOT NULL")
+                "of: TYPE widening, SET/DROP DEFAULT, SET/DROP NOT NULL, COMMENT")
             if (s.newDataType.nonEmpty)
               GraftAlterCommand.Widen(Seq(cn -> s.newDataType.get))
             else if (s.newNullability.nonEmpty)
               GraftAlterCommand.SetNullability(cn, s.newNullability.get)
+            else if (s.newComment.nonEmpty)
+              // COMMENT '' clears (Spark ships no DROP COMMENT syntax)
+              GraftAlterCommand.SetComment(cn, s.newComment.filter(_.nonEmpty))
             else
               GraftAlterCommand.SetDefault(cn,
                 s.newDefaultExpression.map(_.originalSQL))
@@ -479,17 +488,29 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             if (!c.nullable && rendered.contains("NULL"))
               throw new UnsupportedOperationException(
                 s"column ${c.name} is NOT NULL with DEFAULT NULL: contradictory")
-            val meta = rendered.map { r =>
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putString(graft.meta.SnapshotCatalog.WriteDefaultMetaKey, r).build()
-            }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            rendered.foreach(
+              mb.putString(graft.meta.SnapshotCatalog.WriteDefaultMetaKey, _))
+            // a column COMMENT rides Spark's own field-metadata key, so
+            // it renders everywhere Spark renders comments
+            c.comment.filter(_.nonEmpty).foreach(mb.putString("comment", _))
             org.apache.spark.sql.types.StructField(c.name, c.dataType,
-              nullable = c.nullable, metadata = meta)
+              nullable = c.nullable, metadata = mb.build())
+          }
+          val tableComment = ct.tableSpec match {
+            case u: UnresolvedTableSpec => u.comment.filter(_.nonEmpty)
+            case _ => None
           }
           GraftCreateCommand(root, t,
-            org.apache.spark.sql.types.StructType(fields), ignoreIfExists)
+            org.apache.spark.sql.types.StructType(fields), ignoreIfExists,
+            tableComment)
         case DropTable(child, ifExists, purge) if dropTarget(child, cat).isDefined =>
           GraftDropCommand(root, dropTarget(child, cat).get, ifExists, purge)
+        case CommentOnTable(child, comment)
+            if ddlName(child).exists(p => claimedTable(p, cat).isDefined) =>
+          GraftCommentCommand(root,
+            ddlName(child).flatMap(claimedTable(_, cat)).get,
+            Option(comment).filter(_.nonEmpty))
         case RenameTable(child, newParts, isView)
             if ddlName(child).exists(p =>
               claimedTable(p, cat).isDefined ||
@@ -859,6 +880,8 @@ case class GraftAlterCommand(
         cat.setColumnDefault(table, name, default)
       case GraftAlterCommand.SetNullability(name, nullable) =>
         cat.setColumnNullability(session, table, name, nullable)
+      case GraftAlterCommand.SetComment(name, comment) =>
+        cat.setColumnComment(table, name, comment)
       case GraftAlterCommand.Multi(changes) => changes.foreach(apply)
     }
     apply(change)
@@ -878,6 +901,8 @@ object GraftAlterCommand {
   final case class SetDefault(name: String, default: Option[String]) extends Change
   /** `ALTER COLUMN c SET NOT NULL` (false) / `DROP NOT NULL` (true). */
   final case class SetNullability(name: String, nullable: Boolean) extends Change
+  /** `ALTER COLUMN c COMMENT 'x'` (Some) / `COMMENT ''` clears (None). */
+  final case class SetComment(name: String, comment: Option[String]) extends Change
   final case class Multi(changes: Seq[Change]) extends Change
 }
 
@@ -985,15 +1010,21 @@ case class GraftShowCreateCommand(
     val cat = GraftSqlResolution.catalogFor(root)
     cat.schema(name) match {
       case Some(schema) =>
+        def quote(c: String): String = s"'${c.replace("'", "''")}'"
         val cols = schema.fields.toSeq.map { f =>
           val parts = Seq(
             Some(s"  ${f.name} ${f.dataType.sql}"),
             if (!f.nullable) Some("NOT NULL") else None,
-            graft.meta.SnapshotCatalog.writeDefaultOf(f).map(d => s"DEFAULT $d")
+            graft.meta.SnapshotCatalog.writeDefaultOf(f).map(d => s"DEFAULT $d"),
+            f.getComment().map(c => s"COMMENT ${quote(c)}")
           ).flatten
           parts.mkString(" ")
         }
-        Seq(Row(s"CREATE TABLE graft.$name (\n${cols.mkString(",\n")})\nUSING parquet"))
+        val tableComment = cat.currentSnapshot(name)
+          .flatMap(_.props.get(graft.meta.SnapshotCatalog.CommentProp))
+          .map(c => s"\nCOMMENT ${quote(c)}").getOrElse("")
+        Seq(Row(s"CREATE TABLE graft.$name (\n${cols.mkString(",\n")})" +
+          s"\nUSING parquet$tableComment"))
       case None =>
         val sql = cat.viewSql(name).getOrElse(throw new IllegalArgumentException(
           s"no table or view $name in the graft catalog"))
@@ -1157,7 +1188,8 @@ case class GraftDescribeCommand(
         val cols = schema.fields.toSeq.map { f =>
           val contracts = Seq(
             if (!f.nullable) Some("NOT NULL") else None,
-            graft.meta.SnapshotCatalog.writeDefaultOf(f).map(d => s"DEFAULT $d")
+            graft.meta.SnapshotCatalog.writeDefaultOf(f).map(d => s"DEFAULT $d"),
+            f.getComment() // user text renders after the contracts
           ).flatten
           Row(f.name, f.dataType.simpleString,
             if (contracts.isEmpty) null else contracts.mkString(" "))
@@ -1167,7 +1199,9 @@ case class GraftDescribeCommand(
           Row("", "", ""),
           Row("# Detailed Table Information", "", ""),
           Row("Type", "graft table", null),
-          Row("Provider", "parquet", null),
+          Row("Provider", "parquet", null)) ++
+          snap.props.get(graft.meta.SnapshotCatalog.CommentProp)
+            .map(c => Row("Comment", c, null)).toSeq ++ Seq(
           Row("Snapshot", snap.snapshotId.toString, null),
           Row("Files", snap.files.size.toString, null),
           Row("Rows", snap.files.map(_.rowCount).sum.toString, null))
@@ -1600,7 +1634,8 @@ case class GraftCreateCommand(
     root: String,
     table: String,
     tableSchema: org.apache.spark.sql.types.StructType,
-    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+    ignoreIfExists: Boolean,
+    comment: Option[String] = None) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
@@ -1615,10 +1650,27 @@ case class GraftCreateCommand(
       new java.util.ArrayList[Row](), tableSchema).repartition(1)
     // the parquet footer can't carry nullability or column defaults —
     // pass the declared schema so the first snapshot records the
-    // contracts verbatim
+    // contracts verbatim; a table COMMENT lands as the sticky prop on
+    // the SAME first snapshot (no extra commit)
     Writers.writeSnapshot(cat, table, empty,
       GraftDml.dataDirFor(session, root, table),
+      props = comment.map(graft.meta.SnapshotCatalog.CommentProp -> _).toMap,
       declaredSchema = Some(tableSchema))
+    Seq.empty
+  }
+}
+
+/** `COMMENT ON TABLE t IS 'x' | NULL` → the sticky `graft.comment` prop
+  * in ONE metadata-only commit; every later commit carries it, and
+  * DESCRIBE EXTENDED / SHOW TBLPROPERTIES / SHOW CREATE TABLE render
+  * it. IS NULL clears. */
+case class GraftCommentCommand(
+    root: String,
+    table: String,
+    comment: Option[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlResolution.catalogFor(root).setTableComment(table, comment)
     Seq.empty
   }
 }

@@ -436,12 +436,13 @@ class GraftDmlSpec extends SparkSpec {
     val rows = ext.sql("SELECT k, x FROM wt ORDER BY k").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5000000000L))
     assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 9.5))
-    // narrowing and non-TYPE alterations refuse loudly
+    // narrowing and positional moves refuse loudly (COMMENT is r13's
+    // supported form — see the comment battery)
     val e1 = intercept[Exception] { ext.sql("ALTER TABLE wt ALTER COLUMN k TYPE INT") }
     assert(e1.getMessage.contains("widening"))
     val e2 = intercept[Exception] {
-      ext.sql("ALTER TABLE wt ALTER COLUMN k COMMENT 'nope'") }
-    assert(e2.getMessage.contains("not supported"))
+      ext.sql("ALTER TABLE wt ALTER COLUMN k AFTER x") }
+    assert(e2.getMessage.contains("FIRST/AFTER"))
   }
 
   test("DML on an unclaimed name falls through to builtin analysis") {
@@ -848,6 +849,47 @@ class GraftDmlSpec extends SparkSpec {
     // an unpartitioned table has no tuples to show
     val t = freshTable("showpart0", 1 to 3)
     assert(ext.sql(s"SHOW PARTITIONS $t").collect().isEmpty)
+  }
+
+  test("COMMENT ON TABLE and column COMMENTs: stored, carried, rendered, cleared") {
+    val t = freshTable("cmt", 1 to 3)
+    ext.sql(s"COMMENT ON TABLE $t IS 'customer slice'")
+    // the comment is sticky: a later commit carries it
+    ext.sql(s"INSERT INTO $t VALUES (900, 'X', 1.0)")
+    assert(cat.currentSnapshot(t).get.props
+      .get(SnapshotCatalog.CommentProp).contains("customer slice"))
+    // DESCRIBE EXTENDED and SHOW TBLPROPERTIES render it
+    val ext1 = ext.sql(s"DESCRIBE EXTENDED $t").collect()
+    assert(ext1.exists(r => r.getString(0) == "Comment" &&
+      r.getString(1) == "customer slice"))
+    assert(ext.sql(s"SHOW TBLPROPERTIES $t ('graft.comment')")
+      .head().getString(1) == "customer slice")
+    // column comments ride the schema's field metadata
+    ext.sql(s"ALTER TABLE $t ALTER COLUMN c_name COMMENT 'display name'")
+    val desc = ext.sql(s"DESCRIBE $t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("c_name") == "display name")
+    // SHOW CREATE TABLE renders both, round-trippably quoted
+    val ddl = ext.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(ddl.contains("COMMENT 'display name'") &&
+      ddl.contains("COMMENT 'customer slice'"))
+    // CREATE TABLE accepts both comment positions
+    ext.sql("CREATE TABLE graft.cmt2 (id BIGINT COMMENT 'pk', v DOUBLE) " +
+      "COMMENT 'tiny table'")
+    val ddl2 = ext.sql("SHOW CREATE TABLE cmt2").head().getString(0)
+    assert(ddl2.contains("COMMENT 'pk'") && ddl2.contains("COMMENT 'tiny table'"))
+    // clears: IS NULL for the table, COMMENT '' for a column
+    ext.sql(s"COMMENT ON TABLE $t IS NULL")
+    assert(!cat.currentSnapshot(t).get.props.contains(SnapshotCatalog.CommentProp))
+    ext.sql(s"ALTER TABLE $t ALTER COLUMN c_name COMMENT ''")
+    val cleared = ext.sql(s"DESCRIBE $t").collect()
+      .find(_.getString(0) == "c_name").get
+    assert(cleared.isNullAt(2))
+    // a comment composes with contracts in the comment column
+    ext.sql("ALTER TABLE cmt2 ALTER COLUMN id SET NOT NULL")
+    val idRow = ext.sql("DESCRIBE cmt2").collect()
+      .find(_.getString(0) == "id").get
+    assert(idRow.getString(2) == "NOT NULL pk")
   }
 
   test("SHOW/SET/UNSET TBLPROPERTIES: the sticky index props through the index code path") {
