@@ -226,6 +226,28 @@ class GraftCallSpec extends SparkSpec {
     assert(e2.getMessage.contains("columns"))
   }
 
+  test("WAP on a branch: stage/gate-publish against dev, fast_forward lands it on main") {
+    val t = freshTable("wapbr", 1 to 5)
+    ext.sql(s"CALL graft.branch('$t', 'dev')")
+    val ref = s"$t/branches/dev"
+    val id = ext.sql(s"CALL graft.stage('$ref', 'SELECT 600L, ''Dev#600'', 6.0')")
+      .head().getString(0)
+    // staged: invisible on BOTH refs
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5L)
+    assert(ext.sql(s"SELECT count(*) AS n FROM `$ref`").head().getLong(0) == 5L)
+    val ok = ext.sql(
+      s"CALL graft.publish_if_clean('$ref', '$id', 'c_name IS NOT NULL')").collect()
+    assert(ok.forall(_.getBoolean(2)))
+    // published on the branch only...
+    assert(ext.sql(s"SELECT count(*) AS n FROM `$ref`").head().getLong(0) == 6L)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 5L)
+    // ...fast-forward is the main-publish step
+    ext.sql(s"CALL graft.fast_forward('$t', 'dev')")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 6L)
+    assert(ext.sql(s"SELECT c_name FROM $t WHERE c_custkey = 600").head()
+      .getString(0) == "Dev#600")
+  }
+
   test("CALL graft.expire_snapshots trims history to retain_last") {
     val t = freshTable("exp", 1 to 3)
     ext.sql(s"INSERT INTO $t VALUES (201, 'A', 1.0)")
