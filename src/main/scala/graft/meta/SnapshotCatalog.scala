@@ -2110,7 +2110,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     val ref = branchRef(table, name)
     val sticky = src.props.filter { case (k, _) =>
-      k == SnapshotCatalog.BloomColumnsProp || k == SnapshotCatalog.SketchColumnsProp }
+      k == SnapshotCatalog.BloomColumnsProp ||
+        k == SnapshotCatalog.SketchColumnsProp || k == SnapshotCatalog.CommentProp }
     publish(ref) { prev =>
       if (prev.isDefined)
         throw new IllegalStateException(s"branch $name already exists on $table")
@@ -2155,7 +2156,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .orElse(currentSnapshot(src))
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $src"))
     val sticky = s.props.filter { case (k, _) =>
-      k == SnapshotCatalog.BloomColumnsProp || k == SnapshotCatalog.SketchColumnsProp }
+      k == SnapshotCatalog.BloomColumnsProp ||
+        k == SnapshotCatalog.SketchColumnsProp || k == SnapshotCatalog.CommentProp }
     publish(dst) { prev =>
       if (prev.isDefined)
         throw new IllegalStateException(s"table $dst already exists; clone targets must be new")

@@ -864,6 +864,13 @@ class GraftDmlSpec extends SparkSpec {
       r.getString(1) == "customer slice"))
     assert(ext.sql(s"SHOW TBLPROPERTIES $t ('graft.comment')")
       .head().getString(1) == "customer slice")
+    // branches and clones inherit the comment like the index props
+    ext.sql(s"CALL graft.branch('$t', 'b1')")
+    assert(cat.currentSnapshot(s"$t/branches/b1").get.props
+      .get(SnapshotCatalog.CommentProp).contains("customer slice"))
+    ext.sql(s"CALL graft.clone('$t', 'cmt_clone')")
+    assert(cat.currentSnapshot("cmt_clone").get.props
+      .get(SnapshotCatalog.CommentProp).contains("customer slice"))
     // column comments ride the schema's field metadata
     ext.sql(s"ALTER TABLE $t ALTER COLUMN c_name COMMENT 'display name'")
     val desc = ext.sql(s"DESCRIBE $t").collect()
