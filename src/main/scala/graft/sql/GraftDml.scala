@@ -452,7 +452,11 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
                   s"(override base with ${GraftDml.DataDirConf})")
             case _ =>
           }
-          GraftCtasCommand(root, t, ct.query, ct.ignoreIfExists)
+          GraftCtasCommand(root, t, ct.query, ct.ignoreIfExists,
+            ct.tableSpec match {
+              case u: UnresolvedTableSpec => u.comment.filter(_.nonEmpty)
+              case _ => None
+            })
         case ct @ CreateTable(ident, columns, _, _, ignoreIfExists)
             if ctasTarget(ident).isDefined =>
           val t = ctasTarget(ident).get
@@ -1233,7 +1237,8 @@ case class GraftCtasCommand(
     root: String,
     table: String,
     query: LogicalPlan,
-    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+    ignoreIfExists: Boolean,
+    comment: Option[String] = None) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
@@ -1247,7 +1252,8 @@ case class GraftCtasCommand(
       s"a view named $table exists in this catalog; a table cannot shadow it")
     val df = GraftColumnShim.ofRows(session, query)
     Writers.writeSnapshot(cat, table, df,
-      GraftDml.dataDirFor(session, root, table))
+      GraftDml.dataDirFor(session, root, table),
+      props = comment.map(graft.meta.SnapshotCatalog.CommentProp -> _).toMap)
     Seq.empty
   }
 }

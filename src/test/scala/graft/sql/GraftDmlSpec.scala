@@ -880,9 +880,14 @@ class GraftDmlSpec extends SparkSpec {
     val ddl = ext.sql(s"SHOW CREATE TABLE $t").head().getString(0)
     assert(ddl.contains("COMMENT 'display name'") &&
       ddl.contains("COMMENT 'customer slice'"))
-    // CREATE TABLE accepts both comment positions
+    // CREATE TABLE accepts both comment positions; CTAS keeps its
+    // COMMENT clause too (a declared comment must never silently drop)
     ext.sql("CREATE TABLE graft.cmt2 (id BIGINT COMMENT 'pk', v DOUBLE) " +
       "COMMENT 'tiny table'")
+    ext.sql(s"CREATE TABLE graft.cmt3 COMMENT 'from ctas' AS " +
+      s"SELECT c_custkey FROM $t")
+    assert(cat.currentSnapshot("cmt3").get.props
+      .get(SnapshotCatalog.CommentProp).contains("from ctas"))
     val ddl2 = ext.sql("SHOW CREATE TABLE cmt2").head().getString(0)
     assert(ddl2.contains("COMMENT 'pk'") && ddl2.contains("COMMENT 'tiny table'"))
     // clears: IS NULL for the table, COMMENT '' for a column
