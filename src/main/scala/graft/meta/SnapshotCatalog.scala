@@ -853,7 +853,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
             merged(SnapshotCatalog.BloomColumnsProp, bloomColumns).mkString(","),
           SnapshotCatalog.SketchColumnsProp ->
             merged(SnapshotCatalog.SketchColumnsProp, sketchColumns).mkString(","))
-          .filter(_._2.nonEmpty)
+          .filter(_._2.nonEmpty) ++
+          prev.props.get(SnapshotCatalog.CommentProp)
+            .map(SnapshotCatalog.CommentProp -> _)
         SnapshotMeta(
           snapshotId = prev.snapshotId + 1,
           timestampMs = clock(),
@@ -902,7 +904,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           blooms = if (dropBlooms) f.blooms -- columns else f.blooms,
           sketches = if (dropSketches) f.sketches -- columns else f.sketches)),
         props = without(SnapshotCatalog.BloomColumnsProp, dropBlooms) ++
-          without(SnapshotCatalog.SketchColumnsProp, dropSketches) +
+          without(SnapshotCatalog.SketchColumnsProp, dropSketches) ++
+          prev.props.get(SnapshotCatalog.CommentProp)
+            .map(SnapshotCatalog.CommentProp -> _) +
           (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
         deleteFiles = prev.deleteFiles)
     }
@@ -1142,30 +1146,35 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     names.distinct.toList
   }
 
-  // Parsed CURRENT-version view bodies, memoized by (name, versionId):
-  // dependency arbitration parses every stored view per DDL — noise at
-  // O(100) views, O(views) parser invocations per DDL at thousands.
-  // Version-keyed entries can only go stale through DROP VIEW (a
-  // recreate restarts version ids at 1 with different text), which
-  // invalidates by name; None = unparseable (counts as dependent,
-  // conservative). Bounded like the manifest memo.
+  // Parsed view bodies, memoized by the SQL TEXT itself: dependency
+  // arbitration parses every stored view per DDL — noise at O(100)
+  // views, O(views) parser invocations per DDL at thousands. Text-keyed
+  // entries can NEVER go stale — equal text parses to an equal plan —
+  // including across catalog instances sharing one root (a DROP +
+  // recreate through another instance restarts version ids at 1 with
+  // different text; a version-id key would serve the OLD body there).
+  // None = unparseable (counts as dependent, conservative). Bounded
+  // like the manifest memo.
   private val viewBodyCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]()
+    String, Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]()
 
   private def parsedCurrentBody(v: String):
       Option[Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     viewMeta(v).map { m =>
-      val key = (v, m.currentVersionId)
-      val hit = viewBodyCache.get(key)
-      if (hit != null) hit
-      else {
-        if (viewBodyCache.size >= 4096) viewBodyCache.clear()
-        val parsed =
-          try m.versions.find(_.versionId == m.currentVersionId).map(ver =>
-            org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(ver.sql))
-          catch { case _: Exception => None }
-        viewBodyCache.put(key, parsed)
-        parsed
+      m.versions.find(_.versionId == m.currentVersionId) match {
+        case None => None // missing current version: conservatively dependent
+        case Some(ver) =>
+          val hit = viewBodyCache.get(ver.sql)
+          if (hit != null) hit
+          else {
+            if (viewBodyCache.size >= 4096) viewBodyCache.clear()
+            val parsed =
+              try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parsePlan(ver.sql))
+              catch { case _: Exception => None }
+            viewBodyCache.put(ver.sql, parsed)
+            parsed
+          }
       }
     }
 
@@ -1266,9 +1275,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     if (viewMeta(name).isDefined)
       requireNoDependentViews(name, None, s"drop view $name")
     val existed = Files.deleteIfExists(viewPath(name))
-    // a later CREATE under this name restarts version ids at 1, so
-    // version-keyed body memos for the name must not survive the drop
-    viewBodyCache.keySet.removeIf(_._1 == name)
+    // no memo invalidation needed: viewBodyCache is keyed by the SQL
+    // text itself, which a later CREATE under this name cannot alias
     if (!existed && !ifExists)
       throw new IllegalArgumentException(s"no view $name in this catalog")
   }
@@ -1337,35 +1345,99 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * files through the cross-table liveness walk. Refuses under
     * dependent views (stored view bodies reference the OLD name — the
     * S62 refuse-and-name discipline) and on any name collision.
-    * O(metadata) driver-side file moves, zero data I/O. Maintenance op:
-    * don't race it with in-flight commits on the same table. */
+    * O(metadata) driver-side file copies + deletes, zero data I/O.
+    *
+    * CRASH-ATOMIC via two markers: the destination carries
+    * `.rename-pending` (invisible to reads) while metadata copies in;
+    * deleting that marker is the single atomic COMMIT point, after
+    * which the source is tombstoned with `.renamed-to` (invisible to
+    * reads) while its metadata deletes. A crash at ANY step leaves the
+    * old name fully readable (pre-commit) or the new name fully
+    * readable (post-commit) — never neither, never a split history —
+    * and RE-RUNNING THE SAME RENAME heals either kind of debris.
+    * Maintenance op: don't race it with in-flight commits on the same
+    * table. */
   def renameTable(table: String, newName: String): Unit = {
     require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"invalid table name: $newName")
     require(!table.contains("/"),
       s"cannot rename a branch ref: $table (rename the base table)")
+    require(newName != table, s"rename $table: the new name is the same")
+    val src = tableDir(table)
+    val dst = tableDir(newName)
+    // resume: a prior attempt crashed AFTER its commit point (source
+    // tombstoned toward THIS destination) — finish the deletion phase
+    if (renameMarker(table, SnapshotCatalog.RenamedToMarker).contains(newName)) {
+      finishRenameCleanup(src)
+      return
+    }
     if (currentSnapshot(table).isEmpty)
       throw new IllegalArgumentException(s"no table $table in this catalog")
     requireNoDependentViews(table, None, s"rename table $table")
-    require(newName != table, s"rename $table: the new name is the same")
     require(!tables().contains(newName),
       s"a table named $newName already exists in this catalog")
     require(viewMeta(newName).isEmpty,
       s"a view named $newName exists in this catalog; a table cannot shadow it")
-    moveTableMeta(tableDir(table), tableDir(newName))
-    // memoized manifests are keyed by absolute path under the OLD dir; a
-    // table later re-created at that name must never hit stale entries
-    val prefix = tableDir(table).toAbsolutePath.toString
+    // a prior attempt crashed BEFORE its commit point: the destination
+    // holds never-visible pending debris — wipe its metadata and redo
+    if (renameMarker(newName, SnapshotCatalog.RenamePendingMarker).isDefined)
+      deleteTableMeta(dst)
+    Files.createDirectories(dst)
+    writeMarker(dst.resolve(SnapshotCatalog.RenamePendingMarker), table)
+    copyTableMeta(src, dst)
+    // COMMIT: one atomic delete makes the destination visible
+    Files.delete(dst.resolve(SnapshotCatalog.RenamePendingMarker))
+    // tombstone the source (one atomic write hides it), then delete
+    writeMarker(src.resolve(SnapshotCatalog.RenamedToMarker), newName)
+    finishRenameCleanup(src)
+  }
+
+  /** Post-commit tail of [[renameTable]]: delete the source's metadata,
+    * drop its tombstone last, and purge memoized manifests keyed under
+    * the old directory (a table later re-created at that name must
+    * never hit stale entries). The old directory survives exactly when
+    * path-addressed payload stayed in it. */
+  private def finishRenameCleanup(src: Path): Unit = {
+    deleteTableMeta(src)
+    Files.deleteIfExists(src.resolve(SnapshotCatalog.RenamedToMarker))
+    try { Files.delete(src); () }
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    val prefix = src.toAbsolutePath.toString
     manifestCache.keySet.removeIf(_.startsWith(prefix))
     ()
   }
 
+  /** Is `table`'s BASE directory mid-rename (either marker present)? A
+    * branch ref is hidden by its base table's marker too. */
+  private def midRename(table: String): Boolean = {
+    val base = tableDir(table.split("/").head)
+    Files.exists(base.resolve(SnapshotCatalog.RenamePendingMarker)) ||
+      Files.exists(base.resolve(SnapshotCatalog.RenamedToMarker))
+  }
+
+  /** The content of a rename marker in `table`'s BASE directory (a
+    * branch ref is hidden by its base table's marker too), or None. */
+  private def renameMarker(table: String, marker: String): Option[String] = {
+    val p = tableDir(table.split("/").head).resolve(marker)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** Atomic single-file write (tmp + ATOMIC_MOVE in-directory). */
+  private def writeMarker(path: Path, content: String): Unit = {
+    val tmp = Files.createTempFile(path.getParent, ".marker-", ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Everything except the path-addressed payload dirs
-    * (data/blooms/sketches) moves; `branches/` (and `tags/`) recurse —
-    * a branch is a nested table dir with the same layout, keeping ITS
-    * payload dirs behind too. The old directory survives exactly when
-    * payload stayed in it. */
-  private def moveTableMeta(src: Path, dst: Path): Unit = {
+    * (data/blooms/sketches) and rename markers copies; `branches/` (and
+    * `tags/`) recurse — a branch is a nested table dir with the same
+    * layout, keeping ITS payload dirs behind too. Source untouched. */
+  private def copyTableMeta(src: Path, dst: Path): Unit = {
     val keep = Set("data", "blooms", "sketches")
     Files.createDirectories(dst)
     val stream = Files.list(src)
@@ -1373,15 +1445,36 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     entries.foreach { p =>
       val n = p.getFileName.toString
       if (Files.isDirectory(p)) {
-        if (!keep.contains(n)) moveTableMeta(p, dst.resolve(n))
-      } else {
-        Files.move(p, dst.resolve(n),
+        if (!keep.contains(n)) copyTableMeta(p, dst.resolve(n))
+      } else if (!n.startsWith(".rename") && !n.startsWith(".marker-")) {
+        Files.copy(p, dst.resolve(n),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
       }
     }
-    try { Files.delete(src); () }
-    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
+
+  /** Inverse of [[copyTableMeta]]: delete a dir's metadata files,
+    * keeping payload dirs and rename markers (handled explicitly by the
+    * caller); empty subdirs fall bottom-up. */
+  private def deleteTableMeta(dir: Path): Unit = {
+    val keep = Set("data", "blooms", "sketches")
+    if (!Files.isDirectory(dir)) return
+    val stream = Files.list(dir)
+    val entries = try stream.iterator().asScala.toList finally stream.close()
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p)) {
+        if (!keep.contains(n)) {
+          deleteTableMeta(p)
+          try { Files.delete(p); () }
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+        }
+      } else if (!n.startsWith(".rename") && !n.startsWith(".marker-")) {
+        Files.deleteIfExists(p)
+        ()
+      }
+    }
   }
 
   /** Absolute table-directory path — purge attribution compares file
@@ -1435,6 +1528,10 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * won a race after the pointer was written. Falls back to a full
     * listing only when the pointer is missing or dangling. */
   def currentSnapshot(table: String): Option[SnapshotMeta] = {
+    // a dir carrying a rename marker is mid-rename state — pending
+    // copy-in (never committed) or tombstoned source (committed under
+    // the new name) — and must read as absent, never as split history
+    if (midRename(table)) return None
     val ptr = pointerPath(table)
     val hinted =
       if (Files.exists(ptr))
@@ -2063,7 +2160,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     }
 
   /** Sticky bloom/sketch column props with `from` renamed to `to`
-    * (dropped when `to` is None). */
+    * (dropped when `to` is None); the table comment rides verbatim —
+    * it names no column, so a column rename/drop never touches it. */
   private def stickyRenamed(
       prev: SnapshotMeta, from: String, to: Option[String]): Map[String, String] =
     Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp).flatMap { k =>
@@ -2072,7 +2170,9 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           .flatMap(c => if (c == from) to else Some(c))
         k -> cols.mkString(",")
       }.filter(_._2.nonEmpty)
-    }.toMap
+    }.toMap ++
+      prev.props.get(SnapshotCatalog.CommentProp)
+        .map(SnapshotCatalog.CommentProp -> _)
 
   // ---- branches (isolated writable refs) -------------------------------
   // A branch is a SELF-CONTAINED snapshot chain rooted at
@@ -3357,6 +3457,13 @@ object SnapshotCatalog {
     * commit, surfaced by DESCRIBE EXTENDED, SHOW TBLPROPERTIES and
     * SHOW CREATE TABLE. */
   val CommentProp = "graft.comment"
+
+  /** Rename-protocol markers ([[SnapshotCatalog.renameTable]]): a table
+    * dir carrying either reads as absent — `.rename-pending` gates the
+    * destination while metadata copies in, `.renamed-to` tombstones the
+    * source after the commit point while its metadata deletes. */
+  val RenamePendingMarker = ".rename-pending"
+  val RenamedToMarker = ".renamed-to"
 
   /** Set on a published snapshot to the staged id it came from —
     * the WAP audit trail (Iceberg's `wap.id` summary entry). */

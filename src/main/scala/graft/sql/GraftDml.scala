@@ -518,7 +518,10 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
         case RenameTable(child, newParts, isView)
             if ddlName(child).exists(p =>
               claimedTable(p, cat).isDefined ||
-                p.lastOption.exists(n => cat.viewMeta(n).isDefined) ||
+                // view names claim only at the scopes graft owns — a
+                // bare name or graft.<v> — so otherdb.t renames fall
+                // through to Spark even when a graft view named t exists
+                (p.size == 1 && cat.viewMeta(p.head).isDefined) ||
                 (p.size == 2 && p.head.equalsIgnoreCase("graft"))) =>
           val oldParts = ddlName(child).get
           val oldName = claimedTable(oldParts, cat).getOrElse(oldParts.last)
@@ -1070,12 +1073,13 @@ case class GraftShowTblPropsCommand(
 
 /** `ALTER TABLE t SET/UNSET TBLPROPERTIES`, scoped to the engine-owned
   * sticky index props: SET `graft.bloom.columns` / `graft.sketch.columns`
-  * routes through the SAME [[SnapshotCatalog.indexColumns]] backfill the
-  * `CALL graft.index` verb uses (enable + backfill existing files, then
-  * sticky for every later commit), and UNSET through kind-scoped
-  * [[SnapshotCatalog.dropIndexColumns]] — SQL and CALL can never
-  * diverge. Arbitrary user properties refuse loudly: snapshot props are
-  * engine metadata, not a key-value store. */
+  * has standard SQL replace semantics — the property's value afterwards
+  * IS the value given (additions route through the SAME
+  * [[SnapshotCatalog.indexColumns]] backfill the `CALL graft.index` verb
+  * uses; columns absent from the new value drop via kind-scoped
+  * [[SnapshotCatalog.dropIndexColumns]], as does UNSET) — SQL and CALL
+  * can never diverge. Arbitrary user properties refuse loudly: snapshot
+  * props are engine metadata, not a key-value store. */
 case class GraftTblPropsCommand(
     root: String,
     table: String,
@@ -1099,10 +1103,28 @@ case class GraftTblPropsCommand(
     if (set.nonEmpty) {
       val bloom = set.get(BloomProp).map(cols).getOrElse(Nil)
       val sketch = set.get(SketchProp).map(cols).getOrElse(Nil)
-      require(bloom.nonEmpty || sketch.nonEmpty,
-        s"SET TBLPROPERTIES: pass at least one column")
-      cat.indexColumns(session, table,
-        bloomColumns = bloom, sketchColumns = sketch)
+      // SQL SET semantics is replace-with-given-value: SHOW
+      // TBLPROPERTIES after SET returns exactly what was set. Compute
+      // the delta against the current sticky set — drop columns absent
+      // from the new value, index the additions; '' clears the kind.
+      val snapProps = cat.currentSnapshot(table).getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table")).props
+      def current(p: String): Seq[String] = snapProps.get(p).map(cols).getOrElse(Nil)
+      val dropBloom =
+        if (set.contains(BloomProp)) current(BloomProp).filterNot(bloom.contains) else Nil
+      val dropSketch =
+        if (set.contains(SketchProp)) current(SketchProp).filterNot(sketch.contains) else Nil
+      val addBloom = bloom.filterNot(current(BloomProp).contains)
+      val addSketch = sketch.filterNot(current(SketchProp).contains)
+      if (dropBloom.nonEmpty)
+        cat.dropIndexColumns(session, table, dropBloom,
+          dropBlooms = true, dropSketches = false)
+      if (dropSketch.nonEmpty)
+        cat.dropIndexColumns(session, table, dropSketch,
+          dropBlooms = false, dropSketches = true)
+      if (addBloom.nonEmpty || addSketch.nonEmpty)
+        cat.indexColumns(session, table,
+          bloomColumns = addBloom, sketchColumns = addSketch)
       ()
     }
     unset.foreach { p =>

@@ -1039,4 +1039,105 @@ class GraftDmlSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(roundTrip.toSeq == logical.toSeq)
   }
+
+  test("SET TBLPROPERTIES has replace semantics: the value afterwards IS the value set") {
+    val t = freshTable("props_repl", 1 to 6)
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bloom.columns' = 'c_custkey')")
+    // replacing with a different column drops the old one's maintenance
+    // and its per-file entries, and indexes the new one
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bloom.columns' = 'c_name')")
+    val snap = cat.currentSnapshot(t).get
+    assert(snap.props.get(SnapshotCatalog.BloomColumnsProp).contains("c_name"))
+    assert(snap.files.filter(_.rowCount > 0).forall(f =>
+      f.blooms.contains("c_name") && !f.blooms.contains("c_custkey")))
+    // SHOW returns exactly what was SET
+    assert(ext.sql(s"SHOW TBLPROPERTIES $t ('graft.bloom.columns')")
+      .head().getString(1) == "c_name")
+    // an identical SET is a no-op: no snapshot id burned
+    val head = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bloom.columns' = 'c_name')")
+    assert(cat.currentSnapshot(t).get.snapshotId == head,
+      "SET to the current value must not burn a snapshot id")
+    // SET '' clears the kind — the same end state as UNSET
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bloom.columns' = '')")
+    val cleared = cat.currentSnapshot(t).get
+    assert(!cleared.props.contains(SnapshotCatalog.BloomColumnsProp))
+    assert(cleared.files.forall(f => !f.blooms.contains("c_name")))
+  }
+
+  test("a table comment survives index maintenance and column DDL commits") {
+    val t = freshTable("cmt_sticky", 1 to 4)
+    ext.sql(s"COMMENT ON TABLE $t IS 'keep me'")
+    def comment(): Option[String] =
+      cat.currentSnapshot(t).get.props.get(SnapshotCatalog.CommentProp)
+    ext.sql(s"CALL graft.index('$t', 'c_custkey')")
+    assert(comment().contains("keep me"), "index build dropped the comment")
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.sketch.columns' = 'c_acctbal')")
+    assert(comment().contains("keep me"), "SET TBLPROPERTIES dropped the comment")
+    ext.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.bloom.columns')")
+    assert(comment().contains("keep me"), "UNSET TBLPROPERTIES dropped the comment")
+    ext.sql(s"ALTER TABLE $t RENAME COLUMN c_acctbal TO balance")
+    assert(comment().contains("keep me"), "RENAME COLUMN dropped the comment")
+    ext.sql(s"ALTER TABLE $t DROP COLUMN balance")
+    assert(comment().contains("keep me"), "DROP COLUMN dropped the comment")
+  }
+
+  test("RENAME on another namespace falls through to Spark even when a graft view shares the name") {
+    ext.sql("CREATE VIEW graft.ren_shared AS SELECT 1 AS x")
+    val e = intercept[Exception] {
+      ext.sql("ALTER TABLE otherdb.ren_shared RENAME TO otherdb.elsewhere")
+    }
+    assert(!e.getMessage.contains("graft views"),
+      s"other-namespace rename was hijacked by the graft view guard: ${e.getMessage}")
+    ext.sql("DROP VIEW graft.ren_shared")
+  }
+
+  test("RENAME TO is crash-atomic: marker debris reads as absent and a re-run heals it") {
+    import java.nio.file.{Files => JF, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def copyMeta(src: Path, dst: Path): Unit = {
+      val keep = Set("data", "blooms", "sketches")
+      JF.createDirectories(dst)
+      val s = JF.list(src)
+      val entries = try s.iterator().asScala.toList finally s.close()
+      entries.foreach { p =>
+        val n = p.getFileName.toString
+        if (JF.isDirectory(p)) { if (!keep.contains(n)) copyMeta(p, dst.resolve(n)) }
+        else { JF.copy(p, dst.resolve(n), StandardCopyOption.REPLACE_EXISTING); () }
+      }
+    }
+    // pre-commit crash: the destination holds never-committed pending debris
+    val t = freshTable("ren_cr1", 1 to 4)
+    val rows = ext.sql(s"SELECT * FROM $t").collect().toSet
+    val srcDir = Paths.get(root, t)
+    val dstDir = Paths.get(root, "ren_cr1_dst")
+    JF.createDirectories(dstDir)
+    JF.write(dstDir.resolve(".rename-pending"), t.getBytes("UTF-8"))
+    copyMeta(srcDir, dstDir) // partial or full: the marker gates visibility
+    assert(!cat.tables().contains("ren_cr1_dst") &&
+      cat.currentSnapshot("ren_cr1_dst").isEmpty,
+      "pending debris must read as absent")
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == rows,
+      "the source must stay fully readable pre-commit")
+    // re-running the rename heals the debris and completes
+    ext.sql(s"ALTER TABLE $t RENAME TO ren_cr1_dst")
+    assert(!cat.tables().contains(t) && cat.tables().contains("ren_cr1_dst"))
+    assert(ext.sql("SELECT * FROM ren_cr1_dst").collect().toSet == rows)
+    assert(!JF.exists(dstDir.resolve(".rename-pending")))
+    // post-commit crash: the source is tombstoned, its deletion unfinished
+    val t2 = freshTable("ren_cr2", 5 to 9)
+    val rows2 = ext.sql(s"SELECT * FROM $t2").collect().toSet
+    val src2 = Paths.get(root, t2)
+    copyMeta(src2, Paths.get(root, "ren_cr2_dst"))
+    JF.write(src2.resolve(".renamed-to"), "ren_cr2_dst".getBytes("UTF-8"))
+    assert(!cat.tables().contains(t2) && cat.currentSnapshot(t2).isEmpty,
+      "a tombstoned source must read as absent, never as split history")
+    assert(ext.sql("SELECT * FROM ren_cr2_dst").collect().toSet == rows2,
+      "the destination is complete and readable post-commit")
+    // re-running the SAME rename finishes the deletion phase
+    cat.renameTable(t2, "ren_cr2_dst")
+    assert(!JF.exists(src2.resolve(".renamed-to")))
+    assert(!JF.exists(src2.resolve("current")))
+    assert(ext.sql("SELECT * FROM ren_cr2_dst").collect().toSet == rows2)
+  }
 }

@@ -187,6 +187,30 @@ class GraftViewSpec extends SparkSpec {
     assert(!cat.tables().contains("depbase"))
   }
 
+  test("dependency arbitration never sees a stale body across catalog instances on one root") {
+    seedOrders()
+    Writers.writeSnapshot(cat, "xi_base",
+      graft.Tables.orders(spark, sfDir).select(col("o_orderkey")).limit(5), dataDir)
+    // instance A parses and memoizes the view body during arbitration
+    cat.createView("xi_v", "SELECT o_orderkey FROM xi_base")
+    assert(cat.dependentViews("xi_base") == Seq("xi_v"))
+    // instance B — same root, the disk format is the coordination point —
+    // drops and recreates the view with DIFFERENT text; version ids
+    // restart at 1, which a version-keyed memo on A would alias
+    val catB = new SnapshotCatalog(root)
+    catB.dropView("xi_v")
+    catB.createView("xi_v", "SELECT o_orderkey FROM vorders")
+    assert(cat.dependentViews("xi_base").isEmpty,
+      "instance A consulted a stale pre-recreate body")
+    // and the reverse flip: the recreate ADDS a dependency A must see
+    catB.dropView("xi_v")
+    catB.createView("xi_v", "SELECT o_orderkey + 1 AS k FROM xi_base")
+    assert(cat.dependentViews("xi_base") == Seq("xi_v"),
+      "instance A missed a dependency introduced by the recreate")
+    cat.dropView("xi_v")
+    ext.sql("DROP TABLE graft.xi_base")
+  }
+
   test("REPLACE under dependents: shape change refuses and names them; same-shape replace allowed") {
     seedOrders()
     ext.sql("CREATE VIEW graft.rep_base AS " +
