@@ -844,6 +844,122 @@ object Engine {
         |FROM waporders GROUP BY o_orderstatus""".stripMargin)
   }
 
+  // Memoized SQL-MV catalog per sf-dir: the S39 incremental aggregate
+  // view driven ENTIRELY from SQL (r14) — create_mv on the even-key
+  // half, the odd half INSERTed and a key-slice DELETEd through SQL,
+  // then refresh_mv BY VIEW NAME ALONE folds the change feed (the
+  // definition rides the view's own snapshot props). Build + refresh
+  // are maintenance; the benched/verified path reads the view table.
+  private val mvSqlRoots = TrieMap.empty[String, String]
+  private def mvSqlRootFor(s: SparkSession, dir: String): String =
+    mvSqlRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mvsql-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "mvsqlorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        Files.createTempDirectory("graft-mvsql-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("CALL graft.create_mv('mvsql_view', 'mvsqlorders', " +
+        "'o_orderstatus', 'o_totalprice')")
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(s"INSERT INTO mvsqlorders SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $src WHERE o_orderkey % 2 = 1")
+      es.sql("DELETE FROM mvsqlorders WHERE o_orderkey % 11 = 3")
+      es.sql("CALL graft.refresh_mv('mvsql_view')")
+      root
+    })
+
+  /** Incremental MV from pure SQL (S39's last seam, r14): the view was
+    * built on half the source and refreshed — by name alone — from the
+    * SQL-mutated other half's change feed; reading it must equal the
+    * oracle's from-scratch GROUP BY of the final source state. */
+  def qMvSql(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mvSqlRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus, n_rows,
+        |  CAST(sum_o_totalprice AS DOUBLE) AS sum_price
+        |FROM mvsql_view""".stripMargin)
+  }
+
+  // Memoized GDPR-delete catalog per sf-dir: the zero-scan equality-
+  // delete path from SQL (S41, r14) — the five lowest order keys masked
+  // via CALL graft.delete_by_keys (O(|keys|) driver work, no table
+  // scan), then ONE of them re-appended (a fresh row stays visible; the
+  // mask scopes to files existing at delete time).
+  private val gdprRoots = TrieMap.empty[String, String]
+  private def gdprRootFor(s: SparkSession, dir: String): String =
+    gdprRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-gdpr-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "gdprorders",
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        Files.createTempDirectory("graft-gdpr-data-").toString)
+      val keys = Tables.orders(s, dir).select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(5).collect().map(_.getLong(0))
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql(s"CALL graft.delete_by_keys('gdprorders', 'o_orderkey', " +
+        s"'${keys.mkString(",")}')")
+      es.sql(s"INSERT INTO gdprorders VALUES (${keys.head}, 'R', 123.75)")
+      root
+    })
+
+  /** Zero-scan equality delete from SQL (S41's last seam, r14): the
+    * visible state must equal the oracle's NOT-IN replay plus the
+    * re-appended row — erasure by mask, re-ingest stays visible. */
+  def qDeleteKeysSql(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, gdprRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM gdprorders GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  // Memoized per-commit CDF catalog per sf-dir: three commits — even-key
+  // base (s1), odd-key SQL INSERT (s2), a key-prefix SQL DELETE (s3) —
+  // whose intra-range churn (rows inserted at s2 AND deleted at s3) the
+  // per-commit feed must PRESERVE with commit attribution, where the
+  // net feed would cancel it.
+  private val cdfRoots = TrieMap.empty[String, String]
+  private def cdfRootFor(s: SparkSession, dir: String): String =
+    cdfRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-cdfsql-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "cdforders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0 AND o_orderkey <= 4000"))
+          .select(col("o_orderkey"), col("o_totalprice")),
+        Files.createTempDirectory("graft-cdfsql-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(s"INSERT INTO cdforders SELECT o_orderkey, o_totalprice FROM $src " +
+        "WHERE o_orderkey % 2 = 1 AND o_orderkey <= 1000")
+      es.sql("DELETE FROM cdforders WHERE o_orderkey <= 500")
+      root
+    })
+
+  /** Per-commit change feed from SQL (S43's last seam, r14):
+    * `CALL graft.changelog(..., mode => 'percommit')` must attribute
+    * every row to its commit — s2's inserts and s3's deletes, including
+    * the churn rows both touched — matching the oracle's replay of the
+    * same algebra with literal commit ids (fresh catalog: s1=1, s2=2,
+    * s3=3). */
+  def qCdfPercommit(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, cdfRootFor(s, dir))
+    es.sql("CALL graft.changelog('cdforders', 1, mode => 'percommit', " +
+      "view => 'cdforders_cdf')")
+    es.sql(
+      """SELECT _commit_snapshot_id AS commit_id, _change_type AS change,
+        |  o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM cdforders_cdf""".stripMargin)
+  }
+
   // Memoized metadata-count catalog per sf-dir: full orders committed
   // once; the benched/verified path is the manifest-answered COUNT.
   private val metaCountRoots = TrieMap.empty[String, String]
@@ -1225,6 +1341,9 @@ object Engine {
     "q_table_rename_read" -> (qTableRenameRead _),
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
+    "q_mv_sql" -> (qMvSql _),
+    "q_delete_keys_sql" -> (qDeleteKeysSql _),
+    "q_cdf_percommit" -> (qCdfPercommit _),
     "q_merge_read" -> (qMergeRead _),
     "q_mor_read" -> (qMorRead _),
     "q_ttl_read" -> (qTtlRead _),
@@ -1394,6 +1513,40 @@ object Engine {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_mv_sql" ->
+      """WITH finalstate AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_orderkey % 11 = 3)
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
+    "q_delete_keys_sql" ->
+      """WITH victims AS (
+        |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5
+        |), finalstate AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM victims)
+        |  UNION ALL
+        |  SELECT 'R', CAST(123.75 AS DOUBLE)
+        |)
+        |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
+    "q_cdf_percommit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey <= 4000
+        |), ins AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey <= 1000
+        |)
+        |SELECT CAST(2 AS BIGINT) AS commit_id, 'insert' AS change,
+        |  o_orderkey, price FROM ins
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete', o_orderkey, price FROM (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ins
+        |) WHERE o_orderkey <= 500""".stripMargin,
     "q_zorder_read" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price

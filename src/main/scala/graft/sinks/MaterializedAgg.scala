@@ -31,6 +31,21 @@ object MaterializedAgg {
   /** Prop on the view's snapshots: the source snapshot the view equals. */
   val RefreshedAtProp = "graft.view.refreshed_at"
 
+  /** Props on the view's snapshots recording its own definition (source
+    * table, key columns, sum columns) — written by [[build]] and carried
+    * by every [[refresh]], so a scheduled maintenance job can drive a
+    * refresh from the VIEW NAME ALONE ([[refreshByName]], the
+    * `CALL graft.refresh_mv` surface). */
+  val SrcProp = "graft.view.src"
+  val KeysProp = "graft.view.keys"
+  val SumsProp = "graft.view.sums"
+
+  private def specProps(srcTable: String, keyCols: Seq[String],
+      sumCols: Seq[String]): Map[String, String] = Map(
+    SrcProp -> srcTable,
+    KeysProp -> keyCols.mkString(","),
+    SumsProp -> sumCols.mkString(","))
+
   private def sumExpr(c: String): Column =
     sum(col(c).cast("decimal(28,6)")).as(s"sum_$c")
 
@@ -70,8 +85,37 @@ object MaterializedAgg {
     val agg = aggOf(catalog.read(spark, srcTable, snapshotId = Some(srcSnap.snapshotId)),
       keyCols, sumCols)
     writeReplace(catalog, viewTable, agg, dataDir,
-      Map(RefreshedAtProp -> srcSnap.snapshotId.toString))
+      specProps(srcTable, keyCols, sumCols) +
+        (RefreshedAtProp -> srcSnap.snapshotId.toString))
     srcSnap.snapshotId
+  }
+
+  /** The stored definition of `viewTable` (source, keys, sums) — the
+    * spec [[build]] recorded. Refuses loudly on a table that is not a
+    * materialized aggregate view. */
+  def spec(catalog: SnapshotCatalog, viewTable: String): (String, Seq[String], Seq[String]) = {
+    val props = catalog.currentSnapshot(viewTable).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $viewTable")).props
+    def cols(k: String): Seq[String] =
+      props.getOrElse(k, throw new IllegalArgumentException(
+        s"$viewTable is not a materialized aggregate view (no $k prop); " +
+          "build it first")).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val src = props.getOrElse(SrcProp, throw new IllegalArgumentException(
+      s"$viewTable is not a materialized aggregate view (no $SrcProp prop); " +
+        "build it first"))
+    (src, cols(KeysProp), cols(SumsProp))
+  }
+
+  /** [[refresh]] driven by the view name alone, using the definition
+    * the view's own snapshots carry — the scheduled-maintenance shape
+    * (`CALL graft.refresh_mv('mv')`). Returns the new watermark. */
+  def refreshByName(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      viewTable: String,
+      dataDir: String): Long = {
+    val (src, keys, sums) = spec(catalog, viewTable)
+    refresh(spark, catalog, src, viewTable, keys, sums, dataDir)
   }
 
   /** Incremental refresh: fold the change feed since the view's
@@ -96,6 +140,12 @@ object MaterializedAgg {
         s"View $viewTable carries no $RefreshedAtProp watermark")).toLong
     val srcSnap = catalog.currentSnapshot(srcTable).get
     if (srcSnap.snapshotId == from) return from
+    // history trimming may have expired the watermark snapshot — the
+    // incremental path needs it as the diff base, so fall back to a
+    // full rebuild (the dynamic-table re-initialize shape); schedule
+    // expiration to retain at least the MV cadence to avoid this
+    if (catalog.snapshotById(srcTable, from).isEmpty)
+      return build(spark, catalog, srcTable, viewTable, keyCols, sumCols, dataDir)
 
     val changes = catalog.changesBetween(spark, srcTable, from, Some(srcSnap.snapshotId))
     val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
@@ -120,7 +170,8 @@ object MaterializedAgg {
           }: _*)
       .filter(col("n_rows") > 0)
     writeReplace(catalog, viewTable, merged, dataDir,
-      Map(RefreshedAtProp -> srcSnap.snapshotId.toString))
+      specProps(srcTable, keyCols, sumCols) +
+        (RefreshedAtProp -> srcSnap.snapshotId.toString))
     srcSnap.snapshotId
   }
 }

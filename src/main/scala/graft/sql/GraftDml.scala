@@ -53,8 +53,13 @@ import scala.jdk.CollectionConverters._
   *   CALL graft.branch('t', 'dev')                --    branch, and a
   *   INSERT INTO `t/branches/dev` VALUES ...      --    backquoted ref
   *   CALL graft.fast_forward('t', 'dev')          --    is a full table
-  *   CALL graft.changelog('t', from [, to,        -- net CDC feed as a
-  *     view => 'name'])                           --    queryable view
+  *   CALL graft.changelog('t', from [, to,        -- CDC feed as a
+  *     view => 'name', mode => 'net'|'percommit'])--    queryable view
+  *   CALL graft.delete_by_keys('t', 'k', 'v1,v2') -- zero-scan equality
+  *                                                --    delete (GDPR path)
+  *   CALL graft.create_mv('mv', 'src', 'k1,k2'    -- incremental agg
+  *     [, 'c1,c2'])                               --    view: build, then
+  *   CALL graft.refresh_mv('mv')                  --    CDC-fold refresh
   *   CALL graft.check('t', 'pred', ...[,          -- data-quality audit:
   *     unique => 'k1,k2', staged => 'id'])        --    violations/rule
   *   CALL graft.stage('t', 'SELECT ...')          -- write-audit-publish
@@ -175,6 +180,13 @@ object GraftDml {
           n.toLowerCase -> value(v)
       }.toMap)
   }
+
+  /** `col()` for a possibly-GENERATED column name — expression-derived
+    * names carry dots/parens (`(o_totalprice + 0.5)`), which unquoted
+    * resolution would dot-split. Backtick-quoted, embedded backticks
+    * doubled. */
+  private[sql] def qcol(name: String): org.apache.spark.sql.Column =
+    col(s"`${name.replace("`", "``")}`")
 
   private[sql] def dataDirFor(session: SparkSession, root: String, table: String): String =
     session.conf.getOption(DataDirConf).filter(_.nonEmpty)
@@ -713,7 +725,7 @@ case class GraftInsertCommand(
         val byPos = userCols.map(_.toLowerCase).zip(src.columns).toMap
         src.select(schema.fields.map { f =>
           byPos.get(f.name.toLowerCase) match {
-            case Some(srcCol) => col(srcCol).cast(f.dataType).as(f.name)
+            case Some(srcCol) => GraftDml.qcol(srcCol).cast(f.dataType).as(f.name)
             case None =>
               // unnamed column: its write-default if one is in force
               // (S61), else NULL — standard SQL DEFAULT fill
@@ -726,7 +738,7 @@ case class GraftInsertCommand(
         require(src.columns.size == schema.size,
           s"INSERT into $table needs ${schema.size} columns, query produced ${src.columns.size}")
         src.select(src.columns.zip(schema.fields).map { case (c, f) =>
-          col(c).cast(f.dataType).as(f.name)
+          GraftDml.qcol(c).cast(f.dataType).as(f.name)
         }.toIndexedSeq: _*)
       }
     val dataDir = GraftDml.dataDirFor(session, root, table)
@@ -812,8 +824,8 @@ case class GraftMergeCommand(
       throw new IllegalArgumentException(s"no snapshots for table $table"))
     val aligned = src.select(src.columns.map { c =>
       schema.fields.find(_.name.equalsIgnoreCase(c)) match {
-        case Some(f) => col(c).cast(f.dataType).as(f.name)
-        case None => col(c)
+        case Some(f) => GraftDml.qcol(c).cast(f.dataType).as(f.name)
+        case None => GraftDml.qcol(c)
       }
     }.toIndexedSeq: _*)
     def colOf(c: GraftDml.Cond) =
@@ -1331,6 +1343,9 @@ case class GraftCallCommand(
       case "changelog" =>
         Seq(AttributeReference("view",
           org.apache.spark.sql.types.StringType, nullable = false)())
+      case "create_mv" | "refresh_mv" =>
+        Seq(AttributeReference("view", StringType, nullable = false)(),
+          AttributeReference("refreshed_at", LongType, nullable = false)())
       case "check" =>
         Seq(AttributeReference("rule",
           org.apache.spark.sql.types.StringType, nullable = false)(),
@@ -1497,11 +1512,8 @@ case class GraftCallCommand(
         require(src.columns.size == schema.size,
           s"CALL graft.$proc: $table needs ${schema.size} columns, " +
             s"the query produced ${src.columns.size}")
-        // generated column names carry dots/parens (`(o_totalprice + 0.5)`)
-        // — backtick-quote so col() never dot-splits them
         val projected = src.select(src.columns.zip(schema.fields).map {
-          case (c, f) =>
-            col(s"`${c.replace("`", "``")}`").cast(f.dataType).as(f.name)
+          case (c, f) => GraftDml.qcol(c).cast(f.dataType).as(f.name)
         }.toIndexedSeq: _*)
         Seq(Row(Writers.stageAppendSnapshot(cat, table, projected,
           GraftDml.dataDirFor(session, root, table))))
@@ -1549,17 +1561,24 @@ case class GraftCallCommand(
             report.toSeq.sortBy(_._1).map { case (n, v) => Row(n, v, false) }
         }
       case "changelog" =>
-        // CALL graft.changelog('t', from [, to, view => 'name']) —
-        // register the NET row-level change feed between two snapshots
-        // as a temp view (Iceberg's create_changelog_view): incremental
-        // ETL from pure SQL. The view is a LAZY plan over the feed —
-        // nothing materializes until queried; at 100 TB the consumer
-        // filters/aggregates it like any relation and only the feed's
-        // era-scoped files are read.
+        // CALL graft.changelog('t', from [, to, view => 'name',
+        // mode => 'net'|'percommit']) — register the row-level change
+        // feed between two snapshots as a temp view (Iceberg's
+        // create_changelog_view): incremental ETL from pure SQL. 'net'
+        // (default) cancels intra-range churn to the endpoint delta;
+        // 'percommit' preserves it with `_commit_snapshot_id` /
+        // `_commit_timestamp_ms` attribution (the Delta CDF surface) for
+        // audit trails and ordered replay. The view is a LAZY plan over
+        // the feed — nothing materializes until queried; at 100 TB the
+        // consumer filters/aggregates it like any relation and only the
+        // feed's era-scoped files are read.
         val table = str(0, "table")
         val from = long(1, "from_snapshot", -1L)
         require(from >= 0, s"CALL graft.$proc: pass the from-snapshot id")
         val to = arg(2, "to_snapshot").map(asLong("to_snapshot", _))
+        val mode = named.get("mode").map(_.toString.toLowerCase).getOrElse("net")
+        require(Set("net", "percommit").contains(mode),
+          s"CALL graft.$proc: mode must be 'net' or 'percommit'; got '$mode'")
         val view = named.get("view").map(_.toString).getOrElse(s"${table}_changes")
         require(view.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"CALL graft.$proc: invalid view name $view")
@@ -1572,8 +1591,60 @@ case class GraftCallCommand(
             s"CALL graft.$proc: '$view' names an existing catalog " +
               s"${if (cat.viewMeta(view).isDefined) "view" else "table"} and a temp " +
               "view would shadow it for plain-name reads; pass view => '<other name>'")
-        cat.changesBetween(session, table, from, to).createOrReplaceTempView(view)
+        val feed =
+          if (mode == "percommit") cat.changesPerCommit(session, table, from, to)
+          else cat.changesBetween(session, table, from, to)
+        feed.createOrReplaceTempView(view)
         Seq(Row(view))
+      case "delete_by_keys" =>
+        // CALL graft.delete_by_keys('t', 'k', 'v1,v2') — the zero-scan
+        // GDPR-erasure path from SQL (S41): an equality-delete mask over
+        // the listed key values. O(|keys|) driver work — one tiny key
+        // parquet + one metadata commit; NO data file of the table is
+        // opened (manifest min/max + blooms scope the mask), regardless
+        // of table size. A later append of the same key stays visible.
+        val table = str(0, "table")
+        val keyCol = str(1, "key_column")
+        val values = str(2, "values").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(values.nonEmpty,
+          s"CALL graft.$proc: pass at least one key value (comma-separated)")
+        val schema = cat.schema(table).getOrElse(
+          throw new IllegalArgumentException(s"no snapshots for table $table"))
+        val field = schema.find(_.name == keyCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"CALL graft.$proc: no column $keyCol in $table " +
+              s"(has: ${schema.fieldNames.mkString(", ")})"))
+        import session.implicits._
+        val keys = values.toDF(keyCol)
+          .select(org.apache.spark.sql.functions.col(keyCol).cast(field.dataType))
+        Seq(Row(Writers.deleteByKeys(session, cat, table, keys, Seq(keyCol),
+          GraftDml.dataDirFor(session, root, table)).snapshotId))
+      case "create_mv" =>
+        // CALL graft.create_mv('mv', 'src', 'k1,k2'[, 'c1,c2']) — build
+        // an incrementally-maintained aggregate view (S39 from SQL):
+        // keyed COUNT + SUMs of the source's CURRENT snapshot, stored as
+        // a first-class catalog table carrying its own definition and
+        // refreshed_at watermark. Omit the sum columns for a count-only
+        // view.
+        val view = str(0, "view")
+        val src = str(1, "source_table")
+        val keys = str(2, "key_columns").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(keys.nonEmpty, s"CALL graft.$proc: pass at least one key column")
+        val sums = arg(3, "sum_columns").map(_.toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val at = graft.sinks.MaterializedAgg.build(session, cat, src, view,
+          keys, sums, GraftDml.dataDirFor(session, root, view))
+        Seq(Row(view, at))
+      case "refresh_mv" =>
+        // CALL graft.refresh_mv('mv') — fold the source's change feed
+        // since the view's watermark into the keyed state: refresh cost
+        // ∝ CHANGED rows, never source size (the 100 TB MV maintenance
+        // shape). The definition rides the view's own snapshot props, so
+        // the scheduled job needs only the view name. No source movement
+        // = no commit (the returned watermark is unchanged).
+        val view = str(0, "view")
+        Seq(Row(view, graft.sinks.MaterializedAgg.refreshByName(
+          session, cat, view, GraftDml.dataDirFor(session, root, view))))
       case "expire_rows" =>
         // CALL graft.expire_rows('t', 'ts_col', cutoff_ms => t |
         // older_than_ms => age) — the nightly compliance TTL sweep
@@ -1648,7 +1719,8 @@ case class GraftCallCommand(
             "expire_snapshots, remove_orphans, rollback, cherrypick, clone, " +
             "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, " +
             "index, drop_index, check, changelog, stage, staged, " +
-            "publish_staged, publish_if_clean, discard_staged, expire_rows")
+            "publish_staged, publish_if_clean, discard_staged, expire_rows, " +
+            "delete_by_keys, create_mv, refresh_mv")
     }
   }
 }

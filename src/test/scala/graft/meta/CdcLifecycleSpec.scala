@@ -140,7 +140,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(28) match {
+        rnd.nextInt(30) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -471,6 +471,39 @@ class CdcLifecycleSpec extends SparkSpec {
               state = state.filter { case ((_, v), _) => v >= cutoffSec }
               states :+= (sid, state)
             }
+          case 28 => // SQL CALL delete_by_keys (r14): the zero-scan GDPR
+            // path through SQL — same model effect as the Scala-API
+            // equality delete (case 9): masks only rows existing NOW
+            val ids = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(100).toLong).distinct
+            val before = cat.currentSnapshot(t).map(_.snapshotId)
+            val sid = es.sql(s"CALL graft.delete_by_keys('t', 'id', " +
+                s"'${ids.mkString(",")}')").head().getLong(0)
+            if (!before.contains(sid)) {
+              state = state.filter { case ((id, _), _) => !ids.contains(id) }
+              states :+= (sid, state)
+            }
+          case 29 => // SQL MV maintenance (r14): build once, then
+            // CDC-fold refreshes — after every op the view must equal a
+            // from-scratch GROUP BY of the source's CURRENT state
+            // (incl. across expired watermarks, which force a rebuild);
+            // t's own history, feeds and model are untouched (the view
+            // is a separate table)
+            val at =
+              if (!cat.tables().contains("t_mv"))
+                es.sql("CALL graft.create_mv('t_mv', 't', 'id', 'v')")
+                  .head().getLong(1)
+              else es.sql("CALL graft.refresh_mv('t_mv')").head().getLong(1)
+            assert(at == cat.currentSnapshot(t).get.snapshotId,
+              s"seq=$seq MV watermark must equal the source head")
+            val got = cat.read(spark, "t_mv")
+              .select(col("id"), col("n_rows"),
+                col("sum_v").cast("long").as("sv"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+            val want = cat.read(spark, t)
+              .groupBy(col("id"))
+              .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+            assert(got == want, s"seq=$seq MV != from-scratch aggregate")
         }
       }
 

@@ -578,6 +578,112 @@ class GraftCallSpec extends SparkSpec {
     assert(cat.currentSnapshot(t).get.files.forall(!_.blooms.contains("c_name")))
   }
 
+  test("CALL graft.delete_by_keys masks rows without scanning the table; re-append stays visible") {
+    val t = freshTable("delkeys", 1 to 40)
+    val before = cat.currentSnapshot(t).get
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val sid = try {
+      GraftColumnShim.drainListenerBus(spark)
+      val s = ext.sql(s"CALL graft.delete_by_keys('$t', 'c_custkey', '3, 7,11')")
+        .head().getLong(0)
+      GraftColumnShim.drainListenerBus(spark)
+      s
+    } finally spark.sparkContext.removeSparkListener(l)
+    val after = cat.currentSnapshot(t).get
+    assert(sid == after.snapshotId && after.snapshotId == before.snapshotId + 1)
+    // zero-scan: the table's data files are neither read nor rewritten —
+    // the only input records anywhere are the key parquet's own rows
+    assert(after.files.map(_.path) == before.files.map(_.path))
+    assert(after.deleteFiles.size == before.deleteFiles.size + 1)
+    assert(recordsRead.get() <= 3,
+      s"delete_by_keys read ${recordsRead.get()} records; the GDPR path must not scan the table")
+    val keys = ext.sql(s"SELECT c_custkey FROM $t").collect().map(_.getLong(0)).toSet
+    assert(Set(3L, 7L, 11L).forall(!keys.contains(_)) && keys.size == 37)
+    // a later append of a masked key is a fresh row and stays visible
+    ext.sql(s"INSERT INTO $t VALUES (7, 'Back#7', 1.0)")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE c_custkey = 7")
+      .head().getLong(0) == 1L)
+    // unknown key column refuses loudly
+    val e = intercept[Exception] { ext.sql(s"CALL graft.delete_by_keys('$t', 'nope', '1')") }
+    assert(e.getMessage.contains("no column"))
+  }
+
+  test("CALL graft.changelog mode => 'percommit' attributes changes to their commits") {
+    val t = freshTable("cdfsql", 1 to 20)
+    val s1 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"INSERT INTO $t VALUES (801, 'A#801', 1.0), (802, 'A#802', 2.0)")
+    val s2 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"DELETE FROM $t WHERE c_custkey = 801 OR c_custkey = 5")
+    val s3 = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"CALL graft.changelog('$t', $s1, mode => 'percommit', view => 'cdf_pc')")
+    val feed = ext.sql("SELECT _commit_snapshot_id, _change_type, c_custkey FROM cdf_pc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // intra-range churn preserved with attribution: 801 appears as s2's
+    // insert AND s3's delete — the shape audit trails / ordered replay need
+    assert(feed == Set((s2, "insert", 801L), (s2, "insert", 802L),
+      (s3, "delete", 801L), (s3, "delete", 5L)))
+    // the default net mode cancels the churn over the same range
+    ext.sql(s"CALL graft.changelog('$t', $s1, view => 'cdf_net')")
+    val net = ext.sql("SELECT _change_type, c_custkey FROM cdf_net")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(net == Set(("insert", 802L), ("delete", 5L)))
+    // a bad mode refuses loudly, naming the valid ones
+    val e = intercept[Exception] {
+      ext.sql(s"CALL graft.changelog('$t', $s1, mode => 'nope')")
+    }
+    assert(e.getMessage.contains("percommit"))
+  }
+
+  test("CALL graft.create_mv / refresh_mv: CDC-folded aggregate view from pure SQL") {
+    Writers.writeSnapshot(cat, "mvsrc",
+      graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      dataDir)
+    def fromScratch(): Set[(String, Long, java.math.BigDecimal)] =
+      cat.read(spark, "mvsrc").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    def view(): Set[(String, Long, java.math.BigDecimal)] =
+      cat.read(spark, "mv1")
+        .select(col("o_orderstatus"), col("n_rows"), col("sum_o_totalprice"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val r1 = ext.sql("CALL graft.create_mv('mv1', 'mvsrc', 'o_orderstatus', " +
+      "'o_totalprice')").head()
+    assert(r1.getString(0) == "mv1" &&
+      r1.getLong(1) == cat.currentSnapshot("mvsrc").get.snapshotId)
+    assert(view() == fromScratch())
+    // the definition rides the view's own snapshots — visible in SQL
+    assert(ext.sql("SHOW TBLPROPERTIES mv1 ('graft.view.src')")
+      .head().getString(1) == "mvsrc")
+    // mutate the source ENTIRELY through SQL, then refresh by name alone
+    ext.sql("INSERT INTO mvsrc SELECT o_orderkey + 4000, o_orderstatus, " +
+      "o_totalprice + 10.0 FROM mvsrc WHERE o_orderkey <= 500")
+    ext.sql("DELETE FROM mvsrc WHERE o_orderkey % 7 = 0")
+    val r2 = ext.sql("CALL graft.refresh_mv('mv1')").head()
+    assert(r2.getLong(1) == cat.currentSnapshot("mvsrc").get.snapshotId)
+    assert(view() == fromScratch(),
+      "refreshed view must equal a from-scratch aggregate of the mutated source")
+    // idle source: refresh is a no-op — watermark and view head unchanged
+    val head = cat.currentSnapshot("mv1").get.snapshotId
+    val r3 = ext.sql("CALL graft.refresh_mv('mv1')").head()
+    assert(r3.getLong(1) == r2.getLong(1))
+    assert(cat.currentSnapshot("mv1").get.snapshotId == head,
+      "an idle-source refresh must not burn a view snapshot")
+    // refresh of a non-MV table refuses loudly
+    val t2 = freshTable("notamv", 1 to 3)
+    val e = intercept[Exception] { ext.sql(s"CALL graft.refresh_mv('$t2')") }
+    assert(e.getMessage.contains("not a materialized aggregate view"))
+  }
+
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
     val t = freshTable("bad", 1 to 2)
     val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }
