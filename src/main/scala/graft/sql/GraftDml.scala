@@ -60,6 +60,11 @@ import scala.jdk.CollectionConverters._
   *   CALL graft.create_mv('mv', 'src', 'k1,k2'    -- incremental agg
   *     [, 'c1,c2'])                               --    view: build, then
   *   CALL graft.refresh_mv('mv')                  --    CDC-fold refresh
+  *   CALL graft.cache('t' [, predicate => 'p',    -- keyed cache: persist
+  *     columns => 'c1,c2', view => 'name'])       --    + serve as a view
+  *   CALL graft.uncache('t')                      -- invalidate a table
+  *   CALL graft.expire_cache(ttl_ms)              -- TTL sweep
+  *   CALL graft.cache_stats()                     -- hits/misses/budget
   *   CALL graft.check('t', 'pred', ...[,          -- data-quality audit:
   *     unique => 'k1,k2', staged => 'id'])        --    violations/rule
   *   CALL graft.stage('t', 'SELECT ...')          -- write-audit-publish
@@ -1346,6 +1351,21 @@ case class GraftCallCommand(
       case "create_mv" | "refresh_mv" =>
         Seq(AttributeReference("view", StringType, nullable = false)(),
           AttributeReference("refreshed_at", LongType, nullable = false)())
+      case "cache" =>
+        Seq(AttributeReference("key", StringType, nullable = false)(),
+          AttributeReference("hit", BooleanType, nullable = false)(),
+          AttributeReference("view", StringType, nullable = false)())
+      case "uncache" =>
+        Seq(AttributeReference("evicted", LongType, nullable = false)())
+      case "expire_cache" =>
+        Seq(AttributeReference("expired", LongType, nullable = false)())
+      case "cache_stats" =>
+        Seq(AttributeReference("entries", LongType, nullable = false)(),
+          AttributeReference("size_bytes", LongType, nullable = false)(),
+          AttributeReference("max_bytes", LongType, nullable = false)(),
+          AttributeReference("hits", LongType, nullable = false)(),
+          AttributeReference("misses", LongType, nullable = false)(),
+          AttributeReference("evictions", LongType, nullable = false)())
       case "check" =>
         Seq(AttributeReference("rule",
           org.apache.spark.sql.types.StringType, nullable = false)(),
@@ -1645,6 +1665,59 @@ case class GraftCallCommand(
         val view = str(0, "view")
         Seq(Row(view, graft.sinks.MaterializedAgg.refreshByName(
           session, cat, view, GraftDml.dataDirFor(session, root, view))))
+      case "cache" =>
+        // CALL graft.cache('t'[, predicate => 'pred', columns =>
+        // 'c1,c2', view => 'name']) — the reference's KEYED cache
+        // (S5–S12) from SQL: a hit serves the persisted plan, a miss
+        // loads (current snapshot, optional filter/projection), evicts
+        // to fit the byte budget, persists (MEMORY_AND_DISK — Spark's
+        // block manager is the memory pool, spilling instead of
+        // OOMing) and registers the entry as a temp view for later
+        // statements. A cached entry PINS the snapshot read at cache
+        // time; invalidate after writes with CALL graft.uncache.
+        val table = str(0, "table")
+        require(cat.currentSnapshot(table).isDefined,
+          s"CALL graft.$proc: no table $table in this catalog")
+        val pred = named.get("predicate").map(_.toString).getOrElse("")
+        val cacheCols = named.get("columns").map(_.toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+        val view = named.get("view").map(_.toString).getOrElse(s"${table}_cached")
+        require(view.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"CALL graft.$proc: invalid view name $view")
+        if (cat.tables().contains(view) || cat.viewMeta(view).isDefined)
+          throw new IllegalArgumentException(
+            s"CALL graft.$proc: '$view' names an existing catalog " +
+              s"${if (cat.viewMeta(view).isDefined) "view" else "table"} and a temp " +
+              "view would shadow it for plain-name reads; pass view => '<other name>'")
+        val tc = GraftSqlResolution.cacheFor(root)
+        val key = graft.cache.CacheKey(table, pred, cacheCols)
+        val before = tc.stats
+        val df = tc.getOrLoad(key) {
+          val base = cat.read(session, table)
+          val filtered = if (pred.nonEmpty) base.filter(pred) else base
+          if (cacheCols.nonEmpty)
+            filtered.select(cacheCols.toSeq.sorted.map(c => GraftDml.qcol(c)): _*)
+          else filtered
+        }
+        df.createOrReplaceTempView(view)
+        Seq(Row(key.render, tc.stats.hits > before.hits, view))
+      case "uncache" =>
+        // CALL graft.uncache('t') — drop every cached entry of the
+        // table (the reference's invalidate_table): the explicit
+        // invalidation after writes
+        Seq(Row(GraftSqlResolution.cacheFor(root)
+          .invalidateTable(str(0, "table")).toLong))
+      case "expire_cache" =>
+        // CALL graft.expire_cache(ttl_ms) — evict entries idle beyond
+        // the TTL (the reference's maintenance sweep, caller-scheduled)
+        Seq(Row(GraftSqlResolution.cacheFor(root)
+          .expire(reqLong(0, "ttl_ms")).toLong))
+      case "cache_stats" =>
+        // CALL graft.cache_stats() — entries/bytes/budget plus
+        // hit/miss/eviction counters (the reference's get_stats)
+        val s0 = GraftSqlResolution.cacheFor(root).stats
+        Seq(Row(s0.entries.toLong, s0.sizeBytes, s0.maxSizeBytes,
+          s0.hits, s0.misses, s0.evictions))
       case "expire_rows" =>
         // CALL graft.expire_rows('t', 'ts_col', cutoff_ms => t |
         // older_than_ms => age) — the nightly compliance TTL sweep
@@ -1720,7 +1793,8 @@ case class GraftCallCommand(
             "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, " +
             "index, drop_index, check, changelog, stage, staged, " +
             "publish_staged, publish_if_clean, discard_staged, expire_rows, " +
-            "delete_by_keys, create_mv, refresh_mv")
+            "delete_by_keys, create_mv, refresh_mv, cache, uncache, " +
+            "expire_cache, cache_stats")
     }
   }
 }

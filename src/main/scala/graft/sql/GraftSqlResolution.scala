@@ -56,6 +56,14 @@ object GraftSqlResolution {
   def catalogFor(root: String): SnapshotCatalog =
     catalogs.computeIfAbsent(root, r => new SnapshotCatalog(r))
 
+  // One keyed TableCache per catalog root — the SQL CALL cache verbs'
+  // backing store, scoped like the catalog itself (a JVM serving two
+  // roots keeps their budgets and stats separate).
+  private val tableCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.cache.TableCache]()
+  def cacheFor(root: String): graft.cache.TableCache =
+    tableCaches.computeIfAbsent(root, _ => new graft.cache.TableCache())
+
   private[sql] def rootOf(session: SparkSession): Option[String] =
     session.conf.getOption(RootConf).filter(_.nonEmpty)
 

@@ -684,6 +684,43 @@ class GraftCallSpec extends SparkSpec {
     assert(e.getMessage.contains("not a materialized aggregate view"))
   }
 
+  test("CALL graft.cache / uncache / expire_cache / cache_stats: the keyed cache from SQL") {
+    val t = freshTable("cachesql", 1 to 25)
+    // first call is a miss: loads (filter + projection shape the KEY),
+    // persists, registers the entry as a temp view
+    val r1 = ext.sql(s"CALL graft.cache('$t', predicate => 'c_acctbal > 0', " +
+      "columns => 'c_custkey,c_acctbal', view => 'cache_v')").head()
+    assert(!r1.getBoolean(1), "first cache call must be a miss")
+    val expected = ext.sql(
+      s"SELECT c_acctbal, c_custkey FROM $t WHERE c_acctbal > 0").collect().toSet
+    assert(ext.sql("SELECT c_acctbal, c_custkey FROM cache_v")
+      .collect().toSet == expected)
+    // the SAME key is a hit; a different key is its own entry
+    val r2 = ext.sql(s"CALL graft.cache('$t', predicate => 'c_acctbal > 0', " +
+      "columns => 'c_custkey,c_acctbal', view => 'cache_v')").head()
+    assert(r2.getBoolean(1) && r2.getString(0) == r1.getString(0))
+    ext.sql(s"CALL graft.cache('$t', view => 'cache_all')")
+    val stats = ext.sql("CALL graft.cache_stats()").head()
+    assert(stats.getLong(0) >= 2 && stats.getLong(3) >= 1 && stats.getLong(4) >= 2)
+    // a cached entry PINS its snapshot: a later write is invisible
+    // through the cache until explicit invalidation (like CACHE TABLE)
+    ext.sql(s"INSERT INTO $t VALUES (900, 'New#900', 9.0)")
+    assert(ext.sql("SELECT count(*) AS n FROM cache_all").head().getLong(0) == 25)
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 26)
+    // uncache drops every entry of the table; a re-cache sees the write
+    assert(ext.sql(s"CALL graft.uncache('$t')").head().getLong(0) == 2L)
+    ext.sql(s"CALL graft.cache('$t', view => 'cache_all')")
+    assert(ext.sql("SELECT count(*) AS n FROM cache_all").head().getLong(0) == 26)
+    // TTL sweep evicts idle entries
+    Thread.sleep(10)
+    assert(ext.sql("CALL graft.expire_cache(1)").head().getLong(0) >= 1L)
+    // shadow refusal + missing table refusal
+    val e1 = intercept[Exception] { ext.sql(s"CALL graft.cache('$t', view => '$t')") }
+    assert(e1.getMessage.contains("shadow"))
+    val e2 = intercept[Exception] { ext.sql("CALL graft.cache('cache_missing')") }
+    assert(e2.getMessage.contains("no table"))
+  }
+
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
     val t = freshTable("bad", 1 to 2)
     val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }
