@@ -373,7 +373,7 @@ class GraftHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("/query runs the r13 surface over the wire: WAP verbs, RENAME TO, TBLPROPERTIES") {
+  test("/query runs the r13+r14 surface over the wire: WAP, RENAME, TBLPROPERTIES, MV, cache") {
     import graft.sinks.Writers
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-httpwap-").toString
@@ -410,6 +410,21 @@ class GraftHttpServerSpec extends SparkSpec {
       rows("ALTER TABLE wap_http2 SET TBLPROPERTIES ('graft.bloom.columns' = 'k')")
       assert(rows("SHOW TBLPROPERTIES wap_http2 ('graft.bloom.columns')")
         .head.contains("k"))
+      // r14 surface: zero-scan key delete, MV build + by-name refresh,
+      // per-commit changelog and the keyed cache — all over the wire
+      rows("CALL graft.delete_by_keys('wap_http2', 'k', '2')")
+      assert(rows("SELECT count(*) AS n FROM wap_http2").head.contains("3"))
+      rows("CALL graft.create_mv('wap_mv', 'wap_http2', 'k', 'v')")
+      rows("INSERT INTO wap_http2 VALUES (7, 70.0)")
+      rows("CALL graft.refresh_mv('wap_mv')")
+      assert(rows("SELECT count(*) AS n FROM wap_mv").head.contains("4"))
+      rows("CALL graft.changelog('wap_http2', 1, mode => 'percommit', " +
+        "view => 'wap_cdf')")
+      assert(rows("SELECT count(*) AS n FROM wap_cdf").nonEmpty)
+      val cacheRow = rows("CALL graft.cache('wap_http2', view => 'wap_cached')").head
+      assert(cacheRow.contains("wap_cached"))
+      assert(rows("SELECT count(*) AS n FROM wap_cached").head.contains("4"))
+      assert(rows("CALL graft.cache_stats()").head.contains("\"entries\":1"))
     } finally srv.stop()
   }
 
