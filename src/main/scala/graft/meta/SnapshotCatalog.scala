@@ -297,7 +297,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
 
   private implicit val formats: Formats = DefaultFormats
 
-  private def tableDir(table: String): Path = Paths.get(root, table)
+  // EVERY path-addressed table access validates the ref shape here —
+  // CALL-procedure arguments and backquoted SQL identifiers are
+  // arbitrary strings, and a name carrying '..' (or any non-branch '/')
+  // must never address a directory outside the catalog root (the same
+  // discipline the view store applies to view names).
+  private def tableDir(table: String): Path = {
+    require(SnapshotCatalog.validTableRef(table), s"invalid table name: $table")
+    Paths.get(root, table)
+  }
 
   private def normalize(p: String): String = SnapshotCatalog.normalizePath(p)
 
@@ -3457,6 +3465,19 @@ object SnapshotCatalog {
     * commit, surfaced by DESCRIBE EXTENDED, SHOW TBLPROPERTIES and
     * SHOW CREATE TABLE. */
   val CommentProp = "graft.comment"
+
+  /** Is `t` a safe table ref: `<name>` or `<name>/branches/<name>…`
+    * (nested branch refs allowed)? Name segments must start with a word
+    * character — `..`, dotfiles and empty segments can never resolve,
+    * so a ref can never traverse outside the catalog root. */
+  def validTableRef(t: String): Boolean = {
+    val segs = t.split("/", -1)
+    segs.nonEmpty && segs.length % 2 == 1 &&
+      segs.zipWithIndex.forall { case (s, i) =>
+        if (i % 2 == 1) s == "branches"
+        else s.matches("[A-Za-z0-9_][A-Za-z0-9_.-]{0,199}")
+      }
+  }
 
   /** Rename-protocol markers ([[SnapshotCatalog.renameTable]]): a table
     * dir carrying either reads as absent — `.rename-pending` gates the

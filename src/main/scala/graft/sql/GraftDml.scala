@@ -193,10 +193,15 @@ object GraftDml {
   private[sql] def qcol(name: String): org.apache.spark.sql.Column =
     col(s"`${name.replace("`", "``")}`")
 
-  private[sql] def dataDirFor(session: SparkSession, root: String, table: String): String =
+  private[sql] def dataDirFor(session: SparkSession, root: String, table: String): String = {
+    // validated BEFORE any byte lands: a write verb's data dir must
+    // never resolve outside its base through a '..'-carrying name
+    require(graft.meta.SnapshotCatalog.validTableRef(table),
+      s"invalid table name: $table")
     session.conf.getOption(DataDirConf).filter(_.nonEmpty)
       .map(base => java.nio.file.Paths.get(base, table).toString)
       .getOrElse(java.nio.file.Paths.get(root, table, "data").toString)
+  }
 
   /** Strip qualifiers that refer to the target relation (its name or
     * alias) so the condition can resolve against a bare scan of it. */

@@ -721,6 +721,31 @@ class GraftCallSpec extends SparkSpec {
     assert(e2.getMessage.contains("no table"))
   }
 
+  test("table refs can never address a path outside the catalog root") {
+    // CALL arguments are arbitrary strings (not parser identifiers), so
+    // every path-addressed access validates the ref shape — the same
+    // discipline the view store applies to view names
+    val t = freshTable("safe", 1 to 2)
+    val e1 = intercept[Exception] { ext.sql(s"CALL graft.clone('$t', '../evil')") }
+    assert(e1.getMessage.contains("invalid table name"))
+    val e2 = intercept[Exception] { ext.sql("CALL graft.cache('../../etc')") }
+    assert(e2.getMessage.contains("invalid table name"))
+    val e3 = intercept[Exception] {
+      ext.sql(s"CALL graft.create_mv('../mv', '$t', 'c_custkey')")
+    }
+    assert(e3.getMessage.contains("invalid table name"))
+    val e4 = intercept[Exception] { cat.cloneTable(t, "x/../../y") }
+    assert(e4.getMessage.contains("invalid table name"))
+    // nothing escaped: no 'evil' or 'mv' debris landed beside the root
+    val parent = java.nio.file.Paths.get(root).getParent
+    assert(!java.nio.file.Files.exists(parent.resolve("evil")) &&
+      !java.nio.file.Files.exists(parent.resolve("mv")))
+    // legitimate branch refs still pass the guard
+    ext.sql(s"CALL graft.branch('$t', 'dev')")
+    assert(ext.sql(s"SELECT count(*) AS n FROM `$t/branches/dev`")
+      .head().getLong(0) == 2L)
+  }
+
   test("unknown procedures, non-literal args and misordered args refuse loudly") {
     val t = freshTable("bad", 1 to 2)
     val e1 = intercept[Exception] { ext.sql(s"CALL graft.nope('$t')") }
