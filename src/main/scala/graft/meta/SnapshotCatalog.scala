@@ -1299,10 +1299,24 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * so plain SQL DROP spares them and `DROP ... PURGE` is the explicit
     * path that deletes bytes. Maintenance op: don't race it with
     * in-flight commits on the same table. */
+  /** Refuse-and-name when a materialized aggregate view's stored
+    * definition ([[SnapshotCatalog.MvSrcProp]]) feeds from `table` —
+    * the same Postgres discipline stored views get: a dropped or
+    * renamed source would strand the view's refresh. O(tables)
+    * memoized manifest reads; maintenance-op cost. */
+  private def requireNoDependentMvs(table: String, action: String): Unit = {
+    val deps = tables().filter(t => t != table &&
+      currentSnapshot(t).exists(_.props.get(SnapshotCatalog.MvSrcProp).contains(table)))
+    if (deps.nonEmpty) throw new UnsupportedOperationException(
+      s"cannot $action: materialized views feed from it: " +
+        s"${deps.sorted.mkString(", ")} (drop or rebuild them first)")
+  }
+
   def dropTable(table: String, spareDataDir: Boolean = false): Boolean = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return false
     requireNoDependentViews(table, None, s"drop table $table")
+    requireNoDependentMvs(table, s"drop table $table")
     val spared = sparedSubtrees(table)
     val stream = Files.walk(dir)
     val all = try stream.iterator().asScala.toList finally stream.close()
@@ -1382,6 +1396,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     if (currentSnapshot(table).isEmpty)
       throw new IllegalArgumentException(s"no table $table in this catalog")
     requireNoDependentViews(table, None, s"rename table $table")
+    requireNoDependentMvs(table, s"rename table $table")
     require(!tables().contains(newName),
       s"a table named $newName already exists in this catalog")
     require(viewMeta(newName).isEmpty,
@@ -3478,6 +3493,11 @@ object SnapshotCatalog {
         else s.matches("[A-Za-z0-9_][A-Za-z0-9_.-]{0,199}")
       }
   }
+
+  /** Prop a materialized aggregate view's snapshots carry naming its
+    * SOURCE table ([[graft.sinks.MaterializedAgg]] writes it; DDL's
+    * dependent-MV arbitration reads it). */
+  val MvSrcProp = "graft.view.src"
 
   /** Rename-protocol markers ([[SnapshotCatalog.renameTable]]): a table
     * dir carrying either reads as absent — `.rename-pending` gates the

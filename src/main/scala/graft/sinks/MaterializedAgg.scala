@@ -36,7 +36,7 @@ object MaterializedAgg {
     * by every [[refresh]], so a scheduled maintenance job can drive a
     * refresh from the VIEW NAME ALONE ([[refreshByName]], the
     * `CALL graft.refresh_mv` surface). */
-  val SrcProp = "graft.view.src"
+  val SrcProp = SnapshotCatalog.MvSrcProp
   val KeysProp = "graft.view.keys"
   val SumsProp = "graft.view.sums"
 
@@ -138,7 +138,10 @@ object MaterializedAgg {
     val from = viewSnap.props.getOrElse(RefreshedAtProp,
       throw new IllegalStateException(
         s"View $viewTable carries no $RefreshedAtProp watermark")).toLong
-    val srcSnap = catalog.currentSnapshot(srcTable).get
+    val srcSnap = catalog.currentSnapshot(srcTable).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view $viewTable: source table $srcTable not found " +
+          "(dropped or renamed since the build?)"))
     if (srcSnap.snapshotId == from) return from
     // history trimming may have expired the watermark snapshot — the
     // incremental path needs it as the diff base, so fall back to a

@@ -1640,8 +1640,16 @@ case class GraftCallCommand(
             s"CALL graft.$proc: no column $keyCol in $table " +
               s"(has: ${schema.fieldNames.mkString(", ")})"))
         import session.implicits._
-        val keys = values.toDF(keyCol)
-          .select(org.apache.spark.sql.functions.col(keyCol).cast(field.dataType))
+        // try_cast (not cast): a malformed value must surface as THIS
+        // verb's named refusal, not ANSI's generic cast error — and under
+        // ansi=false a plain cast would NULL silently and never match
+        val keys = values.toDF("__raw").select(
+          org.apache.spark.sql.functions.expr(
+            s"try_cast(__raw AS ${field.dataType.sql})").as(keyCol))
+        val bad = keys.filter(org.apache.spark.sql.functions.col(keyCol).isNull).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"CALL graft.$proc: $bad of ${values.size} values do not parse as " +
+            s"$keyCol's type (${field.dataType.catalogString}); nothing deleted")
         Seq(Row(Writers.deleteByKeys(session, cat, table, keys, Seq(keyCol),
           GraftDml.dataDirFor(session, root, table)).snapshotId))
       case "create_mv" =>

@@ -610,9 +610,14 @@ class GraftCallSpec extends SparkSpec {
     ext.sql(s"INSERT INTO $t VALUES (7, 'Back#7', 1.0)")
     assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE c_custkey = 7")
       .head().getLong(0) == 1L)
-    // unknown key column refuses loudly
+    // unknown key column refuses loudly; so does a value the column's
+    // type can't parse (a NULL-casting value would silently never match)
     val e = intercept[Exception] { ext.sql(s"CALL graft.delete_by_keys('$t', 'nope', '1')") }
     assert(e.getMessage.contains("no column"))
+    val e2 = intercept[Exception] {
+      ext.sql(s"CALL graft.delete_by_keys('$t', 'c_custkey', '1,abc')")
+    }
+    assert(e2.getMessage.contains("do not parse"))
   }
 
   test("CALL graft.changelog mode => 'percommit' attributes changes to their commits") {
@@ -682,6 +687,16 @@ class GraftCallSpec extends SparkSpec {
     val t2 = freshTable("notamv", 1 to 3)
     val e = intercept[Exception] { ext.sql(s"CALL graft.refresh_mv('$t2')") }
     assert(e.getMessage.contains("not a materialized aggregate view"))
+    // the source is protected like a view base: rename/drop refuse and
+    // NAME the dependent MV (a moved source would strand its refresh)
+    val e2 = intercept[Exception] { ext.sql("ALTER TABLE mvsrc RENAME TO mvsrc2") }
+    assert(e2.getMessage.contains("mv1"))
+    val e3 = intercept[Exception] { ext.sql("DROP TABLE graft.mvsrc") }
+    assert(e3.getMessage.contains("mv1"))
+    // dropping the MV first releases the source
+    ext.sql("DROP TABLE graft.mv1")
+    ext.sql("ALTER TABLE mvsrc RENAME TO mvsrc2")
+    assert(cat.tables().contains("mvsrc2"))
   }
 
   test("CALL graft.cache / uncache / expire_cache / cache_stats: the keyed cache from SQL") {
