@@ -1388,10 +1388,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val src = tableDir(table)
     val dst = tableDir(newName)
     // resume: a prior attempt crashed AFTER its commit point (source
-    // tombstoned toward THIS destination) — finish the deletion phase
-    if (renameMarker(table, SnapshotCatalog.RenamedToMarker).contains(newName)) {
-      finishRenameCleanup(src)
-      return
+    // tombstoned toward THIS destination) — finish the deletion phase.
+    // A tombstone toward a DIFFERENT name refuses with the heal recipe
+    // rather than a bare "no table".
+    renameMarker(table, SnapshotCatalog.RenamedToMarker) match {
+      case Some(dst0) if dst0 == newName =>
+        finishRenameCleanup(src)
+        return
+      case Some(other) => throw new IllegalStateException(
+        s"table $table is mid-rename to $other (crash debris); re-run the " +
+          s"rename to $other to finish it, then rename again")
+      case None =>
     }
     if (currentSnapshot(table).isEmpty)
       throw new IllegalArgumentException(s"no table $table in this catalog")
