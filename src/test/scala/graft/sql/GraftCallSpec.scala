@@ -714,6 +714,11 @@ class GraftCallSpec extends SparkSpec {
     val r2 = ext.sql(s"CALL graft.cache('$t', predicate => 'c_acctbal > 0', " +
       "columns => 'c_custkey,c_acctbal', view => 'cache_v')").head()
     assert(r2.getBoolean(1) && r2.getString(0) == r1.getString(0))
+    // the "no re-scan" claim by PLAN, not timing: reads through the
+    // cached view execute an in-memory table scan, not a file scan
+    assert(ext.sql("SELECT count(*) AS n FROM cache_v")
+      .queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "a cache hit must serve the persisted plan")
     ext.sql(s"CALL graft.cache('$t', view => 'cache_all')")
     val stats = ext.sql("CALL graft.cache_stats()").head()
     assert(stats.getLong(0) >= 2 && stats.getLong(3) >= 1 && stats.getLong(4) >= 2)
