@@ -1913,6 +1913,9 @@ case class GraftRenameTableCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     GraftSqlResolution.catalogFor(root).renameTable(table, newName)
+    // a re-created table under the OLD name must never hit the moved
+    // table's cached entries (and they'd otherwise pin memory forever)
+    GraftSqlResolution.cacheFor(root).invalidateTable(table)
     Seq.empty
   }
 }
@@ -1977,6 +1980,9 @@ case class GraftDropCommand(
     // clone's shared references and corrupt it — purging a cloned-from
     // source must leave exactly the files the clone still lists.
     cat.dropTable(table, spareDataDir = true)
+    // cached entries outlive the NAME, not the table: a later table
+    // re-created under this name must never hit a stale persisted plan
+    GraftSqlResolution.cacheFor(root).invalidateTable(table)
     purgePaths.foreach { p =>
       try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
       catch { case _: java.io.IOException => () } // best-effort, like vacuum

@@ -739,6 +739,15 @@ class GraftCallSpec extends SparkSpec {
     assert(e1.getMessage.contains("shadow"))
     val e2 = intercept[Exception] { ext.sql("CALL graft.cache('cache_missing')") }
     assert(e2.getMessage.contains("no table"))
+    // DROP invalidates the name's entries: a table RE-CREATED under the
+    // same name must never hit the dropped table's persisted plan
+    ext.sql(s"CALL graft.cache('$t', view => 'cache_all')")
+    ext.sql(s"DROP TABLE graft.$t")
+    freshTable("cachesql", 30 to 34)
+    val r3 = ext.sql(s"CALL graft.cache('$t', view => 'cache_all')").head()
+    assert(!r3.getBoolean(1), "a post-drop cache call must be a miss")
+    assert(ext.sql("SELECT count(*) AS n FROM cache_all").head().getLong(0) == 5L,
+      "the cache served a dropped table's rows to its re-created namesake")
   }
 
   test("table refs can never address a path outside the catalog root") {
