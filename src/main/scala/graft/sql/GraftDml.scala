@@ -60,6 +60,8 @@ import scala.jdk.CollectionConverters._
   *   CALL graft.create_mv('mv', 'src', 'k1,k2'    -- incremental agg
   *     [, 'c1,c2'])                               --    view: build, then
   *   CALL graft.refresh_mv('mv')                  --    CDC-fold refresh
+  *   CALL graft.materialize_deletes('t')          -- fold MoR masks into
+  *                                                --    rewritten files
   *   CALL graft.cache('t' [, predicate => 'p',    -- keyed cache: persist
   *     columns => 'c1,c2', view => 'name'])       --    + serve as a view
   *   CALL graft.uncache('t')                      -- invalidate a table
@@ -1356,6 +1358,9 @@ case class GraftCallCommand(
       case "create_mv" | "refresh_mv" =>
         Seq(AttributeReference("view", StringType, nullable = false)(),
           AttributeReference("refreshed_at", LongType, nullable = false)())
+      case "materialize_deletes" =>
+        Seq(AttributeReference("committed", BooleanType, nullable = false)(),
+          AttributeReference("snapshot_id", LongType, nullable = true)())
       case "cache" =>
         Seq(AttributeReference("key", StringType, nullable = false)(),
           AttributeReference("hit", BooleanType, nullable = false)(),
@@ -1678,6 +1683,20 @@ case class GraftCallCommand(
         val view = str(0, "view")
         Seq(Row(view, graft.sinks.MaterializedAgg.refreshByName(
           session, cat, view, GraftDml.dataDirFor(session, root, view))))
+      case "materialize_deletes" =>
+        // CALL graft.materialize_deletes('t') — fold outstanding MoR
+        // position/equality masks into rewritten data files (rows
+        // IDENTICAL before and after; the feed stays silent, like
+        // compaction). The SQL spelling of the step the column-DDL
+        // refusals under equality deletes ask for; run it when the
+        // masked fraction makes the per-scan anti-join noticeable.
+        // No outstanding masks = no commit.
+        val table = str(0, "table")
+        Writers.materializeDeletes(session, cat, table,
+            GraftDml.dataDirFor(session, root, table)) match {
+          case Some(snap) => Seq(Row(true, snap.snapshotId))
+          case None => Seq(Row(false, null))
+        }
       case "cache" =>
         // CALL graft.cache('t'[, predicate => 'pred', columns =>
         // 'c1,c2', view => 'name']) — the reference's KEYED cache
@@ -1806,8 +1825,8 @@ case class GraftCallCommand(
             "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, " +
             "index, drop_index, check, changelog, stage, staged, " +
             "publish_staged, publish_if_clean, discard_staged, expire_rows, " +
-            "delete_by_keys, create_mv, refresh_mv, cache, uncache, " +
-            "expire_cache, cache_stats")
+            "delete_by_keys, create_mv, refresh_mv, materialize_deletes, " +
+            "cache, uncache, expire_cache, cache_stats")
     }
   }
 }

@@ -189,9 +189,15 @@ class CdcLifecycleSpec extends SparkSpec {
               states :+= (snap.snapshotId, state)
             }
           case 7 => // materialize outstanding MoR deletes: visible-row
-            // preserving, maybe a no-op
-            Writers.materializeDeletes(spark, cat, t, dataDir).foreach { snap =>
-              states :+= (snap.snapshotId, state)
+            // preserving, maybe a no-op — a coin picks the Scala API or
+            // its SQL spelling (r14), which must be the SAME code path
+            if (rnd.nextBoolean())
+              Writers.materializeDeletes(spark, cat, t, dataDir).foreach { snap =>
+                states :+= (snap.snapshotId, state)
+              }
+            else {
+              val r = es.sql("CALL graft.materialize_deletes('t')").head()
+              if (r.getBoolean(0)) states :+= (r.getLong(1), state)
             }
           case 8 => // rollback to a random surviving snapshot: state
             // becomes that snapshot's model state, history moves forward

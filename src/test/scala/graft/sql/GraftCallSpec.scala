@@ -750,6 +750,37 @@ class GraftCallSpec extends SparkSpec {
       "the cache served a dropped table's rows to its re-created namesake")
   }
 
+  test("CALL graft.materialize_deletes folds MoR masks; closes the column-DDL loop from SQL") {
+    val t = freshTable("matsql", 1 to 12)
+    ext.sql(s"DELETE FROM $t WHERE c_custkey <= 4")
+    val before = cat.currentSnapshot(t).get
+    assert(before.deleteFiles.nonEmpty)
+    val rowsBefore = ext.sql(s"SELECT * FROM $t").collect().toSet
+    val r = ext.sql(s"CALL graft.materialize_deletes('$t')").head()
+    assert(r.getBoolean(0))
+    val after = cat.currentSnapshot(t).get
+    assert(r.getLong(1) == after.snapshotId)
+    assert(after.deleteFiles.isEmpty, "masks must retire into the rewrite")
+    assert(ext.sql(s"SELECT * FROM $t").collect().toSet == rowsBefore)
+    // row-preserving: the feed across the materialization is empty
+    assert(cat.changesBetween(spark, t, before.snapshotId).isEmpty)
+    // nothing outstanding: no commit, null snapshot id
+    val r2 = ext.sql(s"CALL graft.materialize_deletes('$t')").head()
+    assert(!r2.getBoolean(0) && r2.isNullAt(1))
+    assert(cat.currentSnapshot(t).get.snapshotId == after.snapshotId)
+    // the refusal it unblocks is now satisfiable from pure SQL: equality
+    // deletes key on a column and block its rename until materialized
+    ext.sql(s"CALL graft.delete_by_keys('$t', 'c_custkey', '5')")
+    val e = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t RENAME COLUMN c_custkey TO ck")
+    }
+    assert(e.getMessage.contains("materialize"))
+    ext.sql(s"CALL graft.materialize_deletes('$t')")
+    ext.sql(s"ALTER TABLE $t RENAME COLUMN c_custkey TO ck")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t WHERE ck > 0")
+      .head().getLong(0) == 7L)
+  }
+
   test("table refs can never address a path outside the catalog root") {
     // CALL arguments are arbitrary strings (not parser identifiers), so
     // every path-addressed access validates the ref shape — the same
