@@ -409,16 +409,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       else currentSnapshot(table)
         .flatMap(_.props.get(SnapshotCatalog.SketchColumnsProp))
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val prevValueProps = currentSnapshot(table).map(_.props).getOrElse(Map.empty)
     val withSticky = props ++
       (if (stickyBloomCols.isEmpty) Map.empty
        else Map(SnapshotCatalog.BloomColumnsProp -> stickyBloomCols.mkString(","))) ++
       (if (stickySketchCols.isEmpty) Map.empty
        else Map(SnapshotCatalog.SketchColumnsProp -> stickySketchCols.mkString(","))) ++
-      // the table comment is sticky metadata too: carried unless the
-      // caller re-states it explicitly
-      currentSnapshot(table).flatMap(_.props.get(SnapshotCatalog.CommentProp))
-        .filterNot(_ => props.contains(SnapshotCatalog.CommentProp))
-        .map(SnapshotCatalog.CommentProp -> _)
+      // value-shaped table metadata (comment, retention policy) is
+      // sticky too: carried unless the caller re-states it explicitly
+      SnapshotCatalog.StickyValueProps.flatMap { k =>
+        prevValueProps.get(k).filterNot(_ => props.contains(k)).map(k -> _)
+      }
     // no new files to scan: all-reused commits AND fully-empty commits
     // (e.g. a delete that removed every row) carry the schema forward
     if (newPaths.isEmpty) {
@@ -862,8 +863,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           SnapshotCatalog.SketchColumnsProp ->
             merged(SnapshotCatalog.SketchColumnsProp, sketchColumns).mkString(","))
           .filter(_._2.nonEmpty) ++
-          prev.props.get(SnapshotCatalog.CommentProp)
-            .map(SnapshotCatalog.CommentProp -> _)
+          SnapshotCatalog.StickyValueProps
+            .flatMap(k => prev.props.get(k).map(k -> _))
         SnapshotMeta(
           snapshotId = prev.snapshotId + 1,
           timestampMs = clock(),
@@ -913,8 +914,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           sketches = if (dropSketches) f.sketches -- columns else f.sketches)),
         props = without(SnapshotCatalog.BloomColumnsProp, dropBlooms) ++
           without(SnapshotCatalog.SketchColumnsProp, dropSketches) ++
-          prev.props.get(SnapshotCatalog.CommentProp)
-            .map(SnapshotCatalog.CommentProp -> _) +
+          SnapshotCatalog.StickyValueProps
+            .flatMap(k => prev.props.get(k).map(k -> _)) +
           (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
         deleteFiles = prev.deleteFiles)
     }
@@ -1979,8 +1980,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         case Some(r) => prev.files.map(f => f.copy(defaults = f.defaults + (name -> r)))
         case None => prev.files
       }
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
-        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
+      val sticky = SnapshotCatalog.StickyProps
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -2006,11 +2006,22 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * commit; the text rides the sticky-prop carry so every later commit
     * keeps it. */
   def setTableComment(table: String, comment: Option[String]): SnapshotMeta =
+    setStickyValueProp(table, SnapshotCatalog.CommentProp, comment)
+
+  /** Set (Some) or clear (None) ONE sticky table-level value prop
+    * (comment, retention policy) — one metadata-only commit restating
+    * the prop; every OTHER sticky prop carries untouched. The single
+    * write path for table-level metadata, so SET/UNSET TBLPROPERTIES,
+    * COMMENT ON TABLE and any future owned prop share one commit shape. */
+  def setStickyValueProp(
+      table: String, key: String, value: Option[String]): SnapshotMeta = {
+    require(SnapshotCatalog.StickyValueProps.contains(key),
+      s"not a sticky table-level value prop: $key " +
+        s"(owned: ${SnapshotCatalog.StickyValueProps.mkString(", ")})")
     publish(table) { prevOpt =>
       val prev = prevOpt.getOrElse(
         throw new IllegalArgumentException(s"No snapshots for table $table"))
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
-        SnapshotCatalog.SketchColumnsProp)
+      val sticky = SnapshotCatalog.StickyProps.filterNot(_ == key)
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -2018,10 +2029,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         parentId = Some(prev.snapshotId),
         schemaJson = prev.schemaJson,
         files = prev.files,
-        props = sticky ++ comment.map(SnapshotCatalog.CommentProp -> _) +
+        props = sticky ++ value.map(key -> _) +
           (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpSchemaEvolve),
         deleteFiles = prev.deleteFiles)
     }
+  }
 
   /** Set (Some) or clear (None) a column's COMMENT — stored in the
     * schema's field metadata under Spark's own `comment` key, so the
@@ -2038,8 +2050,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         .withMetadata(field.metadata)
         .remove("comment")
       comment.foreach(mb.putString("comment", _))
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
-        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
+      val sticky = SnapshotCatalog.StickyProps
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -2069,8 +2080,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         .withMetadata(field.metadata)
         .remove(SnapshotCatalog.WriteDefaultMetaKey)
       rendered.foreach(mb.putString(SnapshotCatalog.WriteDefaultMetaKey, _))
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
-        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
+      val sticky = SnapshotCatalog.StickyProps
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -2124,8 +2134,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
               s"(checked ${unproven.size} file(s) without a manifest proof)")
         }
       }
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
-        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
+      val sticky = SnapshotCatalog.StickyProps
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -2172,8 +2181,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         if (f.physTypes.contains(phys)) f // bytes unchanged since first widen
         else f.copy(physTypes = f.physTypes + (phys -> from.catalogString))
       }
-      val sticky = Seq(SnapshotCatalog.BloomColumnsProp,
-        SnapshotCatalog.SketchColumnsProp, SnapshotCatalog.CommentProp)
+      val sticky = SnapshotCatalog.StickyProps
         .flatMap(k => prev.props.get(k).map(k -> _)).toMap
       SnapshotMeta(
         snapshotId = prev.snapshotId + 1,
@@ -2194,15 +2202,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * it names no column, so a column rename/drop never touches it. */
   private def stickyRenamed(
       prev: SnapshotMeta, from: String, to: Option[String]): Map[String, String] =
-    Seq(SnapshotCatalog.BloomColumnsProp, SnapshotCatalog.SketchColumnsProp).flatMap { k =>
+    SnapshotCatalog.StickyColumnProps.flatMap { k =>
       prev.props.get(k).map { v =>
         val cols = v.split(",").toSeq.filter(_.nonEmpty)
           .flatMap(c => if (c == from) to else Some(c))
         k -> cols.mkString(",")
       }.filter(_._2.nonEmpty)
     }.toMap ++
-      prev.props.get(SnapshotCatalog.CommentProp)
-        .map(SnapshotCatalog.CommentProp -> _)
+      SnapshotCatalog.StickyValueProps
+        .flatMap(k => prev.props.get(k).map(k -> _))
 
   // ---- branches (isolated writable refs) -------------------------------
   // A branch is a SELF-CONTAINED snapshot chain rooted at
@@ -2240,8 +2248,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $table"))
     val ref = branchRef(table, name)
     val sticky = src.props.filter { case (k, _) =>
-      k == SnapshotCatalog.BloomColumnsProp ||
-        k == SnapshotCatalog.SketchColumnsProp || k == SnapshotCatalog.CommentProp }
+      SnapshotCatalog.StickyProps.contains(k) }
     publish(ref) { prev =>
       if (prev.isDefined)
         throw new IllegalStateException(s"branch $name already exists on $table")
@@ -2286,8 +2293,7 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       .orElse(currentSnapshot(src))
       .getOrElse(throw new IllegalArgumentException(s"No snapshots for table $src"))
     val sticky = s.props.filter { case (k, _) =>
-      k == SnapshotCatalog.BloomColumnsProp ||
-        k == SnapshotCatalog.SketchColumnsProp || k == SnapshotCatalog.CommentProp }
+      SnapshotCatalog.StickyProps.contains(k) }
     publish(dst) { prev =>
       if (prev.isDefined)
         throw new IllegalStateException(s"table $dst already exists; clone targets must be new")
@@ -2944,6 +2950,47 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     toDrop.size
   }
 
+  /** Enforce the table's OWN declared retention policy — the sticky
+    * `graft.retention.snapshots` (count bound) / `graft.retention.ms`
+    * (age bound) props set via `ALTER TABLE SET TBLPROPERTIES`. Age
+    * alone: drop snapshots older than the age, always keeping the head.
+    * Count alone: keep the newest N. Both: age drives expiry, count is
+    * the keep-floor (Iceberg `expire_snapshots(older_than, retain_last)`
+    * semantics). Tags are always retained, like every expire path.
+    * Refuses loudly when the table declares no policy — a maintenance
+    * sweep must never silently trim a table that never opted in.
+    * Returns the number expired. Metadata-only, O(snapshots). */
+  def enforceRetention(table: String): Int = {
+    val props = currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table")).props
+    val keep = props.get(SnapshotCatalog.RetentionSnapshotsProp).map { v =>
+      val n = v.toInt
+      require(n >= 1, s"${SnapshotCatalog.RetentionSnapshotsProp} must be >= 1; got $v")
+      n
+    }
+    val ageMs = props.get(SnapshotCatalog.RetentionAgeMsProp).map { v =>
+      val n = v.toLong
+      require(n >= 0, s"${SnapshotCatalog.RetentionAgeMsProp} must be >= 0; got $v")
+      n
+    }
+    require(keep.nonEmpty || ageMs.nonEmpty,
+      s"table $table declares no retention policy; ALTER TABLE $table SET " +
+        s"TBLPROPERTIES ('${SnapshotCatalog.RetentionSnapshotsProp}'='N') and/or " +
+        s"('${SnapshotCatalog.RetentionAgeMsProp}'='MS') first")
+    ageMs match {
+      case Some(a) => expireSnapshotsOlderThan(table, clock() - a, keep.getOrElse(1))
+      case None => expireSnapshots(table, keep.get)
+    }
+  }
+
+  /** Does `table` declare a retention policy (either sticky prop set)?
+    * The no-arg `CALL graft.enforce_retention()` sweep enforces exactly
+    * the tables where this holds. */
+  def hasRetentionPolicy(table: String): Boolean =
+    currentSnapshot(table).exists(s =>
+      s.props.contains(SnapshotCatalog.RetentionSnapshotsProp) ||
+        s.props.contains(SnapshotCatalog.RetentionAgeMsProp))
+
   /** Orphan data-file GC (the Iceberg remove_orphan_files analogue):
     * delete `.parquet` files under `dataDir` that NO surviving snapshot
     * of `table` references — the data-side complement of
@@ -3487,6 +3534,31 @@ object SnapshotCatalog {
     * commit, surfaced by DESCRIBE EXTENDED, SHOW TBLPROPERTIES and
     * SHOW CREATE TABLE. */
   val CommentProp = "graft.comment"
+
+  /** Sticky table props declaring the table's snapshot-retention
+    * policy, read by `CALL graft.enforce_retention` (and the no-arg
+    * catalog-wide sweep): keep at most N snapshots / nothing older
+    * than the age — the policy LIVES WITH THE TABLE (Iceberg's
+    * `history.expire.*` table-props pattern), so one scheduled
+    * statement maintains every table without per-table job configs. */
+  val RetentionSnapshotsProp = "graft.retention.snapshots"
+  val RetentionAgeMsProp = "graft.retention.ms"
+
+  /** Column-list sticky props (comma-joined column names; column
+    * rename/drop DDL rewrites their entries — see `stickyRenamed`). */
+  val StickyColumnProps: Seq[String] = Seq(BloomColumnsProp, SketchColumnsProp)
+
+  /** Value-shaped sticky props carried VERBATIM by every commit unless
+    * the commit restates them (table comment, retention policy). Any
+    * new table-level metadata belongs here — the carry sites iterate
+    * this list, so a prop added here is automatically kept by every
+    * commit path (the r13 comment-dropping bug class can't recur). */
+  val StickyValueProps: Seq[String] = Seq(
+    CommentProp, RetentionSnapshotsProp, RetentionAgeMsProp)
+
+  /** Every sticky table-level prop: carried by commits, branch forks,
+    * clones and renames; restated only by its owning DDL. */
+  val StickyProps: Seq[String] = StickyColumnProps ++ StickyValueProps
 
   /** Is `t` a safe table ref: `<name>` or `<name>/branches/<name>…`
     * (nested branch refs allowed)? Name segments must start with a word

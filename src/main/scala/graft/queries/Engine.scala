@@ -993,6 +993,46 @@ object Engine {
         |FROM cachedorders_v GROUP BY o_orderstatus""".stripMargin)
   }
 
+  // Memoized ingest catalog per sf-dir: a CSV landing zone loaded in two
+  // drops through `CALL graft.ingest`, with a full REDUNDANT re-run
+  // between them — the final hash equality against the plain orders
+  // table PROVES the idempotence (a double-load would double every
+  // count) and the incremental pickup (drop 2 loads alone over drop 1's
+  // skip) in one oracle.
+  private val ingestRoots = TrieMap.empty[String, String]
+  private def ingestRootFor(s: SparkSession, dir: String): String =
+    ingestRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-ingsql-").toString
+      val landing = Files.createTempDirectory("graft-ingsql-landing-").toString
+      val slice = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      slice.filter(expr("o_orderkey % 2 = 0")).write.mode("overwrite").csv(landing)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("CREATE TABLE graft.ingorders " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      es.sql(s"CALL graft.ingest('ingorders', '$landing', format => 'csv')").collect()
+      // redundant re-run: must load nothing (the oracle catches a double-load)
+      es.sql(s"CALL graft.ingest('ingorders', '$landing', format => 'csv')").collect()
+      // drop 2 arrives in the SAME directory; only the new files load
+      slice.filter(expr("o_orderkey % 2 = 1")).write.mode("append").csv(landing)
+      es.sql(s"CALL graft.ingest('ingorders', '$landing', format => 'csv')").collect()
+      root
+    })
+
+  /** Idempotent landing-zone ingest from SQL (S66, r14): two CSV drops +
+    * one redundant re-run through `CALL graft.ingest` must reassemble
+    * EXACTLY the source table — skipped files skip, fresh files load
+    * once, types ride the declared schema (no inference). */
+  def qIngestSql(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, ingestRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM ingorders GROUP BY o_orderstatus""".stripMargin)
+  }
+
   // Memoized metadata-count catalog per sf-dir: full orders committed
   // once; the benched/verified path is the manifest-answered COUNT.
   private val metaCountRoots = TrieMap.empty[String, String]
@@ -1378,6 +1418,7 @@ object Engine {
     "q_delete_keys_sql" -> (qDeleteKeysSql _),
     "q_cdf_percommit" -> (qCdfPercommit _),
     "q_cache_sql" -> (qCacheSql _),
+    "q_ingest_sql" -> (qIngestSql _),
     "q_merge_read" -> (qMergeRead _),
     "q_mor_read" -> (qMorRead _),
     "q_ttl_read" -> (qTtlRead _),
@@ -1572,6 +1613,10 @@ object Engine {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice > 100000
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_ingest_sql" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_cdf_percommit" ->
       """WITH base AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders

@@ -1,0 +1,126 @@
+package graft.sinks
+
+import graft.meta.SnapshotCatalog
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Idempotent file ingestion from a landing zone into a catalog table —
+  * the Delta `COPY INTO` / Snowflake `COPY` shape (the reference's
+  * `storage/dataloader.py` loads object-store parquet by explicit path
+  * list; this is the catalog-tracked version of that load). Re-running
+  * the SAME ingest is a no-op: every loaded source file is recorded by
+  * fingerprint (path + size + mtime) in the commit's own props, so a
+  * scheduled `CALL graft.ingest(...)` hourly against a growing landing
+  * directory loads exactly the files that arrived since the last run —
+  * crash-safe by construction, because the fingerprints and the data
+  * land in ONE atomic commit (a crash between write and commit re-reads
+  * the batch; it can never double-load or drop files).
+  *
+  * Scale (the 100 TB landing zone): each run's data work is reading the
+  * FRESH bytes only, never the directory's history; the directory
+  * listing is one driver-side glob (O(files), the same cost Delta's
+  * COPY INTO pays), and the dedupe check walks the surviving snapshots'
+  * ingest props (O(metadata), memoized manifests). A table whose schema
+  * exists reads CSV/JSON WITH that schema — no inference scan, so a
+  * malformed value fails the load instead of silently re-typing a
+  * column. The dedupe WINDOW is the table's snapshot retention: expire
+  * a snapshot and its fingerprints age out with it (Delta documents the
+  * same horizon for COPY INTO) — keep `graft.retention.ms` longer than
+  * the landing zone's replay horizon.
+  */
+object Ingest {
+
+  /** Prop on an ingest commit: the comma-joined fingerprints of the
+    * source files this commit loaded. NOT sticky — the dedupe set is
+    * the union over surviving history, not a forever-growing prop. */
+  val IngestFilesProp = "graft.ingest.files"
+
+  /** Prop on an ingest commit: the source path it listed (audit). */
+  val IngestSourceProp = "graft.ingest.source"
+
+  val Formats: Set[String] = Set("csv", "json", "parquet")
+
+  final case class IngestResult(
+      ingested: Int, skipped: Int, rows: Long, snapshotId: Option[Long])
+
+  /** FNV-1a 64 of `path|size|mtime`, hex — 16 chars per file keeps a
+    * 10k-file batch's prop at ~170 KB; a MODIFIED file (size or mtime
+    * moved) fingerprints fresh and re-ingests, an untouched file never
+    * loads twice. */
+  private[graft] def fingerprint(path: String, size: Long, mtimeMs: Long): String = {
+    val s = s"$path|$size|$mtimeMs"
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    java.lang.Long.toHexString(h)
+  }
+
+  private def fp(st: FileStatus): String =
+    fingerprint(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+
+  /** Every fingerprint any SURVIVING snapshot of `table` recorded. */
+  def alreadyIngested(catalog: SnapshotCatalog, table: String): Set[String] =
+    catalog.snapshots(table)
+      .flatMap(_.props.get(IngestFilesProp))
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+
+  /** The source files an ingest would consider: `src` globbed (a plain
+    * directory lists its children against `pattern`); underscore- and
+    * dot-prefixed names are never data (the Hadoop hidden-file
+    * convention — `_SUCCESS`, checksums). */
+  private def listSource(
+      spark: SparkSession, src: String, pattern: String): Seq[FileStatus] = {
+    val p = new HPath(src)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    require(base.nonEmpty, s"ingest source not found: $src")
+    base.flatMap { st =>
+      if (st.isDirectory)
+        Option(fs.globStatus(new HPath(st.getPath, pattern))).map(_.toSeq).getOrElse(Nil)
+      else Seq(st)
+    }.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.toString)
+  }
+
+  /** Load the not-yet-ingested files under `src` into `table` as ONE
+    * append commit carrying their fingerprints. No fresh files = no
+    * commit (`snapshotId = None`). A first ingest into a table with no
+    * snapshots bootstraps it (schema inferred for csv/json, read for
+    * parquet); onto an existing table, files read WITH the table schema
+    * and the append type-safety rules apply. */
+  def ingest(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      src: String,
+      format: String,
+      options: Map[String, String],
+      dataDir: String,
+      pattern: String = "*"): IngestResult = {
+    require(Formats.contains(format),
+      s"ingest format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
+    val all = listSource(spark, src, pattern)
+    val seen = alreadyIngested(catalog, table)
+    val fresh = all.filterNot(st => seen.contains(fp(st)))
+    if (fresh.isEmpty) return IngestResult(0, all.size, 0L, None)
+    // FAILFAST unless the caller overrides: a malformed row must fail
+    // the load loudly, never land as silent nulls (the commit is atomic,
+    // so a failed batch leaves no partial state to clean up)
+    val reader = spark.read.format(format)
+      .options(Map("mode" -> "FAILFAST") ++ options)
+    val schema = catalog.schema(table)
+    val ready = schema.map(reader.schema).getOrElse(
+      if (format == "csv") reader.option("inferSchema", "true") else reader)
+    val df = ready.load(fresh.map(_.getPath.toString): _*)
+    val prevPaths = catalog.currentSnapshot(table)
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val snap = Writers.writeSnapshot(catalog, table, df, dataDir,
+      props = Map(
+        IngestFilesProp -> fresh.map(fp).mkString(","),
+        IngestSourceProp -> src))
+    val rows = snap.files.filterNot(f => prevPaths.contains(f.path)).map(_.rowCount).sum
+    IngestResult(fresh.size, all.size - fresh.size, rows, Some(snap.snapshotId))
+  }
+}

@@ -89,6 +89,17 @@ import scala.jdk.CollectionConverters._
   *     ('graft.sketch.columns')                   --    CALL graft.index)
   *   CALL graft.expire_rows('t', 'ts', cutoff_ms  -- compliance TTL
   *     => t | older_than_ms => age)               --    sweep (MoR mask)
+  *   ALTER TABLE t SET TBLPROPERTIES (            -- retention policy
+  *     'graft.retention.snapshots' = '10',        --    lives WITH the
+  *     'graft.retention.ms' = '604800000')        --    table; then
+  *   CALL graft.enforce_retention(['t'])          --    one scheduled
+  *                                                --    sweep (no args =
+  *                                                --    every opted-in
+  *                                                --    table)
+  *   CALL graft.ingest('t', '/landing' [,         -- idempotent COPY
+  *     format => 'csv', pattern => '*.csv',       --    INTO: loads only
+  *     header => 'true', ...reader opts])         --    files not yet
+  *                                                --    ingested
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
   *   CREATE [OR REPLACE] VIEW graft.v AS SELECT.. -- stored SQL views
   *   ALTER VIEW v AS SELECT ...                   --   (versioned defs,
@@ -1096,14 +1107,20 @@ case class GraftShowTblPropsCommand(
 }
 
 /** `ALTER TABLE t SET/UNSET TBLPROPERTIES`, scoped to the engine-owned
-  * sticky index props: SET `graft.bloom.columns` / `graft.sketch.columns`
-  * has standard SQL replace semantics — the property's value afterwards
-  * IS the value given (additions route through the SAME
+  * props: the sticky index props (`graft.bloom.columns` /
+  * `graft.sketch.columns` — additions route through the SAME
   * [[SnapshotCatalog.indexColumns]] backfill the `CALL graft.index` verb
   * uses; columns absent from the new value drop via kind-scoped
-  * [[SnapshotCatalog.dropIndexColumns]], as does UNSET) — SQL and CALL
-  * can never diverge. Arbitrary user properties refuse loudly: snapshot
-  * props are engine metadata, not a key-value store. */
+  * [[SnapshotCatalog.dropIndexColumns]], as does UNSET — SQL and CALL
+  * can never diverge) and the sticky VALUE props (`graft.comment`,
+  * `graft.retention.snapshots`, `graft.retention.ms` — one
+  * metadata-only commit restating the value; retention values validate
+  * at SET time, a malformed policy must refuse here and not at the
+  * scheduled sweep). SET has standard SQL replace semantics for every
+  * owned prop: the property's value afterwards IS the value given, and
+  * an identical SET / absent UNSET IF EXISTS burns no snapshot id.
+  * Arbitrary user properties refuse loudly: snapshot props are engine
+  * metadata, not a key-value store. */
 case class GraftTblPropsCommand(
     root: String,
     table: String,
@@ -1113,10 +1130,21 @@ case class GraftTblPropsCommand(
 
   private val BloomProp = graft.meta.SnapshotCatalog.BloomColumnsProp
   private val SketchProp = graft.meta.SnapshotCatalog.SketchColumnsProp
+  private val ValueProps = graft.meta.SnapshotCatalog.StickyValueProps.toSet
+
+  private def validateValue(k: String, v: String): Unit = k match {
+    case graft.meta.SnapshotCatalog.RetentionSnapshotsProp =>
+      require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
+        s"'$k' must be an integer >= 1; got '$v'")
+    case graft.meta.SnapshotCatalog.RetentionAgeMsProp =>
+      require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
+        s"'$k' must be a non-negative integer of milliseconds; got '$v'")
+    case _ => ()
+  }
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
-    val owned = Set(BloomProp, SketchProp)
+    val owned = Set(BloomProp, SketchProp) ++ ValueProps
     val badSet = set.keys.filterNot(owned.contains)
     val badUnset = unset.filterNot(owned.contains)
     if (badSet.nonEmpty || badUnset.nonEmpty) throw new UnsupportedOperationException(
@@ -1124,7 +1152,22 @@ case class GraftTblPropsCommand(
         s"${owned.toSeq.sorted.mkString(", ")} (got ${(badSet ++ badUnset).mkString(", ")})")
     def cols(v: String): Seq[String] =
       v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-    if (set.nonEmpty) {
+    def currentProps: Map[String, String] = cat.currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table")).props
+    // value props first: each is one metadata commit restating the
+    // value; SET '' clears (the same convention as column comments),
+    // giving SET a complete replace semantics without reaching for UNSET
+    set.filter(kv => ValueProps.contains(kv._1)).foreach { case (k, v) =>
+      val next = Some(v).filter(_.nonEmpty)
+      next.foreach(validateValue(k, _))
+      if (currentProps.get(k) != next) { cat.setStickyValueProp(table, k, next); () }
+    }
+    unset.filter(ValueProps.contains).foreach { k =>
+      if (currentProps.contains(k)) { cat.setStickyValueProp(table, k, None); () }
+      else if (!unsetIfExists) throw new IllegalArgumentException(
+        s"table $table has no property '$k' (UNSET ... IF EXISTS to ignore)")
+    }
+    if (set.exists(kv => !ValueProps.contains(kv._1))) {
       val bloom = set.get(BloomProp).map(cols).getOrElse(Nil)
       val sketch = set.get(SketchProp).map(cols).getOrElse(Nil)
       // SQL SET semantics is replace-with-given-value: SHOW
@@ -1151,7 +1194,7 @@ case class GraftTblPropsCommand(
           bloomColumns = addBloom, sketchColumns = addSketch)
       ()
     }
-    unset.foreach { p =>
+    unset.filterNot(ValueProps.contains).foreach { p =>
       val current = cat.currentSnapshot(table).getOrElse(
         throw new IllegalArgumentException(s"No snapshots for table $table"))
         .props.get(p).map(cols).getOrElse(Nil)
@@ -1349,6 +1392,14 @@ case class GraftCallCommand(
           AttributeReference("published", BooleanType, nullable = false)())
       case "expire_snapshots" =>
         Seq(AttributeReference("expired", LongType, nullable = false)())
+      case "enforce_retention" =>
+        Seq(AttributeReference("table", StringType, nullable = false)(),
+          AttributeReference("expired", LongType, nullable = false)())
+      case "ingest" =>
+        Seq(AttributeReference("ingested", LongType, nullable = false)(),
+          AttributeReference("skipped", LongType, nullable = false)(),
+          AttributeReference("rows", LongType, nullable = false)(),
+          AttributeReference("snapshot_id", LongType, nullable = true)())
       case "remove_orphans" =>
         Seq(AttributeReference("removed_data", LongType, nullable = false)(),
           AttributeReference("removed_sidecars", LongType, nullable = false)())
@@ -1770,6 +1821,52 @@ case class GraftCallCommand(
               "older_than_ms => <age ms>"))
         Seq(Row(Writers.expireRowsOlderThan(session, cat, table, tsCol, cutoff,
           GraftDml.dataDirFor(session, root, table)).snapshotId))
+      case "enforce_retention" =>
+        // CALL graft.enforce_retention(['t']) — apply the table's OWN
+        // sticky retention policy (`graft.retention.snapshots` /
+        // `graft.retention.ms`, set via ALTER TABLE SET TBLPROPERTIES;
+        // the policy lives WITH the table, Iceberg's history.expire.*
+        // pattern). With no args: sweep EVERY catalog table that
+        // declares a policy — the one scheduled statement that
+        // maintains a whole catalog; tables that never opted in are
+        // never touched. A named table WITHOUT a policy refuses loudly
+        // (the sweep skips, an explicit call must not silently no-op).
+        arg(0, "table") match {
+          case Some(t) =>
+            val table = t.toString
+            Seq(Row(table, cat.enforceRetention(table).toLong))
+          case None =>
+            cat.tables().filter(cat.hasRetentionPolicy)
+              .map(t => Row(t, cat.enforceRetention(t).toLong))
+        }
+      case "ingest" =>
+        // CALL graft.ingest('t', '/landing/dir'[, format => 'csv'|
+        // 'json'|'parquet', pattern => '*.csv', header => 'true',
+        // ...reader options]) — idempotent COPY INTO: load exactly the
+        // files that arrived since the last run (fingerprints ride the
+        // commit, so data + dedupe state land atomically), skip
+        // everything already ingested. The scheduled landing-zone shape:
+        // run it hourly, pay only for fresh bytes.
+        val table = str(0, "table")
+        val src = str(1, "source")
+        val fmt = named.get("format").map(_.toString.toLowerCase).getOrElse("parquet")
+        val pattern = named.get("pattern").map(_.toString).getOrElse("*")
+        // a fresh-born table must not shadow a view (the CTAS discipline)
+        if (cat.currentSnapshot(table).isEmpty && cat.viewMeta(table).isDefined)
+          throw new IllegalArgumentException(
+            s"a view named $table exists in this catalog; a table cannot shadow it")
+        // the catalog's own storage is never a landing zone: ingesting
+        // from under the root would re-load committed bytes as new rows
+        scala.util.Try(java.nio.file.Paths.get(src).toAbsolutePath.normalize).foreach { sn =>
+          require(!sn.startsWith(java.nio.file.Paths.get(root).toAbsolutePath.normalize),
+            s"ingest source $src is inside the catalog root $root")
+        }
+        val opts = (named -- Seq("format", "pattern"))
+          .map { case (k, v) => k -> v.toString }
+        val res = graft.sinks.Ingest.ingest(session, cat, table, src, fmt, opts,
+          GraftDml.dataDirFor(session, root, table), pattern)
+        Seq(Row(res.ingested.toLong, res.skipped.toLong, res.rows,
+          res.snapshotId.map(java.lang.Long.valueOf).orNull))
       case "rewrite_sorted" =>
         // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,
         // zorder => true, where => 'pred']) — re-cluster by the sort
@@ -1825,8 +1922,8 @@ case class GraftCallCommand(
             "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, " +
             "index, drop_index, check, changelog, stage, staged, " +
             "publish_staged, publish_if_clean, discard_staged, expire_rows, " +
-            "delete_by_keys, create_mv, refresh_mv, materialize_deletes, " +
-            "cache, uncache, expire_cache, cache_stats")
+            "enforce_retention, ingest, delete_by_keys, create_mv, refresh_mv, " +
+            "materialize_deletes, cache, uncache, expire_cache, cache_stats")
     }
   }
 }

@@ -140,7 +140,7 @@ class CdcLifecycleSpec extends SparkSpec {
         if (evolved) s"($id, $v, ${id * 2})" else s"($id, $v)"
 
       for (_ <- 1 until opsPerSeq) {
-        rnd.nextInt(30) match {
+        rnd.nextInt(31) match {
           case 0 => // append
             val b = batch(5 + rnd.nextInt(20))
             state = plus(state, ms(b))
@@ -163,8 +163,16 @@ class CdcLifecycleSpec extends SparkSpec {
             Writers.compact(spark, cat, t, dataDir).foreach { snap =>
               states :+= (snap.snapshotId, state)
             }
-          case 4 => // expire old manifests; table state unchanged
-            cat.expireSnapshots(t, keepLast = 1 + rnd.nextInt(3))
+          case 4 => // expire old manifests; table state unchanged — a
+            // coin picks the direct API or the sticky-policy spelling
+            // (SET retention prop, then CALL graft.enforce_retention)
+            val keepLast = 1 + rnd.nextInt(3)
+            if (rnd.nextBoolean()) cat.expireSnapshots(t, keepLast)
+            else {
+              es.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+                s"('graft.retention.snapshots' = '$keepLast')")
+              es.sql(s"CALL graft.enforce_retention('$t')").collect()
+            }
             val surviving = cat.snapshots(t).map(_.snapshotId).toSet
             states = states.filter { case (id, _) => surviving.contains(id) }
           case 5 => // schema evolution: append a batch carrying a NEW
@@ -510,6 +518,26 @@ class CdcLifecycleSpec extends SparkSpec {
               .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
               .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
             assert(got == want, s"seq=$seq MV != from-scratch aggregate")
+          case 30 => // SQL CALL ingest (r14): a landing-zone CSV batch
+            // appends through the COPY INTO path; an immediate re-run
+            // must skip it (fingerprints rode the commit). Same model
+            // effect as any append.
+            val b = batch(3 + rnd.nextInt(6))
+            val landing = Files.createTempDirectory(s"graft-cdcp-land-$seq-")
+            val lines = b.map { case (id, v) =>
+              if (evolved) s"$id,$v,${id * 2}" else s"$id,$v"
+            }
+            Files.write(landing.resolve("drop.csv"),
+              lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+            val r = es.sql(
+              s"CALL graft.ingest('t', '$landing', format => 'csv')").head()
+            assert(r.getLong(0) == 1 && !r.isNullAt(3))
+            state = plus(state, ms(b))
+            states :+= (r.getLong(3), state)
+            val rerun = es.sql(
+              s"CALL graft.ingest('t', '$landing', format => 'csv')").head()
+            assert(rerun.getLong(0) == 0 && rerun.isNullAt(3),
+              s"seq=$seq ingest re-run must load nothing")
         }
       }
 

@@ -425,6 +425,21 @@ class GraftHttpServerSpec extends SparkSpec {
       assert(cacheRow.contains("wap_cached"))
       assert(rows("SELECT count(*) AS n FROM wap_cached").head.contains("4"))
       assert(rows("CALL graft.cache_stats()").head.contains("\"entries\":1"))
+      // retention policy + enforcement over the wire
+      rows("ALTER TABLE wap_http2 SET TBLPROPERTIES ('graft.retention.snapshots' = '1')")
+      val swept = rows("CALL graft.enforce_retention('wap_http2')").head
+      assert(swept.contains("wap_http2"))
+      assert(rows("SELECT count(*) AS n FROM wap_http2").head.contains("4"),
+        "retention is metadata-only; the data must not move")
+      // idempotent landing-zone ingest over the wire
+      val landing = java.nio.file.Files.createTempDirectory("graft-httping-")
+      java.nio.file.Files.write(landing.resolve("d.csv"),
+        "11,110.0\n".getBytes("UTF-8"))
+      val ing = rows(s"CALL graft.ingest('wap_http2', '$landing', format => 'csv')").head
+      assert(ing.contains("\"ingested\":1"))
+      val rerun = rows(s"CALL graft.ingest('wap_http2', '$landing', format => 'csv')").head
+      assert(rerun.contains("\"ingested\":0") && rerun.contains("\"skipped\":1"))
+      assert(rows("SELECT count(*) AS n FROM wap_http2").head.contains("5"))
     } finally srv.stop()
   }
 

@@ -1,0 +1,142 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import graft.meta.SnapshotCatalog
+import org.apache.spark.sql.GraftColumnShim
+
+/** Idempotent landing-zone ingestion (S66 — `CALL graft.ingest`): the
+  * COPY INTO contract. Re-running an ingest must load NOTHING; files
+  * that arrive later load ALONE; fingerprints and rows land in one
+  * atomic commit; malformed rows refuse the whole batch. */
+class IngestSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft-ing-").toString
+  private lazy val cat = new SnapshotCatalog(root)
+
+  private lazy val ext = {
+    val s = GraftColumnShim.sessionWithExtensions(
+      spark, e => new graft.GraftExtensions().apply(e))
+    s.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+    s
+  }
+
+  private def drop(dir: Path, name: String, lines: String*): Path = {
+    val p = dir.resolve(name)
+    Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  test("ingest loads fresh CSV once, re-runs skip, new arrivals load alone") {
+    val landing = Files.createTempDirectory("graft-landing-")
+    drop(landing, "a.csv", "1,alpha", "2,beta")
+    drop(landing, "b.csv", "3,gamma", "4,delta")
+    // hidden-convention files are never data
+    drop(landing, "_SUCCESS")
+    drop(landing, ".a.csv.crc", "junk")
+    ext.sql("CREATE TABLE graft.ing1 (id BIGINT, name STRING)")
+
+    val r1 = ext.sql(s"CALL graft.ingest('ing1', '$landing', format => 'csv')").head()
+    assert(r1.getLong(0) == 2 && r1.getLong(1) == 0 && r1.getLong(2) == 4)
+    assert(!r1.isNullAt(3))
+    val rows1 = ext.sql("SELECT id, name FROM ing1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows1 == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")))
+
+    // idempotent: the re-run loads nothing and commits nothing
+    val snapBefore = cat.currentSnapshot("ing1").get.snapshotId
+    val r2 = ext.sql(s"CALL graft.ingest('ing1', '$landing', format => 'csv')").head()
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 2 && r2.isNullAt(3))
+    assert(cat.currentSnapshot("ing1").get.snapshotId == snapBefore,
+      "a no-op ingest must not burn a snapshot id")
+
+    // a new arrival loads ALONE
+    drop(landing, "c.csv", "5,epsilon")
+    val r3 = ext.sql(s"CALL graft.ingest('ing1', '$landing', format => 'csv')").head()
+    assert(r3.getLong(0) == 1 && r3.getLong(1) == 2 && r3.getLong(2) == 1)
+    assert(ext.sql("SELECT count(*) AS n FROM ing1").head().getLong(0) == 5)
+
+    // the fingerprints ride the commits' own props (atomic dedupe state)
+    assert(Ingest.alreadyIngested(cat, "ing1").size == 3)
+
+    // a MODIFIED file (content replaced in place) fingerprints fresh and
+    // re-ingests its NEW content — the documented size+mtime semantics
+    Thread.sleep(5) // mtime granularity
+    drop(landing, "c.csv", "6,zeta", "7,eta")
+    val r4 = ext.sql(s"CALL graft.ingest('ing1', '$landing', format => 'csv')").head()
+    assert(r4.getLong(0) == 1 && r4.getLong(2) == 2)
+    assert(ext.sql("SELECT count(*) AS n FROM ing1").head().getLong(0) == 7)
+  }
+
+  test("ingest bootstraps a new table (inferred schema) and respects pattern") {
+    val landing = Files.createTempDirectory("graft-landing-j-")
+    drop(landing, "a.json", """{"k": 1, "v": "x"}""", """{"k": 2, "v": "y"}""")
+    drop(landing, "notes.txt", "not data")
+    val r = ext.sql(
+      s"CALL graft.ingest('ingj', '$landing', format => 'json', pattern => '*.json')").head()
+    assert(r.getLong(0) == 1 && r.getLong(2) == 2)
+    val got = ext.sql("SELECT k, v FROM ingj ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(got == Seq((1L, "x"), (2L, "y")))
+    // the txt file was never considered (pattern), not merely skipped
+    assert(r.getLong(1) == 0)
+  }
+
+  test("an existing schema drives the read: malformed rows refuse the whole batch") {
+    val landing = Files.createTempDirectory("graft-landing-bad-")
+    drop(landing, "bad.csv", "1,ok", "notanumber,broken")
+    ext.sql("CREATE TABLE graft.ingbad (id BIGINT, name STRING)")
+    val err = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingbad', '$landing', format => 'csv')").collect()
+    }
+    assert(err.getMessage != null)
+    // the failed batch left NO partial state: no rows, no fingerprints —
+    // fixing the file and re-running loads it fully
+    assert(ext.sql("SELECT count(*) AS n FROM ingbad").head().getLong(0) == 0)
+    assert(Ingest.alreadyIngested(cat, "ingbad").isEmpty)
+    Thread.sleep(5)
+    drop(landing, "bad.csv", "1,ok", "2,fixed")
+    val r = ext.sql(s"CALL graft.ingest('ingbad', '$landing', format => 'csv')").head()
+    assert(r.getLong(0) == 1 && r.getLong(2) == 2)
+  }
+
+  test("refusals: unknown format, missing source, view shadow, source under the root") {
+    val landing = Files.createTempDirectory("graft-landing-r-")
+    drop(landing, "a.csv", "1,x")
+    val e1 = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingr', '$landing', format => 'orc')").collect()
+    }
+    assert(e1.getMessage.contains("format"))
+    val e2 = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingr', '$landing/nope', format => 'csv')").collect()
+    }
+    assert(e2.getMessage.contains("not found"))
+    ext.sql("CREATE VIEW graft.ingv AS SELECT 1 AS x")
+    val e3 = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingv', '$landing', format => 'csv')").collect()
+    }
+    assert(e3.getMessage.contains("view"))
+    val e4 = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingr', '$root', format => 'parquet')").collect()
+    }
+    assert(e4.getMessage.contains("catalog root"))
+  }
+
+  test("the dedupe window is snapshot retention: expired fingerprints age out") {
+    val landing = Files.createTempDirectory("graft-landing-w-")
+    drop(landing, "a.csv", "1,x")
+    ext.sql("CREATE TABLE graft.ingw (id BIGINT, name STRING)")
+    ext.sql(s"CALL graft.ingest('ingw', '$landing', format => 'csv')")
+    assert(Ingest.alreadyIngested(cat, "ingw").size == 1)
+    // expire the ingest commit's snapshot: its fingerprints leave the
+    // window, and the SAME file re-loads on the next run (the documented
+    // Delta-COPY-INTO horizon — retention must outlive the replay window)
+    ext.sql("INSERT INTO ingw VALUES (9, 'later')")
+    cat.expireSnapshots("ingw", keepLast = 1)
+    assert(Ingest.alreadyIngested(cat, "ingw").isEmpty)
+    val r = ext.sql(s"CALL graft.ingest('ingw', '$landing', format => 'csv')").head()
+    assert(r.getLong(0) == 1, "an expired fingerprint re-ingests (the window contract)")
+  }
+}

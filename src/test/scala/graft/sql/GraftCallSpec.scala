@@ -821,4 +821,50 @@ class GraftCallSpec extends SparkSpec {
     val e4 = intercept[Exception] { ext.sql(s"CALL graft.rollback('$t')") }
     assert(e4.getMessage.contains("missing required argument 'version'"))
   }
+
+  test("CALL graft.enforce_retention applies the table's own sticky policy") {
+    val t = freshTable("ret1", 1 to 5)
+    (1 to 4).foreach(i => ext.sql(s"INSERT INTO $t VALUES (${200 + i}, 'R#$i', 1.0)"))
+    // an explicit call on a table with no policy refuses loudly — the
+    // error IS the recipe (names the props to set)
+    val err = intercept[Exception] { ext.sql(s"CALL graft.enforce_retention('$t')").collect() }
+    assert(err.getMessage.contains("no retention policy") &&
+      err.getMessage.contains("graft.retention.snapshots"))
+    // tag one mid-history snapshot: tags survive every expire path
+    ext.sql(s"CALL graft.tag('$t', 'epoch', version => 2)")
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.snapshots' = '3')")
+    // history: 5 data snapshots + the SET commit = 6; keep 3 + the tag
+    val res = ext.sql(s"CALL graft.enforce_retention('$t')").head()
+    assert(res.getString(0) == t)
+    assert(res.getLong(1) == 2L, s"expected 2 expired (6 - 3 kept - 1 tagged); got $res")
+    val left = cat.snapshots(t).map(_.snapshotId)
+    assert(left.contains(2L), "the tagged snapshot must survive retention")
+    assert(left.size == 4)
+    // the data is untouched — maintenance that leaks into results is corruption
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 9)
+    // idempotent: a second sweep finds nothing to expire
+    assert(ext.sql(s"CALL graft.enforce_retention('$t')").head().getLong(1) == 0L)
+    // age bound: with graft.retention.ms set, age drives and count is the
+    // floor — a 1-hour window keeps every young snapshot
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.ms' = '3600000')")
+    assert(ext.sql(s"CALL graft.enforce_retention('$t')").head().getLong(1) == 0L)
+  }
+
+  test("no-arg enforce_retention sweeps exactly the opted-in tables") {
+    val a = freshTable("ret_opt", 1 to 3)
+    val b = freshTable("ret_out", 1 to 3)
+    (1 to 3).foreach { i =>
+      ext.sql(s"INSERT INTO $a VALUES (${300 + i}, 'x', 1.0)")
+      ext.sql(s"INSERT INTO $b VALUES (${300 + i}, 'x', 1.0)")
+    }
+    ext.sql(s"ALTER TABLE $a SET TBLPROPERTIES ('graft.retention.snapshots' = '2')")
+    val bSnaps = cat.snapshots(b).size
+    val rows = ext.sql("CALL graft.enforce_retention()").collect()
+    val swept = rows.map(_.getString(0)).toSet
+    assert(swept.contains(a), "the opted-in table must be swept")
+    assert(!swept.contains(b), "a table that never opted in must never be touched")
+    assert(rows.find(_.getString(0) == a).get.getLong(1) == 3L) // 5 - 2 kept
+    assert(cat.snapshots(a).size == 2)
+    assert(cat.snapshots(b).size == bSnaps, "the opted-out table's history is intact")
+  }
 }

@@ -1140,4 +1140,60 @@ class GraftDmlSpec extends SparkSpec {
     assert(!JF.exists(src2.resolve("current")))
     assert(ext.sql("SELECT * FROM ren_cr2_dst").collect().toSet == rows2)
   }
+
+  test("retention policy props: owned TBLPROPERTIES, validated at SET, sticky across commits") {
+    val t = freshTable("retp", 1 to 3)
+    // malformed values refuse HERE, not at the scheduled sweep
+    val e1 = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.snapshots' = 'soon')")
+    }
+    assert(e1.getMessage.contains("integer"))
+    intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.snapshots' = '0')")
+    }
+    intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.ms' = '-5')")
+    }
+    assert(!cat.hasRetentionPolicy(t), "a refused SET must not land")
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.retention.snapshots' = '10', 'graft.retention.ms' = '604800000')")
+    assert(ext.sql(s"SHOW TBLPROPERTIES $t ('graft.retention.snapshots')")
+      .head().getString(1) == "10")
+    assert(ext.sql(s"SHOW TBLPROPERTIES $t ('graft.retention.ms')")
+      .head().getString(1) == "604800000")
+    // identical SET burns no snapshot id
+    val id = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.snapshots' = '10')")
+    assert(cat.currentSnapshot(t).get.snapshotId == id,
+      "SET to the current value must not burn a snapshot id")
+    // sticky: the policy survives appends, index maintenance and column
+    // DDL (the same carry the table comment rides — one list, one bug class)
+    def policy(): Option[String] =
+      cat.currentSnapshot(t).get.props.get(SnapshotCatalog.RetentionSnapshotsProp)
+    ext.sql(s"INSERT INTO $t VALUES (900, 'R', 1.0)")
+    assert(policy().contains("10"), "append dropped the retention policy")
+    ext.sql(s"CALL graft.index('$t', 'c_custkey')")
+    assert(policy().contains("10"), "index build dropped the retention policy")
+    ext.sql(s"ALTER TABLE $t RENAME COLUMN c_acctbal TO balance")
+    assert(policy().contains("10"), "RENAME COLUMN dropped the retention policy")
+    // the table comment is reachable through TBLPROPERTIES too (one prop,
+    // two spellings — COMMENT ON and SET must land in the same place)
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.comment' = 'via props')")
+    assert(cat.currentSnapshot(t).get.props.get(SnapshotCatalog.CommentProp)
+      .contains("via props"))
+    // UNSET clears; a second UNSET refuses without IF EXISTS
+    ext.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.retention.ms')")
+    assert(!cat.currentSnapshot(t).get.props.contains(SnapshotCatalog.RetentionAgeMsProp))
+    val e2 = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.retention.ms')")
+    }
+    assert(e2.getMessage.contains("IF EXISTS"))
+    val idBefore = cat.currentSnapshot(t).get.snapshotId
+    ext.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS ('graft.retention.ms')")
+    assert(cat.currentSnapshot(t).get.snapshotId == idBefore,
+      "no-op UNSET IF EXISTS must not burn a snapshot id")
+    // SET '' clears a value prop (the column-comment convention)
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.comment' = '')")
+    assert(!cat.currentSnapshot(t).get.props.contains(SnapshotCatalog.CommentProp))
+  }
 }
