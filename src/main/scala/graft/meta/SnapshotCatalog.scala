@@ -2924,12 +2924,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * in-flight commit's sidecars land before its manifest publishes;
     * the vacuum's branch-aware liveness + grace window cover both).
     * Returns the number removed. */
-  def expireSnapshots(table: String, keepLast: Int): Int = {
+  def expireSnapshots(table: String, keepLast: Int, dryRun: Boolean = false): Int = {
     require(keepLast >= 1, "must keep at least one snapshot")
     val snaps = snapshots(table)
     val tagged = tags(table).values.toSet
     val toDrop = snaps.dropRight(keepLast).filterNot(s => tagged.contains(s.snapshotId))
-    toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
+    if (!dryRun) toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
     toDrop.size
   }
 
@@ -2939,14 +2939,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * tag-reachable snapshot regardless of age — the retention-policy
     * sweep a streaming table schedules (time-bounded history instead
     * of count-bounded). Metadata-only, like [[expireSnapshots]]. */
-  def expireSnapshotsOlderThan(table: String, olderThanMs: Long, retainLast: Int = 1): Int = {
+  def expireSnapshotsOlderThan(table: String, olderThanMs: Long, retainLast: Int = 1,
+      dryRun: Boolean = false): Int = {
     require(retainLast >= 1, "must retain at least one snapshot")
     val snaps = snapshots(table)
     val tagged = tags(table).values.toSet
     val toDrop = snaps.dropRight(retainLast)
       .filter(_.timestampMs < olderThanMs)
       .filterNot(s => tagged.contains(s.snapshotId))
-    toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
+    if (!dryRun) toDrop.foreach { s => Files.deleteIfExists(snapPath(table, s.snapshotId)) }
     toDrop.size
   }
 
@@ -2957,10 +2958,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * Count alone: keep the newest N. Both: age drives expiry, count is
     * the keep-floor (Iceberg `expire_snapshots(older_than, retain_last)`
     * semantics). Tags are always retained, like every expire path.
-    * Refuses loudly when the table declares no policy — a maintenance
-    * sweep must never silently trim a table that never opted in.
-    * Returns the number expired. Metadata-only, O(snapshots). */
-  def enforceRetention(table: String): Int = {
+    * Refuses loudly when the table declares no history policy — a
+    * maintenance sweep must never silently trim a table that never
+    * opted in. Returns the number expired (with `dryRun`, the number
+    * that WOULD expire, nothing touched — the safety valve before
+    * declaring an aggressive policy). Metadata-only, O(snapshots).
+    * The ROW-TTL half of the policy (the `graft.retention.rows.*`
+    * props) needs a data commit, so it lives in
+    * `Writers.enforceRetention`, which composes both. */
+  def enforceRetention(table: String, dryRun: Boolean = false): Int = {
     val props = currentSnapshot(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots for table $table")).props
     val keep = props.get(SnapshotCatalog.RetentionSnapshotsProp).map { v =>
@@ -2978,15 +2984,23 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         s"TBLPROPERTIES ('${SnapshotCatalog.RetentionSnapshotsProp}'='N') and/or " +
         s"('${SnapshotCatalog.RetentionAgeMsProp}'='MS') first")
     ageMs match {
-      case Some(a) => expireSnapshotsOlderThan(table, clock() - a, keep.getOrElse(1))
-      case None => expireSnapshots(table, keep.get)
+      case Some(a) =>
+        expireSnapshotsOlderThan(table, clock() - a, keep.getOrElse(1), dryRun = dryRun)
+      case None => expireSnapshots(table, keep.get, dryRun = dryRun)
     }
   }
 
-  /** Does `table` declare a retention policy (either sticky prop set)?
+  /** Does `table` declare any retention policy (history OR row-TTL)?
     * The no-arg `CALL graft.enforce_retention()` sweep enforces exactly
     * the tables where this holds. */
   def hasRetentionPolicy(table: String): Boolean =
+    currentSnapshot(table).exists(s =>
+      s.props.contains(SnapshotCatalog.RetentionSnapshotsProp) ||
+        s.props.contains(SnapshotCatalog.RetentionAgeMsProp) ||
+        s.props.contains(SnapshotCatalog.RetentionRowsMsProp))
+
+  /** Does `table` declare a HISTORY retention bound (count/age)? */
+  def hasHistoryRetention(table: String): Boolean =
     currentSnapshot(table).exists(s =>
       s.props.contains(SnapshotCatalog.RetentionSnapshotsProp) ||
         s.props.contains(SnapshotCatalog.RetentionAgeMsProp))
@@ -3004,7 +3018,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * `graceMs` are kept: an in-flight commit writes data files BEFORE
     * its manifest publishes, and the grace window keeps the race away.
     * Returns the deleted paths. */
-  def vacuumDataFiles(table: String, dataDir: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
+  def vacuumDataFiles(table: String, dataDir: String, graceMs: Long = 3600 * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
     // staged-but-unpublished WAP files are live too: an in-audit stage
     // must survive a routine vacuum (discard is the explicit path out)
     val stagedLive = listStaged(table)
@@ -3059,11 +3074,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         FileVisitResult.CONTINUE
     })
     val candidates = found.result()
-    candidates
+    val doomed = candidates
       .filterNot(p => live.contains(normalize(p)))
       .filter(p => scala.util.Try(
         Files.getLastModifiedTime(Paths.get(p)).toMillis < cutoff).getOrElse(false))
-      .filter(p => Files.deleteIfExists(Paths.get(p)))
+    // dry run reports what WOULD go (the VACUUM DRY RUN safety valve)
+    if (dryRun) doomed else doomed.filter(p => Files.deleteIfExists(Paths.get(p)))
   }
 
   /** GC orphan bloom/sketch SIDECARS: every rewrite retires its inputs'
@@ -3075,7 +3091,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * paths and are skipped). Same grace window as the data vacuum so a
     * mid-commit sidecar written before its manifest survives. Returns
     * deleted paths. */
-  def vacuumSidecars(table: String, graceMs: Long = 3600 * 1000L): Seq[String] = {
+  def vacuumSidecars(table: String, graceMs: Long = 3600 * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
     def refsOf(chain: Seq[SnapshotMeta]): Seq[String] =
       chain.flatMap(_.files).flatMap(f =>
         f.blooms.values.filter(_.startsWith("/")) ++ f.sketches.values)
@@ -3098,11 +3115,11 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         val candidates = try stream.iterator().asScala
           .filter(Files.isRegularFile(_)).map(_.toAbsolutePath.toString).toList
         finally stream.close()
-        candidates
+        val doomed = candidates
           .filterNot(p => live.contains(normalize(p)))
           .filter(p => scala.util.Try(
             Files.getLastModifiedTime(Paths.get(p)).toMillis < cutoff).getOrElse(false))
-          .filter(p => Files.deleteIfExists(Paths.get(p)))
+        if (dryRun) doomed else doomed.filter(p => Files.deleteIfExists(Paths.get(p)))
       }
     }
   }
@@ -3544,6 +3561,16 @@ object SnapshotCatalog {
   val RetentionSnapshotsProp = "graft.retention.snapshots"
   val RetentionAgeMsProp = "graft.retention.ms"
 
+  /** Sticky table props declaring a ROW-TTL retention policy (the
+    * compliance sweep: rows whose `column` is older than `ms` expire as
+    * a merge-on-read mask — `Writers.expireRowsOlderThan` driven by the
+    * table's own metadata instead of per-job args). Both must be set;
+    * `CALL graft.enforce_retention` applies them before the history
+    * trim, so ONE scheduled statement handles data TTL and metadata
+    * retention together. */
+  val RetentionRowsColumnProp = "graft.retention.rows.column"
+  val RetentionRowsMsProp = "graft.retention.rows.ms"
+
   /** Column-list sticky props (comma-joined column names; column
     * rename/drop DDL rewrites their entries — see `stickyRenamed`). */
   val StickyColumnProps: Seq[String] = Seq(BloomColumnsProp, SketchColumnsProp)
@@ -3554,7 +3581,8 @@ object SnapshotCatalog {
     * this list, so a prop added here is automatically kept by every
     * commit path (the r13 comment-dropping bug class can't recur). */
   val StickyValueProps: Seq[String] = Seq(
-    CommentProp, RetentionSnapshotsProp, RetentionAgeMsProp)
+    CommentProp, RetentionSnapshotsProp, RetentionAgeMsProp,
+    RetentionRowsColumnProp, RetentionRowsMsProp)
 
   /** Every sticky table-level prop: carried by commits, branch forks,
     * clones and renames; restated only by its owning DDL. */

@@ -525,6 +525,68 @@ object Writers {
       col(tsCol).cast("timestamp") < timestamp_millis(lit(cutoffMs)),
       Seq(RangeNum(tsCol, Double.MinValue, cutoffMs.toDouble)), dataDir)
 
+  /** Apply the table's FULL declared retention policy — the row-TTL
+    * sweep (`graft.retention.rows.column`/`.ms` → [[expireRowsOlderThan]],
+    * a merge-on-read mask with a min/max-pruned marking scan) first,
+    * then the snapshot-history trim
+    * ([[SnapshotCatalog.enforceRetention]], metadata-only) — so ONE
+    * scheduled `CALL graft.enforce_retention` handles data compliance
+    * and metadata hygiene together, each bound declared ON the table.
+    * Returns (snapshots expired, rows newly masked). Refuses loudly on
+    * a table with no policy at all, and on a half-declared row policy
+    * (column without age or vice versa — silently skipping a typo'd
+    * compliance sweep is the one failure mode this must not have).
+    * `dryRun` reports both counts without touching anything; the row
+    * count pays the same pruned marking scan the real sweep would. */
+  def enforceRetention(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      dataDir: String,
+      dryRun: Boolean = false): (Int, Long) = {
+    val snap = catalog.currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val props = snap.props
+    val rowCol = props.get(SnapshotCatalog.RetentionRowsColumnProp)
+    val rowMs = props.get(SnapshotCatalog.RetentionRowsMsProp).map(_.toLong)
+    require(catalog.hasRetentionPolicy(table) || rowCol.nonEmpty,
+      s"table $table declares no retention policy; ALTER TABLE $table SET " +
+        s"TBLPROPERTIES ('${SnapshotCatalog.RetentionSnapshotsProp}'='N', " +
+        s"'${SnapshotCatalog.RetentionAgeMsProp}'='MS', " +
+        s"'${SnapshotCatalog.RetentionRowsColumnProp}'='ts', " +
+        s"'${SnapshotCatalog.RetentionRowsMsProp}'='MS') first (any subset; " +
+        "row props as a pair)")
+    require(rowCol.isEmpty == rowMs.isEmpty,
+      s"table $table declares a half row-TTL policy: set BOTH " +
+        s"${SnapshotCatalog.RetentionRowsColumnProp} and " +
+        s"${SnapshotCatalog.RetentionRowsMsProp} (or neither)")
+    val rowsSwept: Long = (rowCol, rowMs) match {
+      case (Some(c), Some(a)) =>
+        val cutoff = System.currentTimeMillis() - a
+        if (dryRun)
+          catalog.read(spark, table,
+              filters = Seq(RangeNum(c, Double.MinValue, cutoff.toDouble)))
+            .filter(col(c).cast("timestamp") < timestamp_millis(lit(cutoff)))
+            .count()
+        else {
+          val before = snap
+          val after = expireRowsOlderThan(spark, catalog, table, c, cutoff, dataDir)
+          if (after.snapshotId == before.snapshotId) 0L
+          else {
+            val prevMasks = before.deleteFiles.map(_.path).toSet
+            after.deleteFiles.filterNot(d => prevMasks.contains(d.path))
+              .map(_.rowCount).sum
+          }
+        }
+      case _ => 0L
+    }
+    val expired =
+      if (catalog.hasHistoryRetention(table))
+        catalog.enforceRetention(table, dryRun = dryRun)
+      else 0
+    (expired, rowsSwept)
+  }
+
   /** Apply every outstanding position delete and retire the delete files
     * (Iceberg's rewrite_position_delete_files taken to its endpoint):
     * each data file with masked rows is rewritten to its visible rows;

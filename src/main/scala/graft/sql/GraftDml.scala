@@ -1132,13 +1132,20 @@ case class GraftTblPropsCommand(
   private val SketchProp = graft.meta.SnapshotCatalog.SketchColumnsProp
   private val ValueProps = graft.meta.SnapshotCatalog.StickyValueProps.toSet
 
-  private def validateValue(k: String, v: String): Unit = k match {
+  private def validateValue(cat: SnapshotCatalog, k: String, v: String): Unit = k match {
     case graft.meta.SnapshotCatalog.RetentionSnapshotsProp =>
       require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
         s"'$k' must be an integer >= 1; got '$v'")
-    case graft.meta.SnapshotCatalog.RetentionAgeMsProp =>
+    case graft.meta.SnapshotCatalog.RetentionAgeMsProp |
+         graft.meta.SnapshotCatalog.RetentionRowsMsProp =>
       require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
         s"'$k' must be a non-negative integer of milliseconds; got '$v'")
+    case graft.meta.SnapshotCatalog.RetentionRowsColumnProp =>
+      val sch = cat.schema(table).getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table"))
+      require(sch.fieldNames.contains(v),
+        s"'$k' must name a column of $table; got '$v' " +
+          s"(columns: ${sch.fieldNames.mkString(", ")})")
     case _ => ()
   }
 
@@ -1159,7 +1166,7 @@ case class GraftTblPropsCommand(
     // giving SET a complete replace semantics without reaching for UNSET
     set.filter(kv => ValueProps.contains(kv._1)).foreach { case (k, v) =>
       val next = Some(v).filter(_.nonEmpty)
-      next.foreach(validateValue(k, _))
+      next.foreach(validateValue(cat, k, _))
       if (currentProps.get(k) != next) { cat.setStickyValueProp(table, k, next); () }
     }
     unset.filter(ValueProps.contains).foreach { k =>
@@ -1394,7 +1401,8 @@ case class GraftCallCommand(
         Seq(AttributeReference("expired", LongType, nullable = false)())
       case "enforce_retention" =>
         Seq(AttributeReference("table", StringType, nullable = false)(),
-          AttributeReference("expired", LongType, nullable = false)())
+          AttributeReference("expired", LongType, nullable = false)(),
+          AttributeReference("rows_swept", LongType, nullable = false)())
       case "ingest" =>
         Seq(AttributeReference("ingested", LongType, nullable = false)(),
           AttributeReference("skipped", LongType, nullable = false)(),
@@ -1517,11 +1525,14 @@ case class GraftCallCommand(
         }
         Seq(Row(n.toLong))
       case "remove_orphans" =>
+        // dry_run => true lists what WOULD go without deleting (the
+        // Delta VACUUM DRY RUN safety valve)
         val table = str(0, "table")
         val graceMs = long(1, "grace_s", 3600L) * 1000L
+        val dryRun = named.get("dry_run").exists(_.toString.toBoolean)
         val data = cat.vacuumDataFiles(table,
-          GraftDml.dataDirFor(session, root, table), graceMs)
-        val side = cat.vacuumSidecars(table, graceMs)
+          GraftDml.dataDirFor(session, root, table), graceMs, dryRun = dryRun)
+        val side = cat.vacuumSidecars(table, graceMs, dryRun = dryRun)
         Seq(Row(data.size.toLong, side.size.toLong))
       case "rollback" =>
         Seq(Row(cat.rollbackTo(session, str(0, "table"),
@@ -1822,22 +1833,28 @@ case class GraftCallCommand(
         Seq(Row(Writers.expireRowsOlderThan(session, cat, table, tsCol, cutoff,
           GraftDml.dataDirFor(session, root, table)).snapshotId))
       case "enforce_retention" =>
-        // CALL graft.enforce_retention(['t']) — apply the table's OWN
-        // sticky retention policy (`graft.retention.snapshots` /
-        // `graft.retention.ms`, set via ALTER TABLE SET TBLPROPERTIES;
-        // the policy lives WITH the table, Iceberg's history.expire.*
-        // pattern). With no args: sweep EVERY catalog table that
-        // declares a policy — the one scheduled statement that
-        // maintains a whole catalog; tables that never opted in are
-        // never touched. A named table WITHOUT a policy refuses loudly
-        // (the sweep skips, an explicit call must not silently no-op).
+        // CALL graft.enforce_retention(['t'][, dry_run => true]) —
+        // apply the table's OWN sticky retention policy: the row-TTL
+        // sweep (`graft.retention.rows.column`/`.ms`, a MoR mask) then
+        // the history trim (`graft.retention.snapshots`/`.ms`) — set
+        // via ALTER TABLE SET TBLPROPERTIES; the policy lives WITH the
+        // table, Iceberg's history.expire.* pattern. With no args:
+        // sweep EVERY catalog table that declares a policy — the one
+        // scheduled statement that maintains a whole catalog; tables
+        // that never opted in are never touched. A named table WITHOUT
+        // a policy refuses loudly (the sweep skips, an explicit call
+        // must not silently no-op). dry_run reports both counts and
+        // touches nothing — the safety valve before an aggressive
+        // policy goes live.
+        val dryRun = named.get("dry_run").exists(_.toString.toBoolean)
+        def enforce(table: String): Row = {
+          val (expired, rows) = Writers.enforceRetention(session, cat, table,
+            GraftDml.dataDirFor(session, root, table), dryRun = dryRun)
+          Row(table, expired.toLong, rows)
+        }
         arg(0, "table") match {
-          case Some(t) =>
-            val table = t.toString
-            Seq(Row(table, cat.enforceRetention(table).toLong))
-          case None =>
-            cat.tables().filter(cat.hasRetentionPolicy)
-              .map(t => Row(t, cat.enforceRetention(t).toLong))
+          case Some(t) => Seq(enforce(t.toString))
+          case None => cat.tables().filter(cat.hasRetentionPolicy).map(enforce)
         }
       case "ingest" =>
         // CALL graft.ingest('t', '/landing/dir'[, format => 'csv'|

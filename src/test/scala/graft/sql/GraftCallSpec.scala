@@ -850,6 +850,39 @@ class GraftCallSpec extends SparkSpec {
     assert(ext.sql(s"CALL graft.enforce_retention('$t')").head().getLong(1) == 0L)
   }
 
+  test("row-TTL retention: the policy pair drives expire_rows; dry_run touches nothing") {
+    import spark.implicits._
+    val t = "ret_rows"
+    Writers.writeSnapshot(cat,
+      t, (1L to 20L).map(i => (i, i * 1000L)).toDF("id", "ts_ms"), dataDir)
+    // half a policy refuses loudly (a typo'd compliance sweep must not skip)
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.rows.ms' = '3600000')")
+    val half = intercept[Exception] { ext.sql(s"CALL graft.enforce_retention('$t')").collect() }
+    assert(half.getMessage.contains("half"))
+    // the column must exist at SET time
+    val badCol = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.rows.column' = 'nope')")
+    }
+    assert(badCol.getMessage.contains("must name a column"))
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.rows.column' = 'ts_ms')")
+    // every ts_ms is seconds-from-epoch-1970 scaled tiny → all older than 1h
+    val dry = ext.sql(s"CALL graft.enforce_retention('$t', dry_run => true)").head()
+    assert(dry.getLong(2) == 20L, s"dry run must count the doomed rows: $dry")
+    val snapBefore = cat.currentSnapshot(t).get.snapshotId
+    assert(cat.currentSnapshot(t).get.snapshotId == snapBefore &&
+      ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 20,
+      "dry run must not commit or mask")
+    // the real sweep masks them as a MoR delete (zero data churn)
+    val res = ext.sql(s"CALL graft.enforce_retention('$t')").head()
+    assert(res.getLong(2) == 20L, s"expected 20 rows swept: $res")
+    assert(ext.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 0)
+    assert(cat.currentSnapshot(t).get.files.map(_.path).toSet ==
+      cat.snapshotById(t, snapBefore).get.files.map(_.path).toSet,
+      "the TTL sweep is a mask, not a rewrite")
+    // idempotent: already-masked rows never re-match
+    assert(ext.sql(s"CALL graft.enforce_retention('$t')").head().getLong(2) == 0L)
+  }
+
   test("no-arg enforce_retention sweeps exactly the opted-in tables") {
     val a = freshTable("ret_opt", 1 to 3)
     val b = freshTable("ret_out", 1 to 3)
