@@ -1033,6 +1033,36 @@ object Engine {
         |FROM ingorders GROUP BY o_orderstatus""".stripMargin)
   }
 
+  // Memoized export catalog per sf-dir: orders committed, a key-range
+  // COW delete applied, then the VISIBLE state exported to an external
+  // parquet directory through CALL graft.export — the read-back
+  // aggregate must hash-equal DuckDB's replay of the mutated state
+  // (an export that leaks masked rows or drops files breaks the hash).
+  private val exportRoots = TrieMap.empty[String, String]
+  private def exportDirFor(s: SparkSession, dir: String): String =
+    exportRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-expsql-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "exporders",
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        Files.createTempDirectory("graft-expsql-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("DELETE FROM exporders WHERE o_orderkey <= 700")
+      val out = Files.createTempDirectory("graft-expsql-out-").toString + "/shards"
+      es.sql(s"CALL graft.export('exporders', '$out')").collect()
+      out
+    })
+
+  /** External-file export (S68, r14): the exported shards, read back as
+    * plain parquet, must reproduce the table's visible state exactly. */
+  def qExportRoundtrip(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(exportDirFor(s, dir))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(15,4)")).cast("double").as("sum_price"))
+
   // Memoized metadata-count catalog per sf-dir: full orders committed
   // once; the benched/verified path is the manifest-answered COUNT.
   private val metaCountRoots = TrieMap.empty[String, String]
@@ -1419,6 +1449,7 @@ object Engine {
     "q_cdf_percommit" -> (qCdfPercommit _),
     "q_cache_sql" -> (qCacheSql _),
     "q_ingest_sql" -> (qIngestSql _),
+    "q_export_roundtrip" -> (qExportRoundtrip _),
     "q_merge_read" -> (qMergeRead _),
     "q_mor_read" -> (qMorRead _),
     "q_ttl_read" -> (qTtlRead _),
@@ -1617,6 +1648,10 @@ object Engine {
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_export_roundtrip" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey > 700 GROUP BY o_orderstatus""".stripMargin,
     "q_cdf_percommit" ->
       """WITH base AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders

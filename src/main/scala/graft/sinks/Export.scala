@@ -1,0 +1,65 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.meta.{PruneFilter, SnapshotCatalog}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
+
+/** Snapshot export — the inverse of [[Ingest]]: write a table's state
+  * (current, a snapshot id, or a tag — a branch exports by its
+  * first-class `t/branches/dev` ref) to an EXTERNAL directory as
+  * parquet/csv/json for consumers outside the catalog (training jobs
+  * that want raw shards, partner data shares, downstream systems that
+  * read files not catalogs). The reference serves external readers over
+  * its wire protocol (`flight_server/server.py`); file export is the
+  * batch-shaped complement.
+  *
+  * Scale: one distributed write of the selected state — file pruning
+  * (`where` scopes via manifest min/max/blooms before planning) keeps
+  * the scan at the matching files, the row filter keeps the output
+  * exact, and nothing is collected to the driver. Default mode refuses
+  * an existing destination (an export that silently merges into last
+  * week's export corrupts the consumer); `overwrite => true` replaces. */
+object Export {
+
+  val Formats: Set[String] = Set("parquet", "csv", "json")
+
+  /** Returns (files written, bytes written) — counted from one
+    * driver-side listing of the destination. */
+  def export(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      table: String,
+      dest: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      version: Option[String] = None,
+      where: Option[String] = None,
+      pruneFilters: Seq[PruneFilter] = Nil,
+      overwrite: Boolean = false): (Long, Long) = {
+    require(Formats.contains(format),
+      s"export format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
+    val snapId: Option[Long] = version.map { v =>
+      v.toLongOption
+        .orElse(catalog.snapshotByTag(table, v).map(_.snapshotId))
+        .getOrElse(throw new IllegalArgumentException(
+          s"export version => '$v': no snapshot id or tag of that name on $table"))
+    }
+    val base = catalog.read(spark, table, filters = pruneFilters, snapshotId = snapId)
+    val df = where.map(w => base.filter(expr(w))).getOrElse(base)
+    df.write.format(format).options(options)
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .save(dest)
+    var files = 0L
+    var bytes = 0L
+    val walk = Files.walk(Paths.get(dest))
+    try walk.forEach { (p: Path) =>
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
+        files += 1; bytes += Files.size(p)
+      }
+    } finally walk.close()
+    (files, bytes)
+  }
+}

@@ -100,6 +100,9 @@ import scala.jdk.CollectionConverters._
   *     format => 'csv', pattern => '*.csv',       --    INTO: loads only
   *     header => 'true', ...reader opts])         --    files not yet
   *                                                --    ingested
+  *   CALL graft.export('t', '/out' [, format =>,  -- the inverse: write
+  *     version => id|'tag', where => 'pred',      --    a table state to
+  *     overwrite => true, ...writer opts])        --    external files
   *   CREATE TABLE graft.t (c1 BIGINT, c2 STRING)  -- empty first snapshot
   *   CREATE [OR REPLACE] VIEW graft.v AS SELECT.. -- stored SQL views
   *   ALTER VIEW v AS SELECT ...                   --   (versioned defs,
@@ -1408,6 +1411,9 @@ case class GraftCallCommand(
           AttributeReference("skipped", LongType, nullable = false)(),
           AttributeReference("rows", LongType, nullable = false)(),
           AttributeReference("snapshot_id", LongType, nullable = true)())
+      case "export" =>
+        Seq(AttributeReference("files", LongType, nullable = false)(),
+          AttributeReference("bytes", LongType, nullable = false)())
       case "remove_orphans" =>
         Seq(AttributeReference("removed_data", LongType, nullable = false)(),
           AttributeReference("removed_sidecars", LongType, nullable = false)())
@@ -1884,6 +1890,38 @@ case class GraftCallCommand(
           GraftDml.dataDirFor(session, root, table), pattern)
         Seq(Row(res.ingested.toLong, res.skipped.toLong, res.rows,
           res.snapshotId.map(java.lang.Long.valueOf).orNull))
+      case "export" =>
+        // CALL graft.export('t', '/out'[, format => 'parquet'|'csv'|
+        // 'json', version => id|'tag', where => 'pred',
+        // overwrite => true, ...writer options]) — write a table state
+        // to an EXTERNAL directory (the inverse of ingest): consumers
+        // that read files, not catalogs. `where` both file-prunes via
+        // the manifests and row-filters, so a partition-scoped export
+        // reads only its files. Default refuses an existing dest.
+        val table = str(0, "table")
+        val dest = str(1, "dest")
+        scala.util.Try(java.nio.file.Paths.get(dest).toAbsolutePath.normalize).foreach { dn =>
+          require(!dn.startsWith(java.nio.file.Paths.get(root).toAbsolutePath.normalize),
+            s"export destination $dest is inside the catalog root $root")
+        }
+        val fmt = named.get("format").map(_.toString.toLowerCase).getOrElse("parquet")
+        val overwrite = named.get("overwrite").exists(_.toString.toBoolean)
+        val whereArg = named.get("where").map(_.toString)
+        val opts = (named -- Seq("format", "version", "where", "overwrite"))
+          .map { case (k, v) => k -> v.toString }
+        // unlike the maintenance sweeps, a non-prunable where is FINE
+        // here (the row filter still applies; the full scan is the
+        // honest cost), so the filters are computed leniently
+        val lenientPrune = whereArg.map { w =>
+          val schema = cat.schema(table).getOrElse(
+            throw new IllegalArgumentException(s"no snapshots for table $table"))
+          GraftSqlResolution.pruneFiltersFrom(
+            session.sessionState.sqlParser.parseExpression(w), schema, Set.empty)
+        }.getOrElse(Nil)
+        val (nFiles, nBytes) = graft.sinks.Export.export(session, cat, table, dest,
+          fmt, opts, version = named.get("version").map(_.toString),
+          where = whereArg, pruneFilters = lenientPrune, overwrite = overwrite)
+        Seq(Row(nFiles, nBytes))
       case "rewrite_sorted" =>
         // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,
         // zorder => true, where => 'pred']) — re-cluster by the sort
@@ -1939,7 +1977,7 @@ case class GraftCallCommand(
             "tag, drop_tag, branch, drop_branch, fast_forward, rewrite_sorted, " +
             "index, drop_index, check, changelog, stage, staged, " +
             "publish_staged, publish_if_clean, discard_staged, expire_rows, " +
-            "enforce_retention, ingest, delete_by_keys, create_mv, refresh_mv, " +
+            "enforce_retention, ingest, export, delete_by_keys, create_mv, refresh_mv, " +
             "materialize_deletes, cache, uncache, expire_cache, cache_stats")
     }
   }
