@@ -1,6 +1,9 @@
 package graft.sinks
 
-import graft.meta.SnapshotCatalog
+import java.nio.file.Paths
+import java.util.UUID
+
+import graft.meta.{CommitConflictException, CommitIntent, SnapshotCatalog}
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
 
@@ -89,7 +92,17 @@ object Ingest {
     * commit (`snapshotId = None`). A first ingest into a table with no
     * snapshots bootstraps it (schema inferred for csv/json, read for
     * parquet); onto an existing table, files read WITH the table schema
-    * and the append type-safety rules apply. */
+    * and the append type-safety rules apply.
+    *
+    * CONCURRENCY: two racing ingests of one landing zone must not load
+    * a file twice, but plain appends always reconcile — so the commit
+    * declares `strictBasis` and retries on conflict, RE-CHECKING the
+    * fingerprint set against the moved head each attempt (the loser of
+    * a same-file race degrades to a no-op instead of a double load).
+    * Parquet stranded by a lost attempt falls to `remove_orphans`'
+    * grace window, like any failed write. Six conflicting attempts =
+    * loud failure (a table THAT contended needs its ingests serialized,
+    * not silently interleaved). */
   def ingest(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -102,25 +115,43 @@ object Ingest {
     require(Formats.contains(format),
       s"ingest format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
     val all = listSource(spark, src, pattern)
-    val seen = alreadyIngested(catalog, table)
-    val fresh = all.filterNot(st => seen.contains(fp(st)))
-    if (fresh.isEmpty) return IngestResult(0, all.size, 0L, None)
-    // FAILFAST unless the caller overrides: a malformed row must fail
-    // the load loudly, never land as silent nulls (the commit is atomic,
-    // so a failed batch leaves no partial state to clean up)
-    val reader = spark.read.format(format)
-      .options(Map("mode" -> "FAILFAST") ++ options)
-    val schema = catalog.schema(table)
-    val ready = schema.map(reader.schema).getOrElse(
-      if (format == "csv") reader.option("inferSchema", "true") else reader)
-    val df = ready.load(fresh.map(_.getPath.toString): _*)
-    val prevPaths = catalog.currentSnapshot(table)
-      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    val snap = Writers.writeSnapshot(catalog, table, df, dataDir,
-      props = Map(
-        IngestFilesProp -> fresh.map(fp).mkString(","),
-        IngestSourceProp -> src))
-    val rows = snap.files.filterNot(f => prevPaths.contains(f.path)).map(_.rowCount).sum
-    IngestResult(fresh.size, all.size - fresh.size, rows, Some(snap.snapshotId))
+    var attempt = 0
+    while (attempt < 6) {
+      attempt += 1
+      val basis = catalog.currentSnapshot(table)
+      val seen = alreadyIngested(catalog, table)
+      val fresh = all.filterNot(st => seen.contains(fp(st)))
+      if (fresh.isEmpty) return IngestResult(0, all.size, 0L, None)
+      // FAILFAST unless the caller overrides: a malformed row must fail
+      // the load loudly, never land as silent nulls (the commit is
+      // atomic, so a failed batch leaves no partial state to clean up)
+      val reader = spark.read.format(format)
+        .options(Map("mode" -> "FAILFAST") ++ options)
+      val ready = catalog.schema(table).map(reader.schema).getOrElse(
+        if (format == "csv") reader.option("inferSchema", "true") else reader)
+      val df = ready.load(fresh.map(_.getPath.toString): _*)
+      val dir = Paths.get(dataDir, s"ingest-${UUID.randomUUID().toString.take(8)}")
+      df.write.parquet(dir.toString)
+      val prevFiles = basis.map(_.files).getOrElse(Nil)
+      try {
+        val snap = catalog.commit(spark, table,
+          prevFiles.map(_.path) ++ Writers.listParquetIn(dir),
+          reuseMeta = prevFiles.map(f => f.path -> f).toMap,
+          props = Map(
+            SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,
+            IngestFilesProp -> fresh.map(fp).mkString(","),
+            IngestSourceProp -> src),
+          intent = Some(CommitIntent(basis.map(_.snapshotId), strictBasis = true)))
+        val prevPaths = prevFiles.map(_.path).toSet
+        val rows = snap.files.filterNot(f => prevPaths.contains(f.path)).map(_.rowCount).sum
+        return IngestResult(fresh.size, all.size - fresh.size, rows, Some(snap.snapshotId))
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= 6) throw e // loop guard is belt-and-braces
+      }
+    }
+    throw new CommitConflictException(
+      s"ingest into $table: head moved on every one of 6 attempts; " +
+        "serialize the table's ingest schedule")
   }
 }

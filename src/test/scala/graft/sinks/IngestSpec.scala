@@ -124,6 +124,37 @@ class IngestSpec extends SparkSpec {
     assert(e4.getMessage.contains("catalog root"))
   }
 
+  test("two racing ingests of one landing dir load each file exactly once") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-landing-race-")
+    drop(landing, "a.csv", "1,x", "2,y")
+    drop(landing, "b.csv", "3,z")
+    val dataDir = Files.createTempDirectory("graft-ing-race-data-").toString
+    Writers.writeSnapshot(cat, "ingrace",
+      Seq((0L, "seed")).toDF("id", "name"), dataDir)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Ingest.IngestResult] {
+          def call(): Ingest.IngestResult = {
+            latch.await()
+            Ingest.ingest(spark, cat, "ingrace", landing.toString, "csv",
+              Map.empty, dataDir)
+          }
+        })
+      }
+      latch.countDown()
+      val rs = futs.map(_.get())
+      // the strict-basis retry makes the same-file loser a no-op: the
+      // two results load the 2 files exactly once BETWEEN them
+      assert(rs.map(_.ingested).sum == 2, s"double or dropped load: $rs")
+      assert(ext.sql("SELECT count(*) AS n FROM ingrace").head().getLong(0) == 4,
+        "3 landed rows + the seed — a double load would show more")
+      assert(Ingest.alreadyIngested(cat, "ingrace").size == 2)
+    } finally pool.shutdownNow()
+  }
+
   test("the dedupe window is snapshot retention: expired fingerprints age out") {
     val landing = Files.createTempDirectory("graft-landing-w-")
     drop(landing, "a.csv", "1,x")
