@@ -37,7 +37,8 @@ object Export {
       version: Option[String] = None,
       where: Option[String] = None,
       pruneFilters: Seq[PruneFilter] = Nil,
-      overwrite: Boolean = false): (Long, Long) = {
+      overwrite: Boolean = false,
+      partitionBy: Seq[String] = Nil): (Long, Long) = {
     require(Formats.contains(format),
       s"export format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
     val snapId: Option[Long] = version.map { v =>
@@ -48,8 +49,12 @@ object Export {
     }
     val base = catalog.read(spark, table, filters = pruneFilters, snapshotId = snapId)
     val df = where.map(w => base.filter(expr(w))).getOrElse(base)
-    df.write.format(format).options(options)
+    // hive-layout output (`dest/c=v/...`) for consumers that
+    // partition-prune by directory; one shuffle-free write per
+    // partition value present in each task's split
+    val writer = df.write.format(format).options(options)
       .mode(if (overwrite) "overwrite" else "errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .save(dest)
     var files = 0L
     var bytes = 0L

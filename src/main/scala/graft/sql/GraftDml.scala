@@ -1907,7 +1907,9 @@ case class GraftCallCommand(
         val fmt = named.get("format").map(_.toString.toLowerCase).getOrElse("parquet")
         val overwrite = named.get("overwrite").exists(_.toString.toBoolean)
         val whereArg = named.get("where").map(_.toString)
-        val opts = (named -- Seq("format", "version", "where", "overwrite"))
+        val partitionBy = named.get("partition_by").map(_.toString.split(",")
+          .toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val opts = (named -- Seq("format", "version", "where", "overwrite", "partition_by"))
           .map { case (k, v) => k -> v.toString }
         // unlike the maintenance sweeps, a non-prunable where is FINE
         // here (the row filter still applies; the full scan is the
@@ -1920,7 +1922,8 @@ case class GraftCallCommand(
         }.getOrElse(Nil)
         val (nFiles, nBytes) = graft.sinks.Export.export(session, cat, table, dest,
           fmt, opts, version = named.get("version").map(_.toString),
-          where = whereArg, pruneFilters = lenientPrune, overwrite = overwrite)
+          where = whereArg, pruneFilters = lenientPrune, overwrite = overwrite,
+          partitionBy = partitionBy)
         Seq(Row(nFiles, nBytes))
       case "rewrite_sorted" =>
         // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,

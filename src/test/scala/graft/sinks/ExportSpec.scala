@@ -72,6 +72,21 @@ class ExportSpec extends SparkSpec {
     assert(e3.getMessage.contains("no snapshot id or tag"))
   }
 
+  test("partition_by exports a hive layout a downstream reader partition-prunes") {
+    import spark.implicits._
+    Writers.writeSnapshot(cat, "expp",
+      (1L to 30L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 1.0))
+        .toDF("id", "parity", "score"), dataDir)
+    val out = Files.createTempDirectory("graft-expout-p-").toString + "/hive"
+    ext.sql(s"CALL graft.export('expp', '$out', partition_by => 'parity')")
+    assert(Files.isDirectory(java.nio.file.Paths.get(out, "parity=even")) &&
+      Files.isDirectory(java.nio.file.Paths.get(out, "parity=odd")),
+      "the output must be a hive layout")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 30)
+    assert(back.filter(col("parity") === "even").count() == 15)
+  }
+
   test("export of a branch ref serves the branch state") {
     import spark.implicits._
     Writers.writeSnapshot(cat, "expb",
