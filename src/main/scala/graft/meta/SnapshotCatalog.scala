@@ -2209,8 +2209,21 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         k -> cols.mkString(",")
       }.filter(_._2.nonEmpty)
     }.toMap ++
-      SnapshotCatalog.StickyValueProps
-        .flatMap(k => prev.props.get(k).map(k -> _))
+      SnapshotCatalog.StickyValueProps.flatMap { k =>
+        prev.props.get(k).map { v =>
+          // the row-TTL retention prop NAMES a column: a rename follows
+          // it (the policy stays valid under the new name); a drop
+          // refuses — silently shedding a compliance policy is the one
+          // thing a column drop must not do
+          if (k == SnapshotCatalog.RetentionRowsColumnProp && v == from) to match {
+            case Some(t) => k -> t
+            case None => throw new IllegalArgumentException(
+              s"column $from is the table's row-TTL retention column " +
+                s"($k); UNSET TBLPROPERTIES ('$k') first")
+          }
+          else k -> v
+        }
+      }
 
   // ---- branches (isolated writable refs) -------------------------------
   // A branch is a SELF-CONTAINED snapshot chain rooted at
@@ -2997,7 +3010,15 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     currentSnapshot(table).exists(s =>
       s.props.contains(SnapshotCatalog.RetentionSnapshotsProp) ||
         s.props.contains(SnapshotCatalog.RetentionAgeMsProp) ||
-        s.props.contains(SnapshotCatalog.RetentionRowsMsProp))
+        s.props.contains(SnapshotCatalog.RetentionRowsMsProp) ||
+        // a column-only HALF policy counts too: the sweep must reach the
+        // table and refuse loudly there, never silently skip a typo
+        s.props.contains(SnapshotCatalog.RetentionRowsColumnProp))
+
+  /** The catalog's clock — injectable for tests/replay; every retention
+    * cutoff (history AND row TTL) must come from the SAME clock or one
+    * enforce call gets a split-brain sweep. */
+  private[graft] def now(): Long = clock()
 
   /** Does `table` declare a HISTORY retention bound (count/age)? */
   def hasHistoryRetention(table: String): Boolean =

@@ -41,8 +41,12 @@ object Export {
       partitionBy: Seq[String] = Nil): (Long, Long) = {
     require(Formats.contains(format),
       s"export format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
+    // a numeric version must NAME AN EXISTING snapshot — silently
+    // falling back to current would hand the consumer today's data
+    // labeled as history; a tag wins when the id doesn't resolve
+    // (covers tags that happen to look numeric)
     val snapId: Option[Long] = version.map { v =>
-      v.toLongOption
+      v.toLongOption.filter(id => catalog.snapshotById(table, id).isDefined)
         .orElse(catalog.snapshotByTag(table, v).map(_.snapshotId))
         .getOrElse(throw new IllegalArgumentException(
           s"export version => '$v': no snapshot id or tag of that name on $table"))

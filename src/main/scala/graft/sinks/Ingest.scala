@@ -146,12 +146,13 @@ object Ingest {
         val rows = snap.files.filterNot(f => prevPaths.contains(f.path)).map(_.rowCount).sum
         return IngestResult(fresh.size, all.size - fresh.size, rows, Some(snap.snapshotId))
       } catch {
-        case e: CommitConflictException =>
-          if (attempt >= 6) throw e // loop guard is belt-and-braces
+        case e: CommitConflictException if attempt >= 6 =>
+          throw new CommitConflictException(
+            s"ingest into $table: head moved on every one of $attempt attempts " +
+              s"(last: ${e.getMessage}); serialize the table's ingest schedule")
+        case _: CommitConflictException => () // re-check against the moved head
       }
     }
-    throw new CommitConflictException(
-      s"ingest into $table: head moved on every one of 6 attempts; " +
-        "serialize the table's ingest schedule")
+    throw new IllegalStateException("unreachable: the retry loop exits by return or throw")
   }
 }

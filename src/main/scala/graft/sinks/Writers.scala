@@ -537,7 +537,12 @@ object Writers {
     * (column without age or vice versa — silently skipping a typo'd
     * compliance sweep is the one failure mode this must not have).
     * `dryRun` reports both counts without touching anything; the row
-    * count pays the same pruned marking scan the real sweep would. */
+    * count pays the same pruned marking scan the real sweep would.
+    * One known skew: the dry history count is measured against the
+    * CURRENT chain, while a real run's row sweep commits one more
+    * (expirable) snapshot first — under a count bound with rows to
+    * sweep, the real run can expire one more than the dry run
+    * reported. */
   def enforceRetention(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -562,7 +567,7 @@ object Writers {
         s"${SnapshotCatalog.RetentionRowsMsProp} (or neither)")
     val rowsSwept: Long = (rowCol, rowMs) match {
       case (Some(c), Some(a)) =>
-        val cutoff = System.currentTimeMillis() - a
+        val cutoff = catalog.now() - a // SAME clock as the history half
         if (dryRun)
           catalog.read(spark, table,
               filters = Seq(RangeNum(c, Double.MinValue, cutoff.toDouble)))

@@ -1405,7 +1405,8 @@ case class GraftCallCommand(
       case "enforce_retention" =>
         Seq(AttributeReference("table", StringType, nullable = false)(),
           AttributeReference("expired", LongType, nullable = false)(),
-          AttributeReference("rows_swept", LongType, nullable = false)())
+          AttributeReference("rows_swept", LongType, nullable = false)(),
+          AttributeReference("error", StringType, nullable = true)())
       case "ingest" =>
         Seq(AttributeReference("ingested", LongType, nullable = false)(),
           AttributeReference("skipped", LongType, nullable = false)(),
@@ -1856,11 +1857,20 @@ case class GraftCallCommand(
         def enforce(table: String): Row = {
           val (expired, rows) = Writers.enforceRetention(session, cat, table,
             GraftDml.dataDirFor(session, root, table), dryRun = dryRun)
-          Row(table, expired.toLong, rows)
+          Row(table, expired.toLong, rows, null)
         }
         arg(0, "table") match {
           case Some(t) => Seq(enforce(t.toString))
-          case None => cat.tables().filter(cat.hasRetentionPolicy).map(enforce)
+          case None =>
+            // per-table isolation: ONE misconfigured table (half row
+            // policy, dangling column) must not abort maintenance for
+            // every table sorted after it — its row reports the error,
+            // the sweep continues (a catalog-wide compliance outage
+            // from one bad policy is worse than a deferred failure)
+            cat.tables().filter(cat.hasRetentionPolicy).map { t =>
+              try enforce(t)
+              catch { case e: Exception => Row(t, 0L, 0L, e.getMessage) }
+            }
         }
       case "ingest" =>
         // CALL graft.ingest('t', '/landing/dir'[, format => 'csv'|
@@ -1884,7 +1894,9 @@ case class GraftCallCommand(
           require(!sn.startsWith(java.nio.file.Paths.get(root).toAbsolutePath.normalize),
             s"ingest source $src is inside the catalog root $root")
         }
-        val opts = (named -- Seq("format", "pattern"))
+        // strip every verb-level arg (incl. named-style positionals) so
+        // only genuine reader options pass through
+        val opts = (named -- Seq("format", "pattern", "table", "source"))
           .map { case (k, v) => k -> v.toString }
         val res = graft.sinks.Ingest.ingest(session, cat, table, src, fmt, opts,
           GraftDml.dataDirFor(session, root, table), pattern)
@@ -1909,7 +1921,8 @@ case class GraftCallCommand(
         val whereArg = named.get("where").map(_.toString)
         val partitionBy = named.get("partition_by").map(_.toString.split(",")
           .toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-        val opts = (named -- Seq("format", "version", "where", "overwrite", "partition_by"))
+        val opts = (named -- Seq("format", "version", "where", "overwrite",
+            "partition_by", "table", "dest"))
           .map { case (k, v) => k -> v.toString }
         // unlike the maintenance sweeps, a non-prunable where is FINE
         // here (the row filter still applies; the full scan is the

@@ -65,11 +65,16 @@ class ExportSpec extends SparkSpec {
       ext.sql(s"CALL graft.export('exp', '$root/evil')").collect()
     }
     assert(e2.getMessage.contains("catalog root"))
-    // an unknown version refuses loudly
+    // an unknown version refuses loudly — numeric OR named (a numeric
+    // miss must never silently fall back to current)
     val e3 = intercept[Exception] {
       ext.sql(s"CALL graft.export('exp', '/tmp/never', version => 'nope')").collect()
     }
     assert(e3.getMessage.contains("no snapshot id or tag"))
+    val e4b = intercept[Exception] {
+      ext.sql(s"CALL graft.export('exp', '/tmp/never2', version => '999')").collect()
+    }
+    assert(e4b.getMessage.contains("no snapshot id or tag"))
   }
 
   test("partition_by exports a hive layout a downstream reader partition-prunes") {

@@ -881,6 +881,16 @@ class GraftCallSpec extends SparkSpec {
       "the TTL sweep is a mask, not a rewrite")
     // idempotent: already-masked rows never re-match
     assert(ext.sql(s"CALL graft.enforce_retention('$t')").head().getLong(2) == 0L)
+    // a RENAME of the TTL column follows it (the policy stays valid)...
+    ext.sql(s"ALTER TABLE $t RENAME COLUMN ts_ms TO event_ms")
+    assert(cat.currentSnapshot(t).get.props
+      .get(SnapshotCatalog.RetentionRowsColumnProp).contains("event_ms"),
+      "rename must follow the row-TTL retention column")
+    assert(ext.sql(s"CALL graft.enforce_retention('$t')").head().getLong(2) == 0L)
+    // ...and a DROP of it refuses: silently shedding a compliance
+    // policy is the one thing a column drop must not do
+    val eDrop = intercept[Exception] { ext.sql(s"ALTER TABLE $t DROP COLUMN event_ms") }
+    assert(eDrop.getMessage.contains("row-TTL retention column"))
   }
 
   test("no-arg enforce_retention sweeps exactly the opted-in tables") {
@@ -891,6 +901,10 @@ class GraftCallSpec extends SparkSpec {
       ext.sql(s"INSERT INTO $b VALUES (${300 + i}, 'x', 1.0)")
     }
     ext.sql(s"ALTER TABLE $a SET TBLPROPERTIES ('graft.retention.snapshots' = '2')")
+    // a HALF row policy (column without age — each prop validates alone)
+    // must reach the sweep and report, not abort it or silently skip
+    val h = freshTable("ret_half", 1 to 3)
+    ext.sql(s"ALTER TABLE $h SET TBLPROPERTIES ('graft.retention.rows.column' = 'c_custkey')")
     val bSnaps = cat.snapshots(b).size
     val rows = ext.sql("CALL graft.enforce_retention()").collect()
     val swept = rows.map(_.getString(0)).toSet
@@ -899,5 +913,11 @@ class GraftCallSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == a).get.getLong(1) == 3L) // 5 - 2 kept
     assert(cat.snapshots(a).size == 2)
     assert(cat.snapshots(b).size == bSnaps, "the opted-out table's history is intact")
+    // per-table isolation: the half-policy table reports its error in
+    // ITS row; the healthy tables' sweeps above still happened
+    val hRow = rows.find(_.getString(0) == h).get
+    assert(!hRow.isNullAt(3) && hRow.getString(3).contains("half"),
+      s"a misconfigured table must report, not abort the sweep: $hRow")
+    assert(rows.filterNot(_.getString(0) == h).forall(_.isNullAt(3)))
   }
 }
