@@ -35,10 +35,13 @@ object Export {
       format: String = "parquet",
       options: Map[String, String] = Map.empty,
       version: Option[String] = None,
+      asOfMs: Option[Long] = None,
       where: Option[String] = None,
       pruneFilters: Seq[PruneFilter] = Nil,
       overwrite: Boolean = false,
       partitionBy: Seq[String] = Nil): (Long, Long) = {
+    require(version.isEmpty || asOfMs.isEmpty,
+      "export takes at most one of version / as_of_ms")
     require(Formats.contains(format),
       s"export format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
     // a numeric version must NAME AN EXISTING snapshot — silently
@@ -51,7 +54,14 @@ object Export {
         .getOrElse(throw new IllegalArgumentException(
           s"export version => '$v': no snapshot id or tag of that name on $table"))
     }
-    val base = catalog.read(spark, table, filters = pruneFilters, snapshotId = snapId)
+    // a timestamp with no snapshot at-or-before it must refuse like a
+    // bad version, not silently serve current
+    asOfMs.foreach { ts =>
+      require(catalog.snapshotAsOf(table, ts).isDefined,
+        s"export as_of_ms => $ts: no snapshot of $table at or before that time")
+    }
+    val base = catalog.read(spark, table, filters = pruneFilters,
+      snapshotId = snapId, asOfTimestampMs = asOfMs)
     val df = where.map(w => base.filter(expr(w))).getOrElse(base)
     // hive-layout output (`dest/c=v/...`) for consumers that
     // partition-prune by directory; one shuffle-free write per

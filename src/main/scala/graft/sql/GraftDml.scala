@@ -1921,7 +1921,7 @@ case class GraftCallCommand(
         val whereArg = named.get("where").map(_.toString)
         val partitionBy = named.get("partition_by").map(_.toString.split(",")
           .toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-        val opts = (named -- Seq("format", "version", "where", "overwrite",
+        val opts = (named -- Seq("format", "version", "as_of_ms", "where", "overwrite",
             "partition_by", "table", "dest"))
           .map { case (k, v) => k -> v.toString }
         // unlike the maintenance sweeps, a non-prunable where is FINE
@@ -1935,6 +1935,7 @@ case class GraftCallCommand(
         }.getOrElse(Nil)
         val (nFiles, nBytes) = graft.sinks.Export.export(session, cat, table, dest,
           fmt, opts, version = named.get("version").map(_.toString),
+          asOfMs = named.get("as_of_ms").map(asLong("as_of_ms", _)),
           where = whereArg, pruneFilters = lenientPrune, overwrite = overwrite,
           partitionBy = partitionBy)
         Seq(Row(nFiles, nBytes))

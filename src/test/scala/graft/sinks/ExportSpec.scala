@@ -75,6 +75,14 @@ class ExportSpec extends SparkSpec {
       ext.sql(s"CALL graft.export('exp', '/tmp/never2', version => '999')").collect()
     }
     assert(e4b.getMessage.contains("no snapshot id or tag"))
+    // timestamp travel: as-of NOW serves current; a pre-table timestamp refuses
+    val out4 = Files.createTempDirectory("graft-expout-").toString + "/asof"
+    ext.sql(s"CALL graft.export('exp', '$out4', as_of_ms => ${System.currentTimeMillis()})")
+    assert(spark.read.parquet(out4).count() == 46)
+    val e5 = intercept[Exception] {
+      ext.sql(s"CALL graft.export('exp', '/tmp/never3', as_of_ms => 1000)").collect()
+    }
+    assert(e5.getMessage.contains("at or before"))
   }
 
   test("partition_by exports a hive layout a downstream reader partition-prunes") {
