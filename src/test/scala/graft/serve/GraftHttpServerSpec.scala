@@ -440,6 +440,12 @@ class GraftHttpServerSpec extends SparkSpec {
       val rerun = rows(s"CALL graft.ingest('wap_http2', '$landing', format => 'csv')").head
       assert(rerun.contains("\"ingested\":0") && rerun.contains("\"skipped\":1"))
       assert(rows("SELECT count(*) AS n FROM wap_http2").head.contains("5"))
+      // export over the wire: the shards land and report files/bytes
+      val out = java.nio.file.Files.createTempDirectory("graft-httpexp-")
+        .toString + "/shards"
+      val exp = rows(s"CALL graft.export('wap_http2', '$out')").head
+      assert(exp.contains("\"files\":"))
+      assert(spark.read.parquet(out).count() == 5)
     } finally srv.stop()
   }
 
