@@ -161,6 +161,54 @@ object GraftDml {
         .matcher(name).matches()
     })
 
+  /** Validate one engine-owned sticky VALUE prop at declaration time
+    * (shared by SET TBLPROPERTIES and CREATE-time TBLPROPERTIES — a bad
+    * policy must refuse where it is written, never at the scheduled
+    * sweep). */
+  private[sql] def validateStickyValue(k: String, v: String,
+      schema: org.apache.spark.sql.types.StructType, table: String): Unit = k match {
+    case graft.meta.SnapshotCatalog.RetentionSnapshotsProp =>
+      require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
+        s"'$k' must be an integer >= 1; got '$v'")
+    case graft.meta.SnapshotCatalog.RetentionAgeMsProp |
+         graft.meta.SnapshotCatalog.RetentionRowsMsProp =>
+      require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
+        s"'$k' must be a non-negative integer of milliseconds; got '$v'")
+    case graft.meta.SnapshotCatalog.RetentionRowsColumnProp =>
+      require(schema.fieldNames.contains(v),
+        s"'$k' must name a column of $table; got '$v' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")
+    case _ => ()
+  }
+
+  /** Partition + validate a CREATE-time TBLPROPERTIES map into (sticky
+    * value props, bloom columns, sketch columns); unknown keys refuse
+    * loudly — snapshot props are engine metadata, not a key-value
+    * store (the SET TBLPROPERTIES discipline, applied at birth). */
+  private[sql] def createTableProps(
+      props: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      table: String): (Map[String, String], Seq[String], Seq[String]) = {
+    import graft.meta.SnapshotCatalog._
+    val owned = Set(BloomColumnsProp, SketchColumnsProp) ++ StickyValueProps
+    val bad = props.keys.filterNot(owned.contains)
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"TBLPROPERTIES on graft tables are engine-owned; supported: " +
+        s"${owned.toSeq.sorted.mkString(", ")} (got ${bad.mkString(", ")})")
+    def cols(p: String): Seq[String] = {
+      val cs = props.get(p).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+      cs.foreach(c => require(schema.fieldNames.contains(c),
+        s"'$p' names unknown column '$c' on $table " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})"))
+      cs
+    }
+    val values = props.filter(kv => StickyValueProps.contains(kv._1))
+      .filter(_._2.nonEmpty)
+    values.foreach { case (k, v) => validateStickyValue(k, v, schema, table) }
+    (values, cols(BloomColumnsProp), cols(SketchColumnsProp))
+  }
+
   /** Opaque expression holder: a command's constructor fields of type
     * `Expression` are scanned by CheckAnalysis, which rejects the (by
     * design) unresolved DML condition — the holder hides it from the
@@ -494,6 +542,10 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             ct.tableSpec match {
               case u: UnresolvedTableSpec => u.comment.filter(_.nonEmpty)
               case _ => None
+            },
+            ct.tableSpec match {
+              case u: UnresolvedTableSpec => u.properties
+              case _ => Map.empty
             })
         case ct @ CreateTable(ident, columns, _, _, ignoreIfExists)
             if ctasTarget(ident).isDefined =>
@@ -543,9 +595,13 @@ class GraftDmlRule(val session: SparkSession) extends Rule[LogicalPlan] {
             case u: UnresolvedTableSpec => u.comment.filter(_.nonEmpty)
             case _ => None
           }
+          val tableProps = ct.tableSpec match {
+            case u: UnresolvedTableSpec => u.properties
+            case _ => Map.empty[String, String]
+          }
           GraftCreateCommand(root, t,
             org.apache.spark.sql.types.StructType(fields), ignoreIfExists,
-            tableComment)
+            tableComment, tableProps)
         case DropTable(child, ifExists, purge) if dropTarget(child, cat).isDefined =>
           GraftDropCommand(root, dropTarget(child, cat).get, ifExists, purge)
         case CommentOnTable(child, comment)
@@ -1065,11 +1121,21 @@ case class GraftShowCreateCommand(
           ).flatten
           parts.mkString(" ")
         }
-        val tableComment = cat.currentSnapshot(name)
-          .flatMap(_.props.get(graft.meta.SnapshotCatalog.CommentProp))
+        val snapProps = cat.currentSnapshot(name).map(_.props).getOrElse(Map.empty)
+        val tableComment = snapProps.get(graft.meta.SnapshotCatalog.CommentProp)
           .map(c => s"\nCOMMENT ${quote(c)}").getOrElse("")
+        // the OTHER sticky props (index columns, retention policy)
+        // round-trip as a TBLPROPERTIES clause — executing the emitted
+        // DDL recreates the table WITH its policy and indexing
+        val sticky = graft.meta.SnapshotCatalog.StickyProps
+          .filterNot(_ == graft.meta.SnapshotCatalog.CommentProp)
+          .flatMap(k => snapProps.get(k).map(k -> _))
+        val tblProps =
+          if (sticky.isEmpty) ""
+          else "\nTBLPROPERTIES (" + sticky.map { case (k, v) =>
+            s"\n  ${quote(k)} = ${quote(v)}" }.mkString(",") + ")"
         Seq(Row(s"CREATE TABLE graft.$name (\n${cols.mkString(",\n")})" +
-          s"\nUSING parquet$tableComment"))
+          s"\nUSING parquet$tableComment$tblProps"))
       case None =>
         val sql = cat.viewSql(name).getOrElse(throw new IllegalArgumentException(
           s"no table or view $name in the graft catalog"))
@@ -1135,22 +1201,11 @@ case class GraftTblPropsCommand(
   private val SketchProp = graft.meta.SnapshotCatalog.SketchColumnsProp
   private val ValueProps = graft.meta.SnapshotCatalog.StickyValueProps.toSet
 
-  private def validateValue(cat: SnapshotCatalog, k: String, v: String): Unit = k match {
-    case graft.meta.SnapshotCatalog.RetentionSnapshotsProp =>
-      require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
-        s"'$k' must be an integer >= 1; got '$v'")
-    case graft.meta.SnapshotCatalog.RetentionAgeMsProp |
-         graft.meta.SnapshotCatalog.RetentionRowsMsProp =>
-      require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
-        s"'$k' must be a non-negative integer of milliseconds; got '$v'")
-    case graft.meta.SnapshotCatalog.RetentionRowsColumnProp =>
-      val sch = cat.schema(table).getOrElse(
-        throw new IllegalArgumentException(s"No snapshots for table $table"))
-      require(sch.fieldNames.contains(v),
-        s"'$k' must name a column of $table; got '$v' " +
-          s"(columns: ${sch.fieldNames.mkString(", ")})")
-    case _ => ()
-  }
+  private def validateValue(cat: SnapshotCatalog, k: String, v: String): Unit =
+    GraftDml.validateStickyValue(k, v,
+      cat.schema(table).getOrElse(
+        throw new IllegalArgumentException(s"No snapshots for table $table")),
+      table)
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
@@ -1337,7 +1392,8 @@ case class GraftCtasCommand(
     table: String,
     query: LogicalPlan,
     ignoreIfExists: Boolean,
-    comment: Option[String] = None) extends LeafRunnableCommand {
+    comment: Option[String] = None,
+    properties: Map[String, String] = Map.empty) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
@@ -1350,9 +1406,16 @@ case class GraftCtasCommand(
     if (cat.viewMeta(table).isDefined) throw new IllegalArgumentException(
       s"a view named $table exists in this catalog; a table cannot shadow it")
     val df = GraftColumnShim.ofRows(session, query)
+    // CREATE-time TBLPROPERTIES land on the FIRST snapshot (sticky from
+    // birth): index props build their sidecars in this same write
+    val (valueProps, bloomCols, sketchCols) =
+      GraftDml.createTableProps(properties, df.schema, table)
     Writers.writeSnapshot(cat, table, df,
       GraftDml.dataDirFor(session, root, table),
-      props = comment.map(graft.meta.SnapshotCatalog.CommentProp -> _).toMap)
+      bloomColumns = bloomCols,
+      sketchColumns = sketchCols,
+      props = valueProps ++
+        comment.map(graft.meta.SnapshotCatalog.CommentProp -> _).toMap)
     Seq.empty
   }
 }
@@ -2010,7 +2073,8 @@ case class GraftCreateCommand(
     table: String,
     tableSchema: org.apache.spark.sql.types.StructType,
     ignoreIfExists: Boolean,
-    comment: Option[String] = None) extends LeafRunnableCommand {
+    comment: Option[String] = None,
+    properties: Map[String, String] = Map.empty) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
@@ -2023,13 +2087,21 @@ case class GraftCreateCommand(
       s"a view named $table exists in this catalog; a table cannot shadow it")
     val empty = session.createDataFrame(
       new java.util.ArrayList[Row](), tableSchema).repartition(1)
+    // CREATE-time TBLPROPERTIES: the table is BORN with its retention
+    // policy / index columns (sticky from the first snapshot — no
+    // separate ALTER needed, and SHOW CREATE TABLE round-trips them)
+    val (valueProps, bloomCols, sketchCols) =
+      GraftDml.createTableProps(properties, tableSchema, table)
     // the parquet footer can't carry nullability or column defaults —
     // pass the declared schema so the first snapshot records the
     // contracts verbatim; a table COMMENT lands as the sticky prop on
     // the SAME first snapshot (no extra commit)
     Writers.writeSnapshot(cat, table, empty,
       GraftDml.dataDirFor(session, root, table),
-      props = comment.map(graft.meta.SnapshotCatalog.CommentProp -> _).toMap,
+      bloomColumns = bloomCols,
+      sketchColumns = sketchCols,
+      props = valueProps ++
+        comment.map(graft.meta.SnapshotCatalog.CommentProp -> _).toMap,
       declaredSchema = Some(tableSchema))
     Seq.empty
   }

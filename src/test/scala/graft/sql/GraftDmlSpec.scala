@@ -1196,4 +1196,55 @@ class GraftDmlSpec extends SparkSpec {
     ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.comment' = '')")
     assert(!cat.currentSnapshot(t).get.props.contains(SnapshotCatalog.CommentProp))
   }
+
+  test("CREATE-time TBLPROPERTIES: born with policy + indexing; SHOW CREATE round-trips") {
+    // unknown props refuse at CREATE, like SET
+    val eBad = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.ctp_bad (k BIGINT) TBLPROPERTIES ('team' = 'x')")
+    }
+    assert(eBad.getMessage.contains("engine-owned"))
+    // a bad retention value refuses at CREATE — and leaves NO table
+    val eVal = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.ctp_bad (k BIGINT) " +
+        "TBLPROPERTIES ('graft.retention.snapshots' = '0')")
+    }
+    assert(eVal.getMessage.contains(">= 1"))
+    assert(!cat.tables().contains("ctp_bad"), "a refused CREATE must not half-land")
+    // born with retention policy, row TTL and a bloom index
+    ext.sql("CREATE TABLE graft.ctp (k BIGINT, ts_ms BIGINT, v STRING) " +
+      "COMMENT 'born documented' TBLPROPERTIES (" +
+      "'graft.retention.snapshots' = '5', " +
+      "'graft.retention.rows.column' = 'ts_ms', 'graft.retention.rows.ms' = '86400000', " +
+      "'graft.bloom.columns' = 'k')")
+    val props = cat.currentSnapshot("ctp").get.props
+    assert(props.get(SnapshotCatalog.RetentionSnapshotsProp).contains("5"))
+    assert(props.get(SnapshotCatalog.RetentionRowsColumnProp).contains("ts_ms"))
+    assert(props.get(SnapshotCatalog.BloomColumnsProp).contains("k"))
+    assert(cat.hasRetentionPolicy("ctp"))
+    // the index prop is sticky from birth: the first INSERT's file is indexed
+    ext.sql("INSERT INTO ctp VALUES (1, 1000, 'a')")
+    assert(cat.currentSnapshot("ctp").get.files.filter(_.rowCount > 0)
+      .forall(_.blooms.contains("k")), "born index must cover the first insert")
+    // SHOW CREATE TABLE emits the props; the emitted DDL executes back
+    val ddl = ext.sql("SHOW CREATE TABLE ctp").head().getString(0)
+    assert(ddl.contains("TBLPROPERTIES") && ddl.contains("graft.retention.snapshots"))
+    ext.sql(ddl.replace("graft.ctp", "graft.ctp_rt"))
+    val rt = cat.currentSnapshot("ctp_rt").get.props
+    assert(rt.get(SnapshotCatalog.RetentionSnapshotsProp).contains("5") &&
+      rt.get(SnapshotCatalog.BloomColumnsProp).contains("k") &&
+      rt.get(SnapshotCatalog.CommentProp).contains("born documented"),
+      s"the emitted DDL must round-trip the props: $rt")
+    // CTAS takes TBLPROPERTIES too, indexing its own first write
+    ext.sql("CREATE TABLE graft.ctp_as TBLPROPERTIES ('graft.bloom.columns' = 'k') " +
+      "AS SELECT k, v FROM ctp")
+    val asSnap = cat.currentSnapshot("ctp_as").get
+    assert(asSnap.props.get(SnapshotCatalog.BloomColumnsProp).contains("k"))
+    assert(asSnap.files.filter(_.rowCount > 0).forall(_.blooms.contains("k")))
+    // an index prop naming an unknown column refuses
+    val eCol = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.ctp_bad2 (k BIGINT) " +
+        "TBLPROPERTIES ('graft.bloom.columns' = 'nope')")
+    }
+    assert(eCol.getMessage.contains("unknown column"))
+  }
 }
