@@ -35,7 +35,12 @@ object Ingest {
 
   /** Prop on an ingest commit: the comma-joined fingerprints of the
     * source files this commit loaded. NOT sticky — the dedupe set is
-    * the union over surviving history, not a forever-growing prop. */
+    * the union over surviving history, not a forever-growing prop.
+    * Size bound: 17 bytes/file, the same asymptotic class as the
+    * manifest's own per-file entries (or Delta's add-actions) — a
+    * 10k-file batch costs ~170 KB on ITS commit only; a 1M-file
+    * landing day should be split by `pattern` or ingested on a
+    * tighter schedule, exactly like any metadata log. */
   val IngestFilesProp = "graft.ingest.files"
 
   /** Prop on an ingest commit: the source path it listed (audit). */
