@@ -3318,6 +3318,17 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     visibleRows(spark, snap, files.map(_.path))
   }
 
+  /** Read an already-RESOLVED snapshot — no name re-resolution and no
+    * current-head fallback: the caller pinned the state, and a reader
+    * that silently serves a DIFFERENT snapshot than the one validated
+    * (e.g. after a concurrent expire) is the failure mode this overload
+    * exists to close (export uses it for version/as-of reads). */
+  def readSnapshot(spark: SparkSession, snap: SnapshotMeta,
+      filters: Seq[PruneFilter] = Nil): DataFrame = {
+    val files = snap.files.filter(fileMatches(_, filters))
+    visibleRows(spark, snap, files.map(_.path))
+  }
+
   /** Files that can contribute to the global top-k on `column`,
     * proven from manifest stats alone (no data read). The bound: sort
     * files by their best GUARANTEED value (min for largest-k — every

@@ -44,24 +44,23 @@ object Export {
       "export takes at most one of version / as_of_ms")
     require(Formats.contains(format),
       s"export format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
-    // a numeric version must NAME AN EXISTING snapshot — silently
-    // falling back to current would hand the consumer today's data
-    // labeled as history; a tag wins when the id doesn't resolve
-    // (covers tags that happen to look numeric)
-    val snapId: Option[Long] = version.map { v =>
-      v.toLongOption.filter(id => catalog.snapshotById(table, id).isDefined)
-        .orElse(catalog.snapshotByTag(table, v).map(_.snapshotId))
+    // resolve the snapshot ONCE and read it PINNED: a re-resolution at
+    // read time could fall back to current (e.g. the historical
+    // snapshot expired between check and read) and hand the consumer
+    // today's data labeled as history. A numeric version must name an
+    // existing snapshot; a tag wins when the id doesn't resolve (covers
+    // tags that happen to look numeric).
+    val snap: graft.meta.SnapshotMeta = version.map { v =>
+      v.toLongOption.flatMap(catalog.snapshotById(table, _))
+        .orElse(catalog.snapshotByTag(table, v))
         .getOrElse(throw new IllegalArgumentException(
           s"export version => '$v': no snapshot id or tag of that name on $table"))
-    }
-    // a timestamp with no snapshot at-or-before it must refuse like a
-    // bad version, not silently serve current
-    asOfMs.foreach { ts =>
-      require(catalog.snapshotAsOf(table, ts).isDefined,
-        s"export as_of_ms => $ts: no snapshot of $table at or before that time")
-    }
-    val base = catalog.read(spark, table, filters = pruneFilters,
-      snapshotId = snapId, asOfTimestampMs = asOfMs)
+    }.orElse(asOfMs.map { ts =>
+      catalog.snapshotAsOf(table, ts).getOrElse(throw new IllegalArgumentException(
+        s"export as_of_ms => $ts: no snapshot of $table at or before that time"))
+    }).getOrElse(catalog.currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table")))
+    val base = catalog.readSnapshot(spark, snap, filters = pruneFilters)
     val df = where.map(w => base.filter(expr(w))).getOrElse(base)
     // hive-layout output (`dest/c=v/...`) for consumers that
     // partition-prune by directory; one shuffle-free write per

@@ -161,18 +161,32 @@ object GraftDml {
         .matcher(name).matches()
     })
 
+  /** The full engine-owned TBLPROPERTIES key set — derived from the
+    * catalog's canonical sticky lists so CREATE, SET/UNSET and SHOW
+    * CREATE can never drift apart (a new sticky prop is automatically
+    * accepted everywhere it is emitted). */
+  private[sql] def ownedProps: Set[String] =
+    graft.meta.SnapshotCatalog.StickyProps.toSet
+
+  /** Normalize a sticky value for STORAGE: everything but the free-text
+    * comment trims — the stored value must be exactly what enforcement
+    * later parses, or a whitespace-padded policy validates at
+    * declaration and throws at the 3 a.m. sweep. */
+  private[sql] def normalizeSticky(k: String, v: String): String =
+    if (k == graft.meta.SnapshotCatalog.CommentProp) v else v.trim
+
   /** Validate one engine-owned sticky VALUE prop at declaration time
     * (shared by SET TBLPROPERTIES and CREATE-time TBLPROPERTIES — a bad
     * policy must refuse where it is written, never at the scheduled
-    * sweep). */
+    * sweep). Call with the NORMALIZED value. */
   private[sql] def validateStickyValue(k: String, v: String,
       schema: org.apache.spark.sql.types.StructType, table: String): Unit = k match {
     case graft.meta.SnapshotCatalog.RetentionSnapshotsProp =>
-      require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
+      require(scala.util.Try(v.toInt).toOption.exists(_ >= 1),
         s"'$k' must be an integer >= 1; got '$v'")
     case graft.meta.SnapshotCatalog.RetentionAgeMsProp |
          graft.meta.SnapshotCatalog.RetentionRowsMsProp =>
-      require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
+      require(scala.util.Try(v.toLong).toOption.exists(_ >= 0),
         s"'$k' must be a non-negative integer of milliseconds; got '$v'")
     case graft.meta.SnapshotCatalog.RetentionRowsColumnProp =>
       require(schema.fieldNames.contains(v),
@@ -181,32 +195,43 @@ object GraftDml {
     case _ => ()
   }
 
+  /** Parse an owned column-list prop value against the schema. */
+  private[sql] def ownedCols(p: String, v: String,
+      schema: org.apache.spark.sql.types.StructType, table: String): Seq[String] = {
+    val cs = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    cs.foreach(c => require(schema.fieldNames.contains(c),
+      s"'$p' names unknown column '$c' on $table " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    cs
+  }
+
   /** Partition + validate a CREATE-time TBLPROPERTIES map into (sticky
     * value props, bloom columns, sketch columns); unknown keys refuse
     * loudly — snapshot props are engine metadata, not a key-value
-    * store (the SET TBLPROPERTIES discipline, applied at birth). */
+    * store (the SET TBLPROPERTIES discipline, applied at birth). An
+    * EMPTY value refuses too: at SET, '' means clear, but at birth
+    * there is nothing to clear — a templating variable that rendered
+    * empty must not silently birth a table without its policy. */
   private[sql] def createTableProps(
       props: Map[String, String],
       schema: org.apache.spark.sql.types.StructType,
       table: String): (Map[String, String], Seq[String], Seq[String]) = {
     import graft.meta.SnapshotCatalog._
-    val owned = Set(BloomColumnsProp, SketchColumnsProp) ++ StickyValueProps
-    val bad = props.keys.filterNot(owned.contains)
+    val bad = props.keys.filterNot(ownedProps.contains)
     if (bad.nonEmpty) throw new UnsupportedOperationException(
       s"TBLPROPERTIES on graft tables are engine-owned; supported: " +
-        s"${owned.toSeq.sorted.mkString(", ")} (got ${bad.mkString(", ")})")
-    def cols(p: String): Seq[String] = {
-      val cs = props.get(p).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Nil)
-      cs.foreach(c => require(schema.fieldNames.contains(c),
-        s"'$p' names unknown column '$c' on $table " +
-          s"(columns: ${schema.fieldNames.mkString(", ")})"))
-      cs
-    }
+        s"${ownedProps.toSeq.sorted.mkString(", ")} (got ${bad.mkString(", ")})")
+    val empties = props.filter(_._2.trim.isEmpty).keys
+    require(empties.isEmpty,
+      s"CREATE-time TBLPROPERTIES must carry values; got empty " +
+        s"${empties.mkString(", ")} (at birth there is nothing to clear)")
     val values = props.filter(kv => StickyValueProps.contains(kv._1))
-      .filter(_._2.nonEmpty)
+      .map { case (k, v) => k -> normalizeSticky(k, v) }
     values.foreach { case (k, v) => validateStickyValue(k, v, schema, table) }
-    (values, cols(BloomColumnsProp), cols(SketchColumnsProp))
+    val colProps = StickyColumnProps.map { p =>
+      p -> props.get(p).map(ownedCols(p, _, schema, table)).getOrElse(Nil)
+    }.toMap
+    (values, colProps(BloomColumnsProp), colProps(SketchColumnsProp))
   }
 
   /** Opaque expression holder: a command's constructor fields of type
@@ -1209,7 +1234,7 @@ case class GraftTblPropsCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
-    val owned = Set(BloomProp, SketchProp) ++ ValueProps
+    val owned = GraftDml.ownedProps
     val badSet = set.keys.filterNot(owned.contains)
     val badUnset = unset.filterNot(owned.contains)
     if (badSet.nonEmpty || badUnset.nonEmpty) throw new UnsupportedOperationException(
@@ -1223,7 +1248,10 @@ case class GraftTblPropsCommand(
     // value; SET '' clears (the same convention as column comments),
     // giving SET a complete replace semantics without reaching for UNSET
     set.filter(kv => ValueProps.contains(kv._1)).foreach { case (k, v) =>
-      val next = Some(v).filter(_.nonEmpty)
+      // normalize BEFORE storing: the stored value must be exactly what
+      // enforcement later parses (a ' 5' that validates here but throws
+      // at the scheduled sweep is the bug this prevents)
+      val next = Some(GraftDml.normalizeSticky(k, v)).filter(_.nonEmpty)
       next.foreach(validateValue(cat, k, _))
       if (currentProps.get(k) != next) { cat.setStickyValueProp(table, k, next); () }
     }

@@ -1155,8 +1155,10 @@ class GraftDmlSpec extends SparkSpec {
       ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.retention.ms' = '-5')")
     }
     assert(!cat.hasRetentionPolicy(t), "a refused SET must not land")
+    // a whitespace-padded value stores TRIMMED — what validates at SET
+    // is byte-for-byte what the scheduled sweep parses
     ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
-      "('graft.retention.snapshots' = '10', 'graft.retention.ms' = '604800000')")
+      "('graft.retention.snapshots' = ' 10 ', 'graft.retention.ms' = '604800000')")
     assert(ext.sql(s"SHOW TBLPROPERTIES $t ('graft.retention.snapshots')")
       .head().getString(1) == "10")
     assert(ext.sql(s"SHOW TBLPROPERTIES $t ('graft.retention.ms')")
@@ -1210,6 +1212,13 @@ class GraftDmlSpec extends SparkSpec {
     }
     assert(eVal.getMessage.contains(">= 1"))
     assert(!cat.tables().contains("ctp_bad"), "a refused CREATE must not half-land")
+    // an EMPTY value refuses at birth (nothing to clear; a templating
+    // variable that rendered empty must not silently drop the policy)
+    val eEmpty = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.ctp_bad (k BIGINT) " +
+        "TBLPROPERTIES ('graft.retention.snapshots' = '')")
+    }
+    assert(eEmpty.getMessage.contains("nothing to clear"))
     // born with retention policy, row TTL and a bloom index
     ext.sql("CREATE TABLE graft.ctp (k BIGINT, ts_ms BIGINT, v STRING) " +
       "COMMENT 'born documented' TBLPROPERTIES (" +
