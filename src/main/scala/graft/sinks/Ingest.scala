@@ -116,16 +116,38 @@ object Ingest {
       format: String,
       options: Map[String, String],
       dataDir: String,
-      pattern: String = "*"): IngestResult = {
+      pattern: String = "*",
+      explicitFiles: Seq[String] = Nil,
+      maxFiles: Option[Int] = None): IngestResult = {
     require(Formats.contains(format),
       s"ingest format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
-    val all = listSource(spark, src, pattern)
+    maxFiles.foreach(n => require(n >= 1, s"max_files must be >= 1; got $n"))
+    // an EXPLICIT file list (the reference dataloader's shape —
+    // `load_partition(file_paths)`) bypasses the directory listing;
+    // each name resolves relative to `src` and must exist (a missed
+    // erasure/ingest target must never read as "nothing to do")
+    val all =
+      if (explicitFiles.isEmpty) listSource(spark, src, pattern)
+      else {
+        val fs = new HPath(src).getFileSystem(spark.sessionState.newHadoopConf())
+        explicitFiles.map { f =>
+          val p = new HPath(src, f)
+          require(fs.exists(p) && fs.getFileStatus(p).isFile,
+            s"ingest files => '$f': not a file under $src")
+          fs.getFileStatus(p)
+        }
+      }
     var attempt = 0
     while (attempt < 6) {
       attempt += 1
       val basis = catalog.currentSnapshot(table)
       val seen = alreadyIngested(catalog, table)
-      val fresh = all.filterNot(st => seen.contains(fp(st)))
+      // max_files caps ONE commit's batch (path-sorted, so draining is
+      // deterministic): the bounded-commit mechanism for huge landing
+      // days — run until ingested = 0 and each commit's fingerprint
+      // prop stays metadata-sized
+      val freshAll = all.filterNot(st => seen.contains(fp(st)))
+      val fresh = maxFiles.map(freshAll.take).getOrElse(freshAll)
       if (fresh.isEmpty) return IngestResult(0, all.size, 0L, None)
       // FAILFAST unless the caller overrides: a malformed row must fail
       // the load loudly, never land as silent nulls (the commit is
@@ -149,7 +171,9 @@ object Ingest {
           intent = Some(CommitIntent(basis.map(_.snapshotId), strictBasis = true)))
         val prevPaths = prevFiles.map(_.path).toSet
         val rows = snap.files.filterNot(f => prevPaths.contains(f.path)).map(_.rowCount).sum
-        return IngestResult(fresh.size, all.size - fresh.size, rows, Some(snap.snapshotId))
+        // `skipped` counts ALREADY-INGESTED files only; fresh files a
+        // max_files cap deferred are neither (the next run drains them)
+        return IngestResult(fresh.size, all.size - freshAll.size, rows, Some(snap.snapshotId))
       } catch {
         case e: CommitConflictException if attempt >= 6 =>
           throw new CommitConflictException(

@@ -1987,10 +1987,14 @@ case class GraftCallCommand(
         }
         // strip every verb-level arg (incl. named-style positionals) so
         // only genuine reader options pass through
-        val opts = (named -- Seq("format", "pattern", "table", "source"))
+        val opts = (named -- Seq("format", "pattern", "table", "source",
+            "files", "max_files"))
           .map { case (k, v) => k -> v.toString }
         val res = graft.sinks.Ingest.ingest(session, cat, table, src, fmt, opts,
-          GraftDml.dataDirFor(session, root, table), pattern)
+          GraftDml.dataDirFor(session, root, table), pattern,
+          explicitFiles = named.get("files").map(_.toString.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+          maxFiles = named.get("max_files").map(asLong("max_files", _).toInt))
         Seq(Row(res.ingested.toLong, res.skipped.toLong, res.rows,
           res.snapshotId.map(java.lang.Long.valueOf).orNull))
       case "export" =>

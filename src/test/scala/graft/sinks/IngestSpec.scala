@@ -124,6 +124,39 @@ class IngestSpec extends SparkSpec {
     assert(e4.getMessage.contains("catalog root"))
   }
 
+  test("explicit files => list and max_files batch cap") {
+    val landing = Files.createTempDirectory("graft-landing-x-")
+    drop(landing, "a.csv", "1,x")
+    drop(landing, "b.csv", "2,y")
+    drop(landing, "c.csv", "3,z")
+    ext.sql("CREATE TABLE graft.ingx (id BIGINT, name STRING)")
+    // explicit list loads EXACTLY the named files (the reference
+    // dataloader's load-by-path shape); a missing name refuses
+    val r1 = ext.sql(s"CALL graft.ingest('ingx', '$landing', format => 'csv', " +
+      "files => 'a.csv,c.csv')").head()
+    assert(r1.getLong(0) == 2 && r1.getLong(2) == 2)
+    assert(ext.sql("SELECT count(*) AS n FROM ingx").head().getLong(0) == 2)
+    val eMiss = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingx', '$landing', format => 'csv', " +
+        "files => 'nope.csv')").collect()
+    }
+    assert(eMiss.getMessage.contains("not a file under"))
+    // max_files drains a big landing in bounded commits: b.csv is the
+    // only fresh file left, and each run loads at most one
+    drop(landing, "d.csv", "4,w")
+    val r2 = ext.sql(s"CALL graft.ingest('ingx', '$landing', format => 'csv', " +
+      "max_files => 1)").head()
+    assert(r2.getLong(0) == 1, s"the cap must load exactly one: $r2")
+    assert(r2.getLong(1) == 2, "skipped counts only already-ingested files")
+    val r3 = ext.sql(s"CALL graft.ingest('ingx', '$landing', format => 'csv', " +
+      "max_files => 1)").head()
+    assert(r3.getLong(0) == 1)
+    val r4 = ext.sql(s"CALL graft.ingest('ingx', '$landing', format => 'csv', " +
+      "max_files => 1)").head()
+    assert(r4.getLong(0) == 0 && r4.isNullAt(3), "the landing must drain to a no-op")
+    assert(ext.sql("SELECT count(*) AS n FROM ingx").head().getLong(0) == 4)
+  }
+
   test("two racing ingests of one landing dir load each file exactly once") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-landing-race-")
