@@ -36,9 +36,9 @@ object Ingest {
   /** Prop on an ingest commit: the comma-joined fingerprints of the
     * source files this commit loaded. NOT sticky — the dedupe set is
     * the union over surviving history, not a forever-growing prop.
-    * Size bound: 17 bytes/file, the same asymptotic class as the
+    * Size bound: 33 bytes/file, the same asymptotic class as the
     * manifest's own per-file entries (or Delta's add-actions) — a
-    * 10k-file batch costs ~170 KB on ITS commit only; a 1M-file
+    * 10k-file batch costs ~330 KB on ITS commit only; a 1M-file
     * landing day should be split by `pattern` or ingested on a
     * tighter schedule, exactly like any metadata log. */
   val IngestFilesProp = "graft.ingest.files"
@@ -51,20 +51,48 @@ object Ingest {
   final case class IngestResult(
       ingested: Int, skipped: Int, rows: Long, snapshotId: Option[Long])
 
-  /** FNV-1a 64 of `path|size|mtime`, hex — 16 chars per file keeps a
-    * 10k-file batch's prop at ~170 KB; a MODIFIED file (size or mtime
+  /** SHA-256 of `path|size|mtime` truncated to 128 bits (32 hex chars)
+    * — COLLISION-RESISTANT, because a fingerprint collision between two
+    * distinct landing files would silently mark the second as
+    * already-ingested forever (a dropped file: the one failure mode
+    * COPY INTO must not have; a 64-bit non-cryptographic hash makes
+    * that a birthday-bound certainty at fleet scale). 128 bits keeps
+    * the probability below 2^-64 per trillion-file corpus while the
+    * per-commit prop stays ~33 B/file. A MODIFIED file (size or mtime
     * moved) fingerprints fresh and re-ingests, an untouched file never
     * loads twice. */
   private[graft] def fingerprint(path: String, size: Long, mtimeMs: Long): String = {
-    val s = s"$path|$size|$mtimeMs"
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    java.lang.Long.toHexString(h)
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$path|$size|$mtimeMs".getBytes("UTF-8"))
+    d.take(16).map(b => f"$b%02x").mkString
   }
 
   private def fp(st: FileStatus): String =
     fingerprint(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+
+  /** Fully-qualified, `..`-collapsed form of `p` — the string two paths
+    * are compared in for containment. Scheme/authority render
+    * explicitly (null and empty authority canonicalize the same:
+    * `file:/x` and `file:///x` are one location). */
+  private def resolved(fs: org.apache.hadoop.fs.FileSystem, p: HPath): String = {
+    val u = fs.makeQualified(p).toUri.normalize()
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+
+  /** Require the RESOLVED path to stay under the RESOLVED base. An
+    * explicit `files =>` entry or a glob hit that escapes the declared
+    * source — Hadoop Path resolution honors absolute paths and `..`
+    * segments in the child — could reach back into the catalog's own
+    * storage and re-ingest committed parquet as new rows: the exact
+    * double-load the source-containment guard exists to prevent, so
+    * containment is enforced PER RESOLVED FILE, not just on `src`. */
+  private def requireUnder(
+      fs: org.apache.hadoop.fs.FileSystem, base: HPath, p: HPath, what: String): Unit = {
+    val b = resolved(fs, base).stripSuffix("/")
+    val r = resolved(fs, p)
+    require(r == b || r.startsWith(b + "/"),
+      s"ingest $what: '$p' resolves outside the source $base ($r)")
+  }
 
   /** Every fingerprint any SURVIVING snapshot of `table` recorded. */
   def alreadyIngested(catalog: SnapshotCatalog, table: String): Set[String] =
@@ -83,9 +111,12 @@ object Ingest {
     val base = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(base.nonEmpty, s"ingest source not found: $src")
     base.flatMap { st =>
-      if (st.isDirectory)
-        Option(fs.globStatus(new HPath(st.getPath, pattern))).map(_.toSeq).getOrElse(Nil)
-      else Seq(st)
+      if (st.isDirectory) {
+        val hits =
+          Option(fs.globStatus(new HPath(st.getPath, pattern))).map(_.toSeq).getOrElse(Nil)
+        hits.foreach(h => requireUnder(fs, st.getPath, h.getPath, s"pattern => '$pattern'"))
+        hits
+      } else Seq(st)
     }.filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -132,6 +163,7 @@ object Ingest {
         val fs = new HPath(src).getFileSystem(spark.sessionState.newHadoopConf())
         explicitFiles.map { f =>
           val p = new HPath(src, f)
+          requireUnder(fs, new HPath(src), p, s"files => '$f'")
           require(fs.exists(p) && fs.getFileStatus(p).isFile,
             s"ingest files => '$f': not a file under $src")
           fs.getFileStatus(p)

@@ -1226,12 +1226,6 @@ case class GraftTblPropsCommand(
   private val SketchProp = graft.meta.SnapshotCatalog.SketchColumnsProp
   private val ValueProps = graft.meta.SnapshotCatalog.StickyValueProps.toSet
 
-  private def validateValue(cat: SnapshotCatalog, k: String, v: String): Unit =
-    GraftDml.validateStickyValue(k, v,
-      cat.schema(table).getOrElse(
-        throw new IllegalArgumentException(s"No snapshots for table $table")),
-      table)
-
   override def run(session: SparkSession): Seq[Row] = {
     val cat = GraftSqlResolution.catalogFor(root)
     val owned = GraftDml.ownedProps
@@ -1244,15 +1238,30 @@ case class GraftTblPropsCommand(
       v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     def currentProps: Map[String, String] = cat.currentSnapshot(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots for table $table")).props
-    // value props first: each is one metadata commit restating the
-    // value; SET '' clears (the same convention as column comments),
-    // giving SET a complete replace semantics without reaching for UNSET
-    set.filter(kv => ValueProps.contains(kv._1)).foreach { case (k, v) =>
-      // normalize BEFORE storing: the stored value must be exactly what
-      // enforcement later parses (a ' 5' that validates here but throws
-      // at the scheduled sweep is the bug this prevents)
-      val next = Some(GraftDml.normalizeSticky(k, v)).filter(_.nonEmpty)
-      next.foreach(validateValue(cat, k, _))
+    // validate EVERY prop in the statement — values AND column lists —
+    // BEFORE the first commit publishes: SET is one statement and must
+    // apply all-or-nothing; committing prop-by-prop would let
+    // ('graft.retention.snapshots'='5', 'graft.retention.ms'='bogus')
+    // land its first half and then throw, with Map iteration order
+    // picking which half landed. Normalization happens here too: the
+    // stored value must be exactly what enforcement later parses (a
+    // ' 5' that validates at SET but throws at the scheduled sweep is
+    // the bug this prevents).
+    val schema = cat.schema(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table $table"))
+    val valueSets = set.toSeq.collect { case (k, v) if ValueProps.contains(k) =>
+      k -> Some(GraftDml.normalizeSticky(k, v)).filter(_.nonEmpty)
+    }
+    valueSets.foreach { case (k, next) =>
+      next.foreach(GraftDml.validateStickyValue(k, _, schema, table))
+    }
+    Seq(BloomProp, SketchProp).foreach { p =>
+      set.get(p).foreach { v => GraftDml.ownedCols(p, v, schema, table); () }
+    }
+    // value props: each is one metadata commit restating the value;
+    // SET '' clears (the same convention as column comments), giving
+    // SET a complete replace semantics without reaching for UNSET
+    valueSets.foreach { case (k, next) =>
       if (currentProps.get(k) != next) { cat.setStickyValueProp(table, k, next); () }
     }
     unset.filter(ValueProps.contains).foreach { k =>
@@ -1974,6 +1983,12 @@ case class GraftCallCommand(
         val table = str(0, "table")
         val src = str(1, "source")
         val fmt = named.get("format").map(_.toString.toLowerCase).getOrElse("parquet")
+        // files => names the batch EXACTLY; a pattern alongside it has
+        // no row to act on and a caller passing both is confused about
+        // which selects — refuse rather than silently ignore one
+        require(!(named.contains("files") && named.contains("pattern")),
+          s"CALL graft.$proc: pass files => OR pattern =>, not both " +
+            "(an explicit file list already names the batch exactly)")
         val pattern = named.get("pattern").map(_.toString).getOrElse("*")
         // a fresh-born table must not shadow a view (the CTAS discipline)
         if (cat.currentSnapshot(table).isEmpty && cat.viewMeta(table).isDefined)
@@ -2005,10 +2020,30 @@ case class GraftCallCommand(
         // that read files, not catalogs. `where` both file-prunes via
         // the manifests and row-filters, so a partition-scoped export
         // reads only its files. Default refuses an existing dest.
+        // With changes_from => N [, changes_to => M, mode =>
+        // 'percommit'] the shards carry the CHANGE FEED of the range
+        // instead of a state — `_change_type`-tagged rows a downstream
+        // system APPLIES (the feed's apply-law: from-state + shards =
+        // to-state), per-commit attribution on request.
         val table = str(0, "table")
         val dest = str(1, "dest")
-        scala.util.Try(java.nio.file.Paths.get(dest).toAbsolutePath.normalize).foreach { dn =>
-          require(!dn.startsWith(java.nio.file.Paths.get(root).toAbsolutePath.normalize),
+        // containment through the Hadoop filesystem of each path (NOT a
+        // java.nio walk): the check must hold — not silently skip — for
+        // every destination URI the writer itself accepts (s3a://,
+        // hdfs://); a remote scheme can never prefix a local root, so
+        // remote destinations pass by construction
+        locally {
+          val conf = session.sessionState.newHadoopConf()
+          def resolved(s: String): String = {
+            val p = new org.apache.hadoop.fs.Path(s)
+            val u = p.getFileSystem(conf).makeQualified(p).toUri.normalize()
+            // null and empty authority canonicalize the same: file:/x
+            // and file:///x are one location
+            s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+          }
+          val dn = resolved(dest)
+          val rn = resolved(root).stripSuffix("/")
+          require(dn != rn && !dn.startsWith(rn + "/"),
             s"export destination $dest is inside the catalog root $root")
         }
         val fmt = named.get("format").map(_.toString.toLowerCase).getOrElse("parquet")
@@ -2017,23 +2052,46 @@ case class GraftCallCommand(
         val partitionBy = named.get("partition_by").map(_.toString.split(",")
           .toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
         val opts = (named -- Seq("format", "version", "as_of_ms", "where", "overwrite",
-            "partition_by", "table", "dest"))
+            "partition_by", "table", "dest", "changes_from", "changes_to", "mode"))
           .map { case (k, v) => k -> v.toString }
-        // unlike the maintenance sweeps, a non-prunable where is FINE
-        // here (the row filter still applies; the full scan is the
-        // honest cost), so the filters are computed leniently
-        val lenientPrune = whereArg.map { w =>
-          val schema = cat.schema(table).getOrElse(
-            throw new IllegalArgumentException(s"no snapshots for table $table"))
-          GraftSqlResolution.pruneFiltersFrom(
-            session.sessionState.sqlParser.parseExpression(w), schema, Set.empty)
-        }.getOrElse(Nil)
-        val (nFiles, nBytes) = graft.sinks.Export.export(session, cat, table, dest,
-          fmt, opts, version = named.get("version").map(_.toString),
-          asOfMs = named.get("as_of_ms").map(asLong("as_of_ms", _)),
-          where = whereArg, pruneFilters = lenientPrune, overwrite = overwrite,
-          partitionBy = partitionBy)
-        Seq(Row(nFiles, nBytes))
+        named.get("changes_from") match {
+          case Some(fromArg) =>
+            val stateArgs = Seq("version", "as_of_ms", "where").filter(named.contains)
+            require(stateArgs.isEmpty,
+              s"CALL graft.$proc: changes_from is a FEED export; " +
+                s"${stateArgs.mkString(", ")} select a STATE — pass one or the other")
+            val mode = named.get("mode").map(_.toString).getOrElse("net")
+            require(mode == "net" || mode == "percommit",
+              s"CALL graft.$proc: mode must be 'net' or 'percommit'; got '$mode'")
+            val (nFiles, nBytes) = graft.sinks.Export.exportChanges(session, cat,
+              table, dest, asLong("changes_from", fromArg),
+              toSnapshotId = named.get("changes_to").map(asLong("changes_to", _)),
+              perCommit = mode == "percommit", format = fmt, options = opts,
+              overwrite = overwrite, partitionBy = partitionBy)
+            Seq(Row(nFiles, nBytes))
+          case None =>
+            require(!named.contains("mode"),
+              s"CALL graft.$proc: mode applies to a changes_from feed export only")
+            // resolve the pinned snapshot FIRST and derive the `where`
+            // prune filters from ITS schema — after a rename or type
+            // widening since that snapshot, the current schema would
+            // translate filters against the wrong stats domain. Unlike
+            // the maintenance sweeps, a non-prunable where is FINE here
+            // (the row filter still applies; the full scan is the
+            // honest cost), so the filters are computed leniently.
+            val snap = graft.sinks.Export.resolveState(cat, table,
+              named.get("version").map(_.toString),
+              named.get("as_of_ms").map(asLong("as_of_ms", _)))
+            val lenientPrune = whereArg.map { w =>
+              GraftSqlResolution.pruneFiltersFrom(
+                session.sessionState.sqlParser.parseExpression(w), snap.schema, Set.empty)
+            }.getOrElse(Nil)
+            val (nFiles, nBytes) = graft.sinks.Export.export(session, cat, table, dest,
+              fmt, opts, where = whereArg, pruneFilters = lenientPrune,
+              overwrite = overwrite, partitionBy = partitionBy,
+              resolvedState = Some(snap))
+            Seq(Row(nFiles, nBytes))
+        }
       case "rewrite_sorted" =>
         // CALL graft.rewrite_sorted('t', 'c1', 'c2', ...[, files => n,
         // zorder => true, where => 'pred']) — re-cluster by the sort

@@ -100,6 +100,88 @@ class ExportSpec extends SparkSpec {
     assert(back.filter(col("parity") === "even").count() == 15)
   }
 
+  test("change-feed export: applied shards reproduce the to-state (the apply-law)") {
+    import spark.implicits._
+    Writers.writeSnapshot(cat, "expc",
+      (1L to 40L).map(i => (i, i * 1.0)).toDF("id", "v"), dataDir)
+    // churn the range: an insert batch, then a delete overlapping BOTH
+    // the base and the fresh rows (net must cancel the overlap; the
+    // per-commit feed must preserve it with attribution)
+    ext.sql("INSERT INTO expc SELECT id, id * 1.0 AS v FROM range(41, 61)")
+    ext.sql("DELETE FROM expc WHERE id BETWEEN 30 AND 50")
+    val out = Files.createTempDirectory("graft-expout-c-").toString + "/feed"
+    val r = ext.sql(s"CALL graft.export('expc', '$out', changes_from => 1)").head()
+    assert(r.getLong(0) >= 1)
+    val feed = spark.read.parquet(out)
+    // the apply-law THROUGH FILES: from-state + shards = to-state
+    val from = cat.read(spark, "expc", snapshotId = Some(1L)).select("id", "v")
+    val ins = feed.filter(col("_change_type") === "insert").select("id", "v")
+    val del = feed.filter(col("_change_type") === "delete").select("id", "v")
+    val applied = from.unionAll(ins).exceptAll(del)
+    val now = ext.sql("SELECT id, v FROM expc")
+    assert(applied.exceptAll(now).isEmpty && now.exceptAll(applied).isEmpty,
+      "exported feed applied to the from-state must reproduce the to-state")
+    // net cancels intra-range churn: rows 41..50 were inserted AND
+    // deleted inside the range, so the net feed never mentions them
+    assert(feed.filter(col("id").between(41, 50)).count() == 0)
+
+    // percommit preserves the churn WITH commit attribution, and its
+    // per-commit application reproduces the same end state
+    val outP = Files.createTempDirectory("graft-expout-c-").toString + "/percommit"
+    ext.sql(s"CALL graft.export('expc', '$outP', changes_from => 1, " +
+      "mode => 'percommit')")
+    val pfeed = spark.read.parquet(outP)
+    assert(pfeed.columns.contains("_commit_snapshot_id") &&
+      pfeed.columns.contains("_commit_timestamp_ms"))
+    assert(pfeed.filter(col("id").between(41, 50)).count() == 20,
+      "churn rows appear as insert@s2 + delete@s3 in the per-commit feed")
+    val pIns = pfeed.filter(col("_change_type") === "insert").select("id", "v")
+    val pDel = pfeed.filter(col("_change_type") === "delete").select("id", "v")
+    val pApplied = from.unionAll(pIns).exceptAll(pDel)
+    assert(pApplied.exceptAll(now).isEmpty && now.exceptAll(pApplied).isEmpty)
+
+    // a feed export selects a RANGE, not a state: state args refuse
+    val e1 = intercept[Exception] {
+      ext.sql(s"CALL graft.export('expc', '/tmp/neverf', changes_from => 1, " +
+        "version => '2')").collect()
+    }
+    assert(e1.getMessage.contains("STATE"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      ext.sql(s"CALL graft.export('expc', '/tmp/neverf2', mode => 'percommit')").collect()
+    }
+    assert(e2.getMessage.contains("changes_from"), e2.getMessage)
+  }
+
+  test("a URI-form destination counts through the Hadoop filesystem") {
+    import spark.implicits._
+    Writers.writeSnapshot(cat, "expu",
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"), dataDir)
+    // file:// URIs are valid writer destinations; the post-write count
+    // (and the containment check) must go through the SAME Hadoop
+    // filesystem the write used — a java.nio walk would throw here
+    val dir = Files.createTempDirectory("graft-expout-u-").toString
+    val r = ext.sql(s"CALL graft.export('expu', 'file:$dir/shards')").head()
+    assert(r.getLong(0) >= 1 && r.getLong(1) > 0)
+    assert(spark.read.parquet(s"$dir/shards").count() == 10)
+  }
+
+  test("a pinned version derives where-pruning from ITS schema, not the current one") {
+    import spark.implicits._
+    Writers.writeSnapshot(cat, "exps",
+      (1L to 20L).map(i => (i, i * 2.0)).toDF("id", "score"), dataDir)
+    ext.sql("CALL graft.tag('exps', 'before_rename')")
+    ext.sql("ALTER TABLE exps RENAME COLUMN score TO points")
+    // the pinned snapshot speaks the OLD schema: its where filters must
+    // translate against THAT schema's stats domain (the current schema
+    // no longer has `score` at all)
+    val out = Files.createTempDirectory("graft-expout-s-").toString + "/pinned"
+    ext.sql(s"CALL graft.export('exps', '$out', version => 'before_rename', " +
+      "where => 'score >= 30.0')")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 6, "ids 15..20 have score >= 30")
+    assert(back.columns.contains("score"), "the pinned state exports its own schema")
+  }
+
   test("export of a branch ref serves the branch state") {
     import spark.implicits._
     Writers.writeSnapshot(cat, "expb",

@@ -157,6 +157,58 @@ class IngestSpec extends SparkSpec {
     assert(ext.sql("SELECT count(*) AS n FROM ingx").head().getLong(0) == 4)
   }
 
+  test("files =>/pattern escapes refuse per RESOLVED file; files+pattern refuse together") {
+    val outside = Files.createTempDirectory("graft-escape-")
+    val landing = Files.createTempDirectory(outside, "landing-")
+    drop(landing, "a.csv", "1,x")
+    // a perfectly valid CSV OUTSIDE the landing zone — reachable only
+    // by escaping `src`, which the per-file containment must refuse
+    drop(outside, "secret.csv", "99,leak")
+    ext.sql("CREATE TABLE graft.ingesc (id BIGINT, name STRING)")
+    // `..` segment: Hadoop Path resolution would walk it out of src
+    val eDots = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingesc', '$landing', format => 'csv', " +
+        "files => '../secret.csv')").collect()
+    }
+    assert(eDots.getMessage.contains("outside the source"), eDots.getMessage)
+    // absolute path: new Path(src, abs) discards src entirely
+    val eAbs = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingesc', '$landing', format => 'csv', " +
+        s"files => '$outside/secret.csv')").collect()
+    }
+    assert(eAbs.getMessage.contains("outside the source"), eAbs.getMessage)
+    // a pattern that climbs out of the directory refuses the same way
+    val ePat = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingesc', '$landing', format => 'csv', " +
+        "pattern => '../*.csv')").collect()
+    }
+    assert(ePat.getMessage.contains("outside the source"), ePat.getMessage)
+    // nothing leaked in through any refusal
+    assert(ext.sql("SELECT count(*) AS n FROM ingesc").head().getLong(0) == 0)
+    // files => names the batch exactly; a pattern alongside it refuses
+    val eBoth = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingesc', '$landing', format => 'csv', " +
+        "files => 'a.csv', pattern => '*.csv')").collect()
+    }
+    assert(eBoth.getMessage.contains("not both"), eBoth.getMessage)
+  }
+
+  test("fingerprints are collision-resistant digests keyed on path+size+mtime") {
+    // distinct (path, size, mtime) triples must yield distinct 128-bit
+    // fingerprints — the dropped-file failure mode a truncated 64-bit
+    // non-crypto hash invites; also pins the format (32 hex chars)
+    val fps = (for {
+      p <- Seq("/a/x.csv", "/a/y.csv", "/b/x.csv")
+      s <- Seq(1L, 2L)
+      t <- Seq(1000L, 2000L)
+    } yield Ingest.fingerprint(p, s, t)).toSet
+    assert(fps.size == 12)
+    assert(fps.forall(f => f.length == 32 && f.matches("[0-9a-f]{32}")))
+    // deterministic across calls (the dedupe set depends on it)
+    assert(Ingest.fingerprint("/a/x.csv", 1L, 1000L)
+      == Ingest.fingerprint("/a/x.csv", 1L, 1000L))
+  }
+
   test("two racing ingests of one landing dir load each file exactly once") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-landing-race-")

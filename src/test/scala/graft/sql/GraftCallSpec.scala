@@ -893,6 +893,62 @@ class GraftCallSpec extends SparkSpec {
     assert(eDrop.getMessage.contains("row-TTL retention column"))
   }
 
+  test("multi-prop SET TBLPROPERTIES validates the whole statement before committing") {
+    import spark.implicits._
+    val t = "atomprops"
+    Writers.writeSnapshot(cat, t,
+      (1L to 5L).map(i => (i, i * 1000L)).toDF("id", "ts_ms"), dataDir)
+    val before = cat.currentSnapshot(t).get
+    // a bad SECOND prop must leave the first unapplied too: SET is one
+    // statement and applies all-or-nothing, not in Map-iteration-order
+    val e = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        "'graft.retention.snapshots' = '5', 'graft.retention.ms' = 'bogus')")
+    }
+    assert(e.getMessage.contains("milliseconds"), e.getMessage)
+    val after = cat.currentSnapshot(t).get
+    assert(after.snapshotId == before.snapshotId,
+      "a refused SET must commit NOTHING")
+    assert(!after.props.contains(SnapshotCatalog.RetentionSnapshotsProp))
+    // a bad COLUMN prop in the same statement blocks the value props too
+    val e2 = intercept[Exception] {
+      ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        "'graft.retention.snapshots' = '5', 'graft.bloom.columns' = 'nope')")
+    }
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    assert(cat.currentSnapshot(t).get.snapshotId == before.snapshotId)
+    // the all-valid statement still lands every prop
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+      "'graft.retention.snapshots' = '5', 'graft.retention.ms' = '3600000')")
+    val props = cat.currentSnapshot(t).get.props
+    assert(props.get(SnapshotCatalog.RetentionSnapshotsProp).contains("5") &&
+      props.get(SnapshotCatalog.RetentionAgeMsProp).contains("3600000"))
+  }
+
+  test("enforce_retention dry-run history count: the documented one-commit skew") {
+    import spark.implicits._
+    val t = "ret_skew"
+    Writers.writeSnapshot(cat, t,
+      (1L to 20L).map(i => (i, i * 1000L)).toDF("id", "ts_ms"), dataDir)
+    ext.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+      "'graft.retention.rows.column' = 'ts_ms', 'graft.retention.rows.ms' = '3600000', " +
+      "'graft.retention.snapshots' = '3')")
+    // chain: data commit + 3 SET commits = 4; keep 3 → dry reports 1.
+    // The REAL run's row sweep commits the MoR mask first (chain 5), so
+    // it expires 2 — the one-commit skew Writers.enforceRetention's
+    // scaladoc documents. This spec PINS that contract: if the dry run
+    // is ever aligned to simulate the pending mask commit, update both.
+    assert(cat.snapshots(t).size == 4)
+    val dry = ext.sql(s"CALL graft.enforce_retention('$t', dry_run => true)").head()
+    assert(dry.getLong(1) == 1L && dry.getLong(2) == 20L, s"dry: $dry")
+    val real = ext.sql(s"CALL graft.enforce_retention('$t')").head()
+    assert(real.getLong(2) == 20L, s"real: $real")
+    assert(real.getLong(1) == dry.getLong(1) + 1,
+      "with rows to sweep, a count-bound real run expires one more than " +
+        s"the dry run reported (the documented skew): $real vs $dry")
+    assert(cat.snapshots(t).size == 3)
+  }
+
   test("no-arg enforce_retention sweeps exactly the opted-in tables") {
     val a = freshTable("ret_opt", 1 to 3)
     val b = freshTable("ret_out", 1 to 3)
