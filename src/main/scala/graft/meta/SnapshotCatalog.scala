@@ -3187,11 +3187,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         else schema.add("_file", StringType).add("_pos", LongType)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val renOf: Map[String, (Map[String, String], Map[String, String], Map[String, String])] =
-      entrySnap.files.map(f => f.path -> (f.renames, f.physTypes, f.defaults)).toMap
+    val schemaNames = schema.fieldNames.toSet
+    val renOf: Map[String, (Map[String, String], Map[String, String], Map[String, String],
+        Map[String, String])] =
+      entrySnap.files.map(f => f.path ->
+        // a hive-layout file's partition columns live in its DIRECTORY
+        // name, not its bytes — restrict to schema fields so unrelated
+        // k=v path segments can never shadow a real column
+        (f.renames, f.physTypes, f.defaults,
+          f.partitionValues.filter(kv => schemaNames.contains(kv._1)))).toMap
     paths.groupBy(p => renOf.getOrElse(normalize(p),
-        (Map.empty[String, String], Map.empty[String, String], Map.empty[String, String])))
-      .map { case ((ren, ptypes, defs), ps) =>
+        (Map.empty[String, String], Map.empty[String, String],
+          Map.empty[String, String], Map.empty[String, String])))
+      .map { case ((ren, ptypes, defs, pvs), ps) =>
       val inv = ren.map(_.swap) // logical -> physical
       def physName(logical: String): String =
         inv.getOrElse(logical,
@@ -3211,13 +3219,23 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         // a default stamp means the column is ABSENT from these files'
         // bytes (initial-default of an ADD, or write-default of an
         // append that omitted it): serve the stored literal — never a
-        // null fill, never the physical read
-        val c = defs.get(f.name) match {
-          case Some(sql) => expr(sql).cast(f.dataType)
-          case None =>
-            val pn = physName(f.name)
-            if (physType(pn, f.dataType) == f.dataType) col(pn)
-            else col(pn).cast(f.dataType)
+        // null fill, never the physical read. A hive PARTITION VALUE is
+        // the same shape one level up: the column lives in the k=v
+        // directory segment, so a SCHEMA column found in the file's
+        // manifest partitionValues serves that decoded value (cast to
+        // the declared type, Spark's null-partition sentinel honored) —
+        // a partition-landed ingest reads back its partition column
+        // instead of a null fill
+        val c = pvs.get(f.name) match {
+          case Some("__HIVE_DEFAULT_PARTITION__") => lit(null).cast(f.dataType)
+          case Some(v) => lit(v).cast(f.dataType)
+          case None => defs.get(f.name) match {
+            case Some(sql) => expr(sql).cast(f.dataType)
+            case None =>
+              val pn = physName(f.name)
+              if (physType(pn, f.dataType) == f.dataType) col(pn)
+              else col(pn).cast(f.dataType)
+          }
         }
         c.as(f.name)
       } ++

@@ -884,6 +884,96 @@ object Engine {
         |FROM mvsql_view""".stripMargin)
   }
 
+  // Memoized min/max/avg MV catalog per sf-dir: the generalized
+  // aggregate set (r15) — built on half the source with MIN/MAX/AVG
+  // state, SQL-mutated with an INSERT and a DELETE that REMOVES each
+  // big group's current extrema (top tail + bottom tail), refreshed by
+  // name. The delete forces the key-scoped recompute path; the hash
+  // against DuckDB's from-scratch GROUP BY proves it exact.
+  private val mvMmRoots = TrieMap.empty[String, String]
+  private def mvMmRootFor(s: SparkSession, dir: String): String =
+    mvMmRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mvmm-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "mvmmorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        Files.createTempDirectory("graft-mvmm-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("CALL graft.create_mv('mvmm_view', 'mvmmorders', " +
+        "'o_orderstatus', 'o_totalprice', avg_columns => 'o_totalprice', " +
+        "min_columns => 'o_totalprice', max_columns => 'o_totalprice')")
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(s"INSERT INTO mvmmorders SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $src WHERE o_orderkey % 2 = 1")
+      // kill the stored extrema: every group's max lives in the top
+      // tail, most mins in the bottom tail — the refresh must recompute
+      // exactly the invalidated keys
+      es.sql("DELETE FROM mvmmorders " +
+        "WHERE o_totalprice > 400000.0 OR o_totalprice < 5000.0")
+      es.sql("CALL graft.refresh_mv('mvmm_view')")
+      root
+    })
+
+  /** Generalized MV aggregates from SQL (r15): COUNT/SUM fold
+    * additively, AVG renders from (sum, cnt) state, MIN/MAX survive an
+    * extremum-killing delete via the key-scoped recompute — the view
+    * must hash-equal the oracle's from-scratch GROUP BY with
+    * MIN/MAX/AVG over the final state. */
+  def qMvMinmax(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mvMmRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus, n_rows,
+        |  CAST(sum_o_totalprice AS DOUBLE) AS sum_price,
+        |  CAST(sum_o_totalprice AS DOUBLE) / cnt_o_totalprice AS avg_price,
+        |  min_o_totalprice AS min_price,
+        |  max_o_totalprice AS max_price
+        |FROM mvmm_view""".stripMargin)
+  }
+
+  // Memoized where-scoped MV catalog per sf-dir: an MV over a DERIVED
+  // relation (r15) — the definition carries a predicate; UPDATEs move
+  // rows INTO and OUT OF the predicate set, and the refresh folds the
+  // filtered feed one-sided (insert-without-delete entering, delete-
+  // without-insert leaving).
+  private val mvWhereRoots = TrieMap.empty[String, String]
+  private def mvWhereRootFor(s: SparkSession, dir: String): String =
+    mvWhereRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mvwhere-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "mvworders",
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        Files.createTempDirectory("graft-mvwhere-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("CALL graft.create_mv('mvw_view', 'mvworders', " +
+        "'o_orderstatus', 'o_totalprice', where => 'o_totalprice > 150000.0')")
+      // INTO the set: cheap rows bumped over the threshold (their
+      // retraction fails the predicate, their insert passes)
+      es.sql("UPDATE mvworders SET o_totalprice = o_totalprice + 120000.0 " +
+        "WHERE o_totalprice <= 100000.0 AND o_orderkey % 5 = 0")
+      // OUT of the set: expensive rows cut below it
+      es.sql("UPDATE mvworders SET o_totalprice = o_totalprice - 190000.0 " +
+        "WHERE o_totalprice > 250000.0 AND o_orderkey % 3 = 0")
+      es.sql("CALL graft.refresh_mv('mvw_view')")
+      root
+    })
+
+  /** Predicate-scoped MV from SQL (r15): the filtered fold must equal
+    * the oracle's replay of both UPDATEs followed by a from-scratch
+    * filtered GROUP BY. */
+  def qMvWhere(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mvWhereRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus, n_rows,
+        |  CAST(sum_o_totalprice AS DOUBLE) AS sum_price
+        |FROM mvw_view""".stripMargin)
+  }
+
   // Memoized GDPR-delete catalog per sf-dir: the zero-scan equality-
   // delete path from SQL (S41, r14) — the five lowest order keys masked
   // via CALL graft.delete_by_keys (O(|keys|) driver work, no table
@@ -1445,6 +1535,8 @@ object Engine {
     "q_meta_profile" -> (qMetaProfile _),
     "q_mv_read" -> (qMvRead _),
     "q_mv_sql" -> (qMvSql _),
+    "q_mv_minmax" -> (qMvMinmax _),
+    "q_mv_where" -> (qMvWhere _),
     "q_delete_keys_sql" -> (qDeleteKeysSql _),
     "q_cdf_percommit" -> (qCdfPercommit _),
     "q_cache_sql" -> (qCacheSql _),
@@ -1627,6 +1719,33 @@ object Engine {
         |SELECT o_orderstatus, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
         |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
+    "q_mv_minmax" ->
+      """WITH finalstate AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_totalprice > 400000.0 OR o_totalprice < 5000.0)
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS avg_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
+    "q_mv_where" ->
+      """WITH s1 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_totalprice <= 100000.0 AND o_orderkey % 5 = 0
+        |         THEN o_totalprice + 120000.0 ELSE o_totalprice END AS p
+        |  FROM orders
+        |), s2 AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN p > 250000.0 AND o_orderkey % 3 = 0
+        |         THEN p - 190000.0 ELSE p END AS p
+        |  FROM s1
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM s2 WHERE p > 150000.0 GROUP BY o_orderstatus""".stripMargin,
     "q_delete_keys_sql" ->
       """WITH victims AS (
         |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5

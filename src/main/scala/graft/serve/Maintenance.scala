@@ -1,0 +1,82 @@
+package graft.serve
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import graft.cache.TableCache
+import graft.meta.SnapshotCatalog
+import graft.sinks.Writers
+import org.apache.spark.sql.SparkSession
+
+/** One table's result from a maintenance pass. `error` carries the
+  * message when the sweep refused (half policy, dangling column) — the
+  * pass never aborts on one bad table. */
+final case class TableSweep(
+    table: String, expired: Int, rowsSwept: Long, error: Option[String])
+
+/** The outcome of one [[Maintenance.runOnce]] pass. */
+final case class MaintenanceReport(sweeps: Seq[TableSweep], cacheExpired: Int)
+
+/** Background node maintenance — the reference's cache-node maintenance
+  * thread (`src/core/cache_node.py:66-89`: a loop that sleeps, sweeps
+  * TTL-expired cache entries, and error-isolates each pass), widened to
+  * this catalog's declared policies: one pass (a) enforces every
+  * opted-in table's OWN sticky retention policy (`graft.retention.*` —
+  * the row-TTL sweep then the history trim, exactly the no-arg
+  * `CALL graft.enforce_retention` semantics with per-table error
+  * isolation) and (b) expires cache entries idle beyond the TTL.
+  *
+  * Testability: [[runOnce]] is the whole behavior and takes no time
+  * dependency of its own — retention cutoffs come from the CATALOG'S
+  * injectable clock, so a spec drives epochs by advancing that clock
+  * and calling [[runOnce]] directly (no sleeps). [[start]] merely
+  * schedules [[runOnce]] on a daemon thread at a fixed delay, the
+  * reference's every-minute cadence by default.
+  *
+  * Scale: a pass's cost is metadata-bounded for tables with nothing to
+  * sweep (one policy-prop read each); a table WITH doomed rows pays the
+  * same min/max-pruned marking scan the SQL verb pays — on a
+  * time-ordered layout the cold prefix, never the live tail. */
+final class Maintenance(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    dataDirFor: String => String,
+    cache: Option[TableCache] = None,
+    cacheTtlMs: Long = 15 * 60 * 1000L) {
+
+  /** One maintenance pass: sweep every opted-in table (error-isolated),
+    * then expire idle cache entries. Tables that never declared a
+    * policy are never touched. */
+  def runOnce(): MaintenanceReport = {
+    val sweeps = catalog.tables().filter(catalog.hasRetentionPolicy).map { t =>
+      try {
+        val (expired, rows) = Writers.enforceRetention(spark, catalog, t, dataDirFor(t))
+        TableSweep(t, expired, rows, None)
+      } catch {
+        // one misconfigured table must not abort maintenance for every
+        // table after it (a catalog-wide compliance outage from one bad
+        // policy is worse than a deferred failure) — report and go on
+        case e: Exception => TableSweep(t, 0, 0L, Option(e.getMessage))
+      }
+    }
+    val expiredEntries = cache.map(_.expire(cacheTtlMs)).getOrElse(0)
+    MaintenanceReport(sweeps, expiredEntries)
+  }
+
+  /** Start the daemon: [[runOnce]] every `intervalMs` on a daemon
+    * thread (fixed DELAY, so a slow sweep never stacks passes). A pass
+    * that throws outright is swallowed — the loop must survive to the
+    * next tick, like the reference's try/except around
+    * `_perform_maintenance`. Close the handle to stop. */
+  def start(intervalMs: Long = 60000L): AutoCloseable = {
+    require(intervalMs >= 1, s"maintenance interval must be positive; got $intervalMs")
+    val exec = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-maintenance")
+      t.setDaemon(true)
+      t
+    }
+    exec.scheduleWithFixedDelay(
+      () => try { runOnce(); () } catch { case _: Exception => () },
+      intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+    new AutoCloseable { def close(): Unit = { exec.shutdownNow(); () } }
+  }
+}

@@ -149,7 +149,8 @@ object Ingest {
       dataDir: String,
       pattern: String = "*",
       explicitFiles: Seq[String] = Nil,
-      maxFiles: Option[Int] = None): IngestResult = {
+      maxFiles: Option[Int] = None,
+      partitionBy: Seq[String] = Nil): IngestResult = {
     require(Formats.contains(format),
       s"ingest format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
     maxFiles.foreach(n => require(n >= 1, s"max_files must be >= 1; got $n"))
@@ -190,11 +191,24 @@ object Ingest {
         if (format == "csv") reader.option("inferSchema", "true") else reader)
       val df = ready.load(fresh.map(_.getPath.toString): _*)
       val dir = Paths.get(dataDir, s"ingest-${UUID.randomUUID().toString.take(8)}")
-      df.write.parquet(dir.toString)
+      // partition-aware landing (the S21→S4 loop at ingest time): the
+      // batch writes hive-partitioned, every leaf file's k=v segments
+      // land in its manifest entry at commit, and a later range read
+      // prunes the fresh partitions' files from METADATA alone — on a
+      // time-partitioned landing flow the live tail never costs a
+      // footer read
+      if (partitionBy.nonEmpty) {
+        val missing = partitionBy.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"ingest partition_by: unknown column(s) ${missing.mkString(", ")} " +
+            s"(batch has: ${df.columns.mkString(", ")})")
+        df.write.partitionBy(partitionBy: _*).parquet(dir.toString)
+      } else df.write.parquet(dir.toString)
       val prevFiles = basis.map(_.files).getOrElse(Nil)
       try {
         val snap = catalog.commit(spark, table,
-          prevFiles.map(_.path) ++ Writers.listParquetIn(dir),
+          prevFiles.map(_.path) ++
+            Writers.listParquetIn(dir, recursive = partitionBy.nonEmpty),
           reuseMeta = prevFiles.map(f => f.path -> f).toMap,
           props = Map(
             SnapshotCatalog.OperationProp -> SnapshotCatalog.OpAppend,

@@ -5,26 +5,50 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate views over a snapshot table:
-  * a keyed (COUNT, SUMs) materialization refreshed from the row-level
-  * change feed — refresh cost ∝ CHANGED rows, never table size. The
-  * 100 TB pattern this enables: a dashboard aggregate over a 100 TB
-  * fact table refreshes from a day's CDC slice instead of a full
-  * recompute (Materialize/Snowflake MV semantics, on this catalog's
+  * a keyed (COUNT, SUM, AVG, MIN, MAX, approx COUNT DISTINCT)
+  * materialization refreshed from the row-level change feed — refresh
+  * cost ∝ CHANGED rows, never table size. The 100 TB pattern this
+  * enables: a dashboard aggregate over a 100 TB fact table refreshes
+  * from a day's CDC slice instead of a full recompute
+  * (Materialize/Snowflake dynamic-table semantics, on this catalog's
   * own [[graft.meta.SnapshotCatalog.changesBetween]]).
   *
-  * COUNT and SUM are the self-maintainable aggregates (deltas compose
-  * by addition with sign; a key whose count reaches zero leaves the
-  * view). AVG derives as sum/count at read time. MIN/MAX are NOT
-  * self-maintainable under deletes (a retracted max needs the base
-  * table) and are deliberately not offered.
+  * Maintenance classes (the dynamic-table taxonomy):
+  *   - COUNT and SUM are SELF-MAINTAINABLE: deltas compose by addition
+  *     with sign; a key whose count reaches zero leaves the view. AVG
+  *     derives from (SUM, non-null COUNT) — both self-maintainable, so
+  *     AVG costs ZERO new maintenance machinery and renders at read.
+  *   - MIN/MAX are self-maintainable under INSERTS (least/greatest
+  *     against the stored extremum) but NOT under deletes: a retracted
+  *     extremum needs the base table. The refresh detects exactly the
+  *     keys whose stored extremum a delete touched and RECOMPUTES ONLY
+  *     THOSE KEYS from the source (one semi-join-pruned scan ∝ the
+  *     invalidated keys' rows — the key-scoped recompute fallback);
+  *     every other key folds additively.
+  *   - approx COUNT DISTINCT keeps a mergeable HLL sketch per key
+  *     (Spark's datasketches `hll_sketch_agg`/`hll_union`): inserts
+  *     union in; a delete of a non-null value invalidates the key's
+  *     sketch (HLL is not retractable) and rides the SAME key-scoped
+  *     recompute path as MIN/MAX.
+  *
+  * An optional `where` predicate scopes the view to a SUBSET of the
+  * source (an MV over a derived relation): the build filters the scan,
+  * the refresh filters the CHANGE FEED with the same predicate —
+  * insert/delete symmetry keeps the fold exact (a row UPDATEd across
+  * the predicate boundary surfaces as the one-sided insert or delete
+  * the filtered view needs) — and the key-scoped recompute filters its
+  * source scan identically.
   *
   * Sums run through DECIMAL(28,6) so the view is bit-identical to a
   * from-scratch recompute — the invariant the spec enforces after every
-  * refresh. Key columns must be non-null (the standard MV key
-  * constraint: the refresh merge joins on key equality). The view's own state lives in the SAME catalog as a table:
-  * snapshot-versioned, time-travelable, servable; its `refreshed_at`
-  * source snapshot rides the view snapshot's props (refresh IS a
-  * commit, so view state and watermark advance atomically).
+  * refresh (HLL sketches compare by ESTIMATE: a merged sketch is
+  * estimate-identical at spec cardinalities, not byte-identical). Key
+  * columns must be non-null (the standard MV key constraint: the
+  * refresh merge joins on key equality). The view's own state lives in
+  * the SAME catalog as a table: snapshot-versioned, time-travelable,
+  * servable; its `refreshed_at` source snapshot rides the view
+  * snapshot's props (refresh IS a commit, so view state and watermark
+  * advance atomically).
   */
 object MaterializedAgg {
 
@@ -32,22 +56,49 @@ object MaterializedAgg {
   val RefreshedAtProp = "graft.view.refreshed_at"
 
   /** Props on the view's snapshots recording its own definition (source
-    * table, key columns, sum columns) — written by [[build]] and carried
-    * by every [[refresh]], so a scheduled maintenance job can drive a
-    * refresh from the VIEW NAME ALONE ([[refreshByName]], the
-    * `CALL graft.refresh_mv` surface). */
+    * table, key columns, aggregate columns, optional predicate) —
+    * written by [[build]] and carried by every [[refresh]], so a
+    * scheduled maintenance job can drive a refresh from the VIEW NAME
+    * ALONE ([[refreshByName]], the `CALL graft.refresh_mv` surface). */
   val SrcProp = SnapshotCatalog.MvSrcProp
   val KeysProp = "graft.view.keys"
   val SumsProp = "graft.view.sums"
+  val AvgsProp = "graft.view.avgs"
+  val MinsProp = "graft.view.mins"
+  val MaxsProp = "graft.view.maxs"
+  val NdsProp = "graft.view.nds"
+  val WhereProp = "graft.view.where"
 
-  private def specProps(srcTable: String, keyCols: Seq[String],
-      sumCols: Seq[String]): Map[String, String] = Map(
-    SrcProp -> srcTable,
-    KeysProp -> keyCols.mkString(","),
-    SumsProp -> sumCols.mkString(","))
+  /** A view's definition: source table, grouping keys, and the columns
+    * under each aggregate. `avgs` stores (sum, non-null count) state
+    * and renders at read; `nds` stores an HLL sketch per key. `where`
+    * scopes the view to the rows matching the predicate. */
+  final case class MvSpec(
+      src: String,
+      keys: Seq[String],
+      sums: Seq[String] = Nil,
+      avgs: Seq[String] = Nil,
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil,
+      nds: Seq[String] = Nil,
+      where: Option[String] = None) {
+    /** Columns carrying DECIMAL sum state (AVG shares SUM's cell). */
+    def sumState: Seq[String] = (sums ++ avgs).distinct
+    def aggCols: Seq[String] = (sums ++ avgs ++ mins ++ maxs ++ nds).distinct
+  }
 
-  private def sumExpr(c: String): Column =
-    sum(col(c).cast("decimal(28,6)")).as(s"sum_$c")
+  private def specProps(spec: MvSpec): Map[String, String] = Map(
+    SrcProp -> spec.src,
+    KeysProp -> spec.keys.mkString(","),
+    SumsProp -> spec.sums.mkString(","),
+    AvgsProp -> spec.avgs.mkString(","),
+    MinsProp -> spec.mins.mkString(","),
+    MaxsProp -> spec.maxs.mkString(","),
+    NdsProp -> spec.nds.mkString(",")) ++
+    spec.where.map(WhereProp -> _)
+
+  private def scoped(df: DataFrame, spec: MvSpec): DataFrame =
+    spec.where.map(w => df.filter(expr(w))).getOrElse(df)
 
   /** REPLACE-write the view state (a refresh rewrites the whole view —
     * the view is keys-sized, ≪ source; labeled `rewrite` so the view's
@@ -66,12 +117,73 @@ object MaterializedAgg {
     ()
   }
 
-  private def aggOf(df: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): DataFrame =
-    df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), sumCols.map(sumExpr): _*)
+  /** The full keyed aggregate state of `df` under `spec` — the
+    * from-scratch shape [[build]] materializes and the key-scoped
+    * recompute re-derives; [[refresh]]'s additive fold must stay
+    * value-identical to it (the invariant). State column order is
+    * FIXED (n_rows, sums, counts, mins, maxs, sketches) so every
+    * rewrite commits the same schema. */
+  private def aggOf(df: DataFrame, spec: MvSpec): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        spec.sumState.map(c => sum(col(c).cast("decimal(28,6)")).as(s"sum_$c")) ++
+        spec.avgs.map(c => count(col(c)).as(s"cnt_$c")) ++
+        spec.mins.map(c => min(col(c)).as(s"min_$c")) ++
+        spec.maxs.map(c => max(col(c)).as(s"max_$c")) ++
+        spec.nds.map(c => hll_sketch_agg(col(c)).as(s"nd_$c"))
+    df.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Full build: materialize the aggregate of `srcTable`'s CURRENT
+  /** The view rendered for reading: derived aggregates computed from
+    * the stored state — `avg_c` as double division of the exact
+    * decimal sum by the non-null count (NULL on an all-null group,
+    * like SQL AVG), `approx_nd_c` as the sketch's estimate. Sums and
+    * extrema pass through. */
+  def readRendered(spark: SparkSession, catalog: SnapshotCatalog,
+      viewTable: String): DataFrame = {
+    val s = spec(catalog, viewTable)
+    val view = catalog.read(spark, viewTable)
+    val cols: Seq[Column] =
+      s.keys.map(col) ++ Seq(col("n_rows")) ++
+        s.sums.map(c => col(s"sum_$c")) ++
+        s.avgs.map(c => when(col(s"cnt_$c") > 0,
+          col(s"sum_$c").cast("double") / col(s"cnt_$c")).as(s"avg_$c")) ++
+        s.mins.map(c => col(s"min_$c")) ++
+        s.maxs.map(c => col(s"max_$c")) ++
+        s.nds.map(c => hll_sketch_estimate(col(s"nd_$c")).as(s"approx_nd_$c"))
+    view.select(cols: _*)
+  }
+
+  private def validateAgainst(
+      schema: org.apache.spark.sql.types.StructType, spec: MvSpec): Unit = {
+    val missing = (spec.keys ++ spec.aggCols).distinct
+      .filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"materialized view over ${spec.src}: unknown column(s) " +
+        s"${missing.mkString(", ")} (has: ${schema.fieldNames.mkString(", ")})")
+    require(spec.keys.nonEmpty, "materialized view needs at least one key column")
+  }
+
+  /** Full build: materialize the aggregate of the source's CURRENT
     * snapshot into `viewTable` (one commit, watermark recorded). */
+  def build(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      spec: MvSpec,
+      viewTable: String,
+      dataDir: String): Long = {
+    val srcSnap = catalog.currentSnapshot(spec.src).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots for table ${spec.src}"))
+    validateAgainst(srcSnap.schema, spec)
+    val agg = aggOf(
+      scoped(catalog.read(spark, spec.src, snapshotId = Some(srcSnap.snapshotId)), spec),
+      spec)
+    writeReplace(catalog, viewTable, agg, dataDir,
+      specProps(spec) + (RefreshedAtProp -> srcSnap.snapshotId.toString))
+    srcSnap.snapshotId
+  }
+
+  /** COUNT+SUM-only build (the original S39 surface). */
   def build(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -79,31 +191,25 @@ object MaterializedAgg {
       viewTable: String,
       keyCols: Seq[String],
       sumCols: Seq[String],
-      dataDir: String): Long = {
-    val srcSnap = catalog.currentSnapshot(srcTable).getOrElse(
-      throw new IllegalArgumentException(s"No snapshots for table $srcTable"))
-    val agg = aggOf(catalog.read(spark, srcTable, snapshotId = Some(srcSnap.snapshotId)),
-      keyCols, sumCols)
-    writeReplace(catalog, viewTable, agg, dataDir,
-      specProps(srcTable, keyCols, sumCols) +
-        (RefreshedAtProp -> srcSnap.snapshotId.toString))
-    srcSnap.snapshotId
-  }
+      dataDir: String): Long =
+    build(spark, catalog, MvSpec(srcTable, keyCols, sumCols), viewTable, dataDir)
 
-  /** The stored definition of `viewTable` (source, keys, sums) — the
-    * spec [[build]] recorded. Refuses loudly on a table that is not a
-    * materialized aggregate view. */
-  def spec(catalog: SnapshotCatalog, viewTable: String): (String, Seq[String], Seq[String]) = {
+  /** The stored definition of `viewTable` — the spec [[build]]
+    * recorded. Refuses loudly on a table that is not a materialized
+    * aggregate view. Views built before the aggregate set widened
+    * (sums only) read back with the newer prop groups empty. */
+  def spec(catalog: SnapshotCatalog, viewTable: String): MvSpec = {
     val props = catalog.currentSnapshot(viewTable).getOrElse(
       throw new IllegalArgumentException(s"No snapshots for table $viewTable")).props
-    def cols(k: String): Seq[String] =
-      props.getOrElse(k, throw new IllegalArgumentException(
+    def req(k: String): String = props.getOrElse(k,
+      throw new IllegalArgumentException(
         s"$viewTable is not a materialized aggregate view (no $k prop); " +
-          "build it first")).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-    val src = props.getOrElse(SrcProp, throw new IllegalArgumentException(
-      s"$viewTable is not a materialized aggregate view (no $SrcProp prop); " +
-        "build it first"))
-    (src, cols(KeysProp), cols(SumsProp))
+          "build it first"))
+    def cols(v: String): Seq[String] = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    def opt(k: String): Seq[String] = props.get(k).map(cols).getOrElse(Nil)
+    MvSpec(req(SrcProp), cols(req(KeysProp)), cols(req(SumsProp)),
+      opt(AvgsProp), opt(MinsProp), opt(MaxsProp), opt(NdsProp),
+      props.get(WhereProp))
   }
 
   /** [[refresh]] driven by the view name alone, using the definition
@@ -113,17 +219,11 @@ object MaterializedAgg {
       spark: SparkSession,
       catalog: SnapshotCatalog,
       viewTable: String,
-      dataDir: String): Long = {
-    val (src, keys, sums) = spec(catalog, viewTable)
-    refresh(spark, catalog, src, viewTable, keys, sums, dataDir)
-  }
+      dataDir: String): Long =
+    refresh(spark, catalog, spec(catalog, viewTable), viewTable, dataDir)
 
-  /** Incremental refresh: fold the change feed since the view's
-    * watermark into the keyed state. Inserts add, deletes subtract,
-    * keys at count zero drop out; the work is ONE delta aggregation
-    * over the changed rows plus a keyed outer-join against the view
-    * (view size ∝ distinct keys ≪ source rows). No-op (and no commit)
-    * when the source hasn't moved. Returns the new watermark. */
+  /** COUNT+SUM-only refresh by explicit definition (the original S39
+    * surface; prefer [[refreshByName]]). */
   def refresh(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -131,6 +231,23 @@ object MaterializedAgg {
       viewTable: String,
       keyCols: Seq[String],
       sumCols: Seq[String],
+      dataDir: String): Long =
+    refresh(spark, catalog, MvSpec(srcTable, keyCols, sumCols), viewTable, dataDir)
+
+  /** Incremental refresh: fold the change feed since the view's
+    * watermark into the keyed state. Inserts add (sums/counts
+    * additively, extrema via least/greatest, sketches via HLL union),
+    * deletes subtract where subtraction is exact and INVALIDATE where
+    * it is not (a delete at the stored extremum, any delete under a
+    * sketch) — invalidated keys alone recompute from the source via a
+    * semi join (cost ∝ their rows, never table size). Keys at count
+    * zero drop out. No-op (and no commit) when the source hasn't
+    * moved. Returns the new watermark. */
+  def refresh(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      spec: MvSpec,
+      viewTable: String,
       dataDir: String): Long = {
     val viewSnap = catalog.currentSnapshot(viewTable).getOrElse(
       throw new IllegalArgumentException(
@@ -138,43 +255,110 @@ object MaterializedAgg {
     val from = viewSnap.props.getOrElse(RefreshedAtProp,
       throw new IllegalStateException(
         s"View $viewTable carries no $RefreshedAtProp watermark")).toLong
-    val srcSnap = catalog.currentSnapshot(srcTable).getOrElse(
+    val srcSnap = catalog.currentSnapshot(spec.src).getOrElse(
       throw new IllegalArgumentException(
-        s"materialized view $viewTable: source table $srcTable not found " +
+        s"materialized view $viewTable: source table ${spec.src} not found " +
           "(dropped or renamed since the build?)"))
     if (srcSnap.snapshotId == from) return from
     // history trimming may have expired the watermark snapshot — the
     // incremental path needs it as the diff base, so fall back to a
     // full rebuild (the dynamic-table re-initialize shape); schedule
     // expiration to retain at least the MV cadence to avoid this
-    if (catalog.snapshotById(srcTable, from).isEmpty)
-      return build(spark, catalog, srcTable, viewTable, keyCols, sumCols, dataDir)
+    if (catalog.snapshotById(spec.src, from).isEmpty)
+      return build(spark, catalog, spec, viewTable, dataDir)
 
-    val changes = catalog.changesBetween(spark, srcTable, from, Some(srcSnap.snapshotId))
-    val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
+    // the feed scoped to the view's predicate: a row crossing the
+    // predicate boundary in an UPDATE surfaces as the one-sided insert
+    // or delete the filtered fold needs
+    val changes = scoped(
+      catalog.changesBetween(spark, spec.src, from, Some(srcSnap.snapshotId)), spec)
+    val isIns = col("_change_type") === "insert"
+    val sign = when(isIns, lit(1)).otherwise(lit(-1))
+    val deltaAggs: Seq[Column] =
+      Seq(sum(col("__sign")).cast("long").as("__d_n")) ++
+        spec.sumState.map(c =>
+          sum(col(c).cast("decimal(28,6)") * col("__sign")).as(s"__d_sum_$c")) ++
+        spec.avgs.map(c =>
+          sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0)))
+            .cast("long").as(s"__d_cnt_$c")) ++
+        spec.mins.map(c => min(when(col("__ins"), col(c))).as(s"__insmin_$c")) ++
+        spec.mins.map(c => min(when(!col("__ins"), col(c))).as(s"__delmin_$c")) ++
+        spec.maxs.map(c => max(when(col("__ins"), col(c))).as(s"__insmax_$c")) ++
+        spec.maxs.map(c => max(when(!col("__ins"), col(c))).as(s"__delmax_$c")) ++
+        spec.nds.map(c => hll_sketch_agg(when(col("__ins"), col(c))).as(s"__insnd_$c")) ++
+        spec.nds.map(c =>
+          sum(when(!col("__ins") && col(c).isNotNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as(s"__delnd_$c"))
     val delta = changes
       .withColumn("__sign", sign)
-      .groupBy(keyCols.map(col): _*)
-      .agg(
-        sum(col("__sign")).cast("long").as("d_n"),
-        sumCols.map(c =>
-          sum(col(c).cast("decimal(28,6)") * col("__sign")).as(s"d_$c")): _*)
+      .withColumn("__ins", isIns)
+      .groupBy(spec.keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
 
     val view = catalog.read(spark, viewTable)
-    val merged = view.join(delta, keyCols, "full_outer")
-      .select(
-        keyCols.map(col) ++
-          Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-            .as("n_rows")) ++
-          sumCols.map { c =>
-            (coalesce(col(s"sum_$c"), lit(0).cast("decimal(28,6)")) +
-              coalesce(col(s"d_$c"), lit(0).cast("decimal(28,6)")))
-              .cast("decimal(28,6)").as(s"sum_$c")
-          }: _*)
-      .filter(col("n_rows") > 0)
+    val joined = view.join(delta, spec.keys, "full_outer")
+
+    // a key is INVALID exactly when its additive fold can be wrong: a
+    // delete reached the stored extremum (a duplicate might keep the
+    // value alive — recompute decides), or any non-null delete under an
+    // HLL sketch (not retractable). Everything else folds exactly.
+    val invalid: Column = (
+      spec.mins.map(c => coalesce(col(s"__delmin_$c") <= col(s"min_$c"), lit(false))) ++
+        spec.maxs.map(c => coalesce(col(s"__delmax_$c") >= col(s"max_$c"), lit(false))) ++
+        spec.nds.map(c => coalesce(col(s"__delnd_$c") > 0, lit(false)))
+      ).reduceOption(_ || _).getOrElse(lit(false))
+
+    def dec0: Column = lit(0).cast("decimal(28,6)")
+    val foldedCols: Seq[Column] =
+      spec.keys.map(col) ++
+        Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("__d_n"), lit(0L)))
+          .as("n_rows")) ++
+        spec.sumState.map { c =>
+          (coalesce(col(s"sum_$c"), dec0) + coalesce(col(s"__d_sum_$c"), dec0))
+            .cast("decimal(28,6)").as(s"sum_$c")
+        } ++
+        spec.avgs.map { c =>
+          (coalesce(col(s"cnt_$c"), lit(0L)) + coalesce(col(s"__d_cnt_$c"), lit(0L)))
+            .as(s"cnt_$c")
+        } ++
+        // least/greatest skip NULLs: a fresh key takes the inserted
+        // extremum, an untouched key keeps the stored one
+        spec.mins.map(c => least(col(s"min_$c"), col(s"__insmin_$c")).as(s"min_$c")) ++
+        spec.maxs.map(c => greatest(col(s"max_$c"), col(s"__insmax_$c")).as(s"max_$c")) ++
+        spec.nds.map { c =>
+          when(col(s"__insnd_$c").isNull, col(s"nd_$c"))
+            .when(col(s"nd_$c").isNull, col(s"__insnd_$c"))
+            .otherwise(hll_union(col(s"nd_$c"), col(s"__insnd_$c")))
+            .as(s"nd_$c")
+        }
+    val folded = joined.select((foldedCols :+ invalid.as("__invalid")): _*)
+
+    val merged =
+      if (spec.mins.isEmpty && spec.maxs.isEmpty && spec.nds.isEmpty)
+        folded.drop("__invalid").filter(col("n_rows") > 0)
+      else {
+        // key-scoped recompute: ONLY the invalidated keys re-aggregate
+        // from the source — a semi join prunes the scan to their rows
+        // (a fully-deleted key recomputes to nothing and drops). The
+        // key set is typically tiny (keys whose extremum a delete
+        // touched) and AQE converts the semi join to a broadcast at
+        // runtime; no explicit hint, because the adversarial case —
+        // every key invalidated — is view-sized and a FORCED broadcast
+        // there would OOM the driver where a shuffle join degrades
+        // gracefully. The recompute reads the SAME source snapshot the
+        // watermark advances to, so a concurrent commit can't skew it.
+        val invalidKeys = folded.filter(col("__invalid"))
+          .select(spec.keys.map(col): _*)
+        val recomputed = aggOf(
+          scoped(catalog.read(spark, spec.src, snapshotId = Some(srcSnap.snapshotId)), spec)
+            .join(invalidKeys, spec.keys, "left_semi"),
+          spec)
+        folded.filter(!col("__invalid")).drop("__invalid")
+          .filter(col("n_rows") > 0)
+          .unionByName(recomputed)
+      }
     writeReplace(catalog, viewTable, merged, dataDir,
-      specProps(srcTable, keyCols, sumCols) +
-        (RefreshedAtProp -> srcSnap.snapshotId.toString))
+      specProps(spec) + (RefreshedAtProp -> srcSnap.snapshotId.toString))
     srcSnap.snapshotId
   }
 }

@@ -24,8 +24,9 @@ object Writers {
 
   /** List .parquet leaves, closing the directory stream (Files.list/walk
     * leak an fd if abandoned — a long-lived committer driver cares). */
-  private[sinks] def listParquetIn(dir: java.nio.file.Path): Seq[String] =
-    listParquet(dir)
+  private[sinks] def listParquetIn(
+      dir: java.nio.file.Path, recursive: Boolean = false): Seq[String] =
+    listParquet(dir, recursive)
 
   private def listParquet(dir: java.nio.file.Path, recursive: Boolean = false): Seq[String] = {
     val stream = if (recursive) Files.walk(dir) else Files.list(dir)

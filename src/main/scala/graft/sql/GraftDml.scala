@@ -1827,20 +1827,32 @@ case class GraftCallCommand(
         Seq(Row(Writers.deleteByKeys(session, cat, table, keys, Seq(keyCol),
           GraftDml.dataDirFor(session, root, table)).snapshotId))
       case "create_mv" =>
-        // CALL graft.create_mv('mv', 'src', 'k1,k2'[, 'c1,c2']) — build
-        // an incrementally-maintained aggregate view (S39 from SQL):
-        // keyed COUNT + SUMs of the source's CURRENT snapshot, stored as
-        // a first-class catalog table carrying its own definition and
-        // refreshed_at watermark. Omit the sum columns for a count-only
-        // view.
+        // CALL graft.create_mv('mv', 'src', 'k1,k2'[, 'c1,c2',
+        // avg_columns => 'a', min_columns => 'm', max_columns => 'M',
+        // nd_columns => 'd', where => 'pred']) — build an
+        // incrementally-maintained aggregate view (S39 from SQL): keyed
+        // COUNT + SUMs (+ AVG state, MIN/MAX with key-scoped recompute
+        // under invalidating deletes, HLL approx COUNT DISTINCT) of the
+        // source's CURRENT snapshot, optionally scoped to `where`,
+        // stored as a first-class catalog table carrying its own
+        // definition and refreshed_at watermark. Omit every aggregate
+        // column for a count-only view.
         val view = str(0, "view")
         val src = str(1, "source_table")
+        def colsArg(i: Int, name: String): Seq[String] =
+          arg(i, name).map(_.toString.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
         val keys = str(2, "key_columns").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         require(keys.nonEmpty, s"CALL graft.$proc: pass at least one key column")
-        val sums = arg(3, "sum_columns").map(_.toString.split(",").toSeq
-          .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-        val at = graft.sinks.MaterializedAgg.build(session, cat, src, view,
-          keys, sums, GraftDml.dataDirFor(session, root, view))
+        val mvSpec = graft.sinks.MaterializedAgg.MvSpec(src, keys,
+          sums = colsArg(3, "sum_columns"),
+          avgs = colsArg(-1, "avg_columns"),
+          mins = colsArg(-1, "min_columns"),
+          maxs = colsArg(-1, "max_columns"),
+          nds = colsArg(-1, "nd_columns"),
+          where = named.get("where").map(_.toString))
+        val at = graft.sinks.MaterializedAgg.build(session, cat, mvSpec, view,
+          GraftDml.dataDirFor(session, root, view))
         Seq(Row(view, at))
       case "refresh_mv" =>
         // CALL graft.refresh_mv('mv') — fold the source's change feed
@@ -2003,13 +2015,15 @@ case class GraftCallCommand(
         // strip every verb-level arg (incl. named-style positionals) so
         // only genuine reader options pass through
         val opts = (named -- Seq("format", "pattern", "table", "source",
-            "files", "max_files"))
+            "files", "max_files", "partition_by"))
           .map { case (k, v) => k -> v.toString }
         val res = graft.sinks.Ingest.ingest(session, cat, table, src, fmt, opts,
           GraftDml.dataDirFor(session, root, table), pattern,
           explicitFiles = named.get("files").map(_.toString.split(",").toSeq
             .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
-          maxFiles = named.get("max_files").map(asLong("max_files", _).toInt))
+          maxFiles = named.get("max_files").map(asLong("max_files", _).toInt),
+          partitionBy = named.get("partition_by").map(_.toString.split(",")
+            .toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
         Seq(Row(res.ingested.toLong, res.skipped.toLong, res.rows,
           res.snapshotId.map(java.lang.Long.valueOf).orNull))
       case "export" =>

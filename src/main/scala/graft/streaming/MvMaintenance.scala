@@ -48,7 +48,7 @@ object MvMaintenance {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val catalog = new SnapshotCatalog(catalogRoot)
-    val (src, _, _) = MaterializedAgg.spec(catalog, viewTable)
+    val src = MaterializedAgg.spec(catalog, viewTable).src
     spark.readStream
       .format("graft.streaming.SnapshotSourceProvider")
       .option("catalogRoot", catalogRoot)

@@ -518,6 +518,36 @@ class CdcLifecycleSpec extends SparkSpec {
               .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
               .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
             assert(got == want, s"seq=$seq MV != from-scratch aggregate")
+            // the GENERALIZED MV (r15) races the same op pool: MIN/MAX
+            // fold additively under inserts and recompute key-scoped
+            // under extremum deletes, AVG renders from (sum, cnt), the
+            // HLL sketch invalidates on any delete — after EVERY op the
+            // rendered view equals a from-scratch aggregate (exact nd:
+            // per-key cardinality here stays in sparse-sketch range)
+            val atx =
+              if (!cat.tables().contains("t_mvx"))
+                es.sql("CALL graft.create_mv('t_mvx', 't', 'id', 'v', " +
+                  "avg_columns => 'v', min_columns => 'v', " +
+                  "max_columns => 'v', nd_columns => 'v')").head().getLong(1)
+              else es.sql("CALL graft.refresh_mv('t_mvx')").head().getLong(1)
+            assert(atx == cat.currentSnapshot(t).get.snapshotId,
+              s"seq=$seq generalized MV watermark must equal the source head")
+            val gotx = graft.sinks.MaterializedAgg.readRendered(spark, cat, "t_mvx")
+              .select(col("id"), col("n_rows"), col("sum_v").cast("long").as("sv"),
+                col("avg_v"), col("min_v"), col("max_v"), col("approx_nd_v"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+            val wantx = cat.read(spark, t).groupBy(col("id"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("v").cast("decimal(28,6)")).as("s"),
+                count(col("v")).as("c"), min(col("v")).as("mn"),
+                max(col("v")).as("mx"), countDistinct(col("v")).as("nd"))
+              .select(col("id"), col("n"), col("s").cast("long"),
+                (col("s").cast("double") / col("c")).as("avg"),
+                col("mn"), col("mx"), col("nd"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+            assert(gotx == wantx, s"seq=$seq generalized MV != from-scratch")
           case 30 => // SQL CALL ingest (r14): a landing-zone CSV batch
             // appends through the COPY INTO path; an immediate re-run
             // must skip it (fingerprints rode the commit). Same model

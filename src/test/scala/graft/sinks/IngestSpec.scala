@@ -240,6 +240,70 @@ class IngestSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("partition_by ingest: landed files carry partition values; reads prune from metadata") {
+    import graft.meta.EqString
+    val landing = Files.createTempDirectory("graft-landing-p-")
+    drop(landing, "d1.csv", "1,1,alpha", "2,1,beta")
+    ext.sql("CREATE TABLE graft.ingp (id BIGINT, day BIGINT, name STRING)")
+    val r1 = ext.sql(s"CALL graft.ingest('ingp', '$landing', format => 'csv', " +
+      "partition_by => 'day')").head()
+    assert(r1.getLong(0) == 1 && r1.getLong(2) == 2)
+    // the second drop lands a NEW partition; only it loads
+    drop(landing, "d2.csv", "3,2,gamma", "4,2,delta", "5,2,epsilon")
+    val r2 = ext.sql(s"CALL graft.ingest('ingp', '$landing', format => 'csv', " +
+      "partition_by => 'day')").head()
+    assert(r2.getLong(0) == 1 && r2.getLong(1) == 1 && r2.getLong(2) == 3)
+    // every landed file carries its k=v partition value in the manifest
+    val snap = cat.currentSnapshot("ingp").get
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.partitionValues.contains("day")))
+    // the S21→S4 loop: a day-scoped plan keeps EXACTLY the fresh
+    // partition's files, from the manifest alone (planFiles never opens
+    // a footer — it is metadata-only by construction)
+    val day2 = cat.planFiles("ingp", Seq(EqString("day", "2")))
+    assert(day2.nonEmpty && day2.forall(_.partitionValues.get("day").contains("2")))
+    assert(day2.map(_.path).toSet ==
+      snap.files.filter(_.partitionValues.get("day").contains("2")).map(_.path).toSet)
+    val day1 = cat.planFiles("ingp", Seq(EqString("day", "1")))
+    assert(day1.size + day2.size == snap.files.size,
+      "the two days partition the file set exactly")
+    // the read reconstructs partition columns and rows exactly
+    val got = ext.sql("SELECT id, day, name FROM ingp WHERE day = 2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((3L, 2L, "gamma"), (4L, 2L, "delta"), (5L, 2L, "epsilon")))
+    // fingerprints + idempotence are unchanged on the partitioned path
+    val r3 = ext.sql(s"CALL graft.ingest('ingp', '$landing', format => 'csv', " +
+      "partition_by => 'day')").head()
+    assert(r3.getLong(0) == 0 && r3.isNullAt(3))
+  }
+
+  test("two racing PARTITIONED ingests load each file exactly once") {
+    val landing = Files.createTempDirectory("graft-landing-pr-")
+    drop(landing, "a.csv", "1,1,x", "2,1,y")
+    drop(landing, "b.csv", "3,2,z")
+    ext.sql("CREATE TABLE graft.ingprace (id BIGINT, day BIGINT, name STRING)")
+    val dataDir = Files.createTempDirectory("graft-ingprace-data-").toString
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Ingest.IngestResult] {
+          def call(): Ingest.IngestResult = {
+            latch.await()
+            Ingest.ingest(spark, cat, "ingprace", landing.toString, "csv",
+              Map.empty, dataDir, partitionBy = Seq("day"))
+          }
+        })
+      }
+      latch.countDown()
+      val rs = futs.map(_.get())
+      assert(rs.map(_.ingested).sum == 2, s"double or dropped load: $rs")
+      assert(ext.sql("SELECT count(*) AS n FROM ingprace").head().getLong(0) == 3)
+      assert(cat.currentSnapshot("ingprace").get.files
+        .forall(_.partitionValues.contains("day")))
+    } finally pool.shutdownNow()
+  }
+
   test("the dedupe window is snapshot retention: expired fingerprints age out") {
     val landing = Files.createTempDirectory("graft-landing-w-")
     drop(landing, "a.csv", "1,x")

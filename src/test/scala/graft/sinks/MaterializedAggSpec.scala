@@ -60,6 +60,119 @@ class MaterializedAggSpec extends SparkSpec {
     assert(viewState(cat) == recompute(cat))
   }
 
+  // ---- generalized aggregates: AVG (derived), MIN/MAX (key-scoped
+  // recompute under invalidating deletes), HLL approx COUNT DISTINCT ----
+
+  private val fullSpec = MaterializedAgg.MvSpec("orders", Seq("o_orderstatus"),
+    sums = Seq("o_totalprice"), avgs = Seq("o_totalprice"),
+    mins = Seq("o_totalprice"), maxs = Seq("o_totalprice"),
+    nds = Seq("o_orderpriority"))
+
+  /** From-scratch recompute rendered EXACTLY like readRendered renders
+    * the stored state (same decimal sums, same double division, exact
+    * distinct for the low-cardinality nd column). */
+  private def recomputeFull(cat: SnapshotCatalog,
+      where: Option[String] = None): Set[(String, Long, java.math.BigDecimal,
+        Double, Double, Double, Long)] = {
+    val base = cat.read(spark, "orders")
+    where.map(w => base.filter(expr(w))).getOrElse(base)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).as("s"),
+        count(col("o_totalprice")).as("c"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"),
+        countDistinct(col("o_orderpriority")).as("nd"))
+      .select(col("o_orderstatus"), col("n_rows"), col("s"),
+        (col("s").cast("double") / col("c")).as("avg"),
+        col("mn"), col("mx"), col("nd"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).setScale(6),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+  }
+
+  private def renderedState(cat: SnapshotCatalog, view: String): Set[(String, Long,
+      java.math.BigDecimal, Double, Double, Double, Long)] =
+    MaterializedAgg.readRendered(spark, cat, view)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).setScale(6),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+
+  test("min/max/avg/nd refresh equals recompute; extremum deletes recompute key-scoped") {
+    val base = Files.createTempDirectory("graft-mv3-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val o = Tables.orders(spark, sfDir)
+    Writers.writeSnapshot(cat, "orders", o.filter(col("o_orderkey") <= 900), s"$base/data")
+    MaterializedAgg.build(spark, cat, fullSpec, "mv_full", s"$base/view")
+    assert(renderedState(cat, "mv_full") == recomputeFull(cat))
+
+    // pure inserts: extrema fold via least/greatest, sketches union —
+    // no invalidation, no recompute
+    Writers.writeSnapshot(cat, "orders", o.filter(col("o_orderkey") > 900), s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "mv_full", s"$base/view")
+    assert(renderedState(cat, "mv_full") == recomputeFull(cat))
+
+    // kill each group's CURRENT MAX (top prices) and some MINs (bottom
+    // prices): the stored extrema die, the invalidated keys recompute
+    // from the source, everything else folds additively
+    val top = cat.read(spark, "orders").orderBy(col("o_totalprice").desc)
+      .limit(20).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val bottom = cat.read(spark, "orders").orderBy(col("o_totalprice").asc)
+      .limit(20).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val victims = (top ++ bottom).map(java.lang.Long.valueOf).toSeq
+    Writers.deleteWhere(spark, cat, "orders",
+      df => df.filter(!col("o_orderkey").isin(victims: _*)), Nil, s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "mv_full", s"$base/view")
+    assert(renderedState(cat, "mv_full") == recomputeFull(cat),
+      "a delete at the stored extremum must trigger the key-scoped recompute")
+
+    // merge UPDATE that retracts old versions (some at the extremum)
+    // and inserts bumped ones — retraction + insert in one feed
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 50000.0)
+    Writers.mergeInto(spark, cat, "orders", upd, Seq("o_orderkey"), s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "mv_full", s"$base/view")
+    assert(renderedState(cat, "mv_full") == recomputeFull(cat))
+
+    // a key vanishing entirely drops out even through the recompute path
+    Writers.deleteWhere(spark, cat, "orders",
+      df => df.filter(col("o_orderstatus") =!= "P"), Nil, s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "mv_full", s"$base/view")
+    assert(!renderedState(cat, "mv_full").exists(_._1 == "P"))
+    assert(renderedState(cat, "mv_full") == recomputeFull(cat))
+  }
+
+  test("where-scoped MV: the filtered fold tracks rows crossing the predicate") {
+    val base = Files.createTempDirectory("graft-mv4-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val o = Tables.orders(spark, sfDir)
+    Writers.writeSnapshot(cat, "orders", o, s"$base/data")
+    val where = "o_totalprice > 150000.0"
+    val spec = fullSpec.copy(where = Some(where))
+    MaterializedAgg.build(spark, cat, spec, "mv_scoped", s"$base/view")
+    assert(renderedState(cat, "mv_scoped") == recomputeFull(cat, Some(where)))
+
+    // UPDATEs that move rows INTO the set (cheap rows bumped over the
+    // threshold: their retraction fails the predicate, their insert
+    // passes → one-sided +1) and OUT of it (expensive rows cut below:
+    // delete passes, insert fails → one-sided -1)
+    val into = o.filter(col("o_totalprice") <= 100000.0 && col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 120000.0)
+    Writers.mergeInto(spark, cat, "orders", into, Seq("o_orderkey"), s"$base/data")
+    val outOf = o.filter(col("o_totalprice") > 200000.0 && col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") - 190000.0)
+    Writers.mergeInto(spark, cat, "orders", outOf, Seq("o_orderkey"), s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "mv_scoped", s"$base/view")
+    assert(renderedState(cat, "mv_scoped") == recomputeFull(cat, Some(where)),
+      "rows UPDATEd across the predicate boundary must fold one-sided")
+
+    // deletes straddling the boundary: only in-set retractions count
+    Writers.deleteWhere(spark, cat, "orders",
+      df => df.filter(col("o_orderkey") % 4 =!= 1), Nil, s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "mv_scoped", s"$base/view")
+    assert(renderedState(cat, "mv_scoped") == recomputeFull(cat, Some(where)))
+  }
+
   test("a key whose rows all vanish leaves the view; no-op refresh commits nothing") {
     val base = Files.createTempDirectory("graft-mv2-").toString
     val cat = new SnapshotCatalog(s"$base/cat")

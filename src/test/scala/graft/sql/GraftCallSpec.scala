@@ -699,6 +699,53 @@ class GraftCallSpec extends SparkSpec {
     assert(cat.tables().contains("mvsrc2"))
   }
 
+  test("create_mv generalized aggregates: min/max/avg/nd + where from SQL") {
+    Writers.writeSnapshot(cat, "mvgsrc",
+      graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") <= 600)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      dataDir)
+    val where = "o_totalprice > 100000.0"
+    ext.sql("CALL graft.create_mv('mvg', 'mvgsrc', 'o_orderstatus', " +
+      "'o_totalprice', avg_columns => 'o_totalprice', " +
+      "min_columns => 'o_totalprice', max_columns => 'o_totalprice', " +
+      "nd_columns => 'o_orderkey', where => 'o_totalprice > 100000.0')")
+    def fromScratch(): Set[(String, Long, Double, Double, Double, Long)] =
+      cat.read(spark, "mvgsrc").filter(where)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).as("s"),
+          count(col("o_totalprice")).as("c"),
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"),
+          countDistinct(col("o_orderkey")).as("nd"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("s").cast("double") / col("c")).as("avg"),
+          col("mn"), col("mx"), col("nd"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    def rendered(): Set[(String, Long, Double, Double, Double, Long)] =
+      graft.sinks.MaterializedAgg.readRendered(spark, cat, "mvg")
+        .select(col("o_orderstatus"), col("n_rows"), col("avg_o_totalprice"),
+          col("min_o_totalprice"), col("max_o_totalprice"),
+          col("approx_nd_o_orderkey"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(rendered() == fromScratch())
+    // kill stored extrema + add rows, all through SQL; refresh by name
+    ext.sql("DELETE FROM mvgsrc WHERE o_totalprice > 300000.0")
+    ext.sql("INSERT INTO mvgsrc SELECT o_orderkey + 9000, o_orderstatus, " +
+      "o_totalprice + 5000.0 FROM mvgsrc WHERE o_orderkey <= 100")
+    ext.sql("CALL graft.refresh_mv('mvg')")
+    assert(rendered() == fromScratch(),
+      "generalized MV after extremum deletes must equal from-scratch")
+    // unknown aggregate columns refuse loudly at create time
+    val e = intercept[Exception] {
+      ext.sql("CALL graft.create_mv('mvgbad', 'mvgsrc', 'o_orderstatus', " +
+        "min_columns => 'nope')")
+    }
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+  }
+
   test("CALL graft.cache / uncache / expire_cache / cache_stats: the keyed cache from SQL") {
     val t = freshTable("cachesql", 1 to 25)
     // first call is a miss: loads (filter + projection shape the KEY),
