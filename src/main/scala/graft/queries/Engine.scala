@@ -933,6 +933,50 @@ object Engine {
         |FROM mvmm_view""".stripMargin)
   }
 
+  // Memoized approx-ND MV catalog per sf-dir: HLL COUNT DISTINCT state
+  // (r15) — the nd column is LOW-cardinality (o_orderpriority, 5
+  // values), where the datasketches sparse sketch is EXACT, so the
+  // estimate hash-matches DuckDB's exact COUNT(DISTINCT) — and the
+  // DELETE forces the sketch-invalidation recompute path (HLL is not
+  // retractable), proving it end-to-end through SQL.
+  private val mvNdRoots = TrieMap.empty[String, String]
+  private def mvNdRootFor(s: SparkSession, dir: String): String =
+    mvNdRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mvnd-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "mvndorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice")),
+        Files.createTempDirectory("graft-mvnd-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("CALL graft.create_mv('mvnd_view', 'mvndorders', " +
+        "'o_orderstatus', nd_columns => 'o_orderpriority')")
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(s"INSERT INTO mvndorders SELECT o_orderkey, o_orderstatus, " +
+        s"o_orderpriority, o_totalprice FROM $src WHERE o_orderkey % 2 = 1")
+      // the delete removes WHOLE priority classes from some groups
+      // (every cheap '5-LOW' row, say) — only a recompute can shrink
+      // the distinct count, an insert-only fold would overcount
+      es.sql("DELETE FROM mvndorders WHERE o_orderpriority IN ('5-LOW', '4-NOT SPECIFIED')")
+      es.sql("CALL graft.refresh_mv('mvnd_view')")
+      root
+    })
+
+  /** HLL approx COUNT DISTINCT in an MV (r15): at this cardinality the
+    * sparse sketch is exact, so the maintained estimate — THROUGH an
+    * invalidating delete and the key-scoped recompute — hash-equals
+    * the oracle's exact COUNT(DISTINCT) of the final state. */
+  def qMvNd(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mvNdRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus, n_rows,
+        |  hll_sketch_estimate(nd_o_orderpriority) AS nd_priority
+        |FROM mvnd_view""".stripMargin)
+  }
+
   // Memoized where-scoped MV catalog per sf-dir: an MV over a DERIVED
   // relation (r15) — the definition carries a predicate; UPDATEs move
   // rows INTO and OUT OF the predicate set, and the refresh folds the
@@ -1537,6 +1581,7 @@ object Engine {
     "q_mv_sql" -> (qMvSql _),
     "q_mv_minmax" -> (qMvMinmax _),
     "q_mv_where" -> (qMvWhere _),
+    "q_mv_nd" -> (qMvNd _),
     "q_delete_keys_sql" -> (qDeleteKeysSql _),
     "q_cdf_percommit" -> (qCdfPercommit _),
     "q_cache_sql" -> (qCacheSql _),
@@ -1730,6 +1775,14 @@ object Engine {
         |    / COUNT(o_totalprice) AS avg_price,
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price
+        |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
+    "q_mv_nd" ->
+      """WITH finalstate AS (
+        |  SELECT o_orderstatus, o_orderpriority FROM orders
+        |  WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderpriority) AS nd_priority
         |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
     "q_mv_where" ->
       """WITH s1 AS (

@@ -4,7 +4,7 @@ import java.util.concurrent.{Executors, TimeUnit}
 
 import graft.cache.TableCache
 import graft.meta.SnapshotCatalog
-import graft.sinks.Writers
+import graft.sinks.{MaterializedAgg, Writers}
 import org.apache.spark.sql.SparkSession
 
 /** One table's result from a maintenance pass. `error` carries the
@@ -13,17 +13,25 @@ import org.apache.spark.sql.SparkSession
 final case class TableSweep(
     table: String, expired: Int, rowsSwept: Long, error: Option[String])
 
+/** One materialized view's refresh result from a maintenance pass. */
+final case class MvRefresh(
+    view: String, refreshedAt: Option[Long], error: Option[String])
+
 /** The outcome of one [[Maintenance.runOnce]] pass. */
-final case class MaintenanceReport(sweeps: Seq[TableSweep], cacheExpired: Int)
+final case class MaintenanceReport(
+    sweeps: Seq[TableSweep], mvRefreshes: Seq[MvRefresh], cacheExpired: Int)
 
 /** Background node maintenance — the reference's cache-node maintenance
   * thread (`src/core/cache_node.py:66-89`: a loop that sleeps, sweeps
   * TTL-expired cache entries, and error-isolates each pass), widened to
-  * this catalog's declared policies: one pass (a) enforces every
-  * opted-in table's OWN sticky retention policy (`graft.retention.*` —
-  * the row-TTL sweep then the history trim, exactly the no-arg
+  * this catalog's declared policies: one pass (a) refreshes every
+  * materialized aggregate view (the no-arg `CALL graft.refresh_mv()`
+  * semantics — idle sources are metadata no-ops, so the steady-state
+  * cost is one watermark read per view), (b) enforces every opted-in
+  * table's OWN sticky retention policy (`graft.retention.*` — the
+  * row-TTL sweep then the history trim, exactly the no-arg
   * `CALL graft.enforce_retention` semantics with per-table error
-  * isolation) and (b) expires cache entries idle beyond the TTL.
+  * isolation) and (c) expires cache entries idle beyond the TTL.
   *
   * Testability: [[runOnce]] is the whole behavior and takes no time
   * dependency of its own — retention cutoffs come from the CATALOG'S
@@ -43,10 +51,18 @@ final class Maintenance(
     cache: Option[TableCache] = None,
     cacheTtlMs: Long = 15 * 60 * 1000L) {
 
-  /** One maintenance pass: sweep every opted-in table (error-isolated),
-    * then expire idle cache entries. Tables that never declared a
-    * policy are never touched. */
+  /** One maintenance pass: refresh every materialized view (FIRST, so
+    * the incremental path sees the watermark snapshot before any
+    * retention trim could expire it), sweep every opted-in table, then
+    * expire idle cache entries — each phase error-isolated per object.
+    * Tables that never declared a policy are never touched; a refresh
+    * of an idle-source view is a metadata no-op. */
   def runOnce(): MaintenanceReport = {
+    val refreshes = MaterializedAgg.views(catalog).map { v =>
+      try MvRefresh(v,
+        Some(MaterializedAgg.refreshByName(spark, catalog, v, dataDirFor(v))), None)
+      catch { case e: Exception => MvRefresh(v, None, Option(e.getMessage)) }
+    }
     val sweeps = catalog.tables().filter(catalog.hasRetentionPolicy).map { t =>
       try {
         val (expired, rows) = Writers.enforceRetention(spark, catalog, t, dataDirFor(t))
@@ -59,7 +75,7 @@ final class Maintenance(
       }
     }
     val expiredEntries = cache.map(_.expire(cacheTtlMs)).getOrElse(0)
-    MaintenanceReport(sweeps, expiredEntries)
+    MaintenanceReport(sweeps, refreshes, expiredEntries)
   }
 
   /** Start the daemon: [[runOnce]] every `intervalMs` on a daemon

@@ -212,6 +212,14 @@ object MaterializedAgg {
       props.get(WhereProp))
   }
 
+  /** Every materialized aggregate view in the catalog: tables whose
+    * current snapshot carries the MV definition — the sweep set of the
+    * no-arg `CALL graft.refresh_mv()` and the node maintenance pass.
+    * O(tables) metadata reads, no data I/O. */
+  def views(catalog: SnapshotCatalog): Seq[String] =
+    catalog.tables().filter(t =>
+      catalog.currentSnapshot(t).exists(_.props.contains(SrcProp))).sorted
+
   /** [[refresh]] driven by the view name alone, using the definition
     * the view's own snapshots carry — the scheduled-maintenance shape
     * (`CALL graft.refresh_mv('mv')`). Returns the new watermark. */

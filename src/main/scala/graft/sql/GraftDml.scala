@@ -1521,9 +1521,13 @@ case class GraftCallCommand(
       case "changelog" =>
         Seq(AttributeReference("view",
           org.apache.spark.sql.types.StringType, nullable = false)())
-      case "create_mv" | "refresh_mv" =>
+      case "create_mv" =>
         Seq(AttributeReference("view", StringType, nullable = false)(),
           AttributeReference("refreshed_at", LongType, nullable = false)())
+      case "refresh_mv" =>
+        Seq(AttributeReference("view", StringType, nullable = false)(),
+          AttributeReference("refreshed_at", LongType, nullable = true)(),
+          AttributeReference("error", StringType, nullable = true)())
       case "materialize_deletes" =>
         Seq(AttributeReference("committed", BooleanType, nullable = false)(),
           AttributeReference("snapshot_id", LongType, nullable = true)())
@@ -1855,15 +1859,26 @@ case class GraftCallCommand(
           GraftDml.dataDirFor(session, root, view))
         Seq(Row(view, at))
       case "refresh_mv" =>
-        // CALL graft.refresh_mv('mv') — fold the source's change feed
+        // CALL graft.refresh_mv(['mv']) — fold the source's change feed
         // since the view's watermark into the keyed state: refresh cost
         // ∝ CHANGED rows, never source size (the 100 TB MV maintenance
         // shape). The definition rides the view's own snapshot props, so
         // the scheduled job needs only the view name. No source movement
-        // = no commit (the returned watermark is unchanged).
-        val view = str(0, "view")
-        Seq(Row(view, graft.sinks.MaterializedAgg.refreshByName(
-          session, cat, view, GraftDml.dataDirFor(session, root, view))))
+        // = no commit (the returned watermark is unchanged). With NO
+        // args: refresh EVERY materialized view in the catalog — one
+        // scheduled statement maintains them all (the enforce_retention
+        // symmetry), with per-view error isolation (one broken view
+        // reports in its row; the sweep continues).
+        def refreshOne(view: String): Long = graft.sinks.MaterializedAgg
+          .refreshByName(session, cat, view, GraftDml.dataDirFor(session, root, view))
+        arg(0, "view") match {
+          case Some(v) => Seq(Row(v.toString, refreshOne(v.toString), null))
+          case None =>
+            graft.sinks.MaterializedAgg.views(cat).map { v =>
+              try Row(v, refreshOne(v), null)
+              catch { case e: Exception => Row(v, null, e.getMessage) }
+            }
+        }
       case "materialize_deletes" =>
         // CALL graft.materialize_deletes('t') — fold outstanding MoR
         // position/equality masks into rewritten data files (rows

@@ -33,10 +33,14 @@ class MaintenanceSpec extends SparkSpec {
     cat.setStickyValueProp("m1", SnapshotCatalog.RetentionSnapshotsProp, Some("2"))
     // m2: NO policy — maintenance must never touch it
     Writers.writeSnapshot(cat, "m2", (1L to 5L).map(i => (i, i)).toDF("id", "v"), dataDir)
-    val m2Head = cat.currentSnapshot("m2").get.snapshotId
     // m3: HALF policy — its sweep refuses; the refusal must not stop m1
     Writers.writeSnapshot(cat, "m3", (1L to 5L).map(i => (i, i)).toDF("id", "v"), dataDir)
     cat.setStickyValueProp("m3", SnapshotCatalog.RetentionRowsMsProp, Some("1000"))
+
+    // a materialized view over m2: the pass must refresh it to the
+    // source head (the no-arg refresh_mv semantics, MVs first)
+    graft.sinks.MaterializedAgg.build(spark, cat, "m2", "m2_mv",
+      Seq("id"), Seq("v"), dataDir)
 
     // cache with the SAME injectable clock; one entry, touched "now"
     val tc = new TableCache(clock = () => nowMs)
@@ -49,9 +53,20 @@ class MaintenanceSpec extends SparkSpec {
     // tick 1: rows older than 1h sweep (the first batch), history trims
     // to 2, m3 reports its half-policy error, m2 is never visited, the
     // cache entry is still fresh (idle < TTL)
+    // m2 moves AFTER the MV build: tick 1's MV phase must fold it in
+    Writers.writeSnapshot(cat, "m2", Seq((6L, 60L)).toDF("id", "v"), dataDir)
+    val m2Head = cat.currentSnapshot("m2").get.snapshotId
+
     val rep1 = m.runOnce()
     val byTable = rep1.sweeps.map(s => s.table -> s).toMap
-    assert(!byTable.contains("m2"), "a table with no policy is never swept")
+    assert(!byTable.contains("m2") && !byTable.contains("m2_mv"),
+      "tables with no policy (incl. the view) are never swept")
+    val mv1 = rep1.mvRefreshes.find(_.view == "m2_mv").get
+    assert(mv1.error.isEmpty &&
+      mv1.refreshedAt.contains(cat.currentSnapshot("m2").get.snapshotId),
+      s"the pass must refresh the view to the source head: $mv1")
+    assert(cat.read(spark, "m2_mv").count() == 6,
+      "the refreshed view folds the post-build append")
     assert(byTable("m1").rowsSwept == 10L, s"old rows must mask: ${byTable("m1")}")
     assert(byTable("m1").error.isEmpty)
     assert(byTable("m3").error.exists(_.contains("half")),
@@ -70,9 +85,13 @@ class MaintenanceSpec extends SparkSpec {
     assert(rep2.cacheExpired == 1 && tc.stats.entries == 0)
 
     // tick 3: nothing left — the pass is idempotent and metadata-cheap
+    // (the idle-source MV refresh commits nothing: same watermark)
+    val mvHead = cat.currentSnapshot("m2_mv").get.snapshotId
     val rep3 = m.runOnce()
     assert(rep3.sweeps.find(_.table == "m1").get.rowsSwept == 0L)
     assert(rep3.cacheExpired == 0)
+    assert(cat.currentSnapshot("m2_mv").get.snapshotId == mvHead,
+      "an idle-source refresh must not burn a view snapshot")
 
     // the daemon handle schedules and stops cleanly (behavior itself is
     // runOnce, already proven above — no sleeps needed here)

@@ -683,6 +683,17 @@ class GraftCallSpec extends SparkSpec {
     assert(r3.getLong(1) == r2.getLong(1))
     assert(cat.currentSnapshot("mv1").get.snapshotId == head,
       "an idle-source refresh must not burn a view snapshot")
+    // no-arg form: ONE statement refreshes every view in the catalog
+    // (the enforce_retention symmetry); each row reports its view's new
+    // watermark, and plain tables are never visited
+    ext.sql("INSERT INTO mvsrc VALUES (9001, 'Z', 42.0)")
+    val all = ext.sql("CALL graft.refresh_mv()").collect()
+    assert(all.exists(r => r.getString(0) == "mv1" &&
+      r.getLong(1) == cat.currentSnapshot("mvsrc").get.snapshotId && r.isNullAt(2)),
+      s"the sweep must refresh mv1 to the moved head: ${all.mkString(";")}")
+    assert(all.forall(r => cat.currentSnapshot(r.getString(0)).get.props
+      .contains("graft.view.src")), "only MVs appear in the sweep")
+    assert(view() == fromScratch())
     // refresh of a non-MV table refuses loudly
     val t2 = freshTable("notamv", 1 to 3)
     val e = intercept[Exception] { ext.sql(s"CALL graft.refresh_mv('$t2')") }
