@@ -3,7 +3,8 @@ package graft.sinks
 import java.nio.file.Paths
 import java.util.UUID
 
-import graft.meta.{CommitConflictException, CommitIntent, SnapshotCatalog}
+import graft.meta.{BucketTransform, CommitConflictException, CommitIntent,
+  DaysTransform, PartTransform, SnapshotCatalog, TruncateTransform}
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
 
@@ -123,6 +124,28 @@ object Ingest {
     }.sortBy(_.getPath.toString)
   }
 
+  /** A `partition_by` entry: either a raw column (hive layout on its
+    * values) or a HIDDEN transform — `days(c)` / `truncate(w,c)` /
+    * `bucket(n,c)`, the Iceberg spellings (S35). A transform
+    * materializes its derived value into the directory name only; the
+    * source column stays in the file bytes, so per-file stats on it
+    * remain tight and a time-range read prunes to its days whether the
+    * reader knows the transform or not. Anything else refuses. */
+  private[graft] def parsePartition(e: String): Either[String, PartTransform] = {
+    val days = """days\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    val trunc = """truncate\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    val bucket = """bucket\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    e.trim match {
+      case days(c) => Right(DaysTransform(c))
+      case trunc(w, c) => Right(TruncateTransform(c, w.toInt))
+      case bucket(n, c) => Right(BucketTransform(c, n.toInt))
+      case c if c.matches("[A-Za-z_][A-Za-z0-9_]*") => Left(c)
+      case other => throw new IllegalArgumentException(
+        s"ingest partition_by: '$other' is neither a column name nor " +
+          "days(c) / truncate(w,c) / bucket(n,c)")
+    }
+  }
+
   /** Load the not-yet-ingested files under `src` into `table` as ONE
     * append commit carrying their fingerprints. No fresh files = no
     * commit (`snapshotId = None`). A first ingest into a table with no
@@ -154,6 +177,9 @@ object Ingest {
     require(Formats.contains(format),
       s"ingest format must be one of ${Formats.toSeq.sorted.mkString(", ")}; got '$format'")
     maxFiles.foreach(n => require(n >= 1, s"max_files must be >= 1; got $n"))
+    // parse the layout spec UP FRONT: a malformed partition_by must
+    // refuse on every run, not only when fresh files happen to exist
+    val parts = partitionBy.map(parsePartition)
     // an EXPLICIT file list (the reference dataloader's shape —
     // `load_partition(file_paths)`) bypasses the directory listing;
     // each name resolves relative to `src` and must exist (a missed
@@ -192,17 +218,25 @@ object Ingest {
       val df = ready.load(fresh.map(_.getPath.toString): _*)
       val dir = Paths.get(dataDir, s"ingest-${UUID.randomUUID().toString.take(8)}")
       // partition-aware landing (the S21→S4 loop at ingest time): the
-      // batch writes hive-partitioned, every leaf file's k=v segments
-      // land in its manifest entry at commit, and a later range read
-      // prunes the fresh partitions' files from METADATA alone — on a
-      // time-partitioned landing flow the live tail never costs a
-      // footer read
-      if (partitionBy.nonEmpty) {
-        val missing = partitionBy.filterNot(df.columns.contains)
+      // batch writes hive-partitioned — on raw columns and/or hidden
+      // transforms (`days(ts)`: the canonical time-partitioned landing
+      // flow) — every leaf file's k=v segments land in its manifest
+      // entry at commit, and a later range read prunes the fresh
+      // partitions' files from METADATA alone (transform layouts also
+      // keep tight per-file stats on the SOURCE column, because only
+      // the derived value moves into the directory name)
+      if (parts.nonEmpty) {
+        val named = parts.map { case Left(c) => c; case Right(t) => t.source }
+        val missing = named.filterNot(df.columns.contains)
         require(missing.isEmpty,
           s"ingest partition_by: unknown column(s) ${missing.mkString(", ")} " +
             s"(batch has: ${df.columns.mkString(", ")})")
-        df.write.partitionBy(partitionBy: _*).parquet(dir.toString)
+        val frame = parts.foldLeft(df) {
+          case (d, Right(t)) => d.withColumn(t.partCol, t.colExpr)
+          case (d, Left(_)) => d
+        }
+        val partCols = parts.map { case Left(c) => c; case Right(t) => t.partCol }
+        frame.write.partitionBy(partCols: _*).parquet(dir.toString)
       } else df.write.parquet(dir.toString)
       val prevFiles = basis.map(_.files).getOrElse(Nil)
       try {

@@ -277,6 +277,49 @@ class IngestSpec extends SparkSpec {
     assert(r3.getLong(0) == 0 && r3.isNullAt(3))
   }
 
+  test("partition_by => days(ts): hidden-transform landing prunes by day from metadata") {
+    import graft.meta.EqString
+    val landing = Files.createTempDirectory("graft-landing-d-")
+    drop(landing, "d1.csv", "1,2024-01-10 05:00:00,1.5", "2,2024-01-10 07:00:00,2.5")
+    ext.sql("CREATE TABLE graft.ingdays (id BIGINT, ts TIMESTAMP, v DOUBLE)")
+    val r1 = ext.sql(s"CALL graft.ingest('ingdays', '$landing', format => 'csv', " +
+      "partition_by => 'days(ts)')").head()
+    assert(r1.getLong(0) == 1 && r1.getLong(2) == 2)
+    drop(landing, "d2.csv", "3,2024-01-11 05:00:00,3.5")
+    val r2 = ext.sql(s"CALL graft.ingest('ingdays', '$landing', format => 'csv', " +
+      "partition_by => 'days(ts)')").head()
+    assert(r2.getLong(0) == 1 && r2.getLong(2) == 1)
+    // the HIDDEN transform value rides the manifest: a day-scoped plan
+    // keeps exactly that day's files, and the derived column never
+    // appears in the table schema
+    val snap = cat.currentSnapshot("ingdays").get
+    assert(snap.files.forall(_.partitionValues.contains("__p_ts_day")))
+    assert(!snap.schema.fieldNames.contains("__p_ts_day"),
+      "the transform column is hidden (directory-only)")
+    val day10 = cat.planFiles("ingdays", Seq(EqString("__p_ts_day", "2024-01-10")))
+    assert(day10.nonEmpty && day10.map(_.path).toSet ==
+      snap.files.filter(_.partitionValues.get("__p_ts_day").contains("2024-01-10"))
+        .map(_.path).toSet)
+    assert(day10.size < snap.files.size, "the other day's files must prune away")
+    // the SOURCE column stays in the file bytes — reads and per-file
+    // stats on ts work with no knowledge of the transform
+    val got = ext.sql(
+      "SELECT id FROM ingdays WHERE ts >= TIMESTAMP '2024-01-11 00:00:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+    assert(snap.files.forall(_.stats.contains("ts")),
+      "tight per-file ts stats survive the transform layout")
+    // idempotence unchanged; malformed transform entries refuse
+    val r3 = ext.sql(s"CALL graft.ingest('ingdays', '$landing', format => 'csv', " +
+      "partition_by => 'days(ts)')").head()
+    assert(r3.getLong(0) == 0 && r3.isNullAt(3))
+    val eBad = intercept[Exception] {
+      ext.sql(s"CALL graft.ingest('ingdays', '$landing', format => 'csv', " +
+        "partition_by => 'days(ts')").collect()
+    }
+    assert(eBad.getMessage.contains("neither a column name"), eBad.getMessage)
+  }
+
   test("two racing PARTITIONED ingests load each file exactly once") {
     val landing = Files.createTempDirectory("graft-landing-pr-")
     drop(landing, "a.csv", "1,1,x", "2,1,y")
