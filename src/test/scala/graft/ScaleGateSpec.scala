@@ -35,9 +35,9 @@ class ScaleGateSpec extends AnyFunSuite {
     val ok = ScaleGate.evaluate(
       Map("q_embed_neardup" -> 1.0), Map("q_embed_neardup" -> 11.0),
       bound = 8.0, floor = 0.2)
-    assert(!ok.head.breach) // 11x is within the documented N·W·t model (16x)
+    assert(!ok.head.breach) // 11x is within the documented N·W·t model (20x, r15)
     val bad = ScaleGate.evaluate(
-      Map("q_embed_neardup" -> 1.0), Map("q_embed_neardup" -> 20.0),
+      Map("q_embed_neardup" -> 1.0), Map("q_embed_neardup" -> 30.0),
       bound = 8.0, floor = 0.2)
     assert(bad.head.breach) // past even the model bound — a real regression
   }
