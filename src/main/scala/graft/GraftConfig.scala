@@ -36,8 +36,36 @@ final class GraftNode(
   val engine: QueryEngine = new QueryEngine(spark, dataDir, Some(cache))
 
   /** Periodic maintenance entry point (reference:
-    * src/core/cache_node.py:77) — explicit, caller-scheduled. */
-  def maintain(): Int = cache.expire(config.cacheTtlMillis)
+    * src/core/cache_node.py:77) — explicit, caller-scheduled. With a
+    * catalog configured this is one FULL maintenance pass (MV refreshes
+    * → retention sweeps → cache TTL, per-object error isolation — the
+    * [[graft.serve.Maintenance.runOnce]] semantics); without one, the
+    * cache sweep is the whole node state and runs alone. Returns the
+    * expired-cache-entry count either way (the original surface). */
+  def maintain(): Int = catalog match {
+    case Some(_) => maintenance.runOnce().cacheExpired
+    case None => cache.expire(config.cacheTtlMillis)
+  }
+
+  /** The node's composed maintenance pass over ITS OWN catalog, cache
+    * and data layout — requires a configured catalog root (a cache-only
+    * node has no tables to sweep or views to refresh). Data for swept
+    * tables and refreshed views lands under `dataDir/<table>`, the same
+    * layout the SQL verbs use. */
+  lazy val maintenance: graft.serve.Maintenance = new graft.serve.Maintenance(
+    spark,
+    catalog.getOrElse(throw new IllegalStateException(
+      "node maintenance needs a catalog: set GraftConfig.catalogRoot")),
+    t => java.nio.file.Paths.get(dataDir, t).toString,
+    Some(cache),
+    config.cacheTtlMillis)
+
+  /** Start the S69 background maintenance daemon on this node's own
+    * catalog/cache (reference: cache_node.py:66 `_start_maintenance_
+    * thread`) — one call stands up the loop the reference's node owns.
+    * Caller owns the handle; close it to stop. */
+  def startMaintenance(intervalMs: Long = 60000L): graft.serve.MaintenanceHandle =
+    maintenance.start(intervalMs)
 
   /** The node's SQL-serving session: with a catalog configured, a
     * sibling session (same SparkContext) with [[GraftExtensions]]

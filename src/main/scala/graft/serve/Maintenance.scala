@@ -44,7 +44,7 @@ final case class MaintenanceReport(
   * sweep (one policy-prop read each); a table WITH doomed rows pays the
   * same min/max-pruned marking scan the SQL verb pays — on a
   * time-ordered layout the cold prefix, never the live tail. */
-final class Maintenance(
+class Maintenance(
     spark: SparkSession,
     catalog: SnapshotCatalog,
     dataDirFor: String => String,
@@ -80,19 +80,46 @@ final class Maintenance(
 
   /** Start the daemon: [[runOnce]] every `intervalMs` on a daemon
     * thread (fixed DELAY, so a slow sweep never stacks passes). A pass
-    * that throws outright is swallowed — the loop must survive to the
-    * next tick, like the reference's try/except around
-    * `_perform_maintenance`. Close the handle to stop. */
-  def start(intervalMs: Long = 60000L): AutoCloseable = {
+    * that throws outright is survived — the loop must reach the next
+    * tick, like the reference's try/except around
+    * `_perform_maintenance` — but never SILENTLY: the throwable is
+    * recorded on the returned handle ([[MaintenanceHandle.lastError]],
+    * cleared by the next clean pass) and one line goes to stderr, so a
+    * persistently failing pass (bad catalog root, FS outage) is
+    * observable instead of leaving MV refreshes and retention
+    * enforcement quietly dead. Close the handle to stop. */
+  def start(intervalMs: Long = 60000L): MaintenanceHandle = {
     require(intervalMs >= 1, s"maintenance interval must be positive; got $intervalMs")
     val exec = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-maintenance")
       t.setDaemon(true)
       t
     }
+    val handle = new MaintenanceHandle(exec)
     exec.scheduleWithFixedDelay(
-      () => try { runOnce(); () } catch { case _: Exception => () },
+      () => handle.record(try { runOnce(); None } catch {
+        case e: Exception =>
+          Console.err.println(s"graft-maintenance: pass failed: $e")
+          Some(e)
+      }),
       intervalMs, intervalMs, TimeUnit.MILLISECONDS)
-    new AutoCloseable { def close(): Unit = { exec.shutdownNow(); () } }
+    handle
   }
+}
+
+/** A running maintenance daemon: close to stop. `lastError` carries the
+  * most recent pass-level failure (None after a clean pass), `passes`
+  * counts completed ticks — the two signals a health check needs to
+  * tell "quietly idle" from "quietly dead". */
+final class MaintenanceHandle private[serve] (
+    exec: java.util.concurrent.ScheduledExecutorService) extends AutoCloseable {
+  @volatile private var _passes = 0L
+  @volatile private var _lastError: Option[Throwable] = None
+  private[serve] def record(err: Option[Throwable]): Unit = {
+    _passes += 1
+    _lastError = err
+  }
+  def passes: Long = _passes
+  def lastError: Option[Throwable] = _lastError
+  def close(): Unit = { exec.shutdownNow(); () }
 }

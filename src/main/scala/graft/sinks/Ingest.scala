@@ -71,6 +71,24 @@ object Ingest {
   private def fp(st: FileStatus): String =
     fingerprint(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
 
+  /** The PRE-digest fingerprint format (64-bit FNV-1a, variable-width
+    * hex). Catalogs written before the SHA-256 switch carry these in
+    * their commit props; the dedupe check accepts a match in EITHER
+    * format, so an untouched file ingested under the old format never
+    * re-loads after an engine upgrade — the exact double-load the
+    * fingerprint set exists to prevent. New commits record only the
+    * digest form; legacy fingerprints age out with their snapshots. */
+  private[graft] def legacyFingerprint(path: String, size: Long, mtimeMs: Long): String = {
+    val s = s"$path|$size|$mtimeMs"
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    java.lang.Long.toHexString(h)
+  }
+
+  private def legacyFp(st: FileStatus): String =
+    legacyFingerprint(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+
   /** Fully-qualified, `..`-collapsed form of `p` — the string two paths
     * are compared in for containment. Scheme/authority render
     * explicitly (null and empty authority canonicalize the same:
@@ -205,7 +223,8 @@ object Ingest {
       // deterministic): the bounded-commit mechanism for huge landing
       // days — run until ingested = 0 and each commit's fingerprint
       // prop stays metadata-sized
-      val freshAll = all.filterNot(st => seen.contains(fp(st)))
+      val freshAll =
+        all.filterNot(st => seen.contains(fp(st)) || seen.contains(legacyFp(st)))
       val fresh = maxFiles.map(freshAll.take).getOrElse(freshAll)
       if (fresh.isEmpty) return IngestResult(0, all.size, 0L, None)
       // FAILFAST unless the caller overrides: a malformed row must fail

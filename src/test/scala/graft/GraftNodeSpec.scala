@@ -18,6 +18,41 @@ class GraftNodeSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraftConfig(evictionPolicy = "fifo").policy)
   }
 
+  test("node maintenance runs the FULL S69 pass over the node's own catalog") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-node-maint-").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-node-maint-d-").toString
+    val node = GraftConfig.node(spark, dataDir, GraftConfig(catalogRoot = Some(root)))
+    val cat = node.catalog.get
+    graft.sinks.Writers.writeSnapshot(cat, "nm_src",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v"),
+      java.nio.file.Paths.get(dataDir, "nm_src").toString)
+    graft.sinks.MaterializedAgg.build(spark, cat, "nm_src", "nm_mv",
+      Seq("k"), Seq("v"), java.nio.file.Paths.get(dataDir, "nm_mv").toString)
+    // the source moves AFTER the build: one maintain() must fold it in
+    // (the node pass owns MV refresh, not just cache TTL)
+    graft.sinks.Writers.writeSnapshot(cat, "nm_src",
+      Seq((2L, 7L)).toDF("k", "v"),
+      java.nio.file.Paths.get(dataDir, "nm_src").toString)
+    assert(node.maintain() == 0) // nothing idle in the cache
+    val mvHead = cat.currentSnapshot("nm_mv").get
+    assert(mvHead.props(graft.sinks.MaterializedAgg.RefreshedAtProp).toLong
+      == cat.currentSnapshot("nm_src").get.snapshotId,
+      "maintain() with a catalog must refresh the node's views")
+    val rep = node.maintenance.runOnce()
+    assert(rep.mvRefreshes.exists(r => r.view == "nm_mv" && r.error.isEmpty))
+    // the one-liner daemon stands up on the node's own wiring and stops
+    val handle = node.startMaintenance(intervalMs = 3600 * 1000L)
+    assert(handle.lastError.isEmpty)
+    handle.close()
+  }
+
+  test("a cache-only node refuses the catalog-wide maintenance surface") {
+    val node = GraftConfig.node(spark, sfDir, GraftConfig())
+    assert(node.maintain() == 0) // cache sweep still works standalone
+    intercept[IllegalStateException](node.startMaintenance())
+  }
+
   test("listTables serves the corpus catalog (list_flights parity)") {
     val tables = ServingApi.listTables(spark, sfDir)
     assert(tables.keySet == Tables.names.toSet)

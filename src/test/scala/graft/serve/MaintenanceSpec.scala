@@ -96,6 +96,37 @@ class MaintenanceSpec extends SparkSpec {
     // the daemon handle schedules and stops cleanly (behavior itself is
     // runOnce, already proven above — no sleeps needed here)
     val handle = m.start(intervalMs = 3600 * 1000L)
+    assert(handle.passes == 0L && handle.lastError.isEmpty)
     handle.close()
+  }
+
+  test("a failing pass is recorded on the handle, never silently swallowed") {
+    val root = Files.createTempDirectory("graft-maint-err-").toString
+    val cat = new SnapshotCatalog(root)
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // a pass that fails outright (FS outage / bad root shape) until
+    // "repaired": the loop must survive, report the throwable on the
+    // handle, and CLEAR it on the next clean pass
+    val m = new Maintenance(spark, cat, _ => root) {
+      override def runOnce(): MaintenanceReport = {
+        if (boom.get()) throw new RuntimeException("catalog FS down")
+        super.runOnce()
+      }
+    }
+    val handle = m.start(intervalMs = 25L)
+    try {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (handle.lastError.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(handle.lastError.exists(_.getMessage.contains("catalog FS down")),
+        s"the failing pass must surface on the handle: ${handle.lastError}")
+      val failedAt = handle.passes
+      assert(failedAt >= 1L)
+      boom.set(false) // repair: the next tick must run clean and clear
+      while (handle.lastError.isDefined && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(handle.lastError.isEmpty, "a clean pass must clear lastError")
+      assert(handle.passes > failedAt, "ticks must keep flowing through failures")
+    } finally handle.close()
   }
 }

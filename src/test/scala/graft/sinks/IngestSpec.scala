@@ -209,6 +209,32 @@ class IngestSpec extends SparkSpec {
       == Ingest.fingerprint("/a/x.csv", 1L, 1000L))
   }
 
+  test("a pre-digest (FNV) fingerprint still counts as already-ingested") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-landing-legacy-")
+    val a = drop(landing, "a.csv", "1,old", "2,old")
+    val dataDir = Files.createTempDirectory("graft-ing-legacy-data-").toString
+    // a catalog written BEFORE the SHA-256 switch: the commit's dedupe
+    // prop carries the legacy 64-bit FNV fingerprint of the landed file
+    val legacy = Ingest.legacyFingerprint(a.toUri.getPath,
+      Files.size(a), Files.getLastModifiedTime(a).toMillis)
+    Writers.writeSnapshot(cat, "inglegacy",
+      Seq((1L, "old"), (2L, "old")).toDF("id", "name"), dataDir,
+      props = Map(Ingest.IngestFilesProp -> legacy))
+    // the upgrade must not double-load the untouched file…
+    val r1 = Ingest.ingest(spark, cat, "inglegacy", landing.toString, "csv",
+      Map.empty, dataDir)
+    assert(r1.ingested == 0 && r1.skipped == 1 && r1.snapshotId.isEmpty,
+      s"legacy-fingerprinted file re-ingested: $r1")
+    // …while a genuinely NEW file still loads (the legacy match is
+    // per-file, not a blanket skip)
+    drop(landing, "b.csv", "3,new")
+    val r2 = Ingest.ingest(spark, cat, "inglegacy", landing.toString, "csv",
+      Map.empty, dataDir)
+    assert(r2.ingested == 1 && r2.skipped == 1)
+    assert(ext.sql("SELECT count(*) AS n FROM inglegacy").head().getLong(0) == 3)
+  }
+
   test("two racing ingests of one landing dir load each file exactly once") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-landing-race-")
