@@ -440,13 +440,12 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     val df = spark.read.parquet(newPaths: _*)
     val schema = df.schema
 
-    // non-null count per stat'd column rides the same aggregate (the
-    // Iceberg null_value_counts analogue): nullCount = rows - count(c)
-    val cntAggs = schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] || f.dataType.isInstanceOf[TimestampType] ||
-        f.dataType.isInstanceOf[DateType] || f.dataType.isInstanceOf[StringType] =>
-        count(col(f.name)).as(s"cnt__${f.name}")
-    }.toSeq
+    // non-null count per column rides the same aggregate (the Iceberg
+    // null_value_counts analogue): nullCount = rows - count(c). ALL
+    // columns count (not just stat'd types) — the partition-value
+    // bytes-win rule below needs to know whether a file's bytes carry
+    // real values for a column its path also spells as k=v
+    val cntAggs = schema.fields.map(f => count(col(f.name)).as(s"cnt__${f.name}")).toSeq
     val statAggs = schema.fields.flatMap { f =>
       f.dataType match {
         case _: NumericType =>
@@ -559,13 +558,27 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
           case _ => None
         }
       }.toMap
+      // bytes win over the path: a k=v directory segment spelling a
+      // column whose BYTES in this file carry actual values is a
+      // coincidence of layout (a hand-landed file under a col=value
+      // dir), not a partition encoding — recording it would silently
+      // shadow the file's data with the directory literal on every
+      // read. A partition-aware writer always strips the column from
+      // the bytes, so "file has non-null byte values" exactly
+      // separates the two; an absent or all-null byte column keeps the
+      // hive semantics (the path value IS the column).
+      def bytesCarry(c: String): Boolean =
+        schema.fieldNames.contains(c) &&
+          Option(row.getAs[Any](s"cnt__$c")).exists(_.asInstanceOf[Long] > 0L)
       FileMeta(
         path = path,
         rowCount = row.getAs[Long]("__rows"),
         sizeBytes = fileSizes.getOrElse(path, 0L),
         stats = stats,
         blooms = blooms.getOrElse(path, Map.empty),
-        partitionValues = parsePartitionValues(path),
+        partitionValues = parsePartitionValues(path).filter {
+          case (k, _) => !bytesCarry(k)
+        },
         sketches = sketchRefs.getOrElse(path, Map.empty))
     }.toSeq
 
@@ -3196,10 +3209,19 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         // k=v path segments can never shadow a real column
         (f.renames, f.physTypes, f.defaults,
           f.partitionValues.filter(kv => schemaNames.contains(kv._1)))).toMap
-    paths.groupBy(p => renOf.getOrElse(normalize(p),
+    def entryOf(p: String): (Map[String, String], Map[String, String], Map[String, String],
+        Map[String, String]) =
+      renOf.getOrElse(normalize(p),
         (Map.empty[String, String], Map.empty[String, String],
-          Map.empty[String, String], Map.empty[String, String])))
-      .map { case ((ren, ptypes, defs, pvs), ps) =>
+          Map.empty[String, String], Map.empty[String, String]))
+    // group by the SHAPE of the mapping — rename era, stored types,
+    // defaults, and the partition-served column SET, never the partition
+    // VALUES: the key space is bounded by schema-evolution history
+    // (tiny), not partition cardinality, so a year of days(ts) landings
+    // plans ONE scan + one broadcast join, not 365 union legs. The
+    // per-file values are served WITHIN the scan below.
+    paths.groupBy { p => val e = entryOf(p); (e._1, e._2, e._3, e._4.keySet) }
+      .map { case ((ren, ptypes, defs, pvCols), ps) =>
       val inv = ren.map(_.swap) // logical -> physical
       def physName(logical: String): String =
         inv.getOrElse(logical,
@@ -3215,34 +3237,61 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       val physSchema = StructType(schema.fields.map(f =>
         f.copy(name = physName(f.name), dataType = physType(physName(f.name), f.dataType))))
       val base = spark.read.schema(physSchema).parquet(ps: _*)
+      // a hive PARTITION VALUE is a default one level up: the column
+      // lives in the k=v directory segment, not the file's bytes, so a
+      // SCHEMA column found in the files' manifest partitionValues is
+      // served from the manifest — per FILE, inside the single scan,
+      // via a broadcast join of the (file → decoded values) map keyed
+      // on the scan's own file path (the applyDeleteMasks convention:
+      // `_metadata.file_path` is a URI with percent-encoded specials,
+      // so manifest paths join in their encoded form). The join side is
+      // manifest-sized and map-side; plan size stays O(1) in partition
+      // count.
+      val pvOrdered: Seq[String] = schema.fields.map(_.name).filter(pvCols.contains).toSeq
+      val joined =
+        if (pvOrdered.isEmpty) base
+        else {
+          def encoded(p: String): String =
+            scala.util.Try(Paths.get(p).toUri.getRawPath).getOrElse(p)
+          val pvSchema = StructType(
+            StructField("__graft_pv_file", StringType) +:
+              pvOrdered.map(c => StructField(s"__graft_pv_$c", StringType)))
+          val pvRows: Seq[Row] = ps.map { p =>
+            val vals = entryOf(p)._4
+            // Spark's null-partition sentinel decodes to a true null here
+            Row.fromSeq(encoded(normalize(p)) +:
+              pvOrdered.map(c =>
+                vals.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
+          }
+          base.join(
+            broadcast(spark.createDataFrame(pvRows.asJava, pvSchema)),
+            regexp_replace(col("_metadata.file_path"), "^file:/*", "/") ===
+              col("__graft_pv_file"),
+            "left")
+        }
       val cols = schema.fields.toSeq.map { f =>
         // a default stamp means the column is ABSENT from these files'
         // bytes (initial-default of an ADD, or write-default of an
         // append that omitted it): serve the stored literal — never a
-        // null fill, never the physical read. A hive PARTITION VALUE is
-        // the same shape one level up: the column lives in the k=v
-        // directory segment, so a SCHEMA column found in the file's
-        // manifest partitionValues serves that decoded value (cast to
-        // the declared type, Spark's null-partition sentinel honored) —
+        // null fill, never the physical read. Partition-served columns
+        // read the joined manifest value, cast to the declared type —
         // a partition-landed ingest reads back its partition column
-        // instead of a null fill
-        val c = pvs.get(f.name) match {
-          case Some("__HIVE_DEFAULT_PARTITION__") => lit(null).cast(f.dataType)
-          case Some(v) => lit(v).cast(f.dataType)
-          case None => defs.get(f.name) match {
+        // instead of a null fill.
+        val c =
+          if (pvCols.contains(f.name)) col(s"__graft_pv_${f.name}").cast(f.dataType)
+          else defs.get(f.name) match {
             case Some(sql) => expr(sql).cast(f.dataType)
             case None =>
               val pn = physName(f.name)
               if (physType(pn, f.dataType) == f.dataType) col(pn)
               else col(pn).cast(f.dataType)
           }
-        }
         c.as(f.name)
       } ++
         (if (withLineage)
           Seq(col("_metadata.file_path").as("_file"), col("_metadata.row_index").as("_pos"))
          else Nil)
-      base.select(cols: _*)
+      joined.select(cols: _*)
     }.reduce(_ unionByName _)
   }
 

@@ -301,6 +301,43 @@ class IngestSpec extends SparkSpec {
     val r3 = ext.sql(s"CALL graft.ingest('ingp', '$landing', format => 'csv', " +
       "partition_by => 'day')").head()
     assert(r3.getLong(0) == 0 && r3.isNullAt(3))
+    // plan-size discipline: a partition-landed table reads as ONE
+    // parquet scan no matter how many distinct partition tuples exist —
+    // partition values are served per file inside the scan, never as
+    // one union leg per tuple (which would grow the plan O(partitions))
+    val nScans = "Scan parquet".r
+      .findAllIn(cat.read(spark, "ingp").queryExecution.executedPlan.toString).size
+    assert(nScans == 1, s"expected one parquet scan for the whole table; got $nScans")
+  }
+
+  test("bytes win over a coincidental k=v path segment (no silent shadowing)") {
+    import spark.implicits._
+    // a HAND-LANDED file whose directory happens to spell day=9 while
+    // its BYTES carry the real day column: the commit must refuse to
+    // record the path literal for the byte-carried column, so reads
+    // serve the bytes (pre-partition-aware behavior), not the directory
+    val dataDir = Files.createTempDirectory("graft-ing-shadow-")
+    val landed = dataDir.resolve("day=9")
+    Seq((1L, 1L, "alpha"), (2L, 2L, "beta")).toDF("id", "day", "name")
+      .coalesce(1).write.parquet(landed.toString)
+    cat.commit(spark, "shadowt", Writers.listParquetIn(landed))
+    val snap = cat.currentSnapshot("shadowt").get
+    assert(snap.files.forall(f => !f.partitionValues.contains("day")),
+      s"byte-carried column recorded as a partition value: " +
+        s"${snap.files.map(_.partitionValues)}")
+    val got = cat.read(spark, "shadowt").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 1L, "alpha"), (2L, 2L, "beta")),
+      s"directory literal shadowed the file bytes: $got")
+    // …while a TRUE partition landing (column absent from bytes) keeps
+    // serving the path value — the two shapes coexist in one table
+    val landed2 = dataDir.resolve("day=3")
+    Seq((3L, "gamma")).toDF("id", "name").coalesce(1).write.parquet(landed2.toString)
+    cat.commit(spark, "shadowt", snap.files.map(_.path) ++ Writers.listParquetIn(landed2),
+      reuseMeta = snap.files.map(f => f.path -> f).toMap)
+    val got2 = cat.read(spark, "shadowt").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got2 == Seq((1L, 1L, "alpha"), (2L, 2L, "beta"), (3L, 3L, "gamma")), s"$got2")
   }
 
   test("partition_by => days(ts): hidden-transform landing prunes by day from metadata") {
