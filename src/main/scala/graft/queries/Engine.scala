@@ -977,6 +977,57 @@ object Engine {
         |FROM mvnd_view""".stripMargin)
   }
 
+  // Memoized full-aggregate MV catalog per sf-dir for the RENDERED read
+  // (r16): every aggregate class in one view — additive SUM, derived
+  // AVG, extremum MIN/MAX, HLL approx-ND — mutated with an INSERT and a
+  // DELETE that both kills stored extrema AND removes a whole priority
+  // class (forcing the key-scoped recompute on BOTH invalidation
+  // shapes), refreshed by name.
+  private val mvRenderRoots = TrieMap.empty[String, String]
+  private def mvRenderRootFor(s: SparkSession, dir: String): String =
+    mvRenderRoots.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-mvrender-").toString
+      val cat = new SnapshotCatalog(root)
+      Writers.writeSnapshot(cat, "mvrorders",
+        Tables.orders(s, dir).filter(expr("o_orderkey % 2 = 0"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice")),
+        Files.createTempDirectory("graft-mvrender-data-").toString)
+      val es = extSessionFor(s)
+      es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
+      es.sql("CALL graft.create_mv('mvr_view', 'mvrorders', " +
+        "'o_orderstatus', 'o_totalprice', avg_columns => 'o_totalprice', " +
+        "min_columns => 'o_totalprice', max_columns => 'o_totalprice', " +
+        "nd_columns => 'o_orderpriority')")
+      val src = s"parquet.`$dir/orders.parquet`"
+      es.sql(s"INSERT INTO mvrorders SELECT o_orderkey, o_orderstatus, " +
+        s"o_orderpriority, o_totalprice FROM $src WHERE o_orderkey % 2 = 1")
+      es.sql("DELETE FROM mvrorders WHERE o_totalprice > 400000.0 " +
+        "OR o_totalprice < 5000.0 OR o_orderpriority = '5-LOW'")
+      es.sql("CALL graft.refresh_mv('mvr_view')")
+      root
+    })
+
+  /** The SQL-rendered MV read (r16): `mvr_view__rendered` serves every
+    * derived aggregate COMPUTED — `avg_c` as a double, `approx_nd_c` as
+    * the sketch estimate — so this query touches NO state column (no
+    * cnt_, no BINARY nd_ sketch, no hand division). At this nd
+    * cardinality the sparse sketch is exact, so the whole rendered row
+    * set hash-equals DuckDB's from-scratch GROUP BY with AVG + exact
+    * COUNT DISTINCT over the final source state. */
+  def qMvRendered(s: SparkSession, dir: String): DataFrame = {
+    val es = extSessionFor(s)
+    es.conf.set(graft.sql.GraftSqlResolution.RootConf, mvRenderRootFor(s, dir))
+    es.sql(
+      """SELECT o_orderstatus, n_rows,
+        |  CAST(sum_o_totalprice AS DOUBLE) AS sum_price,
+        |  avg_o_totalprice AS avg_price,
+        |  min_o_totalprice AS min_price,
+        |  max_o_totalprice AS max_price,
+        |  approx_nd_o_orderpriority AS nd_priority
+        |FROM mvr_view__rendered""".stripMargin)
+  }
+
   // Memoized where-scoped MV catalog per sf-dir: an MV over a DERIVED
   // relation (r15) — the definition carries a predicate; UPDATEs move
   // rows INTO and OUT OF the predicate set, and the refresh folds the
@@ -1582,6 +1633,7 @@ object Engine {
     "q_mv_minmax" -> (qMvMinmax _),
     "q_mv_where" -> (qMvWhere _),
     "q_mv_nd" -> (qMvNd _),
+    "q_mv_rendered" -> (qMvRendered _),
     "q_delete_keys_sql" -> (qDeleteKeysSql _),
     "q_cdf_percommit" -> (qCdfPercommit _),
     "q_cache_sql" -> (qCacheSql _),
@@ -1782,6 +1834,20 @@ object Engine {
         |  WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
         |)
         |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderpriority) AS nd_priority
+        |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
+    "q_mv_rendered" ->
+      """WITH finalstate AS (
+        |  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        |  WHERE NOT (o_totalprice > 400000.0 OR o_totalprice < 5000.0
+        |             OR o_orderpriority = '5-LOW')
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS avg_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
         |  COUNT(DISTINCT o_orderpriority) AS nd_priority
         |FROM finalstate GROUP BY o_orderstatus""".stripMargin,
     "q_mv_where" ->

@@ -618,6 +618,14 @@ class GraftCatalogRelationRule(val session: SparkSession)
               "__delete_files" -> (cat.deleteFilesDf(session, _)),
               "__partitions" -> (cat.partitionsDf(session, _)),
               "__snapshots" -> (cat.snapshotsDf(session, _)),
+              // a materialized aggregate view SERVED RENDERED (S39): the
+              // derived aggregates arrive computed — avg_c as a double,
+              // approx_nd_c as the sketch's estimate — so a SQL-only
+              // consumer never touches raw (sum, cnt, BINARY sketch)
+              // state columns. On a non-MV base this refuses loudly
+              // ("not a materialized aggregate view") at analysis.
+              "__rendered" ->
+                (t => graft.sinks.MaterializedAgg.readRendered(session, cat, t)),
               "__files" -> (cat.filesDf(session, _)))
             frames.collectFirst {
               case (suffix, df) if n.endsWith(suffix) &&

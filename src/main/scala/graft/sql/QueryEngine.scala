@@ -62,5 +62,11 @@ final class QueryEngine(
     catalog.filesDf(spark, table).createOrReplaceTempView(s"${table}__files")
     catalog.deleteFilesDf(spark, table).createOrReplaceTempView(s"${table}__delete_files")
     catalog.partitionsDf(spark, table).createOrReplaceTempView(s"${table}__partitions")
+    // a materialized aggregate view additionally registers rendered
+    // (`<view>__rendered`): derived aggregates computed, state hidden
+    if (catalog.currentSnapshot(table).exists(_.props.contains(
+        graft.sinks.MaterializedAgg.SrcProp)))
+      graft.sinks.MaterializedAgg.readRendered(spark, catalog, table)
+        .createOrReplaceTempView(s"${table}__rendered")
   }
 }

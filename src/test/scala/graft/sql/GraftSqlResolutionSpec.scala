@@ -60,6 +60,38 @@ class GraftSqlResolutionSpec extends SparkSpec {
     // a MISSING base table's metadata name falls through to the normal
     // resolution error, never an empty frame
     intercept[Exception] { ext.sql("SELECT * FROM nope__snapshots").collect() }
+    // __rendered on a real table that is NOT a materialized view
+    // refuses LOUDLY at analysis (not a null-columned frame)
+    val eR = intercept[Exception] { ext.sql("SELECT * FROM cust__rendered").collect() }
+    assert(eR.getMessage.contains("not a materialized aggregate view"), eR.getMessage)
+  }
+
+  test("an MV reads rendered from pure SQL: <view>__rendered hides raw state") {
+    setup()
+    import spark.implicits._
+    val mvDataDir = Files.createTempDirectory("graft-res-mvr-").toString
+    Writers.writeSnapshot(writeCat, "mvrsrc",
+      Seq((1L, Some(10.0), "a"), (1L, Some(20.0), "b"),
+        (2L, Some(5.0), "a"), (2L, None, "c")).toDF("k", "v", "tag"), mvDataDir)
+    graft.sinks.MaterializedAgg.build(spark, writeCat,
+      graft.sinks.MaterializedAgg.MvSpec("mvrsrc", Seq("k"),
+        sums = Seq("v"), avgs = Seq("v"), mins = Seq("v"), maxs = Seq("v"),
+        nds = Seq("tag")),
+      "mvr", mvDataDir)
+    val rows = ext.sql(
+      """SELECT k, n_rows, avg_v, min_v, max_v, approx_nd_tag
+        |FROM mvr__rendered ORDER BY k""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L &&
+      rows(0).getDouble(2) == 15.0 && rows(0).getDouble(3) == 10.0 &&
+      rows(0).getDouble(4) == 20.0 && rows(0).getLong(5) == 2L)
+    // AVG divides by the NON-NULL count (SQL AVG), so k=2 averages 5.0
+    assert(rows(1).getLong(0) == 2L && rows(1).getLong(1) == 2L &&
+      rows(1).getDouble(2) == 5.0 && rows(1).getLong(5) == 2L)
+    // no raw state column leaks into the rendered schema
+    val fields = ext.sql("SELECT * FROM mvr__rendered").schema.fieldNames.toSet
+    assert(!fields.exists(f => f.startsWith("cnt_") || f.startsWith("nd_")),
+      s"raw state leaked: $fields")
   }
 
   test("plain name resolves to the catalog's current snapshot") {
