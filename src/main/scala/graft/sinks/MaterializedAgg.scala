@@ -100,18 +100,23 @@ object MaterializedAgg {
   private def scoped(df: DataFrame, spec: MvSpec): DataFrame =
     spec.where.map(w => df.filter(expr(w))).getOrElse(df)
 
-  /** REPLACE-write the view state (a refresh rewrites the whole view —
-    * the view is keys-sized, ≪ source; labeled `rewrite` so the view's
-    * own CDC classifies it correctly). */
+  /** REPLACE-write the view state (the small-view refresh shape: the
+    * whole view rewrites — fine while the view is keys-sized; large
+    * multi-file views take the delta-merge path in [[refresh]] instead;
+    * labeled `rewrite` so the view's own CDC classifies it correctly).
+    * State lands RANGE-CLUSTERED on the view keys, so each file covers
+    * a disjoint key interval and a later delta-merge refresh prunes its
+    * rewrite set to the files the changed keys actually live in. */
   private def writeReplace(
       catalog: SnapshotCatalog,
       table: String,
       df: DataFrame,
+      keys: Seq[String],
       dataDir: String,
       props: Map[String, String]): Unit = {
     val dir = java.nio.file.Paths.get(dataDir,
       s"view-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.parquet(dir.toString)
+    df.repartitionByRange(keys.map(col): _*).write.parquet(dir.toString)
     catalog.commit(df.sparkSession, table, Writers.listParquetIn(dir),
       props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite) ++ props)
     ()
@@ -178,7 +183,7 @@ object MaterializedAgg {
     val agg = aggOf(
       scoped(catalog.read(spark, spec.src, snapshotId = Some(srcSnap.snapshotId)), spec),
       spec)
-    writeReplace(catalog, viewTable, agg, dataDir,
+    writeReplace(catalog, viewTable, agg, spec.keys, dataDir,
       specProps(spec) + (RefreshedAtProp -> srcSnap.snapshotId.toString))
     srcSnap.snapshotId
   }
@@ -339,34 +344,79 @@ object MaterializedAgg {
             .otherwise(hll_union(col(s"nd_$c"), col(s"__insnd_$c")))
             .as(s"nd_$c")
         }
-    val folded = joined.select((foldedCols :+ invalid.as("__invalid")): _*)
+    // `__touched` marks keys the feed actually reached (the delta side
+    // of the full outer join is present) — the delta-merge commit path
+    // below upserts/deletes exactly these and never rewrites the rest
+    val folded = joined.select((foldedCols :+ invalid.as("__invalid") :+
+      col("__d_n").isNotNull.as("__touched")): _*)
+
+    // key-scoped recompute: ONLY the invalidated keys re-aggregate
+    // from the source — a semi join prunes the scan to their rows
+    // (a fully-deleted key recomputes to nothing and drops). The
+    // key set is typically tiny (keys whose extremum a delete
+    // touched) and AQE converts the semi join to a broadcast at
+    // runtime; no explicit hint, because the adversarial case —
+    // every key invalidated — is view-sized and a FORCED broadcast
+    // there would OOM the driver where a shuffle join degrades
+    // gracefully. The recompute reads the SAME source snapshot the
+    // watermark advances to, so a concurrent commit can't skew it.
+    val hasRecompute = spec.mins.nonEmpty || spec.maxs.nonEmpty || spec.nds.nonEmpty
+    def recomputed: DataFrame = {
+      val invalidKeys = folded.filter(col("__invalid"))
+        .select(spec.keys.map(col): _*)
+      aggOf(
+        scoped(catalog.read(spark, spec.src, snapshotId = Some(srcSnap.snapshotId)), spec)
+          .join(invalidKeys, spec.keys, "left_semi"),
+        spec)
+    }
+
+    val newProps = specProps(spec) + (RefreshedAtProp -> srcSnap.snapshotId.toString)
+    if (viewSnap.files.size > 1) {
+      // DELTA-MERGE refresh (the large-view shape): commit cost ∝ the
+      // TOUCHED keys, never the view — new state for touched surviving
+      // keys upserts, keys folded to zero rows delete (`n_rows` is
+      // exactly maintainable, so existence is decidable from the fold
+      // alone), and every view file outside the touched keys' range
+      // keeps its FileMeta untouched (mergeApply's manifest-pruned
+      // rewrite set). A 100 TB-source view with user_id keys refreshes
+      // a day's churn by rewriting the files that churn lives in, not
+      // the whole view.
+      val upserts0 = folded
+        .filter(col("__touched") && !col("__invalid") && col("n_rows") > 0)
+        .drop("__invalid", "__touched")
+      val upserts = if (hasRecompute) upserts0.unionByName(recomputed) else upserts0
+      val stateFields = view.schema.fields.filterNot(f => spec.keys.contains(f.name))
+      val dropped = folded.filter(col("__touched") && col("n_rows") <= 0)
+        .select((spec.keys.map(col) ++
+          stateFields.map(f => lit(null).cast(f.dataType).as(f.name))): _*)
+      val source = upserts.withColumn("__drop", lit(false))
+        .unionByName(dropped.withColumn("__drop", lit(true)))
+      if (source.isEmpty)
+        // the source moved but nothing under the view's scope changed:
+        // advance the watermark METADATA-ONLY, every file reused
+        catalog.commit(spark, viewTable, viewSnap.files.map(_.path),
+          reuseMeta = viewSnap.files.map(f => f.path -> f).toMap,
+          props = Map(SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite) ++
+            newProps)
+      else
+        Writers.mergeApply(spark, catalog, viewTable, source, spec.keys,
+          matched = Seq(
+            Writers.MergeDelete(Some(col("__drop"))),
+            Writers.MergeUpdateAll(Some(!col("__drop")))),
+          notMatched = Seq(Writers.MergeInsertAll(Some(!col("__drop")))),
+          dataDir = dataDir,
+          props = newProps)
+      return srcSnap.snapshotId
+    }
 
     val merged =
-      if (spec.mins.isEmpty && spec.maxs.isEmpty && spec.nds.isEmpty)
-        folded.drop("__invalid").filter(col("n_rows") > 0)
-      else {
-        // key-scoped recompute: ONLY the invalidated keys re-aggregate
-        // from the source — a semi join prunes the scan to their rows
-        // (a fully-deleted key recomputes to nothing and drops). The
-        // key set is typically tiny (keys whose extremum a delete
-        // touched) and AQE converts the semi join to a broadcast at
-        // runtime; no explicit hint, because the adversarial case —
-        // every key invalidated — is view-sized and a FORCED broadcast
-        // there would OOM the driver where a shuffle join degrades
-        // gracefully. The recompute reads the SAME source snapshot the
-        // watermark advances to, so a concurrent commit can't skew it.
-        val invalidKeys = folded.filter(col("__invalid"))
-          .select(spec.keys.map(col): _*)
-        val recomputed = aggOf(
-          scoped(catalog.read(spark, spec.src, snapshotId = Some(srcSnap.snapshotId)), spec)
-            .join(invalidKeys, spec.keys, "left_semi"),
-          spec)
-        folded.filter(!col("__invalid")).drop("__invalid")
+      if (!hasRecompute)
+        folded.drop("__invalid", "__touched").filter(col("n_rows") > 0)
+      else
+        folded.filter(!col("__invalid")).drop("__invalid", "__touched")
           .filter(col("n_rows") > 0)
           .unionByName(recomputed)
-      }
-    writeReplace(catalog, viewTable, merged, dataDir,
-      specProps(spec) + (RefreshedAtProp -> srcSnap.snapshotId.toString))
+    writeReplace(catalog, viewTable, merged, spec.keys, dataDir, newProps)
     srcSnap.snapshotId
   }
 }

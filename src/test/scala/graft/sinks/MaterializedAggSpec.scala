@@ -173,6 +173,102 @@ class MaterializedAggSpec extends SparkSpec {
     assert(renderedState(cat, "mv_scoped") == recomputeFull(cat, Some(where)))
   }
 
+  test("delta-merge refresh: untouched-key view files are REUSED byte-for-byte") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mv-dm-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val src = (1 to 100).flatMap(k => Seq((k.toLong, k * 1.0), (k.toLong, k * 2.0)))
+      .toDF("k", "v")
+    Writers.writeSnapshot(cat, "dm_src", src, s"$base/data")
+    MaterializedAgg.build(spark, cat,
+      MaterializedAgg.MvSpec("dm_src", Seq("k"), sums = Seq("v")),
+      "dm_view", s"$base/view")
+
+    // lay the view out as TWO key-clustered files (the range-clustered
+    // shape writeReplace produces at scale), definition props carried
+    val snap0 = cat.currentSnapshot("dm_view").get
+    val state = cat.read(spark, "dm_view")
+    val dirA = java.nio.file.Paths.get(base, "viewA")
+    val dirB = java.nio.file.Paths.get(base, "viewB")
+    state.filter(col("k") <= 50).coalesce(1).write.parquet(dirA.toString)
+    state.filter(col("k") > 50).coalesce(1).write.parquet(dirB.toString)
+    cat.commit(spark, "dm_view",
+      Writers.listParquetIn(dirA) ++ Writers.listParquetIn(dirB),
+      props = snap0.props +
+        (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite))
+    val snap1 = cat.currentSnapshot("dm_view").get
+    assert(snap1.files.size == 2)
+    val fileA = snap1.files.find(_.path.contains(dirA.getFileName.toString)).get
+    val fileB = snap1.files.find(_.path.contains(dirB.getFileName.toString)).get
+
+    // churn ONLY the upper key range: an append touching keys 90 and a
+    // NEW key 150, plus the full deletion of key 95
+    Writers.writeSnapshot(cat, "dm_src",
+      Seq((90L, 1000.0), (150L, 5.0)).toDF("k", "v"), s"$base/data")
+    Writers.deleteWhere(spark, cat, "dm_src",
+      df => df.filter(col("k") =!= 95), Nil, s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "dm_view", s"$base/view")
+
+    val snap2 = cat.currentSnapshot("dm_view").get
+    assert(snap2.props(SnapshotCatalog.OperationProp) == SnapshotCatalog.OpMerge,
+      s"multi-file view must refresh via merge: ${snap2.props}")
+    assert(snap2.props(MaterializedAgg.RefreshedAtProp).toLong ==
+      cat.currentSnapshot("dm_src").get.snapshotId)
+    assert(snap2.files.contains(fileA),
+      "the untouched key range's file must survive with its FileMeta identity")
+    assert(!snap2.files.map(_.path).contains(fileB.path),
+      "the churned key range's file must be rewritten")
+
+    // state invariant: bit-identical to the from-scratch recompute
+    val got = cat.read(spark, "dm_view").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).setScale(6))).toSet
+    val want = cat.read(spark, "dm_src").groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(28,6)")).as("sum_v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).setScale(6))).toSet
+    assert(got == want)
+    assert(!got.exists(_._1 == 95L) && got.exists(_._1 == 150L))
+  }
+
+  test("delta-merge: out-of-scope churn advances the watermark metadata-only") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mv-dm2-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    Writers.writeSnapshot(cat, "dm2_src",
+      (1 to 40).map(k => (k.toLong, k * 1.0)).toDF("k", "v"), s"$base/data")
+    MaterializedAgg.build(spark, cat,
+      MaterializedAgg.MvSpec("dm2_src", Seq("k"), sums = Seq("v"),
+        where = Some("v < 100.0")),
+      "dm2_view", s"$base/view")
+    // two files so the refresh takes the delta-merge path
+    val snap0 = cat.currentSnapshot("dm2_view").get
+    val state = cat.read(spark, "dm2_view")
+    val dirA = java.nio.file.Paths.get(base, "viewA")
+    val dirB = java.nio.file.Paths.get(base, "viewB")
+    state.filter(col("k") <= 20).coalesce(1).write.parquet(dirA.toString)
+    state.filter(col("k") > 20).coalesce(1).write.parquet(dirB.toString)
+    cat.commit(spark, "dm2_view",
+      Writers.listParquetIn(dirA) ++ Writers.listParquetIn(dirB),
+      props = snap0.props +
+        (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite))
+    val snap1 = cat.currentSnapshot("dm2_view").get
+
+    // the source moves, but every changed row is OUTSIDE the view's
+    // predicate: the refresh must advance the watermark without
+    // touching a single data file
+    Writers.writeSnapshot(cat, "dm2_src",
+      Seq((200L, 5000.0)).toDF("k", "v"), s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "dm2_view", s"$base/view")
+    val snap2 = cat.currentSnapshot("dm2_view").get
+    assert(snap2.snapshotId != snap1.snapshotId)
+    assert(snap2.files.toSet == snap1.files.toSet,
+      "an out-of-scope refresh must reuse every file (metadata-only commit)")
+    assert(snap2.props(MaterializedAgg.RefreshedAtProp).toLong ==
+      cat.currentSnapshot("dm2_src").get.snapshotId)
+    assert(cat.read(spark, "dm2_view").count() == 40)
+  }
+
   test("a key whose rows all vanish leaves the view; no-op refresh commits nothing") {
     val base = Files.createTempDirectory("graft-mv2-").toString
     val cat = new SnapshotCatalog(s"$base/cat")
