@@ -47,7 +47,8 @@ import org.apache.spark.sql.SparkSession
 object ScaleGate {
 
   final case class Row(name: String, base: Double, scaled: Double,
-                       ratio: Double, breach: Boolean)
+                       ratio: Double, breach: Boolean,
+                       iso: Option[(Double, Double, Double)] = None)
 
   /** Queries whose candidate/work model is super-linear by design, with
     * the bound the model justifies. `q_embed_neardup` (L5): candidate
@@ -56,16 +57,19 @@ object ScaleGate {
     * bits as the recall repair — between two specific decades the
     * candidate ratio lands anywhere in [5×, 25×] while the AMORTIZED
     * trend stays N·log-ish (r9 measured 11.0× for sf0.1→sf1: width
-    * 7.8→19.5 (2.5×) × 10× N × 5/4 tables). Bound 20.0 (r15, raised
-    * from 16.0): the in-battery ratio swung 14.19 (r14) → 18.07 (r15)
-    * on UNCHANGED code because the best-of-2 base landed at 0.83 s
-    * with battery-warm memoized fixtures while the ISOLATED
-    * measurement reads base 1.63 s / scaled 14.6 s = ratio 8.96 —
-    * squarely inside the candidate model's band. 20.0 covers the
-    * model + the warm-base artifact and still fails a genuine N²
-    * return by 5× (the pre-r8-fix geometry measured ~100×, 373 s). */
+    * 7.8→19.5 (2.5×) × 10× N × 5/4 tables). Bound 16.0 (r16, restored
+    * from the r15 20.0 raise): r14/r15 each widened this bound to
+    * absorb an in-battery MEASUREMENT artifact (the best-of-2 base
+    * landing at 0.83 s with battery-warm fixtures while isolated reads
+    * 1.63 s / ratio 8.96) — widening a gate to cover noise erodes the
+    * N²-regression margin it exists to catch, so the gate now fixes
+    * the MEASUREMENT instead: override queries are re-timed ISOLATED
+    * (GC-quiesced best-of-2 at both scales, after the battery) and the
+    * breach decision uses that ratio against this model bound; both
+    * measurements land in scale_gate.json so the next drift is
+    * auditable data, not a prose re-derivation. */
   val boundOverrides: Map[String, Double] = Map(
-    "q_embed_neardup" -> 20.0)
+    "q_embed_neardup" -> 16.0)
 
   /** Pure gate evaluation — unit-tested separately from the 3-minute
     * run. Queries that failed (negative time) at either scale are
@@ -153,11 +157,38 @@ object ScaleGate {
     val scaled = runBattery(spark, outDir)
     println(f"[gate] scaled total ${scaled.values.filter(_ >= 0).sum}%.1f s")
 
-    val rows = evaluate(base, scaled, bound, floor)
+    // override queries re-time ISOLATED (GC-quiesced, best-of-2, both
+    // scales) and the breach decision uses THAT ratio against the model
+    // bound — in-battery numbers stay recorded alongside for drift
+    // auditing; a query that already failed outright stays a breach
+    val rows = evaluate(base, scaled, bound, floor).map { r =>
+      if (!boundOverrides.contains(r.name) || r.ratio < 0) r
+      else {
+        val fn = SparkEntry.queries(r.name)
+        def iso(dir: String): Double = {
+          System.gc()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+          }
+          math.min(once(), once())
+        }
+        val ib = iso(sfDir)
+        val isc = iso(outDir)
+        val ir = isc / math.max(ib, floor)
+        val qBound = boundOverrides(r.name)
+        println(f"[gate] ${r.name}%-28s isolated base=$ib%.3f scaled=$isc%.3f " +
+          f"ratio=$ir%.2f vs model bound $qBound%.1f (in-battery ${r.ratio}%.2f)")
+        r.copy(breach = ir > qBound, iso = Some((ib, isc, ir)))
+      }
+    }
     val breaches = rows.filter(_.breach)
     val json = rows.map { r =>
       f"""{"name":"${r.name}","base":${r.base}%.3f,"scaled":${r.scaled}%.3f,""" +
-        f""""ratio":${r.ratio}%.2f,"breach":${r.breach}}"""
+        f""""ratio":${r.ratio}%.2f,"breach":${r.breach}""" +
+        r.iso.map { case (ib, isc, ir) =>
+          f""","iso_base":$ib%.3f,"iso_scaled":$isc%.3f,"iso_ratio":$ir%.2f"""
+        }.getOrElse("") + "}"
     }.mkString(
       s"""{"copies":$copies,"bound":$bound,"floor":$floor,"n_breaches":${breaches.size},"rows":[""",
       ",", "]}\n")

@@ -150,8 +150,9 @@ object Advanced {
     * distinct-count aggregator differs between the exact oracle-gate
     * form and the HLL sweep form. */
   private def profileScan(
-      s: SparkSession, dir: String, distinctAgg: String => Column): DataFrame = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      s: SparkSession, dir: String, distinctAgg: String => Column,
+      cols: Seq[String] =
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")): DataFrame = {
     val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"nn__$c"),
@@ -179,6 +180,36 @@ object Advanced {
   def qProfileApprox(s: SparkSession, dir: String): DataFrame =
     profileScan(s, dir, c => approx_count_distinct(col(c)))
 
+  /** The HLL profiling sweep on an EXACT grid (the oracle twin of
+    * [[qProfileApprox]]'s rows-only claim): same single-scan stack
+    * shape, but the sketch is datasketches HLL over LOW-cardinality
+    * columns (3 and 5 distinct values), where the sparse-mode sketch
+    * stores every coupon and the estimate is EXACT — so the maintained
+    * sweep hash-matches DuckDB's exact COUNT(DISTINCT), proving the
+    * sketch plumbing end-to-end (the q_mv_nd trick applied to
+    * profiling). */
+  def qProfileHll(s: SparkSession, dir: String): DataFrame =
+    profileScan(s, dir,
+      c => hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"))),
+      Seq("o_orderstatus", "o_orderpriority"))
+
+  /** [[qApproxStats]]'s machinery on an EXACT grid (its oracle twin):
+    * datasketches HLL distincts over 2- and 7-value columns (sparse
+    * mode → exact estimate) and an approximate median over
+    * `l_linenumber`, whose 7 duplicated values leave the 0.5 rank deep
+    * inside value 4's run at every scale — the sketch's rank error
+    * (0.01% of rows) cannot reach a run edge (~7% away), so the
+    * approximate median IS the exact discrete median. */
+  def qApproxStatsExact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_linestatus"))).as("nd_status"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_linenumber").cast("string")))
+          .as("nd_lines"),
+        percentile_approx(col("l_linenumber"), lit(0.5), lit(10000))
+          .cast("long").as("med_line"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_profile" -> (qProfile _),
@@ -190,9 +221,25 @@ object Advanced {
     "q_range_join" -> (qRangeJoin _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_salted_agg" -> (qSaltedAgg _),
-    "q_approx_stats" -> (qApproxStats _))
+    "q_approx_stats" -> (qApproxStats _),
+    "q_approx_exactgrid" -> (qApproxStatsExact _),
+    "q_profile_hll" -> (qProfileHll _))
 
   val oracles: Map[String, String] = Map(
+    "q_approx_exactgrid" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_linestatus) AS nd_status,
+        |  COUNT(DISTINCT l_linenumber) AS nd_lines,
+        |  CAST(quantile_disc(l_linenumber, 0.5) AS BIGINT) AS med_line
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_profile_hll" ->
+      Seq("o_orderstatus", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
         s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,

@@ -313,6 +313,34 @@ object Relational {
         sumMoney(col("c_acctbal")).as("sum_bal"))
   }
 
+  /** [[qNtileApprox]]'s machinery on an EXACT grid (the oracle twin the
+    * rows-only form lacked): the same sketch → broadcast cut points →
+    * map-side bucketing, but over `l_quantity` — 50 duplicated values
+    * whose runs each span ~2% of the table — at quantiles that land
+    * STRICTLY INSIDE a run (0.25 → 13, 0.49 → 25, 0.75 → 38; 0.50 sits
+    * exactly at value 25's run edge and is avoided). The sketch's rank
+    * error (n/accuracy = 0.01% of rows) is orders of magnitude smaller
+    * than the distance to the nearest run edge (~1% of rows) AT EVERY
+    * SCALE — both scale with n — so the approximate boundary equals the
+    * exact one and the whole bucket profile hash-matches an oracle that
+    * derives its own cut points with an exact discrete quantile. */
+  def qNtileExactgrid(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.agg(percentile_approx(
+      col("l_quantity"), array(lit(0.25), lit(0.49), lit(0.75)), lit(10000)).as("bs"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        lit(1) + (col("l_quantity") > col("bs")(0)).cast("int")
+          + (col("l_quantity") > col("bs")(1)).cast("int")
+          + (col("l_quantity") > col("bs")(2)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** Window-function breadth (R48) — the SQL:2003 navigation/distribution
     * battery beyond rank/running/ntile: lag/lead neighbors, percent_rank
     * and cume_dist relative positions, and the partition's first value,
@@ -850,6 +878,7 @@ object Relational {
     "q_listagg" -> (qListagg _),
     "q_ntile" -> (qNtile _),
     "q_ntile_approx" -> (qNtileApprox _),
+    "q_ntile_exactgrid" -> (qNtileExactgrid _),
     "q_outer_join" -> (qOuterJoin _),
     "q_correlated_avg" -> (qCorrelatedAvg _),
     "q1_agg" -> (q1Agg _),
@@ -1118,6 +1147,20 @@ object Relational {
         |    NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
         |  FROM customer) t
         |GROUP BY bucket""".stripMargin,
+    "q_ntile_exactgrid" ->
+      """WITH b AS (
+        |  SELECT quantile_disc(l_quantity, 0.25) AS b1,
+        |         quantile_disc(l_quantity, 0.49) AS b2,
+        |         quantile_disc(l_quantity, 0.75) AS b3
+        |  FROM lineitem
+        |)
+        |SELECT 1 + CAST(l_quantity > b1 AS INT) + CAST(l_quantity > b2 AS INT)
+        |         + CAST(l_quantity > b3 AS INT) AS bucket,
+        |  COUNT(*) AS n_items, MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem, b
+        |GROUP BY 1""".stripMargin,
     "q_outer_join" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
