@@ -308,7 +308,18 @@ object MaterializedAgg {
       .groupBy(spec.keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
 
-    val view = catalog.read(spark, viewTable)
+    // commit strategy decides how much of the VIEW the fold reads: the
+    // delta-merge path only needs stored state for the TOUCHED keys, so
+    // it prunes the view scan to the files those keys can live in (one
+    // tiny agg over the — churn-sized — delta for its key bounds, then
+    // manifest pruning; range-clustered state makes this tight). The
+    // rewrite path rewrites everything, so it must read everything.
+    val useMerge = viewSnap.files.size > 1
+    val view =
+      if (useMerge)
+        catalog.read(spark, viewTable, filters =
+          Writers.keyBoundFilters(delta.select(spec.keys.map(col): _*), spec.keys))
+      else catalog.read(spark, viewTable)
     val joined = view.join(delta, spec.keys, "full_outer")
 
     // a key is INVALID exactly when its additive fold can be wrong: a
@@ -371,7 +382,7 @@ object MaterializedAgg {
     }
 
     val newProps = specProps(spec) + (RefreshedAtProp -> srcSnap.snapshotId.toString)
-    if (viewSnap.files.size > 1) {
+    if (useMerge) {
       // DELTA-MERGE refresh (the large-view shape): commit cost ∝ the
       // TOUCHED keys, never the view — new state for touched surviving
       // keys upserts, keys folded to zero rows delete (`n_rows` is

@@ -664,7 +664,7 @@ object Writers {
   /** Per-key-column min/max of `source`, as manifest prune filters — ONE
     * small aggregate job bounds a merge's rewrite set by the source's
     * key range before any bloom/footer work. */
-  private def keyBoundFilters(source: DataFrame, keyCols: Seq[String]): Seq[PruneFilter] = {
+  private[sinks] def keyBoundFilters(source: DataFrame, keyCols: Seq[String]): Seq[PruneFilter] = {
     val aggs = keyCols.flatMap { c =>
       source.schema(c).dataType match {
         case _: org.apache.spark.sql.types.NumericType =>

@@ -208,11 +208,17 @@ class CdcLifecycleSpec extends SparkSpec {
               if (r.getBoolean(0)) states :+= (r.getLong(1), state)
             }
           case 8 => // rollback to a random surviving snapshot: state
-            // becomes that snapshot's model state, history moves forward
-            val (targetId, targetState) = states(rnd.nextInt(states.size))
-            val snap = cat.rollbackTo(spark, t, targetId)
-            state = targetState
-            states :+= (snap.snapshotId, state)
+            // becomes that snapshot's model state, history moves forward.
+            // `states` can be EMPTY here: a changing SET TBLPROPERTIES
+            // burns a props-only snapshot the model never records, and an
+            // aggressive expire (keep 1) can then evict every RECORDED id
+            // — with no recorded survivor there is nothing to roll back to
+            if (states.nonEmpty) {
+              val (targetId, targetState) = states(rnd.nextInt(states.size))
+              val snap = cat.rollbackTo(spark, t, targetId)
+              state = targetState
+              states :+= (snap.snapshotId, state)
+            }
           case 9 => // zero-scan equality delete of random ids: masks only
             // rows existing NOW (a later append of the same id re-adds)
             val ids = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(100).toLong).distinct
@@ -347,11 +353,14 @@ class CdcLifecycleSpec extends SparkSpec {
             val surviving = cat.snapshots(t).map(_.snapshotId).toSet
             states = states.filter { case (id, _) => surviving.contains(id) }
           case 18 => // SQL CALL rollback: state becomes the target
-            // snapshot's model state (same model as case 8)
-            val (targetId, targetState) = states(rnd.nextInt(states.size))
-            val newId = es.sql(s"CALL graft.rollback('t', $targetId)").head().getLong(0)
-            state = targetState
-            states :+= (newId, state)
+            // snapshot's model state (same model as case 8, incl. the
+            // recorded-survivor guard)
+            if (states.nonEmpty) {
+              val (targetId, targetState) = states(rnd.nextInt(states.size))
+              val newId = es.sql(s"CALL graft.rollback('t', $targetId)").head().getLong(0)
+              state = targetState
+              states :+= (newId, state)
+            }
           case 19 => // SQL MERGE ... NOT MATCHED BY SOURCE (full-sync
             // apply): matched rows take the source version; unmatched
             // TARGET rows in the swept range get deleted; the model
@@ -548,6 +557,34 @@ class CdcLifecycleSpec extends SparkSpec {
               .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
                 r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
             assert(gotx == wantx, s"seq=$seq generalized MV != from-scratch")
+            // occasionally re-lay a view as TWO key-clustered files so
+            // later refreshes in this interleaving race through the
+            // DELTA-MERGE commit path (r16) — the rewrite/merge split
+            // must be invisible to every consumer above it
+            if (rnd.nextInt(8) == 0) {
+              def listPq(d: java.nio.file.Path): Seq[String] = {
+                val s = Files.walk(d)
+                try s.iterator().asScala.map(_.toString)
+                  .filter(p => p.endsWith(".parquet") || p.contains("part-")).toList
+                  .filter(_.endsWith(".parquet"))
+                finally s.close()
+              }
+              Seq("t_mv", "t_mvx").foreach { v =>
+                val vsnap = cat.currentSnapshot(v).get
+                if (vsnap.files.size == 1 && cat.read(spark, v).count() > 1) {
+                  val stDf = cat.read(spark, v)
+                  val dir = Files.createTempDirectory(s"graft-cdcp-mvsplit-$seq-")
+                  stDf.filter(col("id") < 50).coalesce(1)
+                    .write.parquet(dir.resolve("a").toString)
+                  stDf.filter(col("id") >= 50).coalesce(1)
+                    .write.parquet(dir.resolve("b").toString)
+                  cat.commit(spark, v,
+                    listPq(dir.resolve("a")) ++ listPq(dir.resolve("b")),
+                    props = vsnap.props +
+                      (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite))
+                }
+              }
+            }
           case 30 => // SQL CALL ingest (r14): a landing-zone CSV batch
             // appends through the COPY INTO path; an immediate re-run
             // must skip it (fingerprints rode the commit). Same model
