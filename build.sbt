@@ -31,8 +31,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap: local[32] is a 32-executor cluster in ONE JVM, so the
+// driver heap IS the cluster's execution+storage memory. 8g (the old
+// default) on this 128 GiB box made tenured-GC pressure land on
+// whichever battery query ran next (the r14/r15 in-battery tails:
+// q_incr_neardup 0.97 s isolated vs 10.08 s in-battery). 32g keeps the
+// battery inside the isolated envelope; SPARK_DRIVER_MEM still
+// overrides for memory-constrained hosts.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

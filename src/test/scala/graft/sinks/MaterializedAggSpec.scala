@@ -231,6 +231,78 @@ class MaterializedAggSpec extends SparkSpec {
     assert(!got.exists(_._1 == 95L) && got.exists(_._1 == 150L))
   }
 
+  test("delta-merge refresh: invalidating deletes ride the merge path key-scoped") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mv-dm3-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    // two rows per key: min = k, max = 2k, nd(p) = 2
+    val src = (1 to 100).flatMap(k =>
+      Seq((k.toLong, k * 1.0, "pA"), (k.toLong, k * 2.0, "pB")))
+      .toDF("k", "v", "p")
+    Writers.writeSnapshot(cat, "dm3_src", src, s"$base/data")
+    val spec = MaterializedAgg.MvSpec("dm3_src", Seq("k"),
+      sums = Seq("v"), avgs = Seq("v"), mins = Seq("v"), maxs = Seq("v"),
+      nds = Seq("p"))
+    MaterializedAgg.build(spark, cat, spec, "dm3_view", s"$base/view")
+
+    // re-lay as TWO key-clustered files so the refresh takes the merge path
+    val snap0 = cat.currentSnapshot("dm3_view").get
+    val state = cat.read(spark, "dm3_view")
+    val dirA = java.nio.file.Paths.get(base, "viewA")
+    val dirB = java.nio.file.Paths.get(base, "viewB")
+    state.filter(col("k") <= 50).coalesce(1).write.parquet(dirA.toString)
+    state.filter(col("k") > 50).coalesce(1).write.parquet(dirB.toString)
+    cat.commit(spark, "dm3_view",
+      Writers.listParquetIn(dirA) ++ Writers.listParquetIn(dirB),
+      props = snap0.props +
+        (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite))
+    val snap1 = cat.currentSnapshot("dm3_view").get
+    val fileA = snap1.files.find(_.path.contains(dirA.getFileName.toString)).get
+
+    // upper-range churn exercising EVERY commit clause at once: key 90's
+    // stored max dies (invalid → key-scoped recompute → UPSERT), key 95
+    // vanishes entirely (exact n_rows folds to 0 → DELETE — its sketch
+    // state is moot), key 150 is brand new (INSERT), and key 60 gains a
+    // higher max + a third p class (pure-insert fold, no invalidation)
+    Writers.writeSnapshot(cat, "dm3_src",
+      Seq((150L, 5.0, "pA"), (60L, 500.0, "pC")).toDF("k", "v", "p"),
+      s"$base/data")
+    Writers.deleteWhere(spark, cat, "dm3_src",
+      df => df.filter(col("k") =!= 95 && !(col("k") === 90 && col("v") === 180.0)),
+      Nil, s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "dm3_view", s"$base/view")
+
+    val snap2 = cat.currentSnapshot("dm3_view").get
+    assert(snap2.props(SnapshotCatalog.OperationProp) == SnapshotCatalog.OpMerge,
+      s"multi-file view with recompute aggregates must still merge: ${snap2.props}")
+    assert(snap2.files.contains(fileA),
+      "the untouched lower key range's file must survive the recompute refresh")
+
+    // rendered state equals the from-scratch recompute, including the
+    // recomputed extremum/sketch key and the exact-fold keys
+    val got = MaterializedAgg.readRendered(spark, cat, "dm3_view").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).setScale(6),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    val want = cat.read(spark, "dm3_src").groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(28,6)")).as("s"),
+        count(col("v")).as("c"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        countDistinct(col("p")).as("nd"))
+      .select(col("k"), col("n_rows"), col("s"),
+        (col("s").cast("double") / col("c")).as("avg"),
+        col("mn"), col("mx"), col("nd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).setScale(6),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == want)
+    assert(!got.exists(_._1 == 95L) && got.exists(_._1 == 150L))
+    assert(got.find(_._1 == 90L).get._6 == 90.0,
+      "key 90's recomputed max must be the surviving row's value")
+    assert(got.find(_._1 == 60L).get._7 == 3L,
+      "key 60's sketch must fold the new class without invalidation")
+  }
+
   test("delta-merge: out-of-scope churn advances the watermark metadata-only") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-mv-dm2-").toString
