@@ -384,6 +384,44 @@ object Engine {
     }.toDF("column", "ndv_est", "total_rows")
   }
 
+  // Memoized sketch-indexed ORDERS catalog on LOW-cardinality columns —
+  // the q_mv_nd exact-grid trick applied to S37's metadata sweep: at 3-
+  // and 5-value cardinality every per-file HLL sketch is sparse (stores
+  // its coupons exactly) and the sidecar merge stays sparse, so the
+  // metadata-only estimate IS the exact distinct count. The second
+  // commit passes NO sketchColumns — it must re-index through the
+  // sticky-metadata path, and approxCountDistinct REFUSES (None → -1,
+  // an instant hash mismatch) if any non-empty file lacks a sketch, so
+  // the oracle also proves index maintenance across commits.
+  private val metaExactCats = TrieMap.empty[String, SnapshotCatalog]
+  private def metaExactCatFor(s: SparkSession, dir: String): SnapshotCatalog =
+    metaExactCats.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft-metaexact-").toString
+      val cat = new SnapshotCatalog(tmp)
+      val o = Tables.orders(s, dir)
+      Writers.writeSnapshot(cat, "orders",
+        o.filter(col("o_orderkey") % 2 === 0).repartition(4), s"$tmp/data",
+        sketchColumns = Seq("o_orderstatus", "o_orderpriority"))
+      Writers.writeSnapshot(cat, "orders",
+        o.filter(col("o_orderkey") % 2 =!= 0).repartition(4), s"$tmp/data")
+      cat
+    })
+
+  /** Metadata-only NDV profile on an EXACT grid (the oracle twin of
+    * [[qMetaProfile]]'s rows-only claim): merged manifest HLL sketches
+    * over 3- and 5-value columns answer WITHOUT opening a data file,
+    * and at that cardinality the sparse sketches are exact — so the
+    * no-scan sweep hash-matches DuckDB's exact COUNT(DISTINCT) profile
+    * of the same final table state. */
+  def qMetaProfileExact(s: SparkSession, dir: String): DataFrame = {
+    val cat = metaExactCatFor(s, dir)
+    val snap = cat.currentSnapshot("orders").get
+    import s.implicits._
+    Seq("o_orderstatus", "o_orderpriority").map { c =>
+      (c, cat.approxCountDistinct(s, "orders", c).getOrElse(-1L), snap.totalRows)
+    }.toDF("column_name", "ndv", "n_rows")
+  }
+
   // Memoized incrementally-maintained view per sf-dir (SURVEY §2 S39):
   // base commit + append + CDC-folded refresh happen once; the benched/
   // verified path reads the view — which must equal a from-scratch
@@ -1628,6 +1666,7 @@ object Engine {
     "q_wap_sql" -> (qWapSql _),
     "q_table_rename_read" -> (qTableRenameRead _),
     "q_meta_profile" -> (qMetaProfile _),
+    "q_meta_profile_exact" -> (qMetaProfileExact _),
     "q_mv_read" -> (qMvRead _),
     "q_mv_sql" -> (qMvSql _),
     "q_mv_minmax" -> (qMvMinmax _),
@@ -1661,6 +1700,14 @@ object Engine {
     "q_sql_engine" -> (qSqlEngine _))
 
   val oracles: Map[String, String] = Map(
+    "q_meta_profile_exact" ->
+      """SELECT 'o_orderstatus' AS column_name,
+        |  COUNT(DISTINCT o_orderstatus) AS ndv, COUNT(*) AS n_rows
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority',
+        |  COUNT(DISTINCT o_orderpriority), COUNT(*)
+        |FROM orders""".stripMargin,
     "q_sql_maintenance" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
