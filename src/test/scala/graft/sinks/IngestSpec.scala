@@ -310,6 +310,43 @@ class IngestSpec extends SparkSpec {
     assert(nScans == 1, s"expected one parquet scan for the whole table; got $nScans")
   }
 
+  test("MoR deletes and CDC compose with partition-served columns") {
+    import graft.meta.EqString
+    // partition-served columns ride a broadcast join keyed on the scan's
+    // own _metadata.file_path — the SAME attribute the MoR masks and the
+    // change feed key their row lineage on. This pins the composition:
+    // a mask over a partition-landed table must select lineage AFTER
+    // that join, and the feed must render the path-served column.
+    val landing = Files.createTempDirectory("graft-landing-pmor-")
+    drop(landing, "m1.csv", "1,1,alpha", "2,1,beta")
+    drop(landing, "m2.csv", "3,2,gamma", "4,2,delta")
+    ext.sql("CREATE TABLE graft.ingpm (id BIGINT, day BIGINT, name STRING)")
+    ext.sql(s"CALL graft.ingest('ingpm', '$landing', format => 'csv', " +
+      "partition_by => 'day')")
+    val snap1 = cat.currentSnapshot("ingpm").get
+    assert(snap1.files.forall(_.partitionValues.contains("day")))
+
+    Writers.deleteWhereMoR(spark, cat, "ingpm",
+      org.apache.spark.sql.functions.col("id") === 3L, Nil, s"$root/ingpm-data")
+    val got = ext.sql("SELECT id, day, name FROM ingpm ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 1L, "alpha"), (2L, 1L, "beta"), (4L, 2L, "delta")),
+      s"masked partition-landed read wrong: $got")
+    // the mask keeps day=1 entirely clean: a day-scoped plan still
+    // prunes from metadata and the pruned read serves the path values
+    val day1 = ext.sql("SELECT id, day FROM ingpm WHERE day = 1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(day1 == Seq((1L, 1L), (2L, 1L)))
+    assert(cat.planFiles("ingpm", Seq(EqString("day", "2"))).size == 1)
+    // the change feed across the mask nets exactly the killed row, with
+    // the partition-served column rendered
+    val feed = cat.changesBetween(spark, "ingpm",
+      snap1.snapshotId, Some(cat.currentSnapshot("ingpm").get.snapshotId))
+    val ch = feed.select("id", "day", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(ch == Seq((3L, 2L, "delete")), s"feed across the mask wrong: $ch")
+  }
+
   test("bytes win over a coincidental k=v path segment (no silent shadowing)") {
     import spark.implicits._
     // a HAND-LANDED file whose directory happens to spell day=9 while
