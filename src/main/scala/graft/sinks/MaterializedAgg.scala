@@ -314,13 +314,31 @@ object MaterializedAgg {
     // tiny agg over the — churn-sized — delta for its key bounds, then
     // manifest pruning; range-clustered state makes this tight). The
     // rewrite path rewrites everything, so it must read everything.
-    val useMerge = viewSnap.files.size > 1
+    // Churn touching a NULL key group falls back to the rewrite path:
+    // MERGE matching is ANSI null-unsafe by design (a null key never
+    // matches), so routing a null group through mergeApply would insert
+    // a duplicate row next to the stored one — the group is at most one
+    // key, so the O(view) fallback is rare and bounded.
+    val deltaTouchesNullKey = viewSnap.files.size > 1 &&
+      delta.select(spec.keys.map(col): _*)
+        .filter(spec.keys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() > 0
+    val useMerge = viewSnap.files.size > 1 && !deltaTouchesNullKey
     val view =
       if (useMerge)
         catalog.read(spark, viewTable, filters =
           Writers.keyBoundFilters(delta.select(spec.keys.map(col): _*), spec.keys))
       else catalog.read(spark, viewTable)
-    val joined = view.join(delta, spec.keys, "full_outer")
+    // the fold join must pair NULL key groups (GROUP BY makes null a
+    // real group, but a plain key-list join never matches null = null —
+    // the view's null-group state and its delta would pass each other
+    // one-sided, silently dropping the group's churn), so it joins
+    // null-safe and re-derives each key from whichever side is present
+    val joined = view.alias("__v").join(delta.alias("__d"),
+      spec.keys.map(k => col(s"__v.$k") <=> col(s"__d.$k")).reduce(_ && _),
+      "full_outer")
+    val foldedKeys: Seq[Column] =
+      spec.keys.map(k => coalesce(col(s"__v.$k"), col(s"__d.$k")).as(k))
 
     // a key is INVALID exactly when its additive fold can be wrong: a
     // delete reached the stored extremum (a duplicate might keep the
@@ -334,7 +352,7 @@ object MaterializedAgg {
 
     def dec0: Column = lit(0).cast("decimal(28,6)")
     val foldedCols: Seq[Column] =
-      spec.keys.map(col) ++
+      foldedKeys ++
         Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("__d_n"), lit(0L)))
           .as("n_rows")) ++
         spec.sumState.map { c =>
@@ -375,9 +393,15 @@ object MaterializedAgg {
     def recomputed: DataFrame = {
       val invalidKeys = folded.filter(col("__invalid"))
         .select(spec.keys.map(col): _*)
+      // null-safe semi join: an invalidated NULL key group (a delete at
+      // the null group's stored extremum) must still reach its source
+      // rows, which a plain key-list semi join would never match
       aggOf(
         scoped(catalog.read(spark, spec.src, snapshotId = Some(srcSnap.snapshotId)), spec)
-          .join(invalidKeys, spec.keys, "left_semi"),
+          .alias("__s")
+          .join(invalidKeys.alias("__ik"),
+            spec.keys.map(k => col(s"__s.$k") <=> col(s"__ik.$k")).reduce(_ && _),
+            "left_semi"),
         spec)
     }
 

@@ -231,6 +231,107 @@ class MaterializedAggSpec extends SparkSpec {
     assert(!got.exists(_._1 == 95L) && got.exists(_._1 == 150L))
   }
 
+  test("NULL key groups fold, recompute, and refresh correctly") {
+    import spark.implicits._
+    // GROUP BY makes null a real group; the fold/recompute joins must
+    // pair it null-safe or its churn silently drops (caught live: a
+    // plain key-list full-outer join passed the view's null-group row
+    // and its delta one-sided, so the delta's net-zero row count fell
+    // to the n_rows > 0 filter and its sum change vanished)
+    val base = Files.createTempDirectory("graft-mv-null-").toString
+    val cat = new SnapshotCatalog(s"$base/cat")
+    val src = Seq((Some("a"), 1.0, "pA"), (None, 2.0, "pA"), (None, 3.0, "pB"),
+      (Some("b"), 4.0, "pA")).toDF("k", "v", "p")
+    Writers.writeSnapshot(cat, "nk_src", src, s"$base/data")
+    MaterializedAgg.build(spark, cat,
+      MaterializedAgg.MvSpec("nk_src", Seq("k"), sums = Seq("v"), avgs = Seq("v"),
+        mins = Seq("v"), maxs = Seq("v"), nds = Seq("p")),
+      "nk_view", s"$base/view")
+
+    def recomputeNk(): Set[(Option[String], Long, java.math.BigDecimal,
+        Double, Double, Double, Long)] =
+      cat.read(spark, "nk_src").groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(28,6)")).as("s"),
+          count(col("v")).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+          countDistinct(col("p")).as("nd"))
+        .select(col("k"), col("n"), col("s"),
+          (col("s").cast("double") / col("c")).as("avg"), col("mn"), col("mx"),
+          col("nd"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getDecimal(2).setScale(6),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    def renderedNk(): Set[(Option[String], Long, java.math.BigDecimal,
+        Double, Double, Double, Long)] =
+      MaterializedAgg.readRendered(spark, cat, "nk_view").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getDecimal(2).setScale(6),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(renderedNk() == recomputeNk())
+
+    // additive churn at the null group: insert + a non-extremum delete
+    Writers.writeSnapshot(cat, "nk_src",
+      Seq((Option.empty[String], 10.0, "pA")).toDF("k", "v", "p"), s"$base/data")
+    Writers.deleteWhere(spark, cat, "nk_src",
+      df => df.filter(col("v") =!= 2.0), Nil, s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "nk_view", s"$base/view")
+    assert(renderedNk() == recomputeNk())
+
+    // extremum-killing delete AT the null group: its stored max (10.0)
+    // dies, so the key-scoped recompute must reach the null group's
+    // source rows through the null-safe semi join
+    Writers.deleteWhere(spark, cat, "nk_src",
+      df => df.filter(col("v") =!= 10.0), Nil, s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "nk_view", s"$base/view")
+    assert(renderedNk() == recomputeNk())
+    assert(renderedNk().find(_._1.isEmpty).get._6 == 3.0,
+      "the null group's recomputed max must be the surviving row's value")
+
+    // multi-file view + null-group churn: MERGE matching is ANSI
+    // null-unsafe, so the refresh must FALL BACK to the rewrite path
+    // (a merge would land a duplicate null row) and still equal the
+    // recompute
+    val snapV = cat.currentSnapshot("nk_view").get
+    val state = cat.read(spark, "nk_view")
+    val dirA = java.nio.file.Paths.get(base, "viewA")
+    val dirB = java.nio.file.Paths.get(base, "viewB")
+    state.filter(col("k").isNull).coalesce(1).write.parquet(dirA.toString)
+    state.filter(col("k").isNotNull).coalesce(1).write.parquet(dirB.toString)
+    cat.commit(spark, "nk_view",
+      Writers.listParquetIn(dirA) ++ Writers.listParquetIn(dirB),
+      props = snapV.props +
+        (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite))
+    Writers.writeSnapshot(cat, "nk_src",
+      Seq((Option.empty[String], 7.0, "pC"), (Some("a"), 9.0, "pA"))
+        .toDF("k", "v", "p"), s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "nk_view", s"$base/view")
+    val snapAfter = cat.currentSnapshot("nk_view").get
+    assert(snapAfter.props(SnapshotCatalog.OperationProp) ==
+      SnapshotCatalog.OpRewrite,
+      s"null-group churn must take the rewrite fallback: ${snapAfter.props}")
+    assert(renderedNk() == recomputeNk())
+    assert(cat.read(spark, "nk_view").filter(col("k").isNull).count() == 1,
+      "exactly one null-group row must exist after the refresh")
+
+    // …and null-free churn on a multi-file layout still merges (re-lay
+    // explicitly: the fallback rewrite may have packed the tiny view
+    // into one file, which would route through the replace path)
+    val snapV2 = cat.currentSnapshot("nk_view").get
+    val state2 = cat.read(spark, "nk_view")
+    val dirA2 = java.nio.file.Paths.get(base, "viewA2")
+    val dirB2 = java.nio.file.Paths.get(base, "viewB2")
+    state2.filter(col("k").isNull).coalesce(1).write.parquet(dirA2.toString)
+    state2.filter(col("k").isNotNull).coalesce(1).write.parquet(dirB2.toString)
+    cat.commit(spark, "nk_view",
+      Writers.listParquetIn(dirA2) ++ Writers.listParquetIn(dirB2),
+      props = snapV2.props +
+        (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpRewrite))
+    Writers.writeSnapshot(cat, "nk_src",
+      Seq((Some("b"), 6.0, "pB")).toDF("k", "v", "p"), s"$base/data")
+    MaterializedAgg.refreshByName(spark, cat, "nk_view", s"$base/view")
+    assert(cat.currentSnapshot("nk_view").get.props(
+      SnapshotCatalog.OperationProp) == SnapshotCatalog.OpMerge)
+    assert(renderedNk() == recomputeNk())
+  }
+
   test("delta-merge refresh: invalidating deletes ride the merge path key-scoped") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-mv-dm3-").toString
