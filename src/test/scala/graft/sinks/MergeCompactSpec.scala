@@ -51,6 +51,28 @@ class MergeCompactSpec extends SparkSpec {
     assert(cat.read(spark, "cust", snapshotId = Some(before.snapshotId)).count() == evens.count())
   }
 
+  test("mergeInto null-key rows match nothing — the ANSI MERGE contract, pinned") {
+    import spark.implicits._
+    // MERGE matching is null-unsafe BY DESIGN (ON t.k = s.k never holds
+    // for null — the same contract Delta and Iceberg MERGE ship): a
+    // null-key target row always survives, a null-key source row always
+    // inserts. Pinned so the behavior reads as a choice, not an
+    // accident; machinery whose contract IS null-safe grouping (the MV
+    // fold) routes null-group churn around MERGE instead.
+    val cat = new SnapshotCatalog(Files.createTempDirectory("graft-merge-nk-").toString)
+    val dataDir = Files.createTempDirectory("graft-merge-nk-data-").toString
+    Writers.writeSnapshot(cat, "nkm",
+      Seq((Some(1L), "a"), (Option.empty[Long], "x")).toDF("k", "v"), dataDir)
+    Writers.mergeInto(spark, cat, "nkm",
+      Seq((Some(1L), "A"), (Option.empty[Long], "y")).toDF("k", "v"),
+      Seq("k"), dataDir)
+    val got = cat.read(spark, "nkm").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toSeq.sortBy(_.toString)
+    assert(got == Seq((None, "x"), (None, "y"), (Some(1L), "A")).sortBy(_.toString),
+      s"ANSI null-unsafe MERGE contract violated: $got")
+  }
+
   test("incremental read across a merge returns exactly the source rows") {
     val cat = new SnapshotCatalog(Files.createTempDirectory("graft-minc-").toString)
     val dataDir = Files.createTempDirectory("graft-minc-data-").toString
