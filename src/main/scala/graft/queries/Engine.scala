@@ -19,9 +19,19 @@ import scala.collection.concurrent.TrieMap
   */
 object Engine {
 
+  /** Lock-free hit path, at-most-once build: TrieMap.getOrElseUpdate is
+    * NOT atomic for the thunk, so two concurrent first callers for the
+    * same key would both run the builder — for the fixture memos below
+    * that means double snapshot-commit work and a leaked unreferenced
+    * temp directory. Every memo routes through this helper, which takes
+    * the map's monitor only on a miss, preserving the deterministic
+    * single-build each memo's comment promises. */
+  private def memo[K, V](m: TrieMap[K, V], k: K, build: => V): V =
+    m.get(k).getOrElse(m.synchronized(m.getOrElseUpdate(k, build)))
+
   private val caches = TrieMap.empty[String, TableCache]
   private def cacheFor(sessionDir: String): TableCache =
-    caches.getOrElseUpdate(sessionDir, new TableCache(policy = LruPolicy))
+    memo(caches, sessionDir, new TableCache(policy = LruPolicy))
 
   // Memoized QueryEngine per (session, dir): registration loads 10 tables
   // and binds temp views, a per-call cost a long-lived engine pays once.
@@ -31,7 +41,7 @@ object Engine {
   private val activeDir = TrieMap.empty[Int, String]
   private[graft] def engineFor(s: SparkSession, dir: String): QueryEngine = {
     val sid = System.identityHashCode(s)
-    val eng = engines.getOrElseUpdate((sid, dir), new QueryEngine(s, dir))
+    val eng = memo(engines, (sid, dir), new QueryEngine(s, dir))
     activeDir.synchronized {
       if (!activeDir.get(sid).contains(dir)) {
         eng.registerFresh()
@@ -46,7 +56,7 @@ object Engine {
   // commits once per ingest, then serves many pruned reads.
   private val snapCats = TrieMap.empty[String, SnapshotCatalog]
   private def snapCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    snapCats.getOrElseUpdate(dir, {
+    memo(snapCats, dir, {
       val tmp = Files.createTempDirectory("graft-snap-").toString
       val cat = new SnapshotCatalog(tmp)
       cat.commit(s, "lineitem", Seq(Tables.path(dir, "lineitem")))
@@ -58,7 +68,7 @@ object Engine {
   // batch); the benched/verified path is the read of the merged state.
   private val mergedCats = TrieMap.empty[String, SnapshotCatalog]
   private def mergedCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    mergedCats.getOrElseUpdate(dir, {
+    memo(mergedCats, dir, {
       val tmp = Files.createTempDirectory("graft-merge-").toString
       val cat = new SnapshotCatalog(tmp)
       val orders = Tables.orders(s, dir)
@@ -82,7 +92,7 @@ object Engine {
   // benched/verified path is the masked read (broadcast anti-join apply).
   private val morCats = TrieMap.empty[String, SnapshotCatalog]
   private def morCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    morCats.getOrElseUpdate(dir, {
+    memo(morCats, dir, {
       val tmp = Files.createTempDirectory("graft-mor-").toString
       val cat = new SnapshotCatalog(tmp)
       Writers.writeRangedSnapshot(cat, "customer", Tables.customer(s, dir),
@@ -114,7 +124,7 @@ object Engine {
   private val ttlCats = TrieMap.empty[String, SnapshotCatalog]
   private val TtlCutoffMs = java.sql.Timestamp.valueOf("2024-01-08 00:00:00").getTime
   private def ttlCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    ttlCats.getOrElseUpdate(dir, {
+    memo(ttlCats, dir, {
       val tmp = Files.createTempDirectory("graft-ttl-").toString
       val cat = new SnapshotCatalog(tmp)
       Writers.writeRangedSnapshot(cat, "events", Tables.events(s, dir), tmp, "ts", 4)
@@ -138,7 +148,7 @@ object Engine {
   // repartition); the benched/verified path is the exchange-free join.
   private val bucketedTabs = TrieMap.empty[(Int, String), (String, String)]
   private def bucketedFor(s: SparkSession, dir: String): (String, String) =
-    bucketedTabs.getOrElseUpdate((System.identityHashCode(s), dir), {
+    memo(bucketedTabs, (System.identityHashCode(s), dir), {
       val tag = Integer.toHexString(dir.hashCode).takeWhile(_ != '-')
       val lt = s"graft_bkt_l_$tag"
       val ot = s"graft_bkt_o_$tag"
@@ -218,7 +228,7 @@ object Engine {
   // investment; the benched/verified path is the IN-list pruned read.
   private val inlistCats = TrieMap.empty[String, SnapshotCatalog]
   private def inlistCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    inlistCats.getOrElseUpdate(dir, {
+    memo(inlistCats, dir, {
       val tmp = Files.createTempDirectory("graft-inlist-").toString
       val cat = new SnapshotCatalog(tmp)
       val c = Tables.customer(s, dir)
@@ -255,7 +265,7 @@ object Engine {
   private val daysCats = TrieMap.empty[String, SnapshotCatalog]
   private val daysSpec = Seq(DaysTransform("ts"))
   private def daysCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    daysCats.getOrElseUpdate(dir, {
+    memo(daysCats, dir, {
       val tmp = Files.createTempDirectory("graft-days-").toString
       val cat = new SnapshotCatalog(tmp)
       Writers.writeTransformedSnapshot(cat, "events", Tables.events(s, dir),
@@ -286,7 +296,7 @@ object Engine {
   // benched/verified path is the two-dimensional stats-pruned read.
   private val zorderCats = TrieMap.empty[String, SnapshotCatalog]
   private def zorderCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    zorderCats.getOrElseUpdate(dir, {
+    memo(zorderCats, dir, {
       val tmp = Files.createTempDirectory("graft-zorder-").toString
       val cat = new SnapshotCatalog(tmp)
       Writers.writeZOrderedSnapshot(cat, "orders", Tables.orders(s, dir),
@@ -322,7 +332,7 @@ object Engine {
   // the value predicate prunes via the restored per-file min/max.
   private val sortedCats = TrieMap.empty[String, SnapshotCatalog]
   private def sortedCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    sortedCats.getOrElseUpdate(dir, {
+    memo(sortedCats, dir, {
       val tmp = Files.createTempDirectory("graft-sorted-").toString
       val cat = new SnapshotCatalog(tmp)
       val ev = Tables.events(s, dir)
@@ -361,7 +371,7 @@ object Engine {
   private val sketchedCols =
     Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
   private def sketchCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    sketchCats.getOrElseUpdate(dir, {
+    memo(sketchCats, dir, {
       val tmp = Files.createTempDirectory("graft-sketch-").toString
       val cat = new SnapshotCatalog(tmp)
       Writers.writeSnapshot(cat, "customer",
@@ -395,7 +405,7 @@ object Engine {
   // the oracle also proves index maintenance across commits.
   private val metaExactCats = TrieMap.empty[String, SnapshotCatalog]
   private def metaExactCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    metaExactCats.getOrElseUpdate(dir, {
+    memo(metaExactCats, dir, {
       val tmp = Files.createTempDirectory("graft-metaexact-").toString
       val cat = new SnapshotCatalog(tmp)
       val o = Tables.orders(s, dir)
@@ -428,7 +438,7 @@ object Engine {
   // aggregate of the WHOLE source (the oracle's plain GROUP BY).
   private val mvCats = TrieMap.empty[String, SnapshotCatalog]
   private def mvCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    mvCats.getOrElseUpdate(dir, {
+    memo(mvCats, dir, {
       val tmp = Files.createTempDirectory("graft-mv-").toString
       val cat = new SnapshotCatalog(tmp)
       val o = Tables.orders(s, dir)
@@ -457,7 +467,7 @@ object Engine {
   // the benched/verified path is the read of the restated state.
   private val owCats = TrieMap.empty[String, SnapshotCatalog]
   private def owCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    owCats.getOrElseUpdate(dir, {
+    memo(owCats, dir, {
       val tmp = Files.createTempDirectory("graft-ow-").toString
       val cat = new SnapshotCatalog(tmp)
       // partition column duplicated into a derived `p_pri` (the hidden-
@@ -492,7 +502,7 @@ object Engine {
   // stats-pruned top-k read.
   private val topkCats = TrieMap.empty[String, SnapshotCatalog]
   private def topkCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    topkCats.getOrElseUpdate(dir, {
+    memo(topkCats, dir, {
       val tmp = Files.createTempDirectory("graft-topk-").toString
       val cat = new SnapshotCatalog(tmp)
       Writers.writeRangedSnapshot(cat, "orders", Tables.orders(s, dir),
@@ -518,7 +528,7 @@ object Engine {
   // must stitch both physical eras into one logical schema.
   private val sevCats = TrieMap.empty[String, SnapshotCatalog]
   private def sevCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    sevCats.getOrElseUpdate(dir, {
+    memo(sevCats, dir, {
       val tmp = Files.createTempDirectory("graft-sev-").toString
       val cat = new SnapshotCatalog(tmp)
       val orders = Tables.orders(s, dir)
@@ -539,7 +549,7 @@ object Engine {
   // wide type.
   private val widenCats = TrieMap.empty[String, SnapshotCatalog]
   private def widenCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    widenCats.getOrElseUpdate(dir, {
+    memo(widenCats, dir, {
       val tmp = Files.createTempDirectory("graft-widen-").toString
       val cat = new SnapshotCatalog(tmp)
       val o = Tables.orders(s, dir)
@@ -577,7 +587,7 @@ object Engine {
   // ITS literal — a null fill or a wrong-era default breaks the sum.
   private val defCats = TrieMap.empty[String, SnapshotCatalog]
   private def defCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    defCats.getOrElseUpdate(dir, {
+    memo(defCats, dir, {
       val tmp = Files.createTempDirectory("graft-def-").toString
       val cat = new SnapshotCatalog(tmp)
       val o = Tables.orders(s, dir)
@@ -648,7 +658,7 @@ object Engine {
   // *_read queries.
   private val ttRoots = TrieMap.empty[String, String]
   private def ttRootFor(s: SparkSession, dir: String): String =
-    ttRoots.getOrElseUpdate(dir, {
+    memo(ttRoots, dir, {
       val root = Files.createTempDirectory("graft-ttsql-").toString
       val dataDir = Files.createTempDirectory("graft-ttsql-data-").toString
       val cat = new SnapshotCatalog(root)
@@ -660,7 +670,7 @@ object Engine {
     })
   private val extSessions = TrieMap.empty[Int, SparkSession]
   private def extSessionFor(s: SparkSession): SparkSession =
-    extSessions.getOrElseUpdate(System.identityHashCode(s),
+    memo(extSessions, System.identityHashCode(s),
       org.apache.spark.sql.GraftColumnShim.sessionWithExtensions(
         s, e => new graft.GraftExtensions().apply(e)))
 
@@ -692,7 +702,7 @@ object Engine {
   // definitions and still push the table read through the catalog scan.
   private val viewRoots = TrieMap.empty[String, String]
   private def viewRootFor(s: SparkSession, dir: String): String =
-    viewRoots.getOrElseUpdate(dir, {
+    memo(viewRoots, dir, {
       val root = Files.createTempDirectory("graft-views-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "vorders",
@@ -739,7 +749,7 @@ object Engine {
   // scale property worth gating.
   private val changelogRoots = TrieMap.empty[String, SnapshotCatalog]
   private def changelogCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    changelogRoots.getOrElseUpdate(dir, {
+    memo(changelogRoots, dir, {
       val root = Files.createTempDirectory("graft-changelog-").toString
       val cat = new SnapshotCatalog(root)
       val dd = Files.createTempDirectory("graft-changelog-data-").toString
@@ -802,7 +812,7 @@ object Engine {
   // under the NEW name, which must serve the same bytes.
   private val renameTblRoots = TrieMap.empty[String, String]
   private def renameTblRootFor(s: SparkSession, dir: String): String =
-    renameTblRoots.getOrElseUpdate(dir, {
+    memo(renameTblRoots, dir, {
       val root = Files.createTempDirectory("graft-rentbl-").toString
       val cat = new SnapshotCatalog(root)
       val dd = Files.createTempDirectory("graft-rentbl-data-").toString
@@ -841,7 +851,7 @@ object Engine {
   // and never the dirty one.
   private val wapRoots = TrieMap.empty[String, String]
   private def wapRootFor(s: SparkSession, dir: String): String =
-    wapRoots.getOrElseUpdate(dir, {
+    memo(wapRoots, dir, {
       val root = Files.createTempDirectory("graft-wapsql-").toString
       val cat = new SnapshotCatalog(root)
       val dd = Files.createTempDirectory("graft-wapsql-data-").toString
@@ -890,7 +900,7 @@ object Engine {
   // are maintenance; the benched/verified path reads the view table.
   private val mvSqlRoots = TrieMap.empty[String, String]
   private def mvSqlRootFor(s: SparkSession, dir: String): String =
-    mvSqlRoots.getOrElseUpdate(dir, {
+    memo(mvSqlRoots, dir, {
       val root = Files.createTempDirectory("graft-mvsql-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "mvsqlorders",
@@ -930,7 +940,7 @@ object Engine {
   // against DuckDB's from-scratch GROUP BY proves it exact.
   private val mvMmRoots = TrieMap.empty[String, String]
   private def mvMmRootFor(s: SparkSession, dir: String): String =
-    mvMmRoots.getOrElseUpdate(dir, {
+    memo(mvMmRoots, dir, {
       val root = Files.createTempDirectory("graft-mvmm-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "mvmmorders",
@@ -979,7 +989,7 @@ object Engine {
   // retractable), proving it end-to-end through SQL.
   private val mvNdRoots = TrieMap.empty[String, String]
   private def mvNdRootFor(s: SparkSession, dir: String): String =
-    mvNdRoots.getOrElseUpdate(dir, {
+    memo(mvNdRoots, dir, {
       val root = Files.createTempDirectory("graft-mvnd-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "mvndorders",
@@ -1023,7 +1033,7 @@ object Engine {
   // shapes), refreshed by name.
   private val mvRenderRoots = TrieMap.empty[String, String]
   private def mvRenderRootFor(s: SparkSession, dir: String): String =
-    mvRenderRoots.getOrElseUpdate(dir, {
+    memo(mvRenderRoots, dir, {
       val root = Files.createTempDirectory("graft-mvrender-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "mvrorders",
@@ -1073,7 +1083,7 @@ object Engine {
   // without-insert leaving).
   private val mvWhereRoots = TrieMap.empty[String, String]
   private def mvWhereRootFor(s: SparkSession, dir: String): String =
-    mvWhereRoots.getOrElseUpdate(dir, {
+    memo(mvWhereRoots, dir, {
       val root = Files.createTempDirectory("graft-mvwhere-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "mvworders",
@@ -1114,7 +1124,7 @@ object Engine {
   // mask scopes to files existing at delete time).
   private val gdprRoots = TrieMap.empty[String, String]
   private def gdprRootFor(s: SparkSession, dir: String): String =
-    gdprRoots.getOrElseUpdate(dir, {
+    memo(gdprRoots, dir, {
       val root = Files.createTempDirectory("graft-gdpr-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "gdprorders",
@@ -1150,7 +1160,7 @@ object Engine {
   // net feed would cancel it.
   private val cdfRoots = TrieMap.empty[String, String]
   private def cdfRootFor(s: SparkSession, dir: String): String =
-    cdfRoots.getOrElseUpdate(dir, {
+    memo(cdfRoots, dir, {
       val root = Files.createTempDirectory("graft-cdfsql-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "cdforders",
@@ -1190,7 +1200,7 @@ object Engine {
   // persisted plan, no re-scan) and aggregates through the view.
   private val cacheSqlRoots = TrieMap.empty[String, String]
   private def cacheSqlRootFor(s: SparkSession, dir: String): String =
-    cacheSqlRoots.getOrElseUpdate(dir, {
+    memo(cacheSqlRoots, dir, {
       val root = Files.createTempDirectory("graft-cachesql-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "cachedorders",
@@ -1224,7 +1234,7 @@ object Engine {
   // skip) in one oracle.
   private val ingestRoots = TrieMap.empty[String, String]
   private def ingestRootFor(s: SparkSession, dir: String): String =
-    ingestRoots.getOrElseUpdate(dir, {
+    memo(ingestRoots, dir, {
       val root = Files.createTempDirectory("graft-ingsql-").toString
       val landing = Files.createTempDirectory("graft-ingsql-landing-").toString
       val slice = Tables.orders(s, dir)
@@ -1263,7 +1273,7 @@ object Engine {
   // (an export that leaks masked rows or drops files breaks the hash).
   private val exportRoots = TrieMap.empty[String, String]
   private def exportDirFor(s: SparkSession, dir: String): String =
-    exportRoots.getOrElseUpdate(dir, {
+    memo(exportRoots, dir, {
       val root = Files.createTempDirectory("graft-expsql-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "exporders",
@@ -1290,7 +1300,7 @@ object Engine {
   // once; the benched/verified path is the manifest-answered COUNT.
   private val metaCountRoots = TrieMap.empty[String, String]
   private def metaCountRootFor(s: SparkSession, dir: String): String =
-    metaCountRoots.getOrElseUpdate(dir, {
+    memo(metaCountRoots, dir, {
       val root = Files.createTempDirectory("graft-metacount-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "countorders", Tables.orders(s, dir),
@@ -1320,7 +1330,7 @@ object Engine {
   // side is spec-asserted (CloneSpec).
   private val cloneCats = TrieMap.empty[String, SnapshotCatalog]
   private def cloneCatFor(s: SparkSession, dir: String): SnapshotCatalog =
-    cloneCats.getOrElseUpdate(dir, {
+    memo(cloneCats, dir, {
       val tmp = Files.createTempDirectory("graft-clone-").toString
       val cat = new SnapshotCatalog(tmp)
       val orders = Tables.orders(s, dir)
@@ -1358,7 +1368,7 @@ object Engine {
   // final state; the oracle replays the same algebra over raw parquet.
   private val dmlRoots = TrieMap.empty[String, String]
   private def dmlRootFor(s: SparkSession, dir: String): String =
-    dmlRoots.getOrElseUpdate(dir, {
+    memo(dmlRoots, dir, {
       val root = Files.createTempDirectory("graft-dmlsql-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "dmlorders",
@@ -1403,7 +1413,7 @@ object Engine {
   // predicate. The oracle replays both as nested CASE over raw parquet.
   private val updRoots = TrieMap.empty[String, String]
   private def updRootFor(s: SparkSession, dir: String): String =
-    updRoots.getOrElseUpdate(dir, {
+    memo(updRoots, dir, {
       val root = Files.createTempDirectory("graft-updsql-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "updorders", Tables.orders(s, dir),
@@ -1440,7 +1450,7 @@ object Engine {
   // (graft.<name> CTAS) from raw parquet — zero code-API writes.
   private val ctasRoots = TrieMap.empty[String, String]
   private def ctasRootFor(s: SparkSession, dir: String): String =
-    ctasRoots.getOrElseUpdate(dir, {
+    memo(ctasRoots, dir, {
       val root = Files.createTempDirectory("graft-ctassql-").toString
       val es = extSessionFor(s)
       es.conf.set(graft.sql.GraftSqlResolution.RootConf, root)
@@ -1461,7 +1471,7 @@ object Engine {
   // row: the oracle replays only the DATA algebra over raw parquet.
   private val maintRoots = TrieMap.empty[String, String]
   private def maintRootFor(s: SparkSession, dir: String): String =
-    maintRoots.getOrElseUpdate(dir, {
+    memo(maintRoots, dir, {
       val root = Files.createTempDirectory("graft-maintsql-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "maintorders",
@@ -1514,7 +1524,7 @@ object Engine {
   // insert) through SQL.
   private val mergeClauseRoots = TrieMap.empty[String, String]
   private def mergeClauseRootFor(s: SparkSession, dir: String): String =
-    mergeClauseRoots.getOrElseUpdate(dir, {
+    memo(mergeClauseRoots, dir, {
       val root = Files.createTempDirectory("graft-mrgcl-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "cdcorders",
@@ -1546,7 +1556,7 @@ object Engine {
   // sides; the insert clause names explicit columns with NULL fill.
   private val mergeSetRoots = TrieMap.empty[String, String]
   private def mergeSetRootFor(s: SparkSession, dir: String): String =
-    mergeSetRoots.getOrElseUpdate(dir, {
+    memo(mergeSetRoots, dir, {
       val root = Files.createTempDirectory("graft-mrgset-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "setorders",
@@ -1588,7 +1598,7 @@ object Engine {
   // SOURCE surface exercised end-to-end through SQL.
   private val mergeBsRoots = TrieMap.empty[String, String]
   private def mergeBsRootFor(s: SparkSession, dir: String): String =
-    mergeBsRoots.getOrElseUpdate(dir, {
+    memo(mergeBsRoots, dir, {
       val root = Files.createTempDirectory("graft-mrgbs-").toString
       val cat = new SnapshotCatalog(root)
       Writers.writeSnapshot(cat, "bsorders",

@@ -42,9 +42,13 @@ import org.apache.spark.sql.functions._
   * Sums run through DECIMAL(28,6) so the view is bit-identical to a
   * from-scratch recompute — the invariant the spec enforces after every
   * refresh (HLL sketches compare by ESTIMATE: a merged sketch is
-  * estimate-identical at spec cardinalities, not byte-identical). Key
-  * columns must be non-null (the standard MV key constraint: the
-  * refresh merge joins on key equality). The view's own state lives in
+  * estimate-identical at spec cardinalities, not byte-identical). NULL
+  * key groups are supported: GROUP BY makes null a real group, so the
+  * fold and the key-scoped recompute join null-safe (`<=>`), and churn
+  * touching a null group on a multi-file view takes the full-rewrite
+  * commit path because MERGE matching is ANSI null-unsafe — an upsert
+  * routed through MERGE would insert a duplicate next to the stored
+  * null-group row. The view's own state lives in
   * the SAME catalog as a table: snapshot-versioned, time-travelable,
   * servable; its `refreshed_at` source snapshot rides the view
   * snapshot's props (refresh IS a commit, so view state and watermark
@@ -319,7 +323,11 @@ object MaterializedAgg {
     // matches), so routing a null group through mergeApply would insert
     // a duplicate row next to the stored one — the group is at most one
     // key, so the O(view) fallback is rare and bounded.
+    // the null probe is an extra Spark action on the hot delta-merge
+    // path, so it only runs when the schema says a key CAN be null —
+    // non-nullable-key views keep the single-decision path job-free
     val deltaTouchesNullKey = viewSnap.files.size > 1 &&
+      spec.keys.exists(k => delta.schema(k).nullable) &&
       delta.select(spec.keys.map(col): _*)
         .filter(spec.keys.map(col(_).isNull).reduce(_ || _))
         .limit(1).count() > 0
