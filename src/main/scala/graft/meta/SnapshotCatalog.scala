@@ -74,7 +74,14 @@ final case class FileMeta(
     // rename, dropped with the column. Pruning stays conservative (no
     // stats entry → file kept), which is always correct for a
     // constant-valued column. */
-    defaults: Map[String, String] = Map.empty) {
+    defaults: Map[String, String] = Map.empty,
+    // Commit-scoped PQ-codes sidecar dir holding this file's encoded
+    // vectors (r17, [[VectorIndex]]): set by the commit hook for new
+    // files while the sticky pq props are in force, carried like
+    // blooms/sketches when the file is reused. One vector index per
+    // table; the codes' id column rides the FIXED name `__vid`, so
+    // this ref never needs re-keying on a column rename. */
+    pqCodes: Option[String] = None) {
 
   /** Bloom values are ABSOLUTE sidecar file paths (current format) so
     * manifests stay O(stats) bytes; inline base64 (pre-sidecar
@@ -534,6 +541,16 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       if (stickyBloomCols.isEmpty) Map.empty
       else buildBlooms(spark, table, newPaths, stickyBloomCols, rowsByFile, bloomFpp)
 
+    // committed vector index (r17): while the sticky pq props are in
+    // force, every commit's NEW files encode under the table's frozen
+    // model — the S13 re-index rule for vectors, so appends/compaction
+    // rewrites/merge outputs stay searchable with zero extra calls.
+    // One codes job over the new files (per-row output can't ride the
+    // per-file stats aggregate); cost O(new data), like the bloom build.
+    val pqRef: Option[String] = VectorIndex.encodeForCommit(
+      spark, currentSnapshot(table).map(_.props).getOrElse(Map.empty),
+      schema, newPaths, pqIndexDir(table))
+
     val newFiles = perFile.map { row =>
       val path = normalize(row.getAs[String]("__file"))
       val stats = schema.fields.flatMap { f =>
@@ -579,7 +596,8 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         partitionValues = parsePartitionValues(path).filter {
           case (k, _) => !bytesCarry(k)
         },
-        sketches = sketchRefs.getOrElse(path, Map.empty))
+        sketches = sketchRefs.getOrElse(path, Map.empty),
+        pqCodes = pqRef)
     }.toSeq
 
     publish(table) { prev =>
@@ -2222,19 +2240,34 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         k -> cols.mkString(",")
       }.filter(_._2.nonEmpty)
     }.toMap ++
-      SnapshotCatalog.StickyValueProps.flatMap { k =>
-        prev.props.get(k).map { v =>
-          // the row-TTL retention prop NAMES a column: a rename follows
-          // it (the policy stays valid under the new name); a drop
-          // refuses — silently shedding a compliance policy is the one
-          // thing a column drop must not do
-          if (k == SnapshotCatalog.RetentionRowsColumnProp && v == from) to match {
-            case Some(t) => k -> t
-            case None => throw new IllegalArgumentException(
-              s"column $from is the table's row-TTL retention column " +
-                s"($k); UNSET TBLPROPERTIES ('$k') first")
+      {
+        // a column drop that hits the vector index drops the index with
+        // it (all three props together — matching how a dropped bloom
+        // column simply stops being indexed); a rename re-keys the
+        // columns prop and the frozen model/codes stay valid (the model
+        // file carries no column names, codes ride the fixed `__vid`)
+        val pqDropped = to.isEmpty &&
+          prev.props.get(SnapshotCatalog.PqColumnsProp)
+            .exists(_.split(":").contains(from))
+        SnapshotCatalog.StickyValueProps.flatMap { k =>
+          prev.props.get(k).flatMap { v =>
+            // the row-TTL retention prop NAMES a column: a rename follows
+            // it (the policy stays valid under the new name); a drop
+            // refuses — silently shedding a compliance policy is the one
+            // thing a column drop must not do
+            if (k == SnapshotCatalog.RetentionRowsColumnProp && v == from) to match {
+              case Some(t) => Some(k -> t)
+              case None => throw new IllegalArgumentException(
+                s"column $from is the table's row-TTL retention column " +
+                  s"($k); UNSET TBLPROPERTIES ('$k') first")
+            }
+            else if (pqDropped && (k == SnapshotCatalog.PqColumnsProp ||
+                k == SnapshotCatalog.PqModelProp ||
+                k == SnapshotCatalog.PqGenerationProp)) None
+            else if (k == SnapshotCatalog.PqColumnsProp && v.split(":").contains(from))
+              Some(k -> v.split(":", -1).map(c => if (c == from) to.get else c).mkString(":"))
+            else Some(k -> v)
           }
-          else k -> v
         }
       }
 
@@ -3125,11 +3158,50 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
     * paths and are skipped). Same grace window as the data vacuum so a
     * mid-commit sidecar written before its manifest survives. Returns
     * deleted paths. */
+  // ---- committed vector index accessors (r17, [[VectorIndex]]) ---------
+
+  /** Sidecar dir of the committed vector index (model JSONs + per-commit
+    * codes parquet dirs). */
+  private[meta] def pqIndexDir(table: String): Path = tableDir(table).resolve("pqindex")
+
+  /** Logical-era scan of `paths` with `_file` lineage for index
+    * backfills ([[VectorIndex.indexVectors]]): renamed/widened/
+    * partition-landed files encode under their current logical names,
+    * the same read the [[indexColumns]] backfill uses. */
+  private[meta] def scanFilesWithLineage(
+      spark: SparkSession, snap: SnapshotMeta, paths: Seq[String]): DataFrame =
+    readLogical(spark, snap.schema, snap, paths, withLineage = true)
+
+  /** Metadata-only index commit (the [[indexColumns]] publish shape,
+    * parameterized): `fn` maps the ACTUAL parent at publish time to the
+    * replacement file list + the index props to (re)state; every other
+    * sticky prop carries, the file SET is unchanged so CDC/incremental
+    * readers see nothing, and the commit is labeled [[SnapshotCatalog.OpIndex]]. */
+  private[meta] def publishIndexCommit(table: String)(
+      fn: SnapshotMeta => (Seq[FileMeta], Map[String, String])): SnapshotMeta =
+    publish(table) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"table $table vanished during index build"))
+      val (files, extra) = fn(prev)
+      val sticky = SnapshotCatalog.StickyProps
+        .flatMap(k => prev.props.get(k).map(k -> _)).toMap
+      SnapshotMeta(
+        snapshotId = prev.snapshotId + 1,
+        timestampMs = clock(),
+        parentId = Some(prev.snapshotId),
+        schemaJson = prev.schemaJson,
+        files = files,
+        props = sticky ++ extra +
+          (SnapshotCatalog.OperationProp -> SnapshotCatalog.OpIndex),
+        deleteFiles = prev.deleteFiles)
+    }
+
   def vacuumSidecars(table: String, graceMs: Long = 3600 * 1000L,
       dryRun: Boolean = false): Seq[String] = {
     def refsOf(chain: Seq[SnapshotMeta]): Seq[String] =
       chain.flatMap(_.files).flatMap(f =>
-        f.blooms.values.filter(_.startsWith("/")) ++ f.sketches.values)
+        f.blooms.values.filter(_.startsWith("/")) ++ f.sketches.values ++ f.pqCodes) ++
+        chain.flatMap(_.props.get(SnapshotCatalog.PqModelProp))
     // clones copy manifest entries verbatim, sidecar paths included —
     // a sidecar any OTHER table's history still references is live
     // here too (same cross-table discipline as the data vacuum)
@@ -3141,19 +3213,36 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       (refsOf(snapshots(table)) ++ branches(table).flatMap(b =>
         refsOf(snapshots(branchRef(table, b)))) ++ foreign).map(normalize).toSet
     val cutoff = clock() - graceMs
-    Seq("blooms", "sketches").flatMap { kind =>
+    // `pqindex` entries can be DIRECTORIES (per-commit codes parquet
+    // dirs) as well as files (model JSONs) — an unreferenced dir
+    // removes recursively
+    def deleteRecursively(p: java.nio.file.Path): Boolean =
+      scala.util.Try {
+        val stream = Files.walk(p)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+        finally stream.close()
+        true
+      }.getOrElse(false)
+    Seq("blooms", "sketches", "pqindex").flatMap { kind =>
       val dir = tableDir(table).resolve(kind)
       if (!Files.isDirectory(dir)) Nil
       else {
         val stream = Files.list(dir)
         val candidates = try stream.iterator().asScala
-          .filter(Files.isRegularFile(_)).map(_.toAbsolutePath.toString).toList
+          .filter(p => Files.isRegularFile(p) || Files.isDirectory(p))
+          .map(_.toAbsolutePath.toString).toList
         finally stream.close()
         val doomed = candidates
           .filterNot(p => live.contains(normalize(p)))
           .filter(p => scala.util.Try(
             Files.getLastModifiedTime(Paths.get(p)).toMillis < cutoff).getOrElse(false))
-        if (dryRun) doomed else doomed.filter(p => Files.deleteIfExists(Paths.get(p)))
+        if (dryRun) doomed
+        else doomed.filter { p =>
+          val path = Paths.get(p)
+          if (Files.isDirectory(path)) deleteRecursively(path)
+          else Files.deleteIfExists(path)
+        }
       }
     }
   }
@@ -3241,32 +3330,29 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
       // lives in the k=v directory segment, not the file's bytes, so a
       // SCHEMA column found in the files' manifest partitionValues is
       // served from the manifest — per FILE, inside the single scan,
-      // via a broadcast join of the (file → decoded values) map keyed
-      // on the scan's own file path (the applyDeleteMasks convention:
-      // `_metadata.file_path` is a URI with percent-encoded specials,
-      // so manifest paths join in their encoded form). The join side is
-      // manifest-sized and map-side; plan size stays O(1) in partition
-      // count.
+      // via a broadcast join of the (file → decoded values) map. The
+      // MANIFEST side is pre-rendered to `_metadata.file_path`'s exact
+      // URI form ([[SnapshotCatalog.scanUri]]) so the join keys on the
+      // raw metadata column — no per-row regexp normalization on the
+      // stream side. The join side is manifest-sized and map-side; plan
+      // size stays O(1) in partition count.
       val pvOrdered: Seq[String] = schema.fields.map(_.name).filter(pvCols.contains).toSeq
       val joined =
         if (pvOrdered.isEmpty) base
         else {
-          def encoded(p: String): String =
-            scala.util.Try(Paths.get(p).toUri.getRawPath).getOrElse(p)
           val pvSchema = StructType(
             StructField("__graft_pv_file", StringType) +:
               pvOrdered.map(c => StructField(s"__graft_pv_$c", StringType)))
           val pvRows: Seq[Row] = ps.map { p =>
             val vals = entryOf(p)._4
             // Spark's null-partition sentinel decodes to a true null here
-            Row.fromSeq(encoded(normalize(p)) +:
+            Row.fromSeq(SnapshotCatalog.scanUri(normalize(p)) +:
               pvOrdered.map(c =>
                 vals.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
           }
           base.join(
             broadcast(spark.createDataFrame(pvRows.asJava, pvSchema)),
-            regexp_replace(col("_metadata.file_path"), "^file:/*", "/") ===
-              col("__graft_pv_file"),
+            col("_metadata.file_path") === col("__graft_pv_file"),
             "left")
         }
       val cols = schema.fields.toSeq.map { f =>
@@ -3347,20 +3433,18 @@ final class SnapshotCatalog(root: String, clock: () => Long = () => System.curre
         .select(col("_file"), col("_pos")).dropDuplicates("_file", "_pos")
       cur = cur.join(broadcast(entries), Seq("_file", "_pos"), "left_anti")
     }
-    // scheme-stripped data-file path of each row, matching DeleteFileMeta
-    // dataPaths ("file://host/p" and "file:///p" both → "/p"). The
-    // `_file` column is a URI, so its special characters are
-    // percent-ENCODED — compare against the dataPaths' encoded form
-    // rather than url-decoding the column (url_decode would corrupt a
-    // literal `+` in a name to a space)
-    lazy val fileNorm = regexp_replace(col("_file"), "^file:/*", "/")
-    def encoded(p: String): String =
-      scala.util.Try(java.nio.file.Paths.get(p).toUri.getRawPath).getOrElse(p)
+    // DeleteFileMeta dataPaths are stored as plain normalized paths;
+    // the `_file` column is `_metadata.file_path`'s URI rendering with
+    // percent-ENCODED specials — so the manifest side renders each
+    // dataPath into that exact form ([[SnapshotCatalog.scanUri]]) and
+    // the filter keys on the raw column: no per-row regexp, and no
+    // url-decoding of the column (url_decode would corrupt a literal
+    // `+` in a name to a space)
     eqDels.foreach { d =>
       val keys = spark.read.parquet(d.path)
       val cond = d.equalityColumns
         .map(c => cur(c) <=> keys(c))
-        .reduce(_ && _) && fileNorm.isin(d.dataPaths.map(encoded): _*)
+        .reduce(_ && _) && col("_file").isin(d.dataPaths.map(SnapshotCatalog.scanUri): _*)
       cur = cur.join(broadcast(keys), cond, "left_anti")
     }
     cur
@@ -3491,6 +3575,18 @@ object SnapshotCatalog {
   /** `file:` URI → plain path, shared by the driver-side manifest layer
     * and the executor-side bloom sizing (one definition, so the
     * rowsByFile lookup can never silently diverge from commit's keys). */
+  /** Inverse rendering of [[normalizePath]]: plain local path → the
+    * exact URI `_metadata.file_path` renders for it ("file:" + the
+    * percent-encoded absolute path — Hadoop Path renders local URIs
+    * with a single slash, specials arrive encoded, `%20` for a space).
+    * Pre-rendering the MANIFEST side to this form lets scan-side
+    * joins/filters key on the raw metadata column instead of running a
+    * per-row `regexp_replace` normalization on the stream side of a
+    * broadcast join. The rendering contract is pinned by IngestSpec's
+    * plan assertion and the partition/MoR oracle queries. */
+  private[graft] def scanUri(p: String): String =
+    "file:" + scala.util.Try(java.nio.file.Paths.get(p).toUri.getRawPath).getOrElse(p)
+
   private[graft] def normalizePath(p: String): String =
     if (p.startsWith("file:")) {
       // `file:`-scheme strings only ever reach here from
@@ -3670,6 +3766,17 @@ object SnapshotCatalog {
   val RetentionRowsColumnProp = "graft.retention.rows.column"
   val RetentionRowsMsProp = "graft.retention.rows.ms"
 
+  /** Sticky table props of the committed vector index (r17,
+    * [[VectorIndex]]): `PqColumnsProp` = "idCol:vecCol" (re-keyed on
+    * column rename, dropped — with its siblings — on column drop),
+    * `PqModelProp` = path of the frozen model sidecar,
+    * `PqGenerationProp` = the model generation that encoded the
+    * snapshot's codes. Carried by every commit, so appends/compactions
+    * keep re-encoding their new files; a retrain restates all three. */
+  val PqColumnsProp = "graft.pq.columns"
+  val PqModelProp = "graft.pq.model"
+  val PqGenerationProp = "graft.pq.generation"
+
   /** Column-list sticky props (comma-joined column names; column
     * rename/drop DDL rewrites their entries — see `stickyRenamed`). */
   val StickyColumnProps: Seq[String] = Seq(BloomColumnsProp, SketchColumnsProp)
@@ -3681,7 +3788,8 @@ object SnapshotCatalog {
     * commit path (the r13 comment-dropping bug class can't recur). */
   val StickyValueProps: Seq[String] = Seq(
     CommentProp, RetentionSnapshotsProp, RetentionAgeMsProp,
-    RetentionRowsColumnProp, RetentionRowsMsProp)
+    RetentionRowsColumnProp, RetentionRowsMsProp,
+    PqColumnsProp, PqModelProp, PqGenerationProp)
 
   /** Every sticky table-level prop: carried by commits, branch forks,
     * clones and renames; restated only by its owning DDL. */

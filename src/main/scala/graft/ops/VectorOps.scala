@@ -94,8 +94,11 @@ object VectorOps {
     * row), so each centroid contributes one codegen'd dot — an argmax
     * over a struct array, zero joins, zero shuffles. Ties break to the
     * LOWER cell id (struct max on (score, −cell)), keeping assignment
-    * deterministic under bit-equal scores. */
-  private[ops] def kmeansCell(cents: Seq[Seq[Double]], vec: Column): Column = {
+    * deterministic under bit-equal scores. `private[graft]`: the
+    * committed-index encoder ([[graft.meta.VectorIndex]]) reuses the
+    * SAME expression so sidecar codes and session encodes can never
+    * diverge. */
+  private[graft] def kmeansCell(cents: Seq[Seq[Double]], vec: Column): Column = {
     val scores = cents.zipWithIndex.map { case (cv, i) =>
       val c2 = cv.map(x => x * x).sum
       struct(

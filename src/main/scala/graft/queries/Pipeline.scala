@@ -124,39 +124,25 @@ object Pipeline {
     Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryPred = col("query_id") < 10, k = 5)
 
-  // Memoized IVF index per (session, dir): at 100 TB the cell assignment
-  // is a persisted table built once per corpus version (like the snapshot
-  // catalog's manifests), so the benched cost is SEARCH — mirroring how
-  // q_snapshot_read benches the pruned read, not the commit.
-  private val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, Ann.IvfIndex)]
-  private def ivfIndexFor(s: SparkSession, dir: String): Ann.IvfIndex = {
-    def build() = {
-      val idx = Ann.ivfIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-      idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .count() // build eagerly
-      (s, idx)
-    }
-    val key = (System.identityHashCode(s), dir)
-    val (owner, idx) = ivfIndexes.getOrElseUpdate(key, build())
-    // identityHashCode can recur after GC: rebuild if the cached entry
-    // belongs to a different (e.g. stopped) session, releasing the stale
-    // entry's persisted blocks
-    if (owner eq s) idx
-    else {
-      try idx.assigned.unpersist() catch { case _: Exception => () } // session may be stopped
-      val fresh = build()
-      ivfIndexes.put(key, fresh)
-      fresh._2
-    }
-  }
-
+  /** Exact-cosine IVF search over the COMMITTED coarse cells (r17):
+    * the cell assignment and centroids come from the table's committed
+    * vector index ([[graft.meta.VectorIndex]] — sidecars, not session
+    * memos), and the candidates' float vectors join back from the
+    * corpus by id — at 100 TB the cells are an id-keyed sidecar next
+    * to the data and only probed cells' members re-read their vectors,
+    * the classic IVF-with-re-rank serving shape. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val idx = ivfIndexFor(s, dir)
+    val cat = Vectors.pqCatFor(s, dir)
+    val (model, codes) = graft.meta.VectorIndex.committed(s, cat, "embeddings")
+    val assigned = codes
+      .select(col(graft.meta.VectorIndex.IdCol).as("nn_id"), col("cell"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("nn_id"), col("embedding").as("nn_vec")), "nn_id")
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       .filter(col("query_id") < 10)
-    Ann.ivfSearch(idx, q, "query_id", "q_vec", k = 5, excludeSelf = true)
+    Ann.ivfSearch(Ann.IvfIndex(assigned, model.ivfCentroids),
+      q, "query_id", "q_vec", k = 5, excludeSelf = true)
   }
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =

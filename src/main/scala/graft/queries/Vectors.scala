@@ -68,78 +68,57 @@ object Vectors {
       .select(col("vec_id"), col("sub"), col("cid").cast("long").as("code"))
   }
 
-  // Memoized PQ index per (session, dir): train (m=8 × Lloyd) + encode
-  // are the one-time build; the benched path is ADC SEARCH over the
-  // 8-byte code table — the same bench-the-read treatment as q_ann_ivf.
-  private val pqIndexes = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, graft.ops.Pq.PqModel, DataFrame)]
-  private def pqIndexFor(s: SparkSession, dir: String): (graft.ops.Pq.PqModel, DataFrame) = {
+  // Memoized COMMITTED index catalog per (session, dir) — r17: train
+  // (m=8 × Lloyd) + encode happen once and land as TABLE SIDECARS
+  // ([[graft.meta.VectorIndex]]: model JSON + per-commit codes parquet,
+  // refs on every FileMeta), so the benched path is SEARCH OVER THE
+  // COMMITTED INDEX — what a fresh session or another node would run,
+  // with no session-memo retrain. The memo here only avoids re-COMMITTING
+  // the fixture per call; the search reads nothing from it but the root.
+  private val pqCats = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, graft.meta.SnapshotCatalog)]
+  private[queries] def pqCatFor(s: SparkSession, dir: String): graft.meta.SnapshotCatalog = {
     def build() = {
-      val e = Tables.embeddings(s, dir)
-      val model = graft.ops.Pq.train(e, "vec_id", "embedding", m = 8, k = 16, maxIters = 4)
-      val codes = graft.ops.Pq.encode(e, "vec_id", "embedding", model)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codes.count()
-      (s, model, codes)
+      val root = java.nio.file.Files.createTempDirectory("graft-pqidx-").toString
+      val cat = new graft.meta.SnapshotCatalog(root)
+      graft.sinks.Writers.writeSnapshot(cat, "embeddings",
+        Tables.embeddings(s, dir), s"$root/data")
+      graft.meta.VectorIndex.indexVectors(s, cat, "embeddings", "vec_id", "embedding",
+        m = 8, k = 16, nCells = 32, maxIters = 4)
+      (s, cat)
     }
     val key = (System.identityHashCode(s), dir)
-    val (owner, m0, c0) = pqIndexes.getOrElseUpdate(key, build())
-    if (owner eq s) (m0, c0)
-    else {
-      try c0.unpersist() catch { case _: Exception => () }
-      val fresh = build()
-      pqIndexes.put(key, fresh)
-      (fresh._2, fresh._3)
-    }
+    val (owner, c0) = pqCats.getOrElseUpdate(key, build())
+    if (owner eq s) c0
+    else { val fresh = build(); pqCats.put(key, fresh); fresh._2 }
   }
 
-  /** ADC search over the PQ code table (SURVEY L39's serving path —
-    * rows-only; recall + distance-ordering contracts live in PqSpec):
-    * 10 queries × corpus at 8 bytes/vector, distances are table
-    * lookups, never a float vector read. */
-  def qPqSearch(s: SparkSession, dir: String): DataFrame = {
-    val (model, codes) = pqIndexFor(s, dir)
-    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+  private def queryVecs(s: SparkSession, dir: String): Seq[(String, Seq[Double])] =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").cast("string"), col("embedding")).collect()
       .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
-    graft.ops.Pq.search(codes, "vec_id", model, queries, k = 5, excludeSelf = true)
-      .select(col("query_id"), col("nn_id"), col("rk"))
-  }
 
-  // Memoized IVF coarse index for the IVF-PQ composition (the PQ codes
-  // come from pqIndexFor; the cell∪codes join materializes per build)
-  private val ivfpqIndexes = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (SparkSession, graft.ops.Ann.IvfIndex)]
-  private def ivfpqIndexFor(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex = {
-    def build() = {
-      val idx = graft.ops.Ann.ivfIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-      idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-      (s, idx)
-    }
-    val key = (System.identityHashCode(s), dir)
-    val (owner, idx) = ivfpqIndexes.getOrElseUpdate(key, build())
-    if (owner eq s) idx
-    else {
-      try idx.assigned.unpersist() catch { case _: Exception => () }
-      val fresh = build(); ivfpqIndexes.put(key, fresh); fresh._2
-    }
-  }
-
-  /** IVF-PQ composed search (SURVEY §2.3 L39's deployed form —
-    * rows-only; recall contract in PqSpec): nProbe cells bound WHICH
-    * codes are scored, PQ bounds the bytes per score — the query plan
-    * that still works when neither the vectors nor the full code table
-    * fits a scan budget. */
-  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val (model, codes) = pqIndexFor(s, dir)
-    val ivf = ivfpqIndexFor(s, dir)
-    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").cast("string"), col("embedding")).collect()
-      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
-    graft.ops.Pq.searchIvf(ivf, codes, "vec_id", model, queries, k = 5, nProbe = 4,
-      excludeSelf = true)
+  /** ADC search over the COMMITTED PQ code sidecars (SURVEY L39's
+    * serving path — rows-only; recall + distance-ordering contracts in
+    * PqSpec, lifecycle contracts in VectorIndexSpec): 10 queries ×
+    * corpus at 8 bytes/vector, distances are table lookups, never a
+    * float vector read, and the model/codes come from the snapshot —
+    * not from session state. */
+  def qPqSearch(s: SparkSession, dir: String): DataFrame =
+    graft.meta.VectorIndex.search(s, pqCatFor(s, dir), "embeddings",
+      queryVecs(s, dir), k = 5, nProbe = None, excludeSelf = true)
       .select(col("query_id"), col("nn_id"), col("rk"))
-  }
+
+  /** IVF-PQ composed search over the COMMITTED index (SURVEY §2.3
+    * L39's deployed form — rows-only; recall contract in PqSpec):
+    * nProbe cells bound WHICH codes are scored, PQ bounds the bytes
+    * per score — the query plan that still works when neither the
+    * vectors nor the full code table fits a scan budget. Cells and
+    * codes both ride the committed sidecars. */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    graft.meta.VectorIndex.search(s, pqCatFor(s, dir), "embeddings",
+      queryVecs(s, dir), k = 5, nProbe = Some(4), excludeSelf = true)
+      .select(col("query_id"), col("nn_id"), col("rk"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norm" -> (qVecNorm _),

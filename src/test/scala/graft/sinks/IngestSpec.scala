@@ -305,9 +305,15 @@ class IngestSpec extends SparkSpec {
     // parquet scan no matter how many distinct partition tuples exist —
     // partition values are served per file inside the scan, never as
     // one union leg per tuple (which would grow the plan O(partitions))
-    val nScans = "Scan parquet".r
-      .findAllIn(cat.read(spark, "ingp").queryExecution.executedPlan.toString).size
+    val planStr = cat.read(spark, "ingp").queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(planStr).size
     assert(nScans == 1, s"expected one parquet scan for the whole table; got $nScans")
+    // join-key discipline: the partition-serve broadcast join keys on
+    // the RAW _metadata.file_path column — the manifest side is
+    // pre-rendered to the scan's URI form, so no per-row regexp
+    // normalization runs on the stream side (r17, VERDICT r16 #4)
+    assert(!planStr.contains("regexp_replace"),
+      s"partition-serve join must key on the raw file_path column:\n$planStr")
   }
 
   test("MoR deletes and CDC compose with partition-served columns") {
