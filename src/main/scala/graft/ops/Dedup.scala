@@ -189,7 +189,16 @@ object Dedup {
     * verified with exact shingle Jaccard ≥ `threshold`. Pairs are
     * deduplicated BEFORE shingle arrays are joined back, so the banded
     * shuffle carries ids only; pathologically wide buckets are
-    * star-paired (see [[boundedBucketPairs]]). */
+    * star-paired (see [[boundedBucketPairs]]).
+    *
+    * r17: the shingle pipeline (split → hash → sort) feeds THREE plan
+    * consumers — the band derivation and both sides of the verify join
+    * — and as a pure map-side subtree Spark recomputed it per consumer
+    * (three tokenize+hash corpus passes). An id-hash exchange pinned
+    * under it lets ReuseExchange compute it ONCE and replay the
+    * shuffle files (the [[ngramJaccardSearchLsh]] treatment); the
+    * minhash signature derives from the sorted hash array, which is
+    * the same multiset, so every band hash is bit-identical. */
   def minhashDuplicates(
       docs: DataFrame,
       idCol: String,
@@ -197,10 +206,12 @@ object Dedup {
       threshold: Double = 0.5,
       numBands: Int = NumBands,
       maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
-    val banded = bandedSignatures(docs, idCol, textCol, numBands)
+    val sh = shingleHashes(docs, idCol, textCol).repartition(col("id"))
+    val banded = sh
+      .select(col("id").as("doc_id"), minhashSignatureFromHashes(col("sh")).as("sig"))
+      .select(col("doc_id"), explode(array(bandStructs(col("sig"), numBands): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
     val pairs = boundedBucketPairs(banded, Seq("band", "band_hash"), "doc_id", maxBucketWidth)
-    val sh = withShingles(docs, idCol, textCol)
-      .select(col("id"), sort_array(transform(col("sh"), s => xxhash64(s))).as("sh"))
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
@@ -250,15 +261,20 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       numBands: Int = NumBands): DataFrame = {
-    val cb = bandedSignatures(corpus, idCol, textCol, numBands)
-      .withColumnRenamed("doc_id", "corpus_id")
-    val bb = bandedSignatures(batch, idCol, textCol, numBands)
-      .withColumnRenamed("doc_id", "batch_id")
-    val cand = bb.join(cb, Seq("band", "band_hash"))
+    // r17: each side's shingle pipeline feeds its band derivation AND
+    // its verify-join side; the pinned id-hash exchange makes it ONE
+    // tokenize+hash pass per side via ReuseExchange (the
+    // [[ngramJaccardSearchLsh]] treatment — see minhashDuplicates)
+    val shC = shingleHashes(corpus, idCol, textCol).repartition(col("id"))
+    val shB = shingleHashes(batch, idCol, textCol).repartition(col("id"))
+    def bands(sh: DataFrame, name: String): DataFrame = sh
+      .select(col("id").as(name), minhashSignatureFromHashes(col("sh")).as("sig"))
+      .select(col(name), explode(array(bandStructs(col("sig"), numBands): _*)).as("b"))
+      .select(col(name), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val cand = bands(shB, "batch_id").join(bands(shC, "corpus_id"), Seq("band", "band_hash"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     val verified = verifyJaccardPairs(cand, "batch_id", "corpus_id",
-      shingleHashes(batch, idCol, textCol),
-      shingleHashes(corpus, idCol, textCol), threshold)
+      shB, shC, threshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("batch_id"))
       .orderBy(col("jaccard").desc, col("corpus_id").asc)
@@ -294,6 +310,7 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var ckpt = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -301,19 +318,26 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "u").withColumnRenamed("label", "ulabel"), "u")
         .groupBy(col("v").as("id"))
         .agg(min(col("ulabel")).as("nlabel"))
+      // r17: ONE job per iteration instead of two-plus-a-join — the old
+      // label rides the row (no re-join to detect change), the checkpoint
+      // is lazy, and the convergence count is the action that both
+      // materializes every checkpoint partition (it aggregates over all
+      // of them) and returns the changed-row count
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("__old"))
+        .localCheckpoint(false)
       val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
-      // `updated` is materialized (eager checkpoint): the superseded
-      // generation's blocks release now, so storage holds two label
-      // tables at any moment, not one per iteration
-      labels.unpersist()
-      labels = updated
+        .agg(count(when(col("label") =!= col("__old"), 1)))
+        .collect()(0).getLong(0)
+      // `updated` is fully materialized (the convergence aggregate visited
+      // every partition): the superseded generation's blocks release now,
+      // so storage holds two label tables at any moment, not one per
+      // iteration
+      ckpt.unpersist()
+      ckpt = updated
+      labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
@@ -353,7 +377,11 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,63], got $maxHamming")
-    val withSim = simhashDf(docs, idCol, textCol)
+    // r17: the simhash (split → per-word hash → bit votes) feeds the
+    // chunk derivation and both verify-join sides; pin an id-hash
+    // exchange under it so ReuseExchange computes it once (8 bytes per
+    // doc through the shuffle) instead of re-tokenizing per consumer
+    val withSim = simhashDf(docs, idCol, textCol).repartition(col("doc_id"))
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
     val chunks = (0 until nChunks).map { c =>

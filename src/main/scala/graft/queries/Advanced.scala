@@ -137,22 +137,56 @@ object Advanced {
         count(when(col("k").isNull, 1)).as("n_missing"))
 
   /** Table profiling (the data-quality monitoring sweep): per-column
-    * row/null/distinct counts and min/max, for ALL profiled columns in
-    * ONE pass — a single aggregate computes every metric, then `stack`
-    * unpivots to long form. At 100 TB this is one scan of the table,
-    * not one per column. Long/string columns only: their VARCHAR
-    * rendering is identical across engines (doubles are not). */
-  def qProfile(s: SparkSession, dir: String): DataFrame =
-    profileScan(s, dir, c => count_distinct(col(c)))
+    * row/null/distinct counts and min/max, unpivoted to long form with
+    * `stack`. Long/string columns only: their VARCHAR rendering is
+    * identical across engines (doubles are not).
+    *
+    * r17 shape change (same values, 3-4× faster): the exact
+    * count_distinct×4 no longer rides the same aggregate as min/max —
+    * that combination planned as a 5× row Expand whose 13-column rows
+    * then went through THREE SortAggregates with two full sorts,
+    * because the string min/max buffers disqualify hash aggregation
+    * for the whole aggregate. Now the plain stats run in ONE keyless
+    * aggregate (no Expand, and keyless sort-agg needs no Sort) and
+    * each distinct count runs as its own single-column two-phase hash
+    * aggregate over a pruned scan; the five one-row results cross-join
+    * back under the stack. At 100 TB each pass reads only its own
+    * column — the same bytes the old Expand plan read once and then
+    * amplified 5×; the no-amplification single-pass sweep remains
+    * [[qProfileHll]]. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = ProfileCols
+    val o = Tables.orders(s, dir)
+    val statAggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"nn__$c"),
+        min(col(c)).cast("string").as(s"mn__$c"),
+        max(col(c)).cast("string").as(s"mx__$c"))
+    }
+    val stats = o.agg(statAggs.head, statAggs.tail: _*)
+    val nds = cols.map(c => o.agg(count_distinct(col(c)).as(s"nd__$c")))
+    nds.foldLeft(stats)(_.crossJoin(_))
+      .select(stackProfile(cols))
+  }
 
-  /** Shared single-scan profile scaffold: one aggregate computes every
-    * per-column metric, `stack` unpivots to long form; only the
-    * distinct-count aggregator differs between the exact oracle-gate
-    * form and the HLL sweep form. */
+  private val ProfileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  private def stackProfile(cols: Seq[String]): Column = {
+    val stackArgs = cols.map(c =>
+      s"'$c', n, nn__$c, nd__$c, mn__$c, mx__$c").mkString(", ")
+    expr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)")
+  }
+
+  /** Shared single-scan profile scaffold for the SKETCH-based variants:
+    * one aggregate computes every per-column metric, `stack` unpivots
+    * to long form. Sketch aggregators merge in the aggregate buffer
+    * (no multi-distinct Expand), so for these the one-pass form is the
+    * right plan; the exact form above splits instead. */
   private def profileScan(
       s: SparkSession, dir: String, distinctAgg: String => Column,
-      cols: Seq[String] =
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")): DataFrame = {
+      cols: Seq[String] = ProfileCols): DataFrame = {
     val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"nn__$c"),
@@ -160,12 +194,9 @@ object Advanced {
         min(col(c)).cast("string").as(s"mn__$c"),
         max(col(c)).cast("string").as(s"mx__$c"))
     }
-    val stackArgs = cols.map(c =>
-      s"'$c', n, nn__$c, nd__$c, mn__$c, mx__$c").mkString(", ")
     Tables.orders(s, dir)
       .agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)"))
+      .select(stackProfile(cols))
   }
 
   /** The 100 TB profiling sweep: same single-scan shape as [[qProfile]]

@@ -67,6 +67,25 @@ class KmeansSpec extends SparkSpec {
     assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 3))
   }
 
+  test("out-of-domain components fail loudly, never a silent null fold") {
+    // |v| = 150 overflows the decimal(8,6) component cast: under ANSI
+    // (the Spark 4 default) the cast itself throws; under ANSI-off the
+    // sum comes back null and the r17 long-backed sum path throws its
+    // own IllegalStateException — either way the model never silently
+    // folds an overflow
+    import spark.implicits._
+    val big = (0 until 10).map(i => (i.toLong, Array(150.0f, 0.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      VectorOps.kmeans(big, "id", "vec", k = 2, maxIters = 2)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.isInstanceOf[IllegalStateException] || t.isInstanceOf[ArithmeticException] ||
+        t.getClass.getSimpleName.contains("Arithmetic")),
+      s"expected an overflow failure, got: $e")
+  }
+
   test("convergence: shift reaches tolerance on stable data before maxIters") {
     val df = planted()
     val model = VectorOps.kmeans(df, "id", "vec", k = 3, maxIters = 50)

@@ -38,12 +38,18 @@ class AdvancedSpec extends SparkSpec {
       assert(math.abs(ad - ed).toDouble / math.max(ed, 1L) < 0.10,
         s"$c HLL distinct off >10%: $ad vs exact $ed")
     }
-    // the point of the variant: the exact form's count_distinct Expand
-    // (rows × (nCols+1) amplification) must be absent from the approx plan
+    // neither form may amplify rows through a multi-distinct Expand:
+    // the approx form merges sketches in one aggregate, and the r17
+    // exact form runs each distinct count as its own single-column
+    // two-phase hash aggregate (the pre-r17 combined aggregate planned
+    // a 5× Expand whose rows then paid full SortAggregate sorts)
     val exactPlan = Advanced.qProfile(spark, sfDir).queryExecution.executedPlan.toString
     val approxPlan = Advanced.qProfileApprox(spark, sfDir).queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"), "exact form is the Expand baseline")
+    assert(!exactPlan.contains("Expand"), s"exact profile must not Expand:\n$exactPlan")
     assert(!approxPlan.contains("Expand"), s"approx profile must not Expand:\n$approxPlan")
+    // and the only sort-based aggregates left in the exact plan are the
+    // keyless stats pass (string min/max buffers), which needs no Sort
+    assert(!exactPlan.contains("+- Sort "), s"exact profile must not sort rows:\n$exactPlan")
   }
 
   test("salted aggregation equals direct group-by exactly") {
