@@ -38,8 +38,15 @@ val jdk17AddOpens = Seq(
 // q_incr_neardup 0.97 s isolated vs 10.08 s in-battery). 32g keeps the
 // battery inside the isolated envelope; SPARK_DRIVER_MEM still
 // overrides for memory-constrained hosts.
+// -Xms = -Xmx: without it the r17 per-query GC quiesce (Bench/ScaleGate)
+// let G1's full collections SHRINK the committed heap, and the next
+// query paid page re-commit inside its timed region (measured: the gate
+// base battery grew 54 s → 76 s when quiesce landed without this). A
+// pinned heap keeps the quiesce cost outside the timer, which is the
+// whole point of quiescing.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -6,10 +6,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the sf-dir given by
-  * SPARK_GRAFT_SF_DIR, best-of-2, and emits ONE machine-readable JSON
-  * line — to stdout, to stderr (sbt leaves stderr unprefixed), and to
-  * bench_out.json in the working directory so the harness never has to
-  * fish the line out of log noise.
+  * SPARK_GRAFT_SF_DIR, best-of-3 (r17; see the GC note in main), and
+  * emits ONE machine-readable JSON line — to stdout, to stderr (sbt
+  * leaves stderr unprefixed), and to bench_out.json in the working
+  * directory so the harness never has to fish the line out of log
+  * noise.
   *
   * The session is the library's own bootstrap (GraftSession.local: AQE,
   * core-sized shuffle partitions, UTC) — benching the engine as shipped,
@@ -26,9 +27,34 @@ object Bench {
     val spark: SparkSession = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    // best-of-2 per query: the first run pays one-off costs (codegen
-    // compilation, file-index build) that a long-lived engine amortizes;
-    // min reflects steady-state throughput and damps machine noise
+    // best-of-3 per query, runs back-to-back (r17; was best-of-2). Two
+    // reproducibility fixes the r16 verdict asked for, each measured
+    // before adoption:
+    //  - GC quiesce before every timed query (was every 10th): 160+
+    //    back-to-back queries accumulate tenured garbage whose
+    //    collection pressure lands on whichever query runs next —
+    //    r16's sub-second numbers swung ~2× between rounds
+    //    (q_changelog 0.71↔1.46 while the gate's isolated timing was
+    //    flat). Needs the pinned heap (-Xms=-Xmx, build.sbt): without
+    //    it the full collections SHRANK the committed heap and the
+    //    next query re-committed pages inside its timer (battery grew
+    //    54 s → 76 s).
+    //  - a third back-to-back sample: tightens the min on the ~1 s
+    //    tail. Consecutive (not interleaved-pass) runs are deliberate:
+    //    whole-stage codegen's class cache holds 100 entries, so a
+    //    full-battery pass evicts every query's generated classes and
+    //    an interleaved min-across-passes design re-measured COLD
+    //    codegen for all 167 queries every pass (battery total 47.8 s
+    //    → 74.1 s, measured before rejecting it).
+    // Result (measured): battery totals reproduce within 0.3% across
+    // full re-runs; residual per-query variance has an absolute floor
+    // of ~±0.15 s from the OS/scheduler, which on ~1 s queries can
+    // still read as 15–30% — the scale gate's isolated re-timing stays
+    // the arbiter for any plan-shape question. The first run pays
+    // one-off costs (codegen, file-index, fixture memo builds) that a
+    // long-lived engine amortizes; min reflects steady-state
+    // throughput. Caches are NOT cleared: memoized layouts/indexes are
+    // the steady state being measured.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -40,19 +66,11 @@ object Bench {
     }
 
     val benched = (SparkEntry.queries - "q_ngram_jaccard")
-    // periodic full GC between query groups: 140+ back-to-back queries
-    // in one JVM accumulate tenured garbage whose collection pressure
-    // lands on whichever query runs next (~1.5x inflation on the heavy
-    // tail, measured r9) — masking real per-query regressions. A forced
-    // collection at group boundaries keeps in-battery numbers within
-    // the isolated best-of-2 envelope. Caches are NOT cleared: memoized
-    // layouts/indexes are the steady state being measured.
-    var sinceGc = 0
     val results = benched.map { case (name, fn) =>
-      sinceGc += 1
-      if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
+      System.gc()
       val t1 = once(name, fn)
-      name -> (if (t1 < 0) t1 else math.min(t1, once(name, fn)))
+      name -> (if (t1 < 0) t1
+               else math.min(t1, math.min(once(name, fn), once(name, fn))))
     }
     val failed = results.filter(_._2 < 0).keys.toSeq.sorted
     if (failed.nonEmpty)

@@ -56,20 +56,28 @@ object ScaleGate {
     * integer bucket-bit transition and table count t grows +1 per 2
     * bits as the recall repair — between two specific decades the
     * candidate ratio lands anywhere in [5×, 25×] while the AMORTIZED
-    * trend stays N·log-ish (r9 measured 11.0× for sf0.1→sf1: width
-    * 7.8→19.5 (2.5×) × 10× N × 5/4 tables). Bound 16.0 (r16, restored
-    * from the r15 20.0 raise): r14/r15 each widened this bound to
-    * absorb an in-battery MEASUREMENT artifact (the best-of-2 base
-    * landing at 0.83 s with battery-warm fixtures while isolated reads
-    * 1.63 s / ratio 8.96) — widening a gate to cover noise erodes the
-    * N²-regression margin it exists to catch, so the gate now fixes
-    * the MEASUREMENT instead: override queries are re-timed ISOLATED
-    * (GC-quiesced best-of-2 at both scales, after the battery) and the
-    * breach decision uses that ratio against this model bound; both
-    * measurements land in scale_gate.json so the next drift is
+    * trend stays N·log-ish.
+    *
+    * Bound 18.0, derived for THE decade the gate actually measures
+    * (sf0.1→sf1, r17 per VERDICT #5). Geometry placement: at N=2 000
+    * raw bits = ceil(log2(2000/32)) = 6, floored to NumPlanes=8 → 256
+    * buckets, W=7.8, t=4; at N=20 000 bits = ceil(log2(625)) = 10 →
+    * W=19.5, t=5. So the components scale as: bucket computation
+    * t·bits·N = 12.5×; candidate verification t·N·W/2 = 31.2× (the
+    * 8-bit floor makes the BASE artificially fine, which inflates this
+    * decade above any steady-state decade, where W≈32 on both sides
+    * and the ratio is t-growth × 10). Measured (isolated, GC-quiesced,
+    * best-of-2 both scales): 13.69 (r17; 12.29 r16) — a ~6%
+    * verification share of the [12.5, 31.2] model envelope. 18.0 sits
+    * 30% above the measured placement, well inside the model ceiling,
+    * and still fails the 100×+ quadratic returns the gate exists to
+    * catch (the r8 sweep's real regressions ran 162× and ~100×). The
+    * breach decision for override queries uses the ISOLATED re-timing
+    * (GC-quiesced best-of-2 at both scales, after the battery), and
+    * both measurements land in scale_gate.json so the next drift is
     * auditable data, not a prose re-derivation. */
   val boundOverrides: Map[String, Double] = Map(
-    "q_embed_neardup" -> 16.0)
+    "q_embed_neardup" -> 18.0)
 
   /** Pure gate evaluation — unit-tested separately from the 3-minute
     * run. Queries that failed (negative time) at either scale are
@@ -121,15 +129,17 @@ object ScaleGate {
     }
     // same battery as Bench: the exact |Q|·N n-gram form stays a
     // Verify-only oracle, not a scale path. Same GC discipline as
-    // Bench too (r15): 160+ back-to-back queries accumulate tenured
-    // garbage whose collection lands on whichever query runs next —
-    // measured 3× inflation on q_bpe_tokens at the 10× scale (8.5 s
-    // in-battery vs 2.6 s isolated, ratio 16.7 vs 3.5), which is
-    // measurement noise the gate must not read as a plan regression.
-    var sinceGc = 0
+    // Bench too — quiesce before EVERY query (r17, was every 10th):
+    // 160+ back-to-back queries accumulate tenured garbage whose
+    // collection lands on whichever query runs next (r15 measured 3×
+    // inflation on q_bpe_tokens at the 10× scale, 8.5 s in-battery vs
+    // 2.6 s isolated; the r17 every-10th battery still read a pure
+    // map-side query, q_normalize_text, at ratio 11.3). The forced
+    // collection costs ~5 s per battery and brings every in-battery
+    // ratio near its isolated value, so breach decisions for
+    // non-override queries stop riding GC phase.
     (SparkEntry.queries - "q_ngram_jaccard").map { case (name, fn) =>
-      sinceGc += 1
-      if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
+      System.gc()
       val t1 = once(fn)
       name -> (if (t1 < 0) t1 else math.min(t1, once(fn)))
     }

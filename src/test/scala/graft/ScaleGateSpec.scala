@@ -35,7 +35,7 @@ class ScaleGateSpec extends AnyFunSuite {
     val ok = ScaleGate.evaluate(
       Map("q_embed_neardup" -> 1.0), Map("q_embed_neardup" -> 11.0),
       bound = 8.0, floor = 0.2)
-    assert(!ok.head.breach) // 11x is within the documented N·W·t model (20x, r15)
+    assert(!ok.head.breach) // 11x is within the documented N·W·t model (18x, r17)
     val bad = ScaleGate.evaluate(
       Map("q_embed_neardup" -> 1.0), Map("q_embed_neardup" -> 30.0),
       bound = 8.0, floor = 0.2)
